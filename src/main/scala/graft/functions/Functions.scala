@@ -1,0 +1,91 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Scalar expression library — the reference's row-level logic
+  * (SURVEY.md §2.2, §2.8) re-expressed as composed Spark built-ins so
+  * everything stays inside WholeStageCodegen (no UDFs on hot paths).
+  */
+object Functions {
+
+  /** P18: text normalization (reference `fuzzy_match.py:15-21`,
+    * `normalize.py:7-13`): lowercase, strip non-alnum (keep spaces),
+    * collapse whitespace, trim.
+    */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", ""), "\\s+", " "))
+
+  /** §2.8: token_sort_ratio (reference `fuzzy_match.py:44-51` uses
+    * fuzzywuzzy). Re-expressed with built-ins: normalize, sort the
+    * token multiset, rejoin, then a Levenshtein similarity scaled to
+    * 0..100. All codegen'd — no UDF.
+    */
+  def tokenSorted(c: Column): Column =
+    array_join(sort_array(split(normalizeText(c), " ")), " ")
+
+  def tokenSortRatio(a: Column, b: Column): Column = {
+    val sa = tokenSorted(a)
+    val sb = tokenSorted(b)
+    val maxLen = greatest(length(sa), length(sb))
+    when(maxLen === 0, lit(100.0))
+      .otherwise(round(
+        (lit(1.0) - levenshtein(sa, sb).cast("double") / maxLen.cast("double")) * 100, 1))
+  }
+
+  /** P20: weighted MDM match score (`fuzzy_match.py:54`). */
+  def weightedScore(nameScore: Column, addressScore: Column,
+                    nameWeight: Double = 0.7): Column =
+    round(lit(nameWeight) * nameScore + lit(1.0 - nameWeight) * addressScore, 2)
+
+  /** P19: confidence bucketing (`fuzzy_match.py:72-79`). */
+  def confidenceBucket(score: Column, high: Double = 95, medium: Double = 80): Column =
+    when(score >= high, "HIGH").when(score >= medium, "MEDIUM").otherwise("LOW")
+
+  /** P19: bucket → governance action (`fuzzy_match.py:81-89`). */
+  def governanceAction(bucket: Column): Column =
+    when(bucket === "HIGH", "AUTO_MERGE")
+      .when(bucket === "MEDIUM", "STEWARD_REVIEW")
+      .otherwise("NO_ACTION")
+
+  /** P14: SCD2 record hash (`scd2_delta_vendors.py:36-56`):
+    * sha2-256 over "||"-joined coalesced string casts of the business
+    * columns. Column order is part of the contract — callers pass an
+    * explicit ordered list. Doubles should be pre-cast to
+    * decimal(18,2) by the caller when oracle parity matters (double
+    * → string rendering differs across engines).
+    */
+  def recordHash(cols: Seq[Column]): Column =
+    sha2(concat_ws("||", cols.map(c => coalesce(c.cast("string"), lit(""))): _*), 256)
+
+  /** P15: md5 change-hash twin (`sql/scd/02_scd_procedures.sql:36-41`). */
+  def md5Hash(cols: Seq[Column]): Column =
+    md5(concat_ws("|", cols.map(c => coalesce(c.cast("string"), lit(""))): _*))
+
+  /** P22: sequential surrogate ID MV-%05d
+    * (`lifecycle_management.py:46-52`). Caller supplies the
+    * row_number column (needs a Window with a deterministic order).
+    */
+  def surrogateId(rowNumber: Column, prefix: String = "MV"): Column =
+    format_string(s"$prefix-%05d", rowNumber)
+
+  /** O5: longest-string survivorship (`fuzzy_match.py:121-132`). */
+  def longestString(a: Column, b: Column): Column =
+    when(length(coalesce(a, lit(""))) >= length(coalesce(b, lit(""))), a).otherwise(b)
+
+  /** P21: percentage ratio rounded to 2 (`glue_mdm.py:63-65`). */
+  def pctRatio(num: Column, denom: Column): Column =
+    when(denom === 0, lit(0.0)).otherwise(round(num.cast("double") / denom.cast("double") * 100, 2))
+
+  /** Exact-decimal sum rendered back as double: FP addition is not
+    * associative, so a parallel double sum is run-order dependent —
+    * sum in decimal (exact, associative) then cast, giving
+    * bit-identical results across engines and partitionings.
+    */
+  def exactSum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(s"decimal(30,$scale)")).cast("double")
+
+  /** Deterministic mean built from exactSum / count. */
+  def exactAvg(c: Column, scale: Int = 4): Column =
+    sum(c.cast(s"decimal(30,$scale)")).cast("double") / count(c)
+}

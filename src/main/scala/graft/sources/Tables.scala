@@ -1,0 +1,112 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Readers/writers for the engine's zoned-lake layout.
+  *
+  * Re-expresses the reference's source/sink surface (SURVEY.md §2.1,
+  * reference `glue_jobs/nyc_raw_to_validated_etl.py:37,93-96`,
+  * `nyc_validated_to_curated_etl.py:86-94,103`) Spark-first: plain
+  * `spark.read`/`df.write` with partitioned layouts so Catalyst gets
+  * partition pruning and parquet filter pushdown for free.
+  */
+object Tables {
+
+  /** Canonical testdata tables (TESTDATA.md). */
+  val testTables: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** S1: parquet scan. Column pruning + predicate pushdown are
+    * handled by Catalyst; callers should NOT pre-materialize.
+    */
+  def parquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Read one of the driver's testdata tables from an sf dir. */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** S3: CSV scan with header (reference zone/vendor master reads,
+    * `nyc_validated_to_curated_etl.py:103`). `inferSchema=false` by
+    * default mirrors the reference's all-string-then-cast pattern.
+    */
+  def csv(spark: SparkSession, path: String,
+          schema: Option[StructType] = None,
+          inferSchema: Boolean = false): DataFrame = {
+    val r = spark.read.option("header", "true")
+    schema match {
+      case Some(s) => r.schema(s).csv(path)
+      case None    => r.option("inferSchema", inferSchema.toString).csv(path)
+    }
+  }
+
+  /** S8: partitioned parquet sink (validated zone by run_date,
+    * `nyc_raw_to_validated_etl.py:93-96`). Partition column choice is
+    * the scale lever: downstream latest-partition reads prune to one
+    * directory regardless of total table size.
+    */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String],
+                       mode: String = "overwrite"): Unit =
+    df.write.mode(mode).partitionBy(partitionCols: _*).parquet(path)
+
+  /** S9: append parquet sink (`nyc_validated_to_curated_etl.py:163`). */
+  def append(df: DataFrame, path: String): Unit =
+    df.write.mode("append").parquet(path)
+
+  /** S10: dynamic partition overwrite — only touched partitions are
+    * replaced (`nyc_validated_to_curated_etl.py:65`). Session-scoped.
+    */
+  def enableDynamicPartitionOverwrite(spark: SparkSession): Unit =
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+  /** S11: single-file JSON metrics sink
+    * (`nyc_raw_to_validated_etl.py:115-119`). coalesce(1) is correct
+    * here ONLY because metrics frames are tiny (1-row audit records);
+    * never use on data-scale frames.
+    */
+  def writeJsonSingleFile(df: DataFrame, path: String): Unit =
+    df.coalesce(1).write.mode("overwrite").json(path)
+
+  /** Latest-partition incremental read (S2,
+    * `nyc_validated_to_curated_etl.py:86-94`): read the base path,
+    * find max partition value, filter to it. With a partitioned
+    * layout the filter prunes to one directory — the max() scan
+    * itself only reads partition metadata when `col` is a partition
+    * column, so this stays O(latest partition) at 100 TB.
+    */
+  def latestPartition(spark: SparkSession, path: String, col: String): DataFrame = {
+    import org.apache.spark.sql.functions.max
+    val df = spark.read.parquet(path)
+    val latest = df.agg(max(org.apache.spark.sql.functions.col(col))).head().get(0)
+    df.filter(org.apache.spark.sql.functions.col(col) === latest)
+  }
+
+  /** P12: required-column assertion
+    * (`nyc_validated_to_curated_etl.py:25-28`). */
+  def requireCols(df: DataFrame, cols: Seq[String]): Unit = {
+    val missing = cols.filterNot(df.columns.map(_.toLowerCase).toSet)
+    require(missing.isEmpty, s"missing required columns: ${missing.mkString(", ")}")
+  }
+
+  /** P11: column-name normalization
+    * (`nyc_validated_to_curated_etl.py:31-53`): trim, non-alnum → _,
+    * collapse _, lowercase, dedupe with _N suffix. Pure driver-side
+    * rename — zero plan impact.
+    */
+  def normalizeColumnNames(df: DataFrame): DataFrame = {
+    val seen = scala.collection.mutable.Map.empty[String, Int]
+    val renamed = df.columns.map { c =>
+      val base = c.trim
+        .replaceAll("[^0-9a-zA-Z_]+", "_")
+        .replaceAll("_+", "_")
+        .stripPrefix("_").stripSuffix("_")
+        .toLowerCase
+      val n = seen.getOrElse(base, 0)
+      seen(base) = n + 1
+      if (n == 0) base else s"${base}_$n"
+    }
+    df.toDF(renamed: _*)
+  }
+}
