@@ -4,41 +4,453 @@ import graft.QueryDef
 import graft.functions.Functions._
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Core relational operator coverage (SURVEY.md §2.2-§2.8) mapped onto
   * the TPC-H-ish testdata. Each query is the Spark-first rendition of
   * a reference operator; the oracle twin is ANSI SQL for DuckDB.
   *
-  * Determinism discipline (SURVEY.md §7.5): double aggregates go
-  * through exact decimal sums (`exactSum`) so Spark's parallel
-  * aggregation and DuckDB's serial one produce bit-identical doubles.
+  * Determinism discipline (SURVEY.md §7.5):
+  *  - double aggregates go through exact decimal sums (`exactSum`) so
+  *    Spark's parallel aggregation and DuckDB's serial one produce
+  *    bit-identical doubles;
+  *  - every window/top-k has a unique-key tiebreaker;
+  *  - counts are cast to BIGINT on the oracle side (DuckDB SUM(int)
+  *    is HUGEINT);
+  *  - DuckDB regexp_replace takes the 'g' flag to match Spark's
+  *    replace-all semantics;
+  *  - no double→int casts (Spark truncates, DuckDB rounds).
   */
 object RelationalQueries {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.table(s, dir, name)
 
+  /** P2 validity predicate shared by the split queries — the trip
+    * validity CASE WHEN of `nyc_raw_to_validated_etl.py:67-74` mapped
+    * onto lineitem columns.
+    */
+  private def isValidCol = // multi-branch CASE WHEN (P2)
+    when(col("l_quantity") <= 0, lit(false))
+      .when(col("l_extendedprice") < 0, lit(false))
+      .when(col("l_discount") > 0.05, lit(false))
+      .when(col("l_shipdate").isNull, lit(false))
+      .otherwise(lit(true))
+
+  private val isValidSql =
+    """CASE WHEN l_quantity <= 0 THEN FALSE
+      |     WHEN l_extendedprice < 0 THEN FALSE
+      |     WHEN l_discount > 0.05 THEN FALSE
+      |     WHEN l_shipdate IS NULL THEN FALSE
+      |     ELSE TRUE END""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
 
-    // ───────── flagship: daily revenue (A3; daily_vendor_revenue.sql:29-53)
-    // scan → filter → group-agg; partial (map-side) aggregation + AQE
-    // handle scale: shuffle only carries (suppkey, day) partials.
+    // ───── flagship: daily revenue (A3; ref daily_vendor_revenue.sql:29-53)
+    // scan → filter → group-agg; map-side partial aggregation means the
+    // shuffle carries only (suppkey, day) partials — at 100 TB the
+    // shuffle volume is bounded by group cardinality, not input rows.
     "daily_revenue" -> QueryDef.sql(
-      (s, dir) => {
+      (s, dir) =>
         t(s, dir, "lineitem")
           .filter(col("l_extendedprice") > 0)
           .groupBy(col("l_suppkey"), to_date(col("l_shipdate")).as("ship_date"))
           .agg(
             exactSum(col("l_extendedprice")).as("total_revenue"),
-            count(lit(1)).as("trip_count"))
-      },
+            count(lit(1)).as("trip_count")),
       """SELECT l_suppkey,
         |       CAST(l_shipdate AS DATE) AS ship_date,
         |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) AS total_revenue,
         |       COUNT(*) AS trip_count
         |FROM lineitem
         |WHERE l_extendedprice > 0
-        |GROUP BY 1, 2""".stripMargin)
+        |GROUP BY 1, 2""".stripMargin),
+
+    // ───── P1: cast-projection schema enforcement
+    // (ref nyc_raw_to_validated_etl.py:43-62)
+    "p01_cast_projection" -> QueryDef.sql(
+      (s, dir) =>
+        t(s, dir, "lineitem").select(
+          col("l_orderkey").cast("string").as("orderkey_str"),
+          col("l_linenumber").cast("long").as("linenumber_long"),
+          col("l_quantity").cast("decimal(12,2)").cast("string").as("quantity_str"),
+          to_date(col("l_shipdate")).as("ship_date"),
+          col("l_returnflag").as("returnflag")),
+      """SELECT CAST(l_orderkey AS VARCHAR) AS orderkey_str,
+        |       CAST(l_linenumber AS BIGINT) AS linenumber_long,
+        |       CAST(CAST(l_quantity AS DECIMAL(12,2)) AS VARCHAR) AS quantity_str,
+        |       CAST(l_shipdate AS DATE) AS ship_date,
+        |       l_returnflag AS returnflag
+        |FROM lineitem""".stripMargin),
+
+    // ───── P2: multi-branch CASE WHEN validity flag
+    // (ref nyc_raw_to_validated_etl.py:67-74)
+    "p02_validity_flag" -> QueryDef.sql(
+      (s, dir) =>
+        t(s, dir, "lineitem").select(
+          col("l_orderkey"), col("l_linenumber"), isValidCol.as("is_valid")),
+      s"""SELECT l_orderkey, l_linenumber, $isValidSql AS is_valid
+         |FROM lineitem""".stripMargin),
+
+    // ───── P3: filter split, good branch (ref :76)
+    "p03_valid_rows" -> QueryDef.sql(
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .withColumn("is_valid", isValidCol)
+          .filter(col("is_valid"))
+          .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount"),
+      s"""SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+         |FROM lineitem WHERE $isValidSql""".stripMargin),
+
+    // ───── P3: negated filter, quarantine branch (ref :77)
+    "p04_quarantine_rows" -> QueryDef.sql(
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .withColumn("is_valid", isValidCol)
+          .filter(!col("is_valid"))
+          .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount"),
+      s"""SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+         |FROM lineitem WHERE NOT ($isValidSql)""".stripMargin),
+
+    // ───── A7/P5: conditional violation counters, single audit row
+    // (ref qc_positive_amounts.sql:27-29, test_no_null_vendor.sql:21-23)
+    "a07_violation_counts" -> QueryDef.sql(
+      (s, dir) =>
+        t(s, dir, "lineitem").agg(
+          count(lit(1)).as("total_rows"),
+          sum(when(col("l_quantity") <= 0, 1).otherwise(0)).cast("long").as("nonpositive_qty"),
+          sum(when(col("l_extendedprice") < 0, 1).otherwise(0)).cast("long").as("negative_price"),
+          sum(when(col("l_shipdate").isNull, 1).otherwise(0)).cast("long").as("null_shipdate")),
+      """SELECT COUNT(*) AS total_rows,
+        |  CAST(SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS nonpositive_qty,
+        |  CAST(SUM(CASE WHEN l_extendedprice < 0 THEN 1 ELSE 0 END) AS BIGINT) AS negative_price,
+        |  CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_shipdate
+        |FROM lineitem""".stripMargin),
+
+    // ───── P18: text normalization (ref fuzzy_match.py:15-21)
+    "p18_normalize_text" -> QueryDef.sql(
+      (s, dir) =>
+        t(s, dir, "documents").select(
+          col("doc_id"), normalizeText(col("text")).as("norm_text")),
+      """SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), '\s+', ' ', 'g')) AS norm_text
+        |FROM documents""".stripMargin),
+
+    // ───── P14: SCD2 record hash (ref scd2_delta_vendors.py:36-56)
+    "p14_record_hash" -> QueryDef.sql(
+      (s, dir) =>
+        t(s, dir, "supplier").select(
+          col("s_suppkey"),
+          recordHash(Seq(
+            col("s_name"), col("s_nationkey"),
+            col("s_acctbal").cast("decimal(18,2)"))).as("record_hash")),
+      """SELECT s_suppkey,
+        |  sha256(concat_ws('||',
+        |    coalesce(CAST(s_name AS VARCHAR), ''),
+        |    coalesce(CAST(s_nationkey AS VARCHAR), ''),
+        |    coalesce(CAST(CAST(s_acctbal AS DECIMAL(18,2)) AS VARCHAR), ''))) AS record_hash
+        |FROM supplier""".stripMargin),
+
+    // ───── P15: md5 change hash (ref 02_scd_procedures.sql:36-41)
+    "p15_md5_hash" -> QueryDef.sql(
+      (s, dir) =>
+        t(s, dir, "nation").select(
+          col("n_nationkey"),
+          md5Hash(Seq(col("n_name"), col("n_regionkey"))).as("change_hash")),
+      """SELECT n_nationkey,
+        |  md5(concat_ws('|', coalesce(CAST(n_name AS VARCHAR), ''),
+        |                     coalesce(CAST(n_regionkey AS VARCHAR), ''))) AS change_hash
+        |FROM nation""".stripMargin),
+
+    // ───── P22: sequential surrogate IDs (ref lifecycle_management.py:46-52)
+    // Single-partition window is intentional: this runs on small master
+    // dims (the reference does it in pandas on the driver).
+    "p22_surrogate_ids" -> QueryDef.sql(
+      (s, dir) =>
+        t(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_name"))
+          .withColumn("master_id",
+            surrogateId(row_number().over(Window.orderBy(col("s_name"), col("s_suppkey"))))),
+      """SELECT s_suppkey, s_name,
+        |  printf('MV-%05d', row_number() OVER (ORDER BY s_name, s_suppkey)) AS master_id
+        |FROM supplier""".stripMargin),
+
+    // ───── J1/J2/J3/P10: dimension enrichment, two broadcast left joins
+    // (ref nyc_validated_to_curated_etl.py:115-139). nation/region are
+    // broadcast explicitly — at 100 TB fact scale this stays a map-side
+    // join with zero shuffle of the fact table.
+    "j01_enrich_dims" -> QueryDef.sql(
+      (s, dir) => {
+        val customer = t(s, dir, "customer")
+        val nation = t(s, dir, "nation")
+        val region = t(s, dir, "region")
+        customer
+          .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"), "left")
+          .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"), "left")
+          .select(
+            col("c_custkey"), col("c_name"),
+            col("n_name").as("nation_name"),
+            col("r_name").as("region_name"))
+      },
+      """SELECT c_custkey, c_name, n_name AS nation_name, r_name AS region_name
+        |FROM customer
+        |LEFT JOIN nation ON c_nationkey = n_nationkey
+        |LEFT JOIN region ON n_regionkey = r_regionkey""".stripMargin),
+
+    // ───── J4: referential-integrity semi join (ref glue_mdm.py:33-37) —
+    // left_semi is the idiomatic Spark EXISTS: no row multiplication,
+    // right side reduced to its join key before the shuffle.
+    "j04_semi_exists" -> QueryDef.sql(
+      (s, dir) => {
+        val orders = t(s, dir, "orders")
+        val bigItems = t(s, dir, "lineitem")
+          .filter(col("l_quantity") >= 49)
+          .select(col("l_orderkey").as("o_orderkey"))
+        orders.join(bigItems, Seq("o_orderkey"), "left_semi")
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+      },
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity >= 49)""".stripMargin),
+
+    // ───── J5: anti-join orphan quarantine (ref glue_mdm.py:40-44)
+    "j05_anti_orphans" -> QueryDef.sql(
+      (s, dir) => {
+        val customer = t(s, dir, "customer")
+        val bigOrders = t(s, dir, "orders")
+          .filter(col("o_totalprice") > 400000)
+          .select(col("o_custkey").as("c_custkey"))
+        customer.join(bigOrders, Seq("c_custkey"), "left_anti")
+          .select("c_custkey", "c_name", "c_mktsegment")
+      },
+      """SELECT c_custkey, c_name, c_mktsegment
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)""".stripMargin),
+
+    // ───── J8: FK orphan-count audit (ref qc_vendor_fk.sql:26-30)
+    "j08_fk_orphan_count" -> QueryDef.sql(
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val supp = t(s, dir, "supplier").select(col("s_suppkey").as("l_suppkey"))
+        li.join(broadcast(supp), Seq("l_suppkey"), "left_anti")
+          .agg(count(lit(1)).as("orphan_count"))
+      },
+      """SELECT COUNT(*) AS orphan_count
+        |FROM lineitem
+        |WHERE NOT EXISTS (SELECT 1 FROM supplier WHERE s_suppkey = l_suppkey)""".stripMargin),
+
+    // ───── J11-style range join: event pairs within a 1-hour window
+    // per user (ref 03_version_procedures.sql:125-170 ts-range join).
+    // Equi key (user_id) keeps this a hash join with a range residual —
+    // never a cartesian product.
+    "j11_range_join_pairs" -> QueryDef.sql(
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val e1 = ev.select(col("user_id"), col("event_id").as("eid1"), col("ts").as("ts1"))
+        val e2 = ev.select(col("user_id"), col("event_id").as("eid2"), col("ts").as("ts2"))
+        e1.join(e2,
+            e1("user_id") === e2("user_id") &&
+            e2("ts2") > e1("ts1") &&
+            e2("ts2") <= e1("ts1") + expr("INTERVAL 1 HOUR"))
+          .groupBy(e1("user_id"))
+          .agg(count(lit(1)).as("pair_count"))
+      },
+      """SELECT e1.user_id, COUNT(*) AS pair_count
+        |FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events) e1
+        |JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events) e2
+        |  ON e1.user_id = e2.user_id
+        |  AND e2.ts > e1.ts AND e2.ts <= e1.ts + INTERVAL 1 HOUR
+        |GROUP BY e1.user_id""".stripMargin),
+
+    // ───── A1: groupBy-count HAVING (ref verify_delta_vendors_job.py:57-62)
+    "a01_having_dupes" -> QueryDef.sql(
+      (s, dir) =>
+        t(s, dir, "orders")
+          .groupBy(col("o_custkey")).agg(count(lit(1)).as("order_count"))
+          .filter(col("order_count") > 15),
+      """SELECT o_custkey, COUNT(*) AS order_count
+        |FROM orders GROUP BY 1 HAVING COUNT(*) > 15""".stripMargin),
+
+    // ───── A2: global bounds scalar agg (ref nyc_validated_to_curated_etl.py:88-92)
+    "a02_global_bounds" -> QueryDef.sql(
+      (s, dir) =>
+        t(s, dir, "orders").agg(
+          max(col("o_orderdate")).as("max_date"),
+          min(col("o_orderdate")).as("min_date"),
+          count(lit(1)).as("n_orders")),
+      """SELECT max(o_orderdate) AS max_date, min(o_orderdate) AS min_date,
+        |       COUNT(*) AS n_orders FROM orders""".stripMargin),
+
+    // ───── A4: extended revenue metrics per vendor
+    // (ref sql/docs/Transformation Documentation.md:59-70)
+    "a04_extended_metrics" -> QueryDef.sql(
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val orders = t(s, dir, "orders")
+        li.join(orders, li("l_orderkey") === orders("o_orderkey"))
+          .groupBy(col("l_suppkey"))
+          .agg(
+            count(lit(1)).as("n_items"),
+            exactSum(col("l_extendedprice")).as("total_revenue"),
+            exactSum(col("l_quantity")).as("total_qty"),
+            (sum(col("l_extendedprice").cast("decimal(30,2)")).cast("double") / count(lit(1)))
+              .as("avg_price"),
+            sum(unix_timestamp(col("l_shipdate")) - unix_timestamp(col("o_orderdate")))
+              .as("ship_delay_sec_total"))
+      },
+      """SELECT l_suppkey,
+        |  COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) AS total_revenue,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS total_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+        |  CAST(SUM(date_diff('second', o_orderdate, l_shipdate)) AS BIGINT) AS ship_delay_sec_total
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin),
+
+    // ───── A5: distinct (ref scd2_delta_vendors.py:135-140)
+    "a05_distinct" -> QueryDef.sql(
+      (s, dir) =>
+        t(s, dir, "lineitem").select("l_returnflag", "l_linestatus").distinct(),
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"),
+
+    // ───── A9: boolean-sum state pivot (ref lifecycle_management.py:256-268)
+    "a09_status_pivot" -> QueryDef.sql(
+      (s, dir) =>
+        t(s, dir, "orders")
+          .groupBy(col("o_orderpriority"))
+          .agg(
+            sum(when(col("o_orderstatus") === "O", 1).otherwise(0)).cast("long").as("n_open"),
+            sum(when(col("o_orderstatus") === "F", 1).otherwise(0)).cast("long").as("n_finished"),
+            sum(when(col("o_orderstatus") === "P", 1).otherwise(0)).cast("long").as("n_pending")),
+      """SELECT o_orderpriority,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_pending
+        |FROM orders GROUP BY 1""".stripMargin),
+
+    // ───── A10/P21: quality scorecard with gate (ref glue_mdm.py:56-95,
+    // lambda/dq-governance-gate/lambda_function.py:54-63)
+    "a10_quality_scorecard" -> QueryDef.sql(
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .agg(
+            count(lit(1)).as("total_rows"),
+            sum(when(isValidCol, 1).otherwise(0)).cast("long").as("valid_rows"))
+          .withColumn("quality_pct",
+            round(col("valid_rows").cast("double") / col("total_rows") * 100, 2))
+          .withColumn("gate_pass", col("quality_pct") >= 50.0),
+      s"""WITH c AS (
+         |  SELECT COUNT(*) AS total_rows,
+         |         CAST(SUM(CASE WHEN $isValidSql THEN 1 ELSE 0 END) AS BIGINT) AS valid_rows
+         |  FROM lineitem)
+         |SELECT total_rows, valid_rows,
+         |       round(CAST(valid_rows AS DOUBLE) / total_rows * 100, 2) AS quality_pct,
+         |       round(CAST(valid_rows AS DOUBLE) / total_rows * 100, 2) >= 50.0 AS gate_pass
+         |FROM c""".stripMargin),
+
+    // ───── W1: row_number dedupe / latest-per-key
+    // (ref scd2_delta_vendors.py:77-85; deterministic tiebreak per
+    // SURVEY.md §7.5.4)
+    "w01_latest_per_key" -> QueryDef.sql(
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+        t(s, dir, "orders")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select("o_custkey", "o_orderkey", "o_orderdate")
+      },
+      """SELECT o_custkey, o_orderkey, o_orderdate
+        |FROM (SELECT o_custkey, o_orderkey, o_orderdate,
+        |             row_number() OVER (PARTITION BY o_custkey
+        |                                ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |      FROM orders)
+        |WHERE rn = 1""".stripMargin),
+
+    // ───── O4: deterministic top-k (ref dq-governance-gate lambda :30-34)
+    "o04_topk_orders" -> QueryDef.sql(
+      (s, dir) =>
+        t(s, dir, "orders")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+          .limit(10),
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin),
+
+    // ───── O5: longest-string survivorship (ref fuzzy_match.py:121-132)
+    "o05_survivorship" -> QueryDef.sql(
+      (s, dir) =>
+        t(s, dir, "part").select(
+          col("p_partkey"),
+          longestString(col("p_type"), col("p_brand")).as("golden_value")),
+      """SELECT p_partkey,
+        |  CASE WHEN length(coalesce(p_type, '')) >= length(coalesce(p_brand, ''))
+        |       THEN p_type ELSE p_brand END AS golden_value
+        |FROM part""".stripMargin),
+
+    // ───── T1: EXCEPT (ref Glue Job.py:57 subtract)
+    "t01_except" -> QueryDef.sql(
+      (s, dir) => {
+        val orders = t(s, dir, "orders")
+        orders.filter(col("o_totalprice") > 100000).select(col("o_custkey").as("custkey"))
+          .except(orders.filter(col("o_orderstatus") === "F").select(col("o_custkey").as("custkey")))
+      },
+      """SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 100000
+        |EXCEPT
+        |SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'""".stripMargin),
+
+    // ───── T2: unionByName with source tags (ref lifecycle pd.concat)
+    "t02_union_tagged" -> QueryDef.sql(
+      (s, dir) => {
+        val supp = t(s, dir, "supplier").select(col("s_name").as("name"), lit("supplier").as("src"))
+        val cust = t(s, dir, "customer").select(col("c_name").as("name"), lit("customer").as("src"))
+        supp.unionByName(cust)
+      },
+      """SELECT s_name AS name, 'supplier' AS src FROM supplier
+        |UNION ALL
+        |SELECT c_name AS name, 'customer' AS src FROM customer""".stripMargin),
+
+    // ───── S7: in-memory literal source (ref nyc_raw_to_validated_etl.py:106-115)
+    "s07_literal_metrics" -> QueryDef.sql(
+      (s, dir) => {
+        import s.implicits._
+        Seq(("run_20240101", "raw_to_validated", 1000L, 990L, 10L, "SUCCESS"))
+          .toDF("run_id", "job_name", "records_read", "records_valid",
+            "records_quarantined", "status")
+      },
+      """SELECT 'run_20240101' AS run_id, 'raw_to_validated' AS job_name,
+        |  CAST(1000 AS BIGINT) AS records_read, CAST(990 AS BIGINT) AS records_valid,
+        |  CAST(10 AS BIGINT) AS records_quarantined, 'SUCCESS' AS status""".stripMargin),
+
+    // ───── J7: CTE join via spark.sql over temp views
+    // (ref daily_vendor_revenue.sql:29-53; runner transform_check.py:50-62)
+    "j07_cte_nation_revenue" -> QueryDef.sql(
+      (s, dir) => {
+        t(s, dir, "orders").createOrReplaceTempView("orders_v")
+        t(s, dir, "customer").createOrReplaceTempView("customer_v")
+        t(s, dir, "nation").createOrReplaceTempView("nation_v")
+        s.sql(
+          """WITH base AS (
+            |  SELECT o.o_totalprice, c.c_nationkey
+            |  FROM orders_v o JOIN customer_v c ON o.o_custkey = c.c_custkey
+            |  WHERE o.o_totalprice > 0)
+            |SELECT n.n_name AS nation_name,
+            |       CAST(SUM(CAST(b.o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS total_revenue,
+            |       COUNT(*) AS order_count
+            |FROM base b JOIN nation_v n ON b.c_nationkey = n.n_nationkey
+            |GROUP BY n.n_name""".stripMargin)
+      },
+      """WITH base AS (
+        |  SELECT o.o_totalprice, c.c_nationkey
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  WHERE o.o_totalprice > 0)
+        |SELECT n.n_name AS nation_name,
+        |       CAST(SUM(CAST(b.o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS total_revenue,
+        |       COUNT(*) AS order_count
+        |FROM base b JOIN nation n ON b.c_nationkey = n.n_nationkey
+        |GROUP BY n.n_name""".stripMargin)
   )
 }

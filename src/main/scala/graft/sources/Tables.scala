@@ -28,6 +28,17 @@ object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** events.parquet carries TIMESTAMP(NANOS) which Spark 4 rejects by
+    * default — read nanos as long (legacy conf) and convert to a
+    * microsecond TimestampType (truncation, matching DuckDB's
+    * ns→µs cast). Centralized so every events consumer agrees.
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+  }
+
   /** S3: CSV scan with header (reference zone/vendor master reads,
     * `nyc_validated_to_curated_etl.py:103`). `inferSchema=false` by
     * default mirrors the reference's all-string-then-cast pattern.
