@@ -14,7 +14,8 @@ object SparkEntry {
     queries_registry
 
   private lazy val queries_registry: Map[String, QueryDef] =
-    graft.queries.RelationalQueries.defs
+    graft.queries.RelationalQueries.defs ++
+      graft.queries.ValidationQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

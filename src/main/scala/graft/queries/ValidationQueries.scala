@@ -1,0 +1,124 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.operators.{Enrichment, Validation}
+import graft.operators.Validation._
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Queries exercising the declarative DQ rule engine, the enrichment
+  * operator, and the end-to-end curated pipeline (SURVEY.md §7.2
+  * steps 2-3) with DuckDB oracle twins.
+  */
+object ValidationQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.table(s, dir, name)
+
+  /** The lineitem rule suite used across these queries — shaped after
+    * the reference's governance rule files (not_null / positive /
+    * between / allowed_values, `governance/data_quality_rules.json`).
+    */
+  val lineitemRules: Seq[Rule] = Seq(
+    NotNull("l_shipdate"),
+    GreaterThan("l_quantity", 0),
+    Between("l_discount", 0, 0.05, Error),
+    AllowedValues("l_returnflag", Seq("A", "N", "R")),
+    Between("l_quantity", 1, 8, Warn)) // WARN: flags but doesn't quarantine
+
+  private val failedRulesSql =
+    """concat_ws(',',
+      |  CASE WHEN NOT (l_shipdate IS NOT NULL) THEN 'not_null_l_shipdate' END,
+      |  CASE WHEN NOT (l_quantity IS NOT NULL AND l_quantity > 0) THEN 'greater_than_l_quantity' END,
+      |  CASE WHEN NOT (l_discount IS NOT NULL AND l_discount >= 0 AND l_discount <= 0.05) THEN 'between_l_discount' END,
+      |  CASE WHEN NOT (l_returnflag IN ('A','N','R')) THEN 'allowed_values_l_returnflag' END,
+      |  CASE WHEN NOT (l_quantity IS NOT NULL AND l_quantity >= 1 AND l_quantity <= 8) THEN 'between_l_quantity' END)""".stripMargin
+
+  private val isValidRuleSql =
+    """((l_shipdate IS NOT NULL)
+      |  AND (l_quantity IS NOT NULL AND l_quantity > 0)
+      |  AND (l_discount IS NOT NULL AND l_discount >= 0 AND l_discount <= 0.05)
+      |  AND (l_returnflag IN ('A','N','R')))""".stripMargin
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // ───── rule engine: one-pass annotation with failed-rule list
+    "v01_rule_annotate" -> QueryDef.sql(
+      (s, dir) =>
+        Validation.annotate(t(s, dir, "lineitem"), lineitemRules)
+          .select("l_orderkey", "l_linenumber", "failed_rules", "is_valid"),
+      s"""SELECT l_orderkey, l_linenumber,
+         |  $failedRulesSql AS failed_rules,
+         |  $isValidRuleSql AS is_valid
+         |FROM lineitem""".stripMargin),
+
+    // ───── rule engine: single-pass run metrics + gate status
+    // (ref nyc_raw_to_validated_etl.py:106-113 + max_error_rate gate)
+    "v02_validation_metrics" -> QueryDef.sql(
+      (s, dir) =>
+        Validation.metrics(
+          Validation.annotate(t(s, dir, "lineitem"), lineitemRules),
+          lineitemRules, runId = "run_fixed", jobName = "lineitem_validation",
+          maxErrorRate = 0.5),
+      s"""WITH a AS (
+         |  SELECT COUNT(*) AS records_read,
+         |    CAST(SUM(CASE WHEN $isValidRuleSql THEN 1 ELSE 0 END) AS BIGINT) AS records_valid,
+         |    CAST(SUM(CASE WHEN NOT $isValidRuleSql THEN 1 ELSE 0 END) AS BIGINT) AS records_quarantined,
+         |    CAST(SUM(CASE WHEN NOT (l_shipdate IS NOT NULL) THEN 1 ELSE 0 END) AS BIGINT) AS violations_not_null_l_shipdate,
+         |    CAST(SUM(CASE WHEN NOT (l_quantity IS NOT NULL AND l_quantity > 0) THEN 1 ELSE 0 END) AS BIGINT) AS violations_greater_than_l_quantity,
+         |    CAST(SUM(CASE WHEN NOT (l_discount IS NOT NULL AND l_discount >= 0 AND l_discount <= 0.05) THEN 1 ELSE 0 END) AS BIGINT) AS violations_between_l_discount,
+         |    CAST(SUM(CASE WHEN NOT (l_returnflag IN ('A','N','R')) THEN 1 ELSE 0 END) AS BIGINT) AS violations_allowed_values_l_returnflag,
+         |    CAST(SUM(CASE WHEN NOT (l_quantity IS NOT NULL AND l_quantity >= 1 AND l_quantity <= 8) THEN 1 ELSE 0 END) AS BIGINT) AS violations_between_l_quantity
+         |  FROM lineitem)
+         |SELECT *, 'run_fixed' AS run_id, 'lineitem_validation' AS job_name,
+         |  round(CAST(records_quarantined AS DOUBLE) / records_read, 4) AS error_rate,
+         |  CASE WHEN round(CAST(records_quarantined AS DOUBLE) / records_read, 4) <= 0.5
+         |       THEN 'SUCCESS' ELSE 'FAILED_GATE' END AS status
+         |FROM a""".stripMargin),
+
+    // ───── table-level uniqueness rules (ref taxi_zone_rules.yaml;
+    // verify_delta_vendors_job.py:57-62)
+    "v04_uniqueness_checks" -> QueryDef.sql(
+      (s, dir) =>
+        Validation.uniquenessCheck(t(s, dir, "orders"), Seq("o_orderkey"))
+          .unionByName(
+            Validation.uniquenessCheck(t(s, dir, "lineitem"), Seq("l_orderkey"))),
+      """SELECT 'unique_o_orderkey' AS rule_name,
+        |       COUNT(*) AS duplicate_groups, COUNT(*) = 0 AS passed
+        |FROM (SELECT o_orderkey FROM orders GROUP BY 1 HAVING COUNT(*) > 1)
+        |UNION ALL
+        |SELECT 'unique_l_orderkey' AS rule_name,
+        |       COUNT(*) AS duplicate_groups, COUNT(*) = 0 AS passed
+        |FROM (SELECT l_orderkey FROM lineitem GROUP BY 1 HAVING COUNT(*) > 1)""".stripMargin),
+
+    // ───── end-to-end curated pipeline: validate → filter → double
+    // enrichment (supplier, then supplier's nation) → lineage stamp.
+    // Glue-1 + Glue-2 fused in one declarative plan: Catalyst pushes
+    // the validity filter to the scan and both dims broadcast, so the
+    // fact table is read once and never shuffled.
+    "e2e_curated" -> QueryDef.sql(
+      (s, dir) => {
+        val annotated = Validation.annotate(t(s, dir, "lineitem"), lineitemRules)
+        val (good, _) = Validation.split(annotated)
+        val withSupp = Enrichment.enrichWithDim(
+          good, t(s, dir, "supplier"), "l_suppkey", "s_suppkey", "supp_")
+        val withNation = Enrichment.enrichWithDim(
+          withSupp, t(s, dir, "nation"), "supp_s_nationkey", "n_nationkey", "supp_nation_")
+        Enrichment.addLineage(withNation, "testdata", "run_fixed",
+            java.sql.Timestamp.valueOf("2024-06-01 00:00:00"))
+          .select(
+            col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+            col("supp_s_name"), col("supp_nation_n_name"),
+            col("data_source"), col("run_id"), col("curated_timestamp_utc"))
+      },
+      s"""SELECT l.l_orderkey, l.l_linenumber, l.l_quantity,
+         |  s.s_name AS supp_s_name, n.n_name AS supp_nation_n_name,
+         |  'testdata' AS data_source, 'run_fixed' AS run_id,
+         |  TIMESTAMP '2024-06-01 00:00:00' AS curated_timestamp_utc
+         |FROM lineitem l
+         |LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey
+         |WHERE $isValidRuleSql""".stripMargin)
+  )
+}

@@ -1,0 +1,61 @@
+package graft
+
+import graft.operators.Validation
+import graft.operators.Validation._
+import org.apache.spark.sql.functions._
+
+class ValidationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def df = Seq(
+    (1, 10.0, "A"),              // valid
+    (2, -5.0, "A"),              // fails positive
+    (3, 10.0, "X"),              // fails allowed_values
+    (4, 200.0, "N")              // fails between (WARN only)
+  ).toDF("id", "amount", "flag")
+
+  private val rules: Seq[Rule] = Seq(
+    GreaterThan("amount", 0),
+    AllowedValues("flag", Seq("A", "N", "R")),
+    Between("amount", 0, 100, Warn))
+
+  test("annotate flags failing rules in declaration order") {
+    val rows = Validation.annotate(df, rules)
+      .orderBy("id").collect()
+    assert(rows.map(_.getAs[String]("failed_rules")).toSeq === Seq(
+      "", "greater_than_amount,between_amount", "allowed_values_flag", "between_amount"))
+    assert(rows.map(_.getAs[Boolean]("is_valid")).toSeq === Seq(true, false, false, true))
+  }
+
+  test("split partitions rows by is_valid without loss") {
+    val (good, bad) = Validation.split(Validation.annotate(df, rules))
+    assert(good.count() + bad.count() === df.count())
+    assert(good.select("id").as[Int].collect().sorted === Array(1, 4))
+  }
+
+  test("metrics counts violations per rule and applies the gate") {
+    val m = Validation.metrics(Validation.annotate(df, rules), rules,
+      "r1", "job", maxErrorRate = 0.25).collect()(0)
+    assert(m.getAs[Long]("records_read") === 4)
+    assert(m.getAs[Long]("records_valid") === 2)
+    assert(m.getAs[Long]("records_quarantined") === 2)
+    assert(m.getAs[Long]("violations_greater_than_amount") === 1)
+    assert(m.getAs[Long]("violations_between_amount") === 2)
+    assert(m.getAs[String]("status") === "FAILED_GATE") // 0.5 > 0.25
+  }
+
+  test("unchanged-hash idempotence of the gate: error rate at threshold passes") {
+    val m = Validation.metrics(Validation.annotate(df, rules), rules,
+      "r1", "job", maxErrorRate = 0.5).collect()(0)
+    assert(m.getAs[String]("status") === "SUCCESS")
+  }
+
+  test("uniquenessCheck finds duplicate groups") {
+    val dup = Seq((1, "a"), (1, "b"), (2, "c")).toDF("k", "v")
+    val r = Validation.uniquenessCheck(dup, Seq("k")).collect()(0)
+    assert(r.getAs[Long]("duplicate_groups") === 1)
+    assert(!r.getAs[Boolean]("passed"))
+    val ok = Validation.uniquenessCheck(dup, Seq("k", "v")).collect()(0)
+    assert(ok.getAs[Boolean]("passed"))
+  }
+}
