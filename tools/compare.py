@@ -5,29 +5,57 @@ Usage: python3 tools/compare.py <sfDir> <verifyOutDir> [query ...]
 
 For each query dir under verifyOutDir: read the Spark parquet result,
 run the oracle SQL from oracle_sql.json in DuckDB (tables = parquet
-files in sfDir), sort columns by name, sort rows, and compare values.
-Exact match required (floats compared bitwise after float64 cast).
-"""
-import sys, json, glob, os
-import duckdb
-import pyarrow.parquet as pq
-import pandas as pd
-import numpy as np
+files in sfDir), sort columns by name, sort rows, compare values.
 
-def canon(df: pd.DataFrame) -> pd.DataFrame:
-    import datetime
-    df = df.reindex(sorted(df.columns), axis=1)
-    for c in df.columns:
-        if df[c].dtype == object and df[c].map(
-                lambda v: v is None or isinstance(v, (datetime.date, datetime.datetime))).all():
-            df[c] = pd.to_datetime(df[c])
-        if str(df[c].dtype).startswith("datetime64"):
-            if getattr(df[c].dt, "tz", None) is not None:
-                df[c] = df[c].dt.tz_localize(None)
-            df[c] = df[c].astype("datetime64[us]")
-        elif df[c].dtype == object:
-            df[c] = df[c].astype(str)
-    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+Built on pyarrow (NOT pandas): pandas' ns-datetime silently WRAPS
+out-of-range timestamps (the SCD2 9999-12-31 sentinel becomes
+1816-03-29), poisoning comparisons.
+"""
+import sys, json, glob, os, math, datetime
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def norm_value(v):
+    """Normalize a cell to a comparable/sortable token."""
+    if v is None:
+        return ("0none", "")
+    if isinstance(v, bool):
+        return ("b", str(v))
+    if isinstance(v, float):
+        return ("f", "nan" if math.isnan(v) else repr(v))
+    if isinstance(v, int):
+        return ("i", "%030d" % v if v >= 0 else "-%030d" % -v)
+    if isinstance(v, datetime.datetime):
+        return ("t", v.isoformat(sep=" ", timespec="microseconds"))
+    if isinstance(v, datetime.date):
+        return ("d", v.isoformat())
+    if isinstance(v, (list, tuple)):
+        return ("l", tuple(norm_value(x) for x in v))
+    if isinstance(v, (bytes, bytearray)):
+        return ("y", bytes(v).hex())
+    return ("s", str(v))
+
+
+def canon(table: pa.Table):
+    cols = sorted(table.column_names)
+    table = table.select(cols)
+    # cast any ns timestamps down to us (Spark writes us; DuckDB may
+    # surface ns from ns-typed parquet)
+    fields = []
+    for f in table.schema:
+        t = f.type
+        if pa.types.is_timestamp(t):
+            t = pa.timestamp("us")
+        fields.append(pa.field(f.name, t))
+    table = table.cast(pa.schema(fields))
+    data = [col.to_pylist() for col in table.columns]
+    rows = [tuple(norm_value(data[c][r]) for c in range(len(cols)))
+            for r in range(table.num_rows)]
+    rows.sort()
+    return cols, rows
+
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
@@ -43,41 +71,42 @@ def main():
         if not os.path.isdir(d) or (only and name not in only):
             continue
         files = glob.glob(os.path.join(d, "*.parquet"))
-        got = pd.concat([pq.read_table(f).to_pandas() for f in files]) \
-            if files else pd.DataFrame()
+        got = pa.concat_tables([pq.read_table(f) for f in files]) \
+            if files else pa.table({})
         if name not in oracle:
-            print(f"[rows-only] {name}: rows={len(got)}")
+            print(f"[rows-only] {name}: rows={got.num_rows}")
             continue
         try:
-            exp = con.execute(oracle[name]).df()
+            exp = con.execute(oracle[name]).arrow()
         except Exception as e:
             print(f"[FAIL] {name}: oracle SQL error: {e}")
             n_fail += 1
             continue
-        g, e = canon(got), canon(exp)
+        try:
+            gc, gr = canon(got)
+            ec, er = canon(exp)
+        except Exception as e:
+            print(f"[FAIL] {name}: canon error: {e}")
+            n_fail += 1
+            continue
         status, detail = "PASS", ""
-        if list(g.columns) != list(e.columns):
-            status, detail = "FAIL", f"columns {list(g.columns)} vs {list(e.columns)}"
-        elif len(g) != len(e):
-            status, detail = "FAIL", f"rows {len(g)} vs {len(e)}"
+        if gc != ec:
+            status, detail = "FAIL", f"columns {gc} vs {ec}"
+        elif len(gr) != len(er):
+            status, detail = "FAIL", f"rows {len(gr)} vs {len(er)}"
         else:
-            for c in g.columns:
-                gv, ev = g[c].to_numpy(), e[c].to_numpy()
-                if np.issubdtype(gv.dtype, np.floating) or np.issubdtype(ev.dtype, np.floating):
-                    eq = (gv.astype(np.float64) == ev.astype(np.float64)) | \
-                         (pd.isna(gv) & pd.isna(ev))
-                else:
-                    eq = (gv == ev) | (pd.isna(gv) & pd.isna(ev))
-                if not eq.all():
-                    i = int(np.argmin(eq))
+            for i, (a, b) in enumerate(zip(gr, er)):
+                if a != b:
                     status = "FAIL"
-                    detail = f"col {c} row {i}: got {gv[i]!r} exp {ev[i]!r} ({int((~eq).sum())} diffs)"
+                    diffs = sum(1 for x, y in zip(gr, er) if x != y)
+                    detail = f"row {i}: got {a} exp {b} ({diffs} row diffs)"
                     break
-        print(f"[{status}] {name}: rows={len(g)}" + (f" — {detail}" if detail else ""))
+        print(f"[{status}] {name}: rows={len(gr)}" + (f" — {detail}" if detail else ""))
         n_pass += status == "PASS"
         n_fail += status == "FAIL"
     print(f"\n{n_pass} pass, {n_fail} fail")
     sys.exit(1 if n_fail else 0)
+
 
 if __name__ == "__main__":
     main()
