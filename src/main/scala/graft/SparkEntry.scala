@@ -16,7 +16,8 @@ object SparkEntry {
   private lazy val queries_registry: Map[String, QueryDef] =
     graft.queries.RelationalQueries.defs ++
       graft.queries.ValidationQueries.defs ++
-      graft.queries.Scd2Queries.defs
+      graft.queries.Scd2Queries.defs ++
+      graft.queries.MdmQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

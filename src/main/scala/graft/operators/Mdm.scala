@@ -1,0 +1,147 @@
+package graft.operators
+
+import graft.functions.Functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** MDM fuzzy-dedup subsystem — the reference's pandas/recordlinkage/
+  * fuzzywuzzy path (`mdm/fuzzy_match.py`, `mdm/normalize.py`,
+  * `mdm/lifecycle_management.py`) re-expressed as distributed Spark
+  * plans.
+  *
+  * The one algorithmic optimization the reference makes — blocking to
+  * bound the O(n²) pair space (`fuzzy_match.py:29-31`) — becomes an
+  * equi-self-join on the block key: Catalyst turns it into a hash
+  * join, so pair generation scales with Σ(block²) not n². At 100 TB
+  * add a salt column to oversized blocks or cap block size upstream.
+  * All scoring is composed built-ins (levenshtein & friends) — fully
+  * codegen'd, no UDFs.
+  */
+object Mdm {
+
+  final case class EntitySchema(
+      idCol: String,
+      nameCol: String,
+      addressCol: String,
+      blockCols: Seq[String])
+
+  /** J10: blocked candidate self-join with `id1 < id2` pair dedupe. */
+  def candidatePairs(entities: DataFrame, schema: EntitySchema): DataFrame = {
+    val left = entities.select(
+      (schema.blockCols.map(col) :+
+        col(schema.idCol).as("id_1") :+
+        col(schema.nameCol).as("name_1") :+
+        col(schema.addressCol).as("address_1")): _*)
+    val right = entities.select(
+      (schema.blockCols.map(col) :+
+        col(schema.idCol).as("id_2") :+
+        col(schema.nameCol).as("name_2") :+
+        col(schema.addressCol).as("address_2")): _*)
+    left.join(right, schema.blockCols)
+      .filter(col("id_1") < col("id_2"))
+  }
+
+  /** Score pairs (`fuzzy_match.py:44-89`): token_sort_ratio on name
+    * and address, weighted final score, confidence bucket, governance
+    * action.
+    */
+  def scorePairs(pairs: DataFrame, nameWeight: Double = 0.7): DataFrame =
+    pairs
+      .withColumn("name_score", tokenSortRatio(col("name_1"), col("name_2")))
+      .withColumn("address_score", tokenSortRatio(col("address_1"), col("address_2")))
+      .withColumn("final_score",
+        weightedScore(col("name_score"), col("address_score"), nameWeight))
+      .withColumn("confidence_bucket", confidenceBucket(col("final_score")))
+      .withColumn("governance_action", governanceAction(col("confidence_bucket")))
+
+  /** MEDIUM-confidence pairs routed to human review
+    * (`fuzzy_match.py:91-107`; steward_review_queue.csv shape).
+    */
+  def stewardQueue(scored: DataFrame): DataFrame =
+    scored.filter(col("governance_action") === "STEWARD_REVIEW")
+      .select("id_1", "id_2", "name_1", "name_2", "final_score")
+
+  /** Golden records for AUTO_MERGE pairs (`fuzzy_match.py:121-144`):
+    * longest-string survivorship per field, source ids preserved as a
+    * deterministic "id1,id2" key.
+    */
+  def goldenRecords(scored: DataFrame): DataFrame =
+    scored.filter(col("governance_action") === "AUTO_MERGE")
+      .select(
+        concat_ws(",", col("id_1"), col("id_2")).as("source_ids"),
+        longestString(col("name_1"), col("name_2")).as("golden_name"),
+        longestString(col("address_1"), col("address_2")).as("golden_address"),
+        col("final_score"))
+
+  /** Data-quality scorecard (`fuzzy_match.py:181-199`;
+    * data_quality_scorecard.csv shape). One aggregation per input —
+    * entities count comes in precomputed to avoid a second scan.
+    */
+  def scorecard(totalRecords: Long, scored: DataFrame): DataFrame = {
+    scored.agg(
+      count(lit(1)).as("duplicate_candidate_pairs"),
+      sum(when(col("confidence_bucket") === "MEDIUM", 1).otherwise(0)).cast("long").as("n_medium"),
+      sum(when(col("confidence_bucket") === "HIGH", 1).otherwise(0)).cast("long").as("n_high"))
+      .select(
+        lit(totalRecords).as("total_records"),
+        col("duplicate_candidate_pairs"),
+        pctRatio(col("duplicate_candidate_pairs"), lit(totalRecords)).as("duplicate_rate_percent"),
+        pctRatio(col("n_medium"), col("duplicate_candidate_pairs")).as("steward_review_rate_percent"),
+        pctRatio(col("n_high"), col("duplicate_candidate_pairs")).as("auto_merge_rate_percent"))
+  }
+
+  // ───────────────────────── lifecycle management ─────────────────────────
+
+  /** Master-record lifecycle states and legal transitions
+    * (`lifecycle_management.py:105-165`).
+    */
+  val LifecycleStates: Seq[String] = Seq("PROPOSED", "ACTIVE", "DEPRECATED", "RETIRED")
+
+  val ValidTransitions: Map[String, Set[String]] = Map(
+    "PROPOSED" -> Set("ACTIVE"),
+    "ACTIVE" -> Set("DEPRECATED"),
+    "DEPRECATED" -> Set("RETIRED", "ACTIVE"), // reactivation allowed
+    "RETIRED" -> Set.empty)
+
+  /** Apply a state transition to the keys in `ids`; throws on an
+    * illegal transition (the reference raises). Master table gains a
+    * change-log-compatible update; history rows are returned alongside
+    * so the caller can append them to the audit table (T2 union
+    * pattern).
+    */
+  def transition(master: DataFrame, idCol: String, ids: Seq[Any],
+                 toState: String, changedBy: String,
+                 asOf: java.sql.Timestamp): (DataFrame, DataFrame) = {
+    require(LifecycleStates.contains(toState), s"unknown state $toState")
+    val targeted = master.filter(col(idCol).isin(ids: _*))
+    val illegal = targeted.filter(
+      !col("lifecycle_state").isin(
+        ValidTransitions.filter(_._2.contains(toState)).keys.toSeq.map(lit): _*))
+      .select(idCol, "lifecycle_state").collect()
+    require(illegal.isEmpty,
+      s"illegal transition to $toState from: ${illegal.mkString(", ")}")
+
+    val updated = master.withColumn("lifecycle_state",
+      when(col(idCol).isin(ids: _*), toState).otherwise(col("lifecycle_state")))
+      .withColumn("state_changed_at",
+        when(col(idCol).isin(ids: _*), lit(asOf)).otherwise(col("state_changed_at")))
+    val history = targeted.select(
+      col(idCol),
+      col("lifecycle_state").as("from_state"),
+      lit(toState).as("to_state"),
+      lit(changedBy).as("changed_by"),
+      lit(asOf).as("changed_at"))
+    (updated, history)
+  }
+
+  /** Lifecycle/governance metrics (`lifecycle_management.py:256-268`;
+    * governance_metrics.csv shape).
+    */
+  def lifecycleMetrics(master: DataFrame, history: DataFrame): DataFrame = {
+    val counts = master.agg(
+      count(lit(1)).as("total_master_records"),
+      sum(when(col("lifecycle_state") === "ACTIVE", 1).otherwise(0)).cast("long").as("active_records"),
+      sum(when(col("lifecycle_state") === "RETIRED", 1).otherwise(0)).cast("long").as("retired_records"))
+    counts.crossJoin(history.agg(count(lit(1)).as("lifecycle_events")))
+  }
+}

@@ -1,0 +1,126 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.operators.Mdm
+import graft.operators.Mdm.EntitySchema
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** MDM fuzzy-dedup queries over the customer table as the vendor-
+  * master analog (FIXTURES.md §6): id=c_custkey, name=c_name,
+  * address=c_mktsegment, blocking on (c_nationkey, c_mktsegment).
+  * The DuckDB twins re-derive token_sort_ratio from the same formula
+  * (levenshtein over sorted normalized tokens — SURVEY.md §2.8).
+  */
+object MdmQueries {
+
+  val schema: EntitySchema =
+    EntitySchema("id", "name", "address", Seq("block_nation", "block_seg"))
+
+  private def entities(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "customer").select(
+      col("c_custkey").as("id"),
+      col("c_name").as("name"),
+      col("c_mktsegment").as("address"),
+      col("c_nationkey").as("block_nation"),
+      col("c_mktsegment").as("block_seg"))
+
+  private def scored(s: SparkSession, dir: String): DataFrame =
+    Mdm.scorePairs(Mdm.candidatePairs(entities(s, dir), schema))
+
+  /** Shared oracle prelude: entities with pre-computed token-sorted
+    * normalized name/address, blocked pair join, scores.
+    */
+  private val scoredSql =
+    """WITH e AS (
+      |  SELECT c_custkey AS id, c_name AS name, c_mktsegment AS address,
+      |         c_nationkey AS bn, c_mktsegment AS bs,
+      |         array_to_string(list_sort(string_split(trim(regexp_replace(regexp_replace(
+      |           lower(c_name), '[^a-z0-9 ]', '', 'g'), '\s+', ' ', 'g')), ' ')), ' ') AS tname,
+      |         array_to_string(list_sort(string_split(trim(regexp_replace(regexp_replace(
+      |           lower(c_mktsegment), '[^a-z0-9 ]', '', 'g'), '\s+', ' ', 'g')), ' ')), ' ') AS taddr
+      |  FROM customer),
+      |p AS (
+      |  SELECT a.id AS id_1, b.id AS id_2, a.name AS name_1, b.name AS name_2,
+      |         a.address AS address_1, b.address AS address_2,
+      |         a.tname AS tn1, b.tname AS tn2, a.taddr AS ta1, b.taddr AS ta2
+      |  FROM e a JOIN e b ON a.bn = b.bn AND a.bs = b.bs AND a.id < b.id),
+      |sc AS (
+      |  SELECT id_1, id_2, name_1, name_2, address_1, address_2,
+      |    CASE WHEN greatest(length(tn1), length(tn2)) = 0 THEN 100.0
+      |         ELSE round((1 - CAST(levenshtein(tn1, tn2) AS DOUBLE)
+      |                       / CAST(greatest(length(tn1), length(tn2)) AS DOUBLE)) * 100, 1)
+      |    END AS name_score,
+      |    CASE WHEN greatest(length(ta1), length(ta2)) = 0 THEN 100.0
+      |         ELSE round((1 - CAST(levenshtein(ta1, ta2) AS DOUBLE)
+      |                       / CAST(greatest(length(ta1), length(ta2)) AS DOUBLE)) * 100, 1)
+      |    END AS address_score
+      |  FROM p),
+      |s2 AS (
+      |  SELECT *, round(0.7 * name_score + 0.3 * address_score, 2) AS final_score FROM sc),
+      |s3 AS (
+      |  SELECT *,
+      |    CASE WHEN final_score >= 95 THEN 'HIGH'
+      |         WHEN final_score >= 80 THEN 'MEDIUM' ELSE 'LOW' END AS confidence_bucket
+      |  FROM s2),
+      |s4 AS (
+      |  SELECT *,
+      |    CASE WHEN confidence_bucket = 'HIGH' THEN 'AUTO_MERGE'
+      |         WHEN confidence_bucket = 'MEDIUM' THEN 'STEWARD_REVIEW'
+      |         ELSE 'NO_ACTION' END AS governance_action
+      |  FROM s3)""".stripMargin
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // ───── J10/P19/P20: blocked candidate pairs with scores & routing
+    "mdm_match_pairs" -> QueryDef.sql(
+      (s, dir) =>
+        scored(s, dir).select(
+          "id_1", "id_2", "name_score", "address_score", "final_score",
+          "confidence_bucket", "governance_action"),
+      s"""$scoredSql
+         |SELECT id_1, id_2, name_score, address_score, final_score,
+         |       confidence_bucket, governance_action
+         |FROM s4""".stripMargin),
+
+    // ───── steward review queue (ref fuzzy_match.py:91-107)
+    "mdm_steward_queue" -> QueryDef.sql(
+      (s, dir) => Mdm.stewardQueue(scored(s, dir)),
+      s"""$scoredSql
+         |SELECT id_1, id_2, name_1, name_2, final_score
+         |FROM s4 WHERE governance_action = 'STEWARD_REVIEW'""".stripMargin),
+
+    // ───── golden-record survivorship (ref fuzzy_match.py:121-144)
+    "mdm_golden_records" -> QueryDef.sql(
+      (s, dir) => Mdm.goldenRecords(scored(s, dir)),
+      s"""$scoredSql
+         |SELECT concat_ws(',', id_1, id_2) AS source_ids,
+         |  CASE WHEN length(coalesce(name_1, '')) >= length(coalesce(name_2, ''))
+         |       THEN name_1 ELSE name_2 END AS golden_name,
+         |  CASE WHEN length(coalesce(address_1, '')) >= length(coalesce(address_2, ''))
+         |       THEN address_1 ELSE address_2 END AS golden_address,
+         |  final_score
+         |FROM s4 WHERE governance_action = 'AUTO_MERGE'""".stripMargin),
+
+    // ───── MDM scorecard (ref fuzzy_match.py:181-199)
+    "mdm_scorecard" -> QueryDef.sql(
+      (s, dir) => {
+        val ents = entities(s, dir)
+        Mdm.scorecard(ents.count(), scored(s, dir))
+      },
+      s"""$scoredSql,
+         |agg AS (
+         |  SELECT COUNT(*) AS pairs,
+         |    CAST(SUM(CASE WHEN confidence_bucket = 'MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS n_medium,
+         |    CAST(SUM(CASE WHEN confidence_bucket = 'HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+         |  FROM s4),
+         |tot AS (SELECT COUNT(*) AS total_records FROM customer)
+         |SELECT total_records,
+         |  pairs AS duplicate_candidate_pairs,
+         |  round(CAST(pairs AS DOUBLE) / CAST(total_records AS DOUBLE) * 100, 2) AS duplicate_rate_percent,
+         |  round(CAST(n_medium AS DOUBLE) / CAST(pairs AS DOUBLE) * 100, 2) AS steward_review_rate_percent,
+         |  round(CAST(n_high AS DOUBLE) / CAST(pairs AS DOUBLE) * 100, 2) AS auto_merge_rate_percent
+         |FROM agg, tot""".stripMargin)
+  )
+}
