@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`Array[Float]`).
+  *
+  * Baseline: brute-force cosine top-k (exact, O(nq·n)). Scale path:
+  * random-hyperplane LSH bucketing — candidates only within matching
+  * buckets, turning the cross join into an equi-join. All arithmetic
+  * is promoted to double BEFORE multiplication so results are
+  * engine-reproducible (float×float differs from double×double in the
+  * last ulp).
+  */
+object Similarity {
+
+  /** dot(a, b) with per-element double promotion, left-to-right sum. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def l2Norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double")))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Exact brute-force top-k: for each query vector, the k nearest
+    * candidates by cosine. Queries are broadcast (the small side);
+    * cosine is rounded to 6 dp before ranking so rank order is
+    * deterministic cross-engine, with id tiebreak.
+    */
+  def bruteForceTopK(candidates: DataFrame, queries: DataFrame,
+                     idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(
+      col(idCol).as("query_id"), col(vecCol).as("q_vec")))
+    val c = candidates.select(col(idCol).as("cand_id"), col(vecCol).as("c_vec"))
+    val scored = c.crossJoin(q)
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("cos_sim", round(cosine(col("q_vec"), col("c_vec")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("cand_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "cand_id", "cos_sim", "rank")
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane j,
+    * dim d): ±1 from one md5-derived hex digit. Reproducible in any
+    * engine with md5.
+    */
+  private def planeSign(j: Int, d: Int): Double = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$j|$d".getBytes("UTF-8"))
+    if ((hex(0) & 1) == 0) 1.0 else -1.0
+  }
+
+  /** LSH bucket id: sign bits of dots with `numPlanes` ±1 hyperplanes.
+    * Vectors in the same bucket are ANN candidates.
+    */
+  def lshBucket(vec: Column, dim: Int, numPlanes: Int = 8): Column = {
+    val bits = (0 until numPlanes).map { j =>
+      val planeLit = array((0 until dim).map(d => lit(planeSign(j, d))): _*)
+      when(dot(vec, planeLit) >= 0, 1L << j).otherwise(0L)
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Bucketed ANN: exact cosine ranking, but only within the query's
+    * LSH bucket — the scale path (equi-join on bucket id instead of a
+    * cross join). Recall < 100% by construction; increase planes ↔
+    * recall tradeoff.
+    */
+  def lshTopK(candidates: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String, dim: Int, k: Int,
+              numPlanes: Int = 8): DataFrame = {
+    val c = candidates.select(col(idCol).as("cand_id"), col(vecCol).as("c_vec"))
+      .withColumn("bucket", lshBucket(col("c_vec"), dim, numPlanes))
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+      .withColumn("bucket", lshBucket(col("q_vec"), dim, numPlanes)))
+    val scored = c.join(q, Seq("bucket"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("cos_sim", round(cosine(col("q_vec"), col("c_vec")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("cand_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "cand_id", "cos_sim", "rank")
+  }
+
+  /** Embedding-cosine near-duplicate pairs above a threshold, blocked
+    * by LSH bucket (exact within bucket).
+    */
+  def embeddingDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                        dim: Int, threshold: Double,
+                        numPlanes: Int = 8): DataFrame = {
+    val v = df.select(col(idCol), col(vecCol))
+      .withColumn("bucket", lshBucket(col(vecCol), dim, numPlanes))
+    val a = v.select(col("bucket"), col(idCol).as("id_1"), col(vecCol).as("v_1"))
+    val b = v.select(col("bucket"), col(idCol).as("id_2"), col(vecCol).as("v_2"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_1") < col("id_2"))
+      .withColumn("cos_sim", round(cosine(col("v_1"), col("v_2")), 6))
+      .filter(col("cos_sim") >= threshold)
+      .select("id_1", "id_2", "cos_sim")
+  }
+}

@@ -1,0 +1,73 @@
+package graft.operators
+
+import graft.functions.Functions.normalizeText
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM training-data pipelines: language
+  * ID, quality scoring, token counting, document fingerprinting.
+  * All composed built-ins (regexp_count / split / md5) — codegen'd,
+  * shuffle-free per-row projections that scale linearly with corpus
+  * size.
+  */
+object TextAnalysis {
+
+  /** n-gram-heuristic language ID: CJK character density first, then
+    * argmax of per-language stopword hit counts with a deterministic
+    * tie-break order (en > es > de > fr).
+    */
+  val StopwordPatterns: Seq[(String, String)] = Seq(
+    "en" -> "\\b(the|and|of|to|in|is|for)\\b",
+    "es" -> "\\b(el|la|de|que|los|las|un|una)\\b",
+    "de" -> "\\b(der|die|das|und|ist|ein|zu)\\b",
+    "fr" -> "\\b(le|la|les|des|est|un|une|et)\\b")
+
+  val CjkPattern = "[\\x{4e00}-\\x{9fff}]"
+
+  def languageId(text: Column): Column = {
+    val lower_ = lower(text)
+    val counts = StopwordPatterns.map { case (lang, pat) =>
+      lang -> regexp_count(lower_, lit(pat))
+    }.toMap
+    val cjkRatio = regexp_count(text, lit(CjkPattern)).cast("double") /
+      greatest(length(text), lit(1)).cast("double")
+    when(cjkRatio > 0.3, "zh")
+      .when(counts("en") >= greatest(counts("es"), counts("de"), counts("fr")), "en")
+      .when(counts("es") >= greatest(counts("de"), counts("fr")), "es")
+      .when(counts("de") >= counts("fr"), "de")
+      .otherwise("fr")
+  }
+
+  /** Whitespace token count. */
+  def wsTokenCount(text: Column): Column =
+    size(split(trim(text), "\\s+"))
+
+  /** BPE-ish token count: letter runs, digit runs, and isolated
+    * symbols each count as one token (a cheap, deterministic stand-in
+    * for a real tokenizer's piece count).
+    */
+  def regexTokenCount(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
+
+  /** Quality features + composite score: rewards reasonable length,
+    * penalizes punctuation density (ref-style ratio scoring, cf. the
+    * scorecard ratios glue_mdm.py:63-65).
+    */
+  def withQualityFeatures(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_chars_m", length(t))
+      .withColumn("word_count", wsTokenCount(t))
+      .withColumn("punct_ratio",
+        regexp_count(t, lit("[^A-Za-z0-9\\s\\x{4e00}-\\x{9fff}]")).cast("double") /
+          greatest(length(t), lit(1)).cast("double"))
+      .withColumn("quality_score",
+        round(
+          least(col("word_count").cast("double") / 50.0, lit(1.0)) * 0.5 +
+            (lit(1.0) - least(col("punct_ratio") * 5.0, lit(1.0))) * 0.5, 4))
+  }
+
+  /** Document fingerprint: md5 of the normalized text — the exact-dup
+    * key. (Near-dup fingerprints live in TextDedup: minhash/simhash.)
+    */
+  def fingerprint(text: Column): Column = md5(normalizeText(text))
+}

@@ -1,0 +1,129 @@
+package graft.operators
+
+import graft.functions.Functions.normalizeText
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for LLM training corpora: exact (hash
+  * groupBy), MinHash+LSH banding, SimHash, and n-gram Jaccard.
+  *
+  * Hashing is md5-derived everywhere so every stage is reproducible
+  * across engines (the DuckDB oracles re-derive signatures from the
+  * same formula). At 100 TB the only change worth making is swapping
+  * md5 for a cheaper 64-bit hash (xxhash64 built-in) — the plan
+  * shapes (explode → partial-agg → band self-join) stay identical.
+  */
+object TextDedup {
+
+  /** Distinct character n-gram shingle set of the normalized text.
+    * Short texts (< n chars) yield their whole normalized form.
+    */
+  def shingleExpr(textCol: String, n: Int = 5): Column =
+    expr(s"""array_distinct(transform(
+            |  sequence(1, greatest(length($textCol) - ${n - 1}, 1)),
+            |  i -> substring($textCol, i, $n)))""".stripMargin)
+
+  // ───────────────────────── exact dedup ─────────────────────────
+
+  /** Exact dedup groups by normalized-text fingerprint: group size
+    * and canonical (min) id. One hash-shuffle on the fingerprint.
+    */
+  def exactDedupGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.withColumn("fingerprint", md5(normalizeText(col(textCol))))
+      .groupBy("fingerprint")
+      .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("canonical_id"))
+
+  /** Keep one row per fingerprint (the min-id row) — the dedup'd
+    * corpus. Window+filter rather than groupBy+join: single shuffle.
+    */
+  def dedupExact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(md5(normalizeText(col(textCol)))).orderBy(col(idCol))
+    df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+  }
+
+  // ───────────────────────── MinHash + LSH ─────────────────────────
+
+  /** MinHash signatures: numHashes md5-seeded min-hashes over the
+    * shingle set, computed as conditional MIN aggregates over ONE
+    * shingle explosion (no per-seed re-explosion).
+    */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        numHashes: Int = 6, shingleSize: Int = 5): DataFrame = {
+    val exploded = df
+      .withColumn("_norm", normalizeText(col(textCol)))
+      .withColumn("_sh", explode(shingleExpr("_norm", shingleSize)))
+    val sigCols = (0 until numHashes).map(i =>
+      min(md5(concat_ws("|", lit(i), col("_sh")))).as(s"sig_$i"))
+    exploded.groupBy(col(idCol)).agg(sigCols.head, sigCols.tail: _*)
+  }
+
+  /** LSH banding: rows of (id, band_id, band_hash) — md5 over the
+    * band's signature slice. bandSize signatures per band.
+    */
+  def lshBands(sigs: DataFrame, idCol: String,
+               numHashes: Int = 6, bandSize: Int = 3): DataFrame = {
+    val bands = (0 until numHashes / bandSize).map { b =>
+      val slice = (b * bandSize until (b + 1) * bandSize).map(i => col(s"sig_$i"))
+      sigs.select(col(idCol), lit(b).as("band_id"),
+        md5(concat_ws(",", slice: _*)).as("band_hash"))
+    }
+    bands.reduce(_ unionByName _)
+  }
+
+  /** Candidate near-dup pairs: docs sharing any LSH band bucket.
+    * The self-join keys on (band_id, band_hash) — a hash shuffle of
+    * the (small) signature table, never of the corpus text.
+    */
+  def lshCandidatePairs(bands: DataFrame, idCol: String): DataFrame = {
+    val a = bands.select(col("band_id"), col("band_hash"), col(idCol).as("id_1"))
+    val b = bands.select(col("band_id"), col("band_hash"), col(idCol).as("id_2"))
+    a.join(b, Seq("band_id", "band_hash"))
+      .filter(col("id_1") < col("id_2"))
+      .select("id_1", "id_2").distinct()
+  }
+
+  // ───────────────────────── SimHash ─────────────────────────
+
+  /** 16-bit SimHash over whitespace tokens (md5-derived bit source;
+    * width kept at 16 so the oracle can re-derive it with 16 CASE
+    * aggregates — widen to 64 with the same shape in production).
+    */
+  def simhash16(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tokens = df
+      .withColumn("_tok", explode(split(normalizeText(col(textCol)), " ")))
+      .withColumn("_h", conv(substring(md5(col("_tok")), 1, 4), 16, 10).cast("long"))
+    val bitSums = (0 until 16).map(b =>
+      sum(when(shiftright(col("_h"), b).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"bit_$b"))
+    val agged = tokens.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+    val fp = (0 until 16).map(b =>
+      when(col(s"bit_$b") > 0, 1L << b).otherwise(0L)).reduce(_ + _)
+    agged.select(col(idCol), fp.as("simhash"))
+  }
+
+  // ───────────────────────── n-gram Jaccard ─────────────────────────
+
+  /** Blocked n-gram Jaccard similarity pairs: candidates share a
+    * block (e.g. language), similarity = |A∩B| / |A∪B| over shingle
+    * sets. Block first — the array intersection is the expensive
+    * part; never run it on the unblocked cross product.
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        blockCol: String, threshold: Double,
+                        shingleSize: Int = 5): DataFrame = {
+    val prepared = df
+      .withColumn("_norm", normalizeText(col(textCol)))
+      .withColumn("_sh", shingleExpr("_norm", shingleSize))
+      .select(col(idCol), col(blockCol), col("_sh"))
+    val a = prepared.select(col(blockCol), col(idCol).as("id_1"), col("_sh").as("sh_1"))
+    val b = prepared.select(col(blockCol), col(idCol).as("id_2"), col("_sh").as("sh_2"))
+    a.join(b, Seq(blockCol))
+      .filter(col("id_1") < col("id_2"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_1"), col("sh_2"))).cast("double") /
+          size(array_union(col("sh_1"), col("sh_2"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_1", "id_2", "jaccard")
+  }
+}

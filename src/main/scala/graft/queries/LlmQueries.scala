@@ -1,0 +1,295 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.operators.{Multimodal, Similarity, TextAnalysis, TextDedup}
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** LLM training-data pipeline operators over documents/embeddings
+  * (builder-prompt extension set): text analysis, dedup (exact,
+  * MinHash+LSH, SimHash, n-gram Jaccard), ANN similarity search, and
+  * multimodal plumbing. DuckDB twins re-derive every signature from
+  * the same md5-based formulas.
+  */
+object LlmQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "documents")
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "embeddings")
+
+  /** Near-dup corpus: originals ∪ (+10000, text+" copy") variants. */
+  private def nearDupCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select("doc_id", "text", "lang")
+    d.unionByName(d.select(
+      (col("doc_id") + 10000).as("doc_id"),
+      concat(col("text"), lit(" copy")).as("text"),
+      col("lang")))
+  }
+
+  /** Exact-dup corpus: originals ∪ identical copies at +20000. */
+  private def exactDupCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select("doc_id", "text")
+    d.unionByName(d.select((col("doc_id") + 20000).as("doc_id"), col("text")))
+  }
+
+  // DuckDB text normalization (must mirror Functions.normalizeText)
+  private def normSql(c: String) =
+    s"trim(regexp_replace(regexp_replace(lower($c), '[^a-z0-9 ]', '', 'g'), '\\s+', ' ', 'g'))"
+
+  private val nearDupCorpusSql =
+    """corpus AS (
+      |  SELECT doc_id, text, lang FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000, text || ' copy', lang FROM documents)""".stripMargin
+
+  private val shinglesSql =
+    s"""n AS (SELECT doc_id, lang, ${normSql("text")} AS t FROM corpus),
+       |shl AS (
+       |  SELECT doc_id, lang,
+       |         list_distinct([substring(t, i, 5)
+       |                        for i in generate_series(1, greatest(length(t) - 4, 1))]) AS sh
+       |  FROM n)""".stripMargin
+
+  // DuckDB double-promoted cosine over 64-dim float lists
+  private def cosineSql(a: String, b: String) =
+    s"""(list_aggregate([CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)
+       |                 for i in generate_series(1, 64)], 'sum')
+       | / (sqrt(list_aggregate([CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE)
+       |                 for i in generate_series(1, 64)], 'sum'))
+       |  * sqrt(list_aggregate([CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)
+       |                 for i in generate_series(1, 64)], 'sum'))))""".stripMargin
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // ───────── text analysis ─────────
+
+    "ta_language_id" -> QueryDef.sql(
+      (s, dir) =>
+        docs(s, dir).select(
+          col("doc_id"), col("lang"),
+          TextAnalysis.languageId(col("text")).as("predicted_lang")),
+      """SELECT doc_id, lang,
+        |  CASE
+        |    WHEN CAST(len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS DOUBLE)
+        |         / CAST(greatest(length(text), 1) AS DOUBLE) > 0.3 THEN 'zh'
+        |    WHEN len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|for)\b'))
+        |         >= greatest(len(regexp_extract_all(lower(text), '\b(el|la|de|que|los|las|un|una)\b')),
+        |                     len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|ein|zu)\b')),
+        |                     len(regexp_extract_all(lower(text), '\b(le|la|les|des|est|un|une|et)\b'))) THEN 'en'
+        |    WHEN len(regexp_extract_all(lower(text), '\b(el|la|de|que|los|las|un|una)\b'))
+        |         >= greatest(len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|ein|zu)\b')),
+        |                     len(regexp_extract_all(lower(text), '\b(le|la|les|des|est|un|une|et)\b'))) THEN 'es'
+        |    WHEN len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|ein|zu)\b'))
+        |         >= len(regexp_extract_all(lower(text), '\b(le|la|les|des|est|un|une|et)\b')) THEN 'de'
+        |    ELSE 'fr' END AS predicted_lang
+        |FROM documents""".stripMargin),
+
+    "ta_quality_scores" -> QueryDef.sql(
+      (s, dir) =>
+        TextAnalysis.withQualityFeatures(docs(s, dir), "text")
+          .select("doc_id", "n_chars_m", "word_count", "punct_ratio", "quality_score"),
+      """SELECT doc_id,
+        |  length(text) AS n_chars_m,
+        |  len(string_split_regex(trim(text), '\s+')) AS word_count,
+        |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s\x{4e00}-\x{9fff}]')) AS DOUBLE)
+        |    / CAST(greatest(length(text), 1) AS DOUBLE) AS punct_ratio,
+        |  round(
+        |    least(CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) / 50.0, 1.0) * 0.5 +
+        |    (1.0 - least(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s\x{4e00}-\x{9fff}]')) AS DOUBLE)
+        |                   / CAST(greatest(length(text), 1) AS DOUBLE) * 5.0, 1.0)) * 0.5, 4) AS quality_score
+        |FROM documents""".stripMargin),
+
+    "ta_token_counts" -> QueryDef.sql(
+      (s, dir) =>
+        docs(s, dir).select(
+          col("doc_id"),
+          TextAnalysis.wsTokenCount(col("text")).as("ws_tokens"),
+          TextAnalysis.regexTokenCount(col("text")).as("regex_tokens")),
+      """SELECT doc_id,
+        |  len(string_split_regex(trim(text), '\s+')) AS ws_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS regex_tokens
+        |FROM documents""".stripMargin),
+
+    "ta_fingerprints" -> QueryDef.sql(
+      (s, dir) =>
+        docs(s, dir).select(
+          col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint")),
+      s"""SELECT doc_id, md5(${normSql("text")}) AS fingerprint
+         |FROM documents""".stripMargin),
+
+    // ───────── dedup suite ─────────
+
+    "dd_exact_groups" -> QueryDef.sql(
+      (s, dir) =>
+        TextDedup.exactDedupGroups(exactDupCorpus(s, dir), "doc_id", "text"),
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 20000, text FROM documents)
+         |SELECT md5(${normSql("text")}) AS fingerprint,
+         |       COUNT(*) AS n_docs, min(doc_id) AS canonical_id
+         |FROM corpus GROUP BY 1""".stripMargin),
+
+    "dd_dedup_result" -> QueryDef.sql(
+      (s, dir) =>
+        TextDedup.dedupExact(exactDupCorpus(s, dir), "doc_id", "text")
+          .select("doc_id"),
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 20000, text FROM documents)
+         |SELECT doc_id FROM corpus
+         |QUALIFY row_number() OVER (PARTITION BY md5(${normSql("text")})
+         |                           ORDER BY doc_id) = 1""".stripMargin),
+
+    "dd_minhash_pairs" -> QueryDef.sql(
+      (s, dir) => {
+        val sigs = TextDedup.minhashSignatures(nearDupCorpus(s, dir), "doc_id", "text")
+        TextDedup.lshCandidatePairs(
+          TextDedup.lshBands(sigs, "doc_id"), "doc_id")
+      },
+      s"""WITH $nearDupCorpusSql,
+         |$shinglesSql,
+         |sh AS (SELECT doc_id, unnest(sh) AS s FROM shl),
+         |sig AS (
+         |  SELECT doc_id,
+         |    MIN(md5('0' || '|' || s)) AS sig_0, MIN(md5('1' || '|' || s)) AS sig_1,
+         |    MIN(md5('2' || '|' || s)) AS sig_2, MIN(md5('3' || '|' || s)) AS sig_3,
+         |    MIN(md5('4' || '|' || s)) AS sig_4, MIN(md5('5' || '|' || s)) AS sig_5
+         |  FROM sh GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band_id,
+         |         md5(concat_ws(',', sig_0, sig_1, sig_2)) AS band_hash FROM sig
+         |  UNION ALL
+         |  SELECT doc_id, 1, md5(concat_ws(',', sig_3, sig_4, sig_5)) FROM sig)
+         |SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2
+         |FROM bands a JOIN bands b
+         |  ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+         | AND a.doc_id < b.doc_id""".stripMargin),
+
+    "dd_simhash" -> QueryDef.sql(
+      (s, dir) => TextDedup.simhash16(docs(s, dir), "doc_id", "text"),
+      {
+        val bitSums = (0 until 16).map(b =>
+          s"SUM(CASE WHEN ((h >> $b) & 1) = 1 THEN 1 ELSE -1 END) AS b_$b").mkString(",\n    ")
+        val fp = (0 until 16).map(b =>
+          s"(CASE WHEN b_$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END)").mkString(" + ")
+        s"""WITH n AS (SELECT doc_id, ${normSql("text")} AS t FROM documents),
+           |toks AS (SELECT doc_id, unnest(string_split(t, ' ')) AS tok FROM n),
+           |hs AS (SELECT doc_id,
+           |         CAST(concat('0x', substr(md5(tok), 1, 4)) AS BIGINT) AS h FROM toks),
+           |bits AS (
+           |  SELECT doc_id,
+           |    $bitSums
+           |  FROM hs GROUP BY doc_id)
+           |SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM bits""".stripMargin
+      }),
+
+    "dd_ngram_jaccard" -> QueryDef.sql(
+      (s, dir) =>
+        TextDedup.ngramJaccardPairs(nearDupCorpus(s, dir), "doc_id", "text",
+          "lang", threshold = 0.5),
+      s"""WITH $nearDupCorpusSql,
+         |$shinglesSql
+         |SELECT a.doc_id AS id_1, b.doc_id AS id_2,
+         |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |    / CAST(len(list_distinct(list_cat(a.sh, b.sh))) AS DOUBLE) AS jaccard
+         |FROM shl a JOIN shl b ON a.lang = b.lang AND a.doc_id < b.doc_id
+         |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |    / CAST(len(list_distinct(list_cat(a.sh, b.sh))) AS DOUBLE) >= 0.5""".stripMargin),
+
+    // ───────── similarity search ─────────
+
+    "ann_topk" -> QueryDef.sql(
+      (s, dir) => {
+        val e = emb(s, dir)
+        Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 10)
+          .withColumn("rank", col("rank").cast("int"))
+      },
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+         |c AS (SELECT vec_id AS cand_id, embedding AS cv FROM embeddings),
+         |sc AS (
+         |  SELECT query_id, cand_id, round(${cosineSql("qv", "cv")}, 6) AS cos_sim
+         |  FROM c, q WHERE query_id <> cand_id)
+         |SELECT query_id, cand_id, cos_sim, rank FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |              ORDER BY cos_sim DESC, cand_id) AS INTEGER) AS rank
+         |  FROM sc)
+         |WHERE rank <= 10""".stripMargin),
+
+    "ann_lsh_topk" -> QueryDef.sql(
+      (s, dir) => {
+        val e = emb(s, dir)
+        Similarity.lshTopK(e, e.filter(col("vec_id") < 5),
+          "vec_id", "embedding", dim = 64, k = 10, numPlanes = 4)
+          .withColumn("rank", col("rank").cast("int"))
+      },
+      s"""WITH plane AS (
+         |  SELECT j, i,
+         |    CASE WHEN (CAST(concat('0x', substr(md5(concat(j, '|', i)), 1, 2)) AS INTEGER) & 1) = 0
+         |         THEN 1.0 ELSE -1.0 END AS s
+         |  FROM generate_series(0, 3) t(j), generate_series(0, 63) u(i)),
+         |expl AS (
+         |  SELECT vec_id, i.i AS i, CAST(embedding[i.i + 1] AS DOUBLE) AS v
+         |  FROM embeddings, generate_series(0, 63) i(i)),
+         |dots AS (
+         |  SELECT vec_id, j, sum(v * s) AS d
+         |  FROM expl JOIN plane USING (i) GROUP BY vec_id, j),
+         |bucket AS (
+         |  SELECT vec_id,
+         |    CAST(sum(CASE WHEN d >= 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM dots GROUP BY vec_id),
+         |q AS (SELECT e.vec_id AS query_id, e.embedding AS qv, bk.bucket
+         |      FROM embeddings e JOIN bucket bk ON e.vec_id = bk.vec_id WHERE e.vec_id < 5),
+         |c AS (SELECT e.vec_id AS cand_id, e.embedding AS cv, bk.bucket
+         |      FROM embeddings e JOIN bucket bk ON e.vec_id = bk.vec_id),
+         |sc AS (
+         |  SELECT query_id, cand_id, round(${cosineSql("qv", "cv")}, 6) AS cos_sim
+         |  FROM c JOIN q USING (bucket) WHERE query_id <> cand_id)
+         |SELECT query_id, cand_id, cos_sim, rank FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |              ORDER BY cos_sim DESC, cand_id) AS INTEGER) AS rank
+         |  FROM sc)
+         |WHERE rank <= 10""".stripMargin),
+
+    "emb_dup_pairs" -> QueryDef.sql(
+      (s, dir) => {
+        val e = emb(s, dir).select("vec_id", "embedding")
+        val corpus = e.unionByName(
+          e.select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+        Similarity.embeddingDupPairs(corpus, "vec_id", "embedding",
+          dim = 64, threshold = 0.99)
+      },
+      // oracle: bucketing can only LOSE pairs, and identical vectors
+      // always share a bucket; at threshold 0.99 the surviving set
+      // equals the unbucketed one, so the twin checks the full
+      // cross-product formula.
+      s"""WITH corpus AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 10000, embedding FROM embeddings)
+         |SELECT a.vec_id AS id_1, b.vec_id AS id_2,
+         |       round(${cosineSql("a.embedding", "b.embedding")}, 6) AS cos_sim
+         |FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+         |WHERE round(${cosineSql("a.embedding", "b.embedding")}, 6) >= 0.99""".stripMargin),
+
+    // ───────── multimodal plumbing (decode stage is a marked stub) ─────────
+
+    "mm_features" -> QueryDef.sql(
+      (s, dir) =>
+        Multimodal.extractFeatures(
+          Multimodal.fromText(docs(s, dir), "doc_id", "text", "image"))
+          .toDF(),
+      """SELECT doc_id AS media_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |  md5(text) AS content_md5,
+        |  array_to_string([CAST((i * CAST(octet_length(encode(text)) AS BIGINT)) // 4 AS VARCHAR)
+        |                   for i in generate_series(0, 3)], ',') AS frame_offsets,
+        |  CAST(octet_length(encode(text)) % 256 AS BIGINT) AS fake_brightness
+        |FROM documents""".stripMargin)
+  )
+}
