@@ -18,7 +18,8 @@ object SparkEntry {
       graft.queries.ValidationQueries.defs ++
       graft.queries.Scd2Queries.defs ++
       graft.queries.MdmQueries.defs ++
-      graft.queries.LlmQueries.defs
+      graft.queries.LlmQueries.defs ++
+      graft.queries.StreamingQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

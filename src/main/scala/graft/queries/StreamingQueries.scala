@@ -1,0 +1,81 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.functions.Functions.exactSum
+import graft.sources.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch twins of the streaming operators (SURVEY.md §2.9 extension):
+  * tumbling-window aggregation and gaps-and-islands sessionization.
+  * Column contracts match graft.streaming.EventStream so pipelines
+  * can swap batch↔stream; the DuckDB twins verify the semantics.
+  */
+object StreamingQueries {
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // ───── tumbling 1h window aggregation (streaming twin: windowedAgg)
+    "ev_window_agg" -> QueryDef.sql(
+      (s, dir) =>
+        Tables.events(s, dir)
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(
+            count(lit(1)).as("n_events"),
+            exactSum(col("value"), scale = 6).as("total_value"))
+          .select(
+            col("window.start").as("window_start"),
+            col("window.end").as("window_end"),
+            col("event_type"), col("n_events"), col("total_value")),
+      """SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,
+        |       time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) + INTERVAL 1 HOUR AS window_end,
+        |       event_type,
+        |       COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value
+        |FROM events
+        |GROUP BY 1, 2, 3""".stripMargin),
+
+    // ───── 30-min-gap sessionization, batch form (streaming twin:
+    // sessionize). Gaps-and-islands: lag → new-session flag → running
+    // sum as session index → per-session aggregate.
+    "ev_sessions" -> QueryDef.sql(
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val byUser = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val flagged = ev
+          .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+          .withColumn("new_session",
+            when(col("prev_ts").isNull ||
+              col("ts") > col("prev_ts") + expr("INTERVAL 30 MINUTES"), 1)
+              .otherwise(0))
+          .withColumn("sid", sum(col("new_session")).over(
+            byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        flagged.groupBy(col("user_id"), col("sid"))
+          .agg(
+            min(col("ts")).as("session_start"),
+            max(col("ts")).as("session_end"),
+            count(lit(1)).as("n_events"))
+          .select("user_id", "session_start", "session_end", "n_events")
+      },
+      """WITH e AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |l AS (
+        |  SELECT user_id, event_id, ts,
+        |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM e),
+        |f AS (
+        |  SELECT user_id, event_id, ts,
+        |         CASE WHEN prev_ts IS NULL OR ts > prev_ts + INTERVAL 30 MINUTE
+        |              THEN 1 ELSE 0 END AS ns
+        |  FROM l),
+        |g AS (
+        |  SELECT user_id, ts,
+        |         SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                       ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM f)
+        |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+        |       COUNT(*) AS n_events
+        |FROM g GROUP BY user_id, sid""".stripMargin)
+  )
+}

@@ -1,0 +1,132 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming layer over the events table.
+  *
+  * The reference is batch-only (SURVEY.md §2.9) — its nearest
+  * streaming semantics are latest-partition incremental reads and
+  * run-id idempotent batches. This module provides the true streaming
+  * equivalents: watermarked tumbling-window aggregation and stateful
+  * per-key processing, with the SAME column contract as the batch
+  * twins in StreamingQueries so a pipeline can swap batch↔stream.
+  *
+  * Scale: windowed aggregation state is bounded by watermark expiry;
+  * session state by timeout. Both shuffle on the grouping key only.
+  */
+object EventStream {
+
+  /** File-source stream over a parquet directory. Streaming sources
+    * need an explicit schema — pass one captured from a static read.
+    * `maxFilesPerTrigger=1` gives deterministic multi-batch replay in
+    * tests.
+    */
+  def readEventStream(spark: SparkSession, path: String, schema: StructType,
+                      maxFilesPerTrigger: Int = 1): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(path)
+
+  /** Watermarked tumbling-window counts/sums per event_type — the
+    * streaming twin of the `ev_window_agg` batch query.
+    */
+  def windowedAgg(events: DataFrame, windowDur: String = "1 hour",
+                  watermarkDelay: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowDur), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n_events"), col("total_value"))
+
+  final case class UserCount(user_id: Long, n_events: Long, last_ts: java.sql.Timestamp)
+
+  /** Stateful running per-user event counts (mapGroupsWithState,
+    * Update mode) — the `KeyValueGroupedDataset` custom-state surface.
+    */
+  def runningUserCounts(events: DataFrame): Dataset[UserCount] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id").cast("long"), col("ts"))
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[UserCount, UserCount](GroupStateTimeout.NoTimeout) {
+        case (userId, rows, state: GroupState[UserCount]) =>
+          val batch = rows.toSeq
+          val prev = state.getOption.getOrElse(UserCount(userId, 0L, batch.head._2))
+          val next = UserCount(
+            userId,
+            prev.n_events + batch.size,
+            batch.map(_._2).maxBy(_.getTime))
+          state.update(next)
+          next
+      }
+  }
+
+  final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)
+  /** start/end in epoch MICROS — java.sql.Timestamp.getTime is
+    * millisecond-truncating and would corrupt µs event times. */
+  final case class SessionState(start: Long, end: Long, n: Long)
+  final case class Session(user_id: Long, session_start: java.sql.Timestamp,
+                           session_end: java.sql.Timestamp, n_events: Long)
+
+  private def toMicros(t: java.sql.Timestamp): Long =
+    (t.getTime - t.getNanos / 1000000) * 1000L + t.getNanos / 1000
+  private def fromMicros(us: Long): java.sql.Timestamp = {
+    val ts = new java.sql.Timestamp(us / 1000)
+    ts.setNanos((us % 1000000).toInt * 1000)
+    ts
+  }
+
+  /** Event-time sessionization (flatMapGroupsWithState, Append):
+    * sessions close after `gapMinutes` of per-user inactivity, emitted
+    * once the event-time watermark passes the gap. Batch twin:
+    * `ev_sessions` (gaps-and-islands via lag + running sum).
+    */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30,
+                 watermarkDelay: String = "2 hours"): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapMinutes * 60000000L
+    events
+      .select(col("user_id").cast("long").as("user_id"), col("ts"))
+      .withWatermark("ts", watermarkDelay)
+      .as[SessionEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (userId, rows, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(userId, fromMicros(s.start), fromMicros(s.end), s.n))
+          } else {
+            val ts = rows.map(e => toMicros(e.ts)).toSeq.sorted
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            ts.foreach { t =>
+              cur match {
+                case Some(s) if t - s.end <= gapUs =>
+                  cur = Some(SessionState(s.start, math.max(s.end, t), s.n + 1))
+                case Some(s) =>
+                  closed ::= Session(userId, fromMicros(s.start), fromMicros(s.end), s.n)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp((s.end + gapUs) / 1000) // timeout API is ms
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}

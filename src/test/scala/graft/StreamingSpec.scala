@@ -1,0 +1,87 @@
+package graft
+
+import graft.sources.Tables
+import graft.streaming.EventStream
+import org.apache.spark.sql.functions._
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Write the events table as 4 sequential ts-ordered files so the
+    * file stream replays them as 4 roughly-ordered micro-batches.
+    */
+  private lazy val streamDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("evstream").toString
+    val ev = Tables.events(spark, sfDir).orderBy("ts").cache()
+    val n = ev.count()
+    val chunk = (n / 4 + 1).toInt
+    val rows = ev.collect()
+    rows.grouped(chunk).zipWithIndex.foreach { case (batch, i) =>
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(batch.toSeq), ev.schema)
+      df.coalesce(1).write.parquet(s"$dir/chunk_$i")
+      // register files at the top level for the stream (one file per dir)
+      val src = new java.io.File(s"$dir/chunk_$i").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(src.toPath,
+        java.nio.file.Paths.get(s"$dir/part_$i.parquet"))
+      Thread.sleep(1100) // distinct modification seconds → stable order
+    }
+    new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .foreach(d => { d.listFiles().foreach(_.delete()); d.delete() })
+    dir
+  }
+
+  private def staticEvents = Tables.events(spark, sfDir)
+
+  test("windowedAgg over the stream equals the batch tumbling-window aggregation") {
+    val stream = EventStream.readEventStream(spark, streamDir, staticEvents.schema)
+    val q = EventStream.windowedAgg(stream).writeStream
+      .outputMode("complete").format("memory").queryName("win_out").start()
+    q.processAllAvailable(); q.stop()
+
+    val streamed = spark.table("win_out")
+      .select("window_start", "event_type", "n_events")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    val batch = staticEvents
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start"), col("event_type"), col("n"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed === batch)
+  }
+
+  test("runningUserCounts converges to the batch per-user totals") {
+    val stream = EventStream.readEventStream(spark, streamDir, staticEvents.schema)
+    val q = EventStream.runningUserCounts(stream).writeStream
+      .outputMode("update").format("memory").queryName("ruc_out").start()
+    q.processAllAvailable(); q.stop()
+
+    // last update per user is the final state
+    val finalCounts = spark.table("ruc_out")
+      .groupBy("user_id").agg(max("n_events").as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val batch = staticEvents.groupBy("user_id").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(finalCounts === batch)
+  }
+
+  test("sessionize emits watermark-closed sessions matching the batch gaps-and-islands") {
+    val stream = EventStream.readEventStream(spark, streamDir, staticEvents.schema)
+    val q = EventStream.sessionize(stream, gapMinutes = 30, watermarkDelay = "1 hour")
+      .writeStream.outputMode("append").format("memory").queryName("sess_out").start()
+    q.processAllAvailable(); q.stop()
+
+    val emitted = spark.table("sess_out")
+      .select("user_id", "session_start", "session_end", "n_events")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+      .toSet
+    assert(emitted.nonEmpty, "multi-batch replay should close some sessions")
+
+    val batchSessions = graft.SparkEntry.queries("ev_sessions")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+      .toSet
+    val missing = emitted -- batchSessions
+    assert(missing.isEmpty, s"streamed sessions not in batch result: ${missing.take(3)}")
+  }
+}
