@@ -1,24 +1,74 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main (driver contract): runs the headline query set on
+  * SPARK_GRAFT_SF_DIR and prints ONE JSON line.
+  *
+  * Queries are materialized through the noop sink — count() lets
+  * Spark's count-star shortcut skip projection work and would
+  * under-measure; noop executes the full plan including expression
+  * evaluation.
+  */
 object Bench {
+
+  /** Headline set: one representative per operator family, ordered
+    * roughly cheap → expensive.
+    */
+  val headline: Seq[String] = Seq(
+    "daily_revenue",       // scan → filter → group agg
+    "p01_cast_projection", // projection throughput
+    "v01_rule_annotate",   // rule-engine projection
+    "e2e_curated",         // validate + double broadcast join
+    "a04_extended_metrics",// join + wide agg
+    "j04_semi_exists",     // semi join
+    "w01_latest_per_key",  // window dedupe
+    "scd2_merge",          // SCD2 merge pipeline
+    "mdm_match_pairs",     // blocked fuzzy self-join
+    "ta_quality_scores",   // regex-heavy text projection
+    "dd_minhash_pairs",    // shingle explode + LSH self-join
+    "ann_topk",            // brute-force vector search
+    "ev_window_agg",       // tumbling window agg
+    "ev_sessions")         // gaps-and-islands windowing
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    spark.range(1000000).selectExpr("sum(id)").collect() // JVM/codegen warmup
+
+    def runOnce(): Seq[(String, Double)] =
+      headline.filter(SparkEntry.queries.contains).map { name =>
+        val fn = SparkEntry.queries(name)
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
+
+    // BENCH_REPEAT>1: report per-query minimum across iterations
+    // (steady state, GC-noise-free)
+    val repeat = sys.env.getOrElse("BENCH_REPEAT", "1").toInt
+    val runs = (1 to repeat).map(_ => runOnce())
+    val results = runs.head.map(_._1).map { name =>
+      name -> runs.map(_.toMap.apply(name)).min
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

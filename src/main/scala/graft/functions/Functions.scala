@@ -24,14 +24,19 @@ object Functions {
   def tokenSorted(c: Column): Column =
     array_join(sort_array(split(normalizeText(c), " ")), " ")
 
-  def tokenSortRatio(a: Column, b: Column): Column = {
-    val sa = tokenSorted(a)
-    val sb = tokenSorted(b)
+  /** Ratio over ALREADY token-sorted strings — use when the sorted
+    * form is precomputed once per entity instead of per pair (the
+    * normalization regexes dominate pairwise scoring cost otherwise).
+    */
+  def tokenSortRatioPre(sa: Column, sb: Column): Column = {
     val maxLen = greatest(length(sa), length(sb))
     when(maxLen === 0, lit(100.0))
       .otherwise(round(
         (lit(1.0) - levenshtein(sa, sb).cast("double") / maxLen.cast("double")) * 100, 1))
   }
+
+  def tokenSortRatio(a: Column, b: Column): Column =
+    tokenSortRatioPre(tokenSorted(a), tokenSorted(b))
 
   /** P20: weighted MDM match score (`fuzzy_match.py:54`). */
   def weightedScore(nameScore: Column, addressScore: Column,

@@ -25,34 +25,45 @@ object Mdm {
       addressCol: String,
       blockCols: Seq[String])
 
-  /** J10: blocked candidate self-join with `id1 < id2` pair dedupe. */
+  /** J10: blocked candidate self-join with `id1 < id2` pair dedupe.
+    * Token-sorted name/address forms are computed ONCE per entity
+    * before the join — the normalization regexes are O(entities), not
+    * O(pairs); pairwise work is levenshtein only.
+    */
   def candidatePairs(entities: DataFrame, schema: EntitySchema): DataFrame = {
-    val left = entities.select(
+    def side(n: Int) = entities.select(
       (schema.blockCols.map(col) :+
-        col(schema.idCol).as("id_1") :+
-        col(schema.nameCol).as("name_1") :+
-        col(schema.addressCol).as("address_1")): _*)
-    val right = entities.select(
-      (schema.blockCols.map(col) :+
-        col(schema.idCol).as("id_2") :+
-        col(schema.nameCol).as("name_2") :+
-        col(schema.addressCol).as("address_2")): _*)
-    left.join(right, schema.blockCols)
+        col(schema.idCol).as(s"id_$n") :+
+        col(schema.nameCol).as(s"name_$n") :+
+        col(schema.addressCol).as(s"address_$n") :+
+        tokenSorted(col(schema.nameCol)).as(s"_tok_name_$n") :+
+        tokenSorted(col(schema.addressCol)).as(s"_tok_addr_$n")): _*)
+    side(1).join(side(2), schema.blockCols)
       .filter(col("id_1") < col("id_2"))
   }
 
   /** Score pairs (`fuzzy_match.py:44-89`): token_sort_ratio on name
     * and address, weighted final score, confidence bucket, governance
-    * action.
+    * action. Uses the precomputed token-sorted columns when
+    * `candidatePairs` produced them.
     */
-  def scorePairs(pairs: DataFrame, nameWeight: Double = 0.7): DataFrame =
+  def scorePairs(pairs: DataFrame, nameWeight: Double = 0.7): DataFrame = {
+    val pre = pairs.columns.contains("_tok_name_1")
+    val nameScore =
+      if (pre) tokenSortRatioPre(col("_tok_name_1"), col("_tok_name_2"))
+      else tokenSortRatio(col("name_1"), col("name_2"))
+    val addrScore =
+      if (pre) tokenSortRatioPre(col("_tok_addr_1"), col("_tok_addr_2"))
+      else tokenSortRatio(col("address_1"), col("address_2"))
     pairs
-      .withColumn("name_score", tokenSortRatio(col("name_1"), col("name_2")))
-      .withColumn("address_score", tokenSortRatio(col("address_1"), col("address_2")))
+      .withColumn("name_score", nameScore)
+      .withColumn("address_score", addrScore)
       .withColumn("final_score",
         weightedScore(col("name_score"), col("address_score"), nameWeight))
       .withColumn("confidence_bucket", confidenceBucket(col("final_score")))
       .withColumn("governance_action", governanceAction(col("confidence_bucket")))
+      .drop("_tok_name_1", "_tok_name_2", "_tok_addr_1", "_tok_addr_2")
+  }
 
   /** MEDIUM-confidence pairs routed to human review
     * (`fuzzy_match.py:91-107`; steward_review_queue.csv shape).

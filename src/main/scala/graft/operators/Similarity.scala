@@ -36,12 +36,17 @@ object Similarity {
     */
   def bruteForceTopK(candidates: DataFrame, queries: DataFrame,
                      idCol: String, vecCol: String, k: Int): DataFrame = {
+    // norms are O(n + q), computed below the join — only the dot
+    // product is per-pair work
     val q = broadcast(queries.select(
-      col(idCol).as("query_id"), col(vecCol).as("q_vec")))
+      col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+      .withColumn("q_norm", l2Norm(col("q_vec"))))
     val c = candidates.select(col(idCol).as("cand_id"), col(vecCol).as("c_vec"))
+      .withColumn("c_norm", l2Norm(col("c_vec")))
     val scored = c.crossJoin(q)
       .filter(col("query_id") =!= col("cand_id"))
-      .withColumn("cos_sim", round(cosine(col("q_vec"), col("c_vec")), 6))
+      .withColumn("cos_sim",
+        round(dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("cand_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -80,11 +85,14 @@ object Similarity {
               numPlanes: Int = 8): DataFrame = {
     val c = candidates.select(col(idCol).as("cand_id"), col(vecCol).as("c_vec"))
       .withColumn("bucket", lshBucket(col("c_vec"), dim, numPlanes))
+      .withColumn("c_norm", l2Norm(col("c_vec")))
     val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
-      .withColumn("bucket", lshBucket(col("q_vec"), dim, numPlanes)))
+      .withColumn("bucket", lshBucket(col("q_vec"), dim, numPlanes))
+      .withColumn("q_norm", l2Norm(col("q_vec"))))
     val scored = c.join(q, Seq("bucket"))
       .filter(col("query_id") =!= col("cand_id"))
-      .withColumn("cos_sim", round(cosine(col("q_vec"), col("c_vec")), 6))
+      .withColumn("cos_sim",
+        round(dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("cand_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -100,11 +108,15 @@ object Similarity {
                         numPlanes: Int = 8): DataFrame = {
     val v = df.select(col(idCol), col(vecCol))
       .withColumn("bucket", lshBucket(col(vecCol), dim, numPlanes))
-    val a = v.select(col("bucket"), col(idCol).as("id_1"), col(vecCol).as("v_1"))
-    val b = v.select(col("bucket"), col(idCol).as("id_2"), col(vecCol).as("v_2"))
+      .withColumn("_norm", l2Norm(col(vecCol)))
+    val a = v.select(col("bucket"), col(idCol).as("id_1"),
+      col(vecCol).as("v_1"), col("_norm").as("n_1"))
+    val b = v.select(col("bucket"), col(idCol).as("id_2"),
+      col(vecCol).as("v_2"), col("_norm").as("n_2"))
     a.join(b, Seq("bucket"))
       .filter(col("id_1") < col("id_2"))
-      .withColumn("cos_sim", round(cosine(col("v_1"), col("v_2")), 6))
+      .withColumn("cos_sim",
+        round(dot(col("v_1"), col("v_2")) / (col("n_1") * col("n_2")), 6))
       .filter(col("cos_sim") >= threshold)
       .select("id_1", "id_2", "cos_sim")
   }

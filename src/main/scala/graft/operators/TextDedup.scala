@@ -44,17 +44,22 @@ object TextDedup {
 
   // ───────────────────────── MinHash + LSH ─────────────────────────
 
-  /** MinHash signatures: numHashes md5-seeded min-hashes over the
-    * shingle set, computed as conditional MIN aggregates over ONE
-    * shingle explosion (no per-seed re-explosion).
+  /** MinHash signatures: numHashes min-hashes over the shingle set.
+    * ONE md5 per shingle; hash function i is the i-th disjoint
+    * 5-hex-char (20-bit) segment of that digest — distinct bit ranges
+    * of a PRF output act as independent hashes, so the md5 cost is
+    * O(shingles), not O(shingles × numHashes). numHashes ≤ 6 with
+    * 5-char segments (32 hex chars).
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         numHashes: Int = 6, shingleSize: Int = 5): DataFrame = {
+    require(numHashes <= 6, "md5 provides 6 disjoint 5-hex-char segments")
     val exploded = df
       .withColumn("_norm", normalizeText(col(textCol)))
       .withColumn("_sh", explode(shingleExpr("_norm", shingleSize)))
+      .withColumn("_h", md5(col("_sh")))
     val sigCols = (0 until numHashes).map(i =>
-      min(md5(concat_ws("|", lit(i), col("_sh")))).as(s"sig_$i"))
+      min(substring(col("_h"), 1 + 5 * i, 5)).as(s"sig_$i"))
     exploded.groupBy(col(idCol)).agg(sigCols.head, sigCols.tail: _*)
   }
 

@@ -153,12 +153,12 @@ object LlmQueries {
       },
       s"""WITH $nearDupCorpusSql,
          |$shinglesSql,
-         |sh AS (SELECT doc_id, unnest(sh) AS s FROM shl),
+         |sh AS (SELECT doc_id, md5(unnest(sh)) AS h FROM shl),
          |sig AS (
          |  SELECT doc_id,
-         |    MIN(md5('0' || '|' || s)) AS sig_0, MIN(md5('1' || '|' || s)) AS sig_1,
-         |    MIN(md5('2' || '|' || s)) AS sig_2, MIN(md5('3' || '|' || s)) AS sig_3,
-         |    MIN(md5('4' || '|' || s)) AS sig_4, MIN(md5('5' || '|' || s)) AS sig_5
+         |    MIN(substr(h, 1, 5)) AS sig_0, MIN(substr(h, 6, 5)) AS sig_1,
+         |    MIN(substr(h, 11, 5)) AS sig_2, MIN(substr(h, 16, 5)) AS sig_3,
+         |    MIN(substr(h, 21, 5)) AS sig_4, MIN(substr(h, 26, 5)) AS sig_5
          |  FROM sh GROUP BY doc_id),
          |bands AS (
          |  SELECT doc_id, 0 AS band_id,

@@ -1,7 +1,8 @@
 package graft.queries
 
 import graft.QueryDef
-import graft.operators.{Enrichment, Validation}
+import graft.operators.{Enrichment, SqlWorkflow, Validation}
+import graft.operators.SqlWorkflow.{QualityCheck, TestStep, Transform}
 import graft.operators.Validation._
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -91,6 +92,31 @@ object ValidationQueries {
         |SELECT 'unique_l_orderkey' AS rule_name,
         |       COUNT(*) AS duplicate_groups, COUNT(*) = 0 AS passed
         |FROM (SELECT l_orderkey FROM lineitem GROUP BY 1 HAVING COUNT(*) > 1)""".stripMargin),
+
+    // ───── §3.5: ordered SQL workflow runner (transform →
+    // quality-check → test, raise-on-violation) — the transform_check
+    // .py harness over spark.sql temp views
+    "wf_daily_check" -> QueryDef.sql(
+      (s, dir) => {
+        graft.sources.Tables.table(s, dir, "orders")
+          .createOrReplaceTempView("orders_wf")
+        SqlWorkflow.run(s, Seq(
+          Transform("wf_daily_rev",
+            """SELECT o_custkey, CAST(o_orderdate AS DATE) AS order_date,
+              |       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS revenue,
+              |       COUNT(*) AS n_orders
+              |FROM orders_wf GROUP BY 1, 2""".stripMargin),
+          QualityCheck("qc_nonneg_revenue",
+            "SELECT COUNT(*) FROM wf_daily_rev WHERE revenue < 0"),
+          TestStep("test_nonempty",
+            """SELECT CASE WHEN (SELECT COUNT(*) FROM wf_daily_rev) > 0
+              |            THEN 0 ELSE 1 END""".stripMargin)))
+        s.table("wf_daily_rev")
+      },
+      """SELECT o_custkey, CAST(o_orderdate AS DATE) AS order_date,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS revenue,
+        |       COUNT(*) AS n_orders
+        |FROM orders GROUP BY 1, 2""".stripMargin),
 
     // ───── end-to-end curated pipeline: validate → filter → double
     // enrichment (supplier, then supplier's nation) → lineage stamp.

@@ -1,0 +1,94 @@
+package graft
+
+import graft.operators.SqlWorkflow
+import graft.operators.SqlWorkflow._
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+class TablesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp() = java.nio.file.Files.createTempDirectory("tables").toString
+
+  test("partitioned write + latestPartition incremental read") {
+    val dir = tmp() + "/t"
+    val df = Seq((1, "2024-01-01"), (2, "2024-01-02"), (3, "2024-01-02"))
+      .toDF("id", "run_date")
+    Tables.writePartitioned(df, dir, Seq("run_date"))
+    val latest = Tables.latestPartition(spark, dir, "run_date")
+    assert(latest.count() === 2)
+    assert(latest.select("id").as[Int].collect().sorted === Array(2, 3))
+    // partition layout on disk
+    assert(new java.io.File(dir + "/run_date=2024-01-01").exists)
+  }
+
+  test("dynamic partition overwrite only replaces touched partitions") {
+    val dir = tmp() + "/t"
+    Tables.enableDynamicPartitionOverwrite(spark)
+    Tables.writePartitioned(
+      Seq((1, "a"), (2, "b")).toDF("id", "p"), dir, Seq("p"))
+    // overwrite only partition b
+    Seq((99, "b")).toDF("id", "p").write.mode("overwrite")
+      .partitionBy("p").parquet(dir)
+    val out = spark.read.parquet(dir)
+    assert(out.count() === 2)
+    assert(out.filter($"p" === "a").select("id").as[Int].collect() === Array(1))
+    assert(out.filter($"p" === "b").select("id").as[Int].collect() === Array(99))
+  }
+
+  test("append sink accumulates rows") {
+    val dir = tmp() + "/t"
+    Tables.append(Seq(1).toDF("x"), dir)
+    Tables.append(Seq(2).toDF("x"), dir)
+    assert(spark.read.parquet(dir).count() === 2)
+  }
+
+  test("single-file JSON metrics sink writes exactly one part file") {
+    val dir = tmp() + "/m"
+    Tables.writeJsonSingleFile(Seq(("r1", 100L)).toDF("run_id", "n"), dir)
+    val parts = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".json"))
+    assert(parts.length === 1)
+    assert(spark.read.json(dir).collect()(0).getAs[String]("run_id") === "r1")
+  }
+
+  test("csv round-trip with header and explicit schema") {
+    val dir = tmp() + "/c"
+    Seq((10, "Manhattan")).toDF("locationid", "borough")
+      .write.option("header", "true").csv(dir)
+    val inferred = Tables.csv(spark, dir)
+    assert(inferred.columns.toSeq === Seq("locationid", "borough"))
+    assert(inferred.collect()(0).getString(0) === "10") // all-string default
+    val typed = Tables.csv(spark, dir, Some(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("locationid",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("borough",
+          org.apache.spark.sql.types.StringType)))))
+    assert(typed.collect()(0).getInt(0) === 10)
+  }
+
+  test("SqlWorkflow runs transforms then enforces zero-violation checks") {
+    Tables.table(spark, sfDir, "orders").createOrReplaceTempView("orders")
+    val results = SqlWorkflow.run(spark, Seq(
+      Transform("daily_rev",
+        """SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+          |       SUM(o_totalprice) AS rev
+          |FROM orders GROUP BY 1, 2""".stripMargin),
+      QualityCheck("qc_nonneg",
+        "SELECT COUNT(*) FROM daily_rev WHERE rev < 0"),
+      TestStep("test_rowcount",
+        """SELECT CASE WHEN (SELECT COUNT(*) FROM daily_rev) > 0
+          |            THEN 0 ELSE 1 END""".stripMargin)))
+    assert(results.map(_.kind) === Seq("transform", "quality_check", "test"))
+    assert(results.forall(_.passed))
+  }
+
+  test("SqlWorkflow raises on violations (raise-on-violation convention)") {
+    intercept[WorkflowFailed] {
+      SqlWorkflow.run(spark, Seq(
+        Transform("bad", "SELECT -1 AS rev"),
+        QualityCheck("qc", "SELECT COUNT(*) FROM bad WHERE rev < 0")))
+    }
+  }
+}
