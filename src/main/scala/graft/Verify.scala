@@ -14,6 +14,7 @@ object Verify {
       // INT96 (the default) reads back as ns and overflows on the SCD2
       // 9999-12-31 sentinel; int64 micros is what DuckDB/pyarrow expect.
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -1,0 +1,29 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Engine extension point (SparkSessionExtensions): registers the
+  * custom Catalyst expressions as SQL functions. Install with
+  *   SparkSession.builder().withExtensions(new GraftExtensions)
+  * or spark.sql.extensions=graft.plans.GraftExtensions.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("poly_hash64"),
+      new ExpressionInfo(classOf[PolyHash64].getName, "poly_hash64"),
+      (children: Seq[Expression]) => PolyHash64(children.head)))
+  }
+}
+
+object GraftExtensions {
+  /** Per-session registration for sessions built without extensions
+    * (e.g. the driver-owned Verify session). Idempotent.
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "poly_hash64", (children: Seq[Expression]) => PolyHash64(children.head),
+      "scala_udf")
+}

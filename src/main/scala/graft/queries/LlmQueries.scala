@@ -120,6 +120,29 @@ object LlmQueries {
       s"""SELECT doc_id, md5(${normSql("text")}) AS fingerprint
          |FROM documents""".stripMargin),
 
+    // ───── custom Catalyst expression: codegen'd rolling hash
+    // (poly_hash64 via GraftExtensions). DuckDB twin re-derives the
+    // wrapping 64-bit fold with HUGEINT mod arithmetic.
+    "ta_rolling_hash" -> QueryDef.sql(
+      (s, dir) => {
+        graft.plans.GraftExtensions.register(s)
+        docs(s, dir).selectExpr("doc_id",
+          s"poly_hash64(${"trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ''), '\\\\s+', ' '))"}) AS rolling_hash")
+      },
+      s"""WITH n AS (SELECT doc_id, ${normSql("text")} AS t FROM documents)
+         |SELECT doc_id,
+         |  CAST(CASE WHEN m >= CAST(9223372036854775808 AS HUGEINT)
+         |            THEN m - CAST(18446744073709551616 AS HUGEINT)
+         |            ELSE m END AS BIGINT) AS rolling_hash
+         |FROM (
+         |  SELECT doc_id,
+         |    list_reduce(
+         |      list_prepend(CAST(0 AS HUGEINT),
+         |        [CAST(unicode(substring(t, i, 1)) AS HUGEINT)
+         |         for i in generate_series(1, length(t))]),
+         |      (acc, x) -> (acc * 31 + x) % CAST(18446744073709551616 AS HUGEINT)) AS m
+         |  FROM n)""".stripMargin),
+
     // ───────── dedup suite ─────────
 
     "dd_exact_groups" -> QueryDef.sql(

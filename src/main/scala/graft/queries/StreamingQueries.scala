@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.QueryDef
 import graft.functions.Functions.exactSum
+import graft.operators.AsOfJoin
 import graft.sources.Tables
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -34,6 +35,40 @@ object StreamingQueries {
         |       CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value
         |FROM events
         |GROUP BY 1, 2, 3""".stripMargin),
+
+    // ───── as-of join: each click attached to the user's latest
+    // at-or-before purchase (DuckDB verifies with its native ASOF
+    // JOIN — our composed union-sort-window must match it exactly)
+    "ev_asof_join" -> QueryDef.sql(
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id"), col("ts"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts").as("p_ts"), col("value").as("p_value"),
+            col("event_id").as("p_event_id"))
+        // dedupe right to one row per (key, ts) so ties are impossible
+        val w = Window.partitionBy(col("user_id"), col("p_ts"))
+          .orderBy(col("p_event_id").desc)
+        val dedupedPurch = purchases
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+        AsOfJoin.asofJoin(clicks, dedupedPurch, Seq("user_id"),
+          "ts", "p_ts", Seq("p_ts", "p_value"))
+      },
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, value, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events),
+        |clicks AS (
+        |  SELECT user_id, event_id, ts FROM e WHERE event_type = 'click'),
+        |purchases AS (
+        |  SELECT user_id, ts AS p_ts, value AS p_value, event_id AS p_event_id
+        |  FROM e WHERE event_type = 'purchase'
+        |  QUALIFY row_number() OVER (PARTITION BY user_id, ts
+        |                             ORDER BY event_id DESC) = 1)
+        |SELECT c.user_id, c.event_id, c.ts, p.p_ts, p.p_value
+        |FROM clicks c
+        |ASOF LEFT JOIN purchases p
+        |  ON c.user_id = p.user_id AND c.ts >= p.p_ts""".stripMargin),
 
     // ───── 30-min-gap sessionization, batch form (streaming twin:
     // sessionize). Gaps-and-islands: lag → new-session flag → running
