@@ -28,8 +28,10 @@ object Bench {
     "ta_quality_scores",   // regex-heavy text projection
     "dd_minhash_pairs",    // shingle explode + LSH self-join
     "ann_topk",            // brute-force vector search
+    "ta_rolling_hash",     // custom codegen'd expression
     "ev_window_agg",       // tumbling window agg
-    "ev_sessions")         // gaps-and-islands windowing
+    "ev_sessions",         // gaps-and-islands windowing
+    "ev_asof_join")        // as-of join
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -42,6 +42,22 @@ object Mdm {
       .filter(col("id_1") < col("id_2"))
   }
 
+  /** Skew guard for blocked self-joins: split entities into
+    * (processable, rejected) by block size. A block of size b yields
+    * b²/2 pairs — one hot key can dominate the whole join at scale;
+    * the reference's pandas version would just OOM. Rejected blocks
+    * are returned for routing to a coarser strategy (finer block key
+    * or sampling), mirroring the quarantine convention.
+    */
+  def capBlocks(entities: DataFrame, schema: EntitySchema,
+                maxBlockSize: Int): (DataFrame, DataFrame) = {
+    val sizes = entities.groupBy(schema.blockCols.map(col): _*)
+      .agg(count(lit(1)).as("_block_size"))
+    val tagged = entities.join(broadcast(sizes), schema.blockCols)
+    (tagged.filter(col("_block_size") <= maxBlockSize).drop("_block_size"),
+     tagged.filter(col("_block_size") > maxBlockSize).drop("_block_size"))
+  }
+
   /** Score pairs (`fuzzy_match.py:44-89`): token_sort_ratio on name
     * and address, weighted final score, confidence bucket, governance
     * action. Uses the precomputed token-sorted columns when

@@ -131,6 +131,35 @@ object Scd2 {
     table.filter(pred).orderBy(col("version_no"))
   }
 
+  /** Rollback (ref `03_version_procedures.sql:55-123`): revert a key
+    * to its previous version's business values by expiring the
+    * current row and inserting a NEW version that copies the prior
+    * values (history is never rewritten — rollback is itself a
+    * versioned change, as the plpgsql twin does).
+    */
+  def rollbackVersion(table: DataFrame, conf: Config, keyValues: Seq[Any],
+                      asOf: java.sql.Timestamp): DataFrame = {
+    val keyPred = conf.keyCols.zip(keyValues)
+      .map { case (c, v) => col(c) === lit(v) }.reduce(_ && _)
+    val rows = table.filter(keyPred)
+    val current = rows.filter(col("is_current"))
+    val currentVersion = current.select(max("version_no")).head().getInt(0)
+    require(currentVersion >= 2, s"no previous version to roll back to")
+    val previous = rows.filter(col("version_no") === currentVersion - 1)
+
+    val expired = table
+      .withColumn("effective_end_ts",
+        when(keyPred && col("is_current"), lit(asOf)).otherwise(col("effective_end_ts")))
+      .withColumn("is_current",
+        when(keyPred && col("is_current"), lit(false)).otherwise(col("is_current")))
+    val reverted = previous
+      .withColumn("version_no", lit(currentVersion + 1).cast("int"))
+      .withColumn("effective_start_ts", lit(asOf))
+      .withColumn("effective_end_ts", lit(SentinelEnd))
+      .withColumn("is_current", lit(true))
+    expired.unionByName(reverted.select(expired.columns.map(col): _*))
+  }
+
   /** SCD invariant checks (ref verify_delta_vendors_job.py:57-65 +
     * FIXTURES.md §4): returns (rule, violation_count, passed) rows.
     */

@@ -107,6 +107,54 @@ object Validation {
         when(col("error_rate") <= maxErrorRate, "SUCCESS").otherwise("FAILED_GATE"))
   }
 
+  /** Data-driven rule loading — parses the reference's declarative
+    * rule-suite shape (`governance/data_quality_rules.json`:
+    * `{"rules": [{"column", "check" | "type", "min"/"max",
+    * "allowed_values", "severity"}]}`) into the rule ADT. Uses
+    * spark.read.json so no JSON library dependency.
+    */
+  def rulesFromJsonFile(spark: org.apache.spark.sql.SparkSession,
+                        path: String): Seq[Rule] = {
+    val df = spark.read.option("multiLine", "true").json(path)
+    val rulesDf =
+      if (df.columns.contains("rules"))
+        df.select(explode(col("rules")).as("r")).select("r.*")
+      else df
+    val cols = rulesDf.columns.toSet
+    def opt(row: org.apache.spark.sql.Row, c: String): Option[Any] =
+      if (cols.contains(c) && !row.isNullAt(row.fieldIndex(c)))
+        Some(row.get(row.fieldIndex(c)))
+      else None
+    rulesDf.collect().toSeq.map { row =>
+      val column = opt(row, "column").map(_.toString)
+        .getOrElse(sys.error("rule missing 'column'"))
+      val sev = opt(row, "severity").map(_.toString.toUpperCase) match {
+        case Some("WARN") | Some("WARNING") => Warn
+        case _ => Error
+      }
+      val check = opt(row, "check").orElse(opt(row, "type"))
+        .map(_.toString.toLowerCase).getOrElse("not_null")
+      check match {
+        case "not_null" => NotNull(column, sev)
+        case "between" | "range" =>
+          Between(column,
+            opt(row, "min").map(_.toString.toDouble).getOrElse(Double.MinValue),
+            opt(row, "max").map(_.toString.toDouble).getOrElse(Double.MaxValue),
+            sev)
+        case "allowed_values" | "in" =>
+          val vals = row.getAs[scala.collection.Seq[Any]](
+            row.fieldIndex("allowed_values")).map(_.toString).toSeq
+          AllowedValues(column, vals, sev)
+        case "positive" | "greater_than" =>
+          GreaterThan(column, opt(row, "min").map(_.toString.toDouble).getOrElse(0.0),
+            orEqual = false, sev)
+        case "non_negative" =>
+          GreaterThan(column, 0.0, orEqual = true, sev)
+        case other => sys.error(s"unknown rule check: $other")
+      }
+    }
+  }
+
   /** Uniqueness rule — table-level, needs an aggregation (ref
     * taxi_zone_rules.yaml uniqueness; verify_delta_vendors_job.py:57-62).
     * Returns one row: (rule_name, duplicate_groups, passed). The

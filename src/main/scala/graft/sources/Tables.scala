@@ -94,6 +94,14 @@ object Tables {
     df.filter(org.apache.spark.sql.functions.col(col) === latest)
   }
 
+  /** S13: managed-table sink — the JDBC full-overwrite semantics
+    * (`ppcurated_rds.py:64-72`: replace named table `curated.x`)
+    * modeled as a catalog table overwrite; swap the format/options for
+    * a real JDBC url in a connected deployment.
+    */
+  def writeManagedTable(df: DataFrame, table: String): Unit =
+    df.write.mode("overwrite").saveAsTable(table)
+
   /** P12: required-column assertion
     * (`nyc_validated_to_curated_etl.py:25-28`). */
   def requireCols(df: DataFrame, cols: Seq[String]): Unit = {
