@@ -413,6 +413,19 @@ object RelationalQueries {
         |UNION ALL
         |SELECT c_name AS name, 'customer' AS src FROM customer""".stripMargin),
 
+    // ───── skew lever: two-phase salted aggregation — must equal the
+    // plain grouped aggregation exactly (decimal partials merge
+    // losslessly), which is precisely what the oracle asserts
+    "skew_salted_agg" -> QueryDef.sql(
+      (s, dir) =>
+        graft.operators.Skew.saltedSumCount(
+          t(s, dir, "lineitem"), Seq("l_returnflag"), "l_extendedprice",
+          distributeBy = col("l_orderkey"), factor = 8),
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) AS sum_l_extendedprice,
+        |  COUNT(*) AS count
+        |FROM lineitem GROUP BY 1""".stripMargin),
+
     // ───── S7: in-memory literal source (ref nyc_raw_to_validated_etl.py:106-115)
     "s07_literal_metrics" -> QueryDef.sql(
       (s, dir) => {
