@@ -131,6 +131,40 @@ object Scd2 {
     table.filter(pred).orderBy(col("version_no"))
   }
 
+  /** Approve (ref `03_version_procedures.sql:15-53`): stamp an
+    * approval onto one version of one key and emit the action record
+    * for the audit table. Errors if the version doesn't exist
+    * (precondition in the plpgsql twin).
+    */
+  def approveVersion(table: DataFrame, conf: Config, keyValues: Seq[Any],
+                     versionNo: Int, approvedBy: String,
+                     asOf: java.sql.Timestamp): (DataFrame, DataFrame) = {
+    val keyPred = conf.keyCols.zip(keyValues)
+      .map { case (c, v) => col(c) === lit(v) }.reduce(_ && _)
+    val targetPred = keyPred && col("version_no") === versionNo
+    require(!table.filter(targetPred).isEmpty,
+      s"version $versionNo not found for key ${keyValues.mkString(",")}")
+
+    val base =
+      if (table.columns.contains("approval_status")) table
+      else table
+        .withColumn("approval_status", lit(null).cast("string"))
+        .withColumn("approved_by", lit(null).cast("string"))
+        .withColumn("approved_at", lit(null).cast("timestamp"))
+    val updated = base
+      .withColumn("approval_status",
+        when(targetPred, "APPROVED").otherwise(col("approval_status")))
+      .withColumn("approved_by",
+        when(targetPred, approvedBy).otherwise(col("approved_by")))
+      .withColumn("approved_at",
+        when(targetPred, lit(asOf)).otherwise(col("approved_at")))
+    val action = updated.filter(targetPred).select(
+      (conf.keyCols.map(col) :+ col("version_no") :+
+        lit("APPROVE").as("action") :+ lit(approvedBy).as("action_by") :+
+        lit(asOf).as("action_at")): _*)
+    (updated, action)
+  }
+
   /** Rollback (ref `03_version_procedures.sql:55-123`): revert a key
     * to its previous version's business values by expiring the
     * current row and inserting a NEW version that copies the prior

@@ -100,6 +100,57 @@ object Similarity {
       .select("query_id", "cand_id", "cos_sim", "rank")
   }
 
+  /** IVF (inverted-file) ANN: candidates are assigned to their
+    * nearest centroid once (the "index build" — one pass), queries
+    * probe only their own cell. Centroids here are the deterministic
+    * first-k vectors (a real deployment would k-means them; the plan
+    * shape — broadcast centroids, argmax assignment, equi-join on
+    * cell — is identical). Versus LSH: cells adapt to the data
+    * distribution, and probing more cells (`nprobe`) trades recall
+    * for cost without rebuilding.
+    */
+  def ivfTopK(candidates: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, numCentroids: Int = 8,
+              nprobe: Int = 1): DataFrame = {
+    val centroids = broadcast(
+      candidates.orderBy(col(idCol)).limit(numCentroids)
+        .select(col(idCol).as("centroid_id"), col(vecCol).as("centroid_vec"))
+        .withColumn("centroid_norm", l2Norm(col("centroid_vec"))))
+
+    def assign(df: DataFrame, id: String, vec: String, topN: Int): DataFrame = {
+      val scored = df
+        .withColumn("_norm", l2Norm(col(vec)))
+        .crossJoin(centroids)
+        .withColumn("_c_cos",
+          round(dot(col(vec), col("centroid_vec")) /
+            (col("_norm") * col("centroid_norm")), 6))
+      val w = Window.partitionBy(col(id))
+        .orderBy(col("_c_cos").desc, col("centroid_id").asc)
+      scored.withColumn("_crank", row_number().over(w))
+        .filter(col("_crank") <= topN)
+        .drop("centroid_vec", "centroid_norm", "_c_cos", "_crank")
+    }
+
+    val cells = assign(
+      candidates.select(col(idCol).as("cand_id"), col(vecCol).as("c_vec")),
+      "cand_id", "c_vec", topN = 1)
+      .withColumnRenamed("_norm", "c_norm")
+    val probes = assign(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")),
+      "query_id", "q_vec", topN = nprobe)
+      .withColumnRenamed("_norm", "q_norm")
+
+    val scored = cells.join(broadcast(probes), Seq("centroid_id"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("cos_sim",
+        round(dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("cand_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "cand_id", "cos_sim", "rank")
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold, blocked
     * by LSH bucket (exact within bucket).
     */

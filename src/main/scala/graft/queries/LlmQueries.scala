@@ -279,6 +279,42 @@ object LlmQueries {
          |  FROM sc)
          |WHERE rank <= 10""".stripMargin),
 
+    "ann_ivf_topk" -> QueryDef.sql(
+      (s, dir) => {
+        val e = emb(s, dir)
+        Similarity.ivfTopK(e, e.filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 10, numCentroids = 8, nprobe = 1)
+          .withColumn("rank", col("rank").cast("int"))
+      },
+      s"""WITH cent AS (
+         |  SELECT vec_id AS centroid_id, embedding AS cv
+         |  FROM embeddings ORDER BY vec_id LIMIT 8),
+         |asg AS (
+         |  SELECT e.vec_id, c.centroid_id,
+         |         round(${cosineSql("e.embedding", "c.cv")}, 6) AS cc
+         |  FROM embeddings e, cent c),
+         |ranked AS (
+         |  SELECT vec_id, centroid_id,
+         |         row_number() OVER (PARTITION BY vec_id
+         |                            ORDER BY cc DESC, centroid_id) AS rn
+         |  FROM asg),
+         |cells AS (SELECT vec_id AS cand_id, centroid_id FROM ranked WHERE rn = 1),
+         |probes AS (SELECT vec_id AS query_id, centroid_id FROM ranked
+         |           WHERE rn = 1 AND vec_id < 5),
+         |sc AS (
+         |  SELECT p.query_id, ce.cand_id,
+         |         round(${cosineSql("eq.embedding", "ec.embedding")}, 6) AS cos_sim
+         |  FROM probes p
+         |  JOIN cells ce USING (centroid_id)
+         |  JOIN embeddings eq ON eq.vec_id = p.query_id
+         |  JOIN embeddings ec ON ec.vec_id = ce.cand_id
+         |  WHERE p.query_id <> ce.cand_id)
+         |SELECT query_id, cand_id, cos_sim, rank FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |              ORDER BY cos_sim DESC, cand_id) AS INTEGER) AS rank
+         |  FROM sc)
+         |WHERE rank <= 10""".stripMargin),
+
     "emb_dup_pairs" -> QueryDef.sql(
       (s, dir) => {
         val e = emb(s, dir).select("vec_id", "embedding")

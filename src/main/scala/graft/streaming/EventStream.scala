@@ -45,6 +45,24 @@ object EventStream {
         col("window.end").as("window_end"),
         col("event_type"), col("n_events"), col("total_value"))
 
+  /** Streaming → zoned-lake bridge: every micro-batch lands through
+    * the SAME batch sink as the batch pipeline (partitioned parquet
+    * append via foreachBatch), so streaming output obeys the lake's
+    * partition-layout contract and downstream latest-partition reads
+    * work unchanged.
+    */
+  def sinkToLake(out: DataFrame, path: String, checkpoint: String,
+                 partitionCols: Seq[String]): org.apache.spark.sql.streaming.StreamingQuery =
+    out.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          graft.sources.Tables.writePartitioned(batch, path, partitionCols,
+            mode = "append")
+      }
+      .start()
+
   final case class UserCount(user_id: Long, n_events: Long, last_ts: java.sql.Timestamp)
 
   /** Stateful running per-user event counts (mapGroupsWithState,

@@ -66,6 +66,31 @@ class StreamingSpec extends SparkSpec {
     assert(finalCounts === batch)
   }
 
+  test("sinkToLake lands watermark-closed windows in the partitioned lake layout") {
+    val outDir = java.nio.file.Files.createTempDirectory("lake").toString + "/agg"
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt").toString
+    val stream = EventStream.readEventStream(spark, streamDir, staticEvents.schema)
+    val q = EventStream.sinkToLake(
+      EventStream.windowedAgg(stream, watermarkDelay = "1 hour"),
+      outDir, ckpt, Seq("event_type"))
+    q.processAllAvailable(); q.stop()
+
+    val landed = spark.read.parquet(outDir)
+    assert(landed.count() > 0)
+    // partition layout honored
+    assert(new java.io.File(outDir).listFiles().exists(_.getName.startsWith("event_type=")))
+    // every landed window row matches the batch aggregation
+    val batch = staticEvents
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    val landedSet = landed
+      .select("window_start", "event_type", "n_events")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert((landedSet -- batch).isEmpty)
+  }
+
   test("sessionize emits watermark-closed sessions matching the batch gaps-and-islands") {
     val stream = EventStream.readEventStream(spark, streamDir, staticEvents.schema)
     val q = EventStream.sessionize(stream, gapMinutes = 30, watermarkDelay = "1 hour")
