@@ -30,7 +30,11 @@ object Functions {
     */
   def tokenSortRatioPre(sa: Column, sb: Column): Column = {
     val maxLen = greatest(length(sa), length(sb))
-    when(maxLen === 0, lit(100.0))
+    // equal-string short-circuit: identical inputs score exactly 100.0
+    // (levenshtein 0), and equality is O(n) vs the O(n²) DP — in-block
+    // exact dups are the common case in dedup workloads
+    when(sa === sb, lit(100.0))
+      .when(maxLen === 0, lit(100.0))
       .otherwise(round(
         (lit(1.0) - levenshtein(sa, sb).cast("double") / maxLen.cast("double")) * 100, 1))
   }

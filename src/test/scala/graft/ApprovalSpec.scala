@@ -32,6 +32,14 @@ class ApprovalSpec extends SparkSpec {
     }
   }
 
+  test("auditRecord materializes a DESCRIBE-HISTORY-style row per write") {
+    val rec = Scd2.auditRecord(spark, "MERGE", version = 2, rowCount = 115,
+      java.sql.Timestamp.valueOf("2024-02-01 00:00:00")).collect()(0)
+    assert(rec.getAs[Long]("table_version") === 2)
+    assert(rec.getAs[String]("operation") === "MERGE")
+    assert(rec.getAs[Long]("row_count") === 115)
+  }
+
   test("IVF top-k scores exactly match brute force for shared candidates") {
     val emb = Tables.table(spark, sfDir, "embeddings")
     val q = emb.filter($"vec_id" < 3)
