@@ -86,6 +86,15 @@ object Functions {
   def pctRatio(num: Column, denom: Column): Column =
     when(denom === 0, lit(0.0)).otherwise(round(num.cast("double") / denom.cast("double") * 100, 2))
 
+  /** Run-id stamp `yyyyMMddHHmmss` (ref `nyc_raw_to_validated_etl
+    * .py:12` strftime). Takes an injected instant — never wall clock
+    * in verified paths (SURVEY.md §7.5.2).
+    */
+  def runId(asOf: java.sql.Timestamp): String =
+    new java.text.SimpleDateFormat("yyyyMMddHHmmss") {
+      setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    }.format(asOf)
+
   /** Exact-decimal sum rendered back as double: FP addition is not
     * associative, so a parallel double sum is run-order dependent —
     * sum in decimal (exact, associative) then cast, giving

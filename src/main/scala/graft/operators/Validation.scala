@@ -155,6 +155,19 @@ object Validation {
     }
   }
 
+  /** Reference-data freshness check (ref `lambda.py:21-28,95-108`:
+    * staleness alert when newest record is older than the SLA).
+    * Returns one row: (newest_ts, age_days, fresh). `asOf` injected
+    * for determinism.
+    */
+  def freshnessCheck(df: DataFrame, tsCol: String, maxAgeDays: Int,
+                     asOf: java.sql.Timestamp): DataFrame =
+    df.agg(max(col(tsCol)).as("newest_ts"))
+      .withColumn("age_days",
+        datediff(lit(asOf), col("newest_ts").cast("date")).cast("long"))
+      .withColumn("fresh",
+        col("newest_ts").isNotNull && col("age_days") <= maxAgeDays)
+
   /** Uniqueness rule — table-level, needs an aggregation (ref
     * taxi_zone_rules.yaml uniqueness; verify_delta_vendors_job.py:57-62).
     * Returns one row: (rule_name, duplicate_groups, passed). The

@@ -93,6 +93,19 @@ object ValidationQueries {
         |       COUNT(*) AS duplicate_groups, COUNT(*) = 0 AS passed
         |FROM (SELECT l_orderkey FROM lineitem GROUP BY 1 HAVING COUNT(*) > 1)""".stripMargin),
 
+    // ───── reference-data freshness gate (ref lambda.py staleness SLA)
+    "v05_freshness" -> QueryDef.sql(
+      (s, dir) =>
+        Validation.freshnessCheck(graft.sources.Tables.events(s, dir), "ts",
+          maxAgeDays = 7, java.sql.Timestamp.valueOf("2024-02-05 00:00:00")),
+      """SELECT max(CAST(ts AS TIMESTAMP)) AS newest_ts,
+        |  CAST(date_diff('day', CAST(max(CAST(ts AS TIMESTAMP)) AS DATE),
+        |                 DATE '2024-02-05') AS BIGINT) AS age_days,
+        |  max(ts) IS NOT NULL AND
+        |    date_diff('day', CAST(max(CAST(ts AS TIMESTAMP)) AS DATE),
+        |              DATE '2024-02-05') <= 7 AS fresh
+        |FROM events""".stripMargin),
+
     // ───── §3.5: ordered SQL workflow runner (transform →
     // quality-check → test, raise-on-violation) — the transform_check
     // .py harness over spark.sql temp views
