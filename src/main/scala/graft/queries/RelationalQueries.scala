@@ -310,6 +310,25 @@ object RelationalQueries {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1""".stripMargin),
 
+    // ───── beyond-reference: exact interpolated percentiles (both
+    // engines define quantiles as linear interpolation over the
+    // sorted set, so exact equality is checkable)
+    "a11_percentiles" -> QueryDef.sql(
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            expr("percentile(l_extendedprice, 0.5)").as("p50"),
+            expr("percentile(l_extendedprice, 0.95)").as("p95"),
+            min(col("l_extendedprice")).as("min_price"),
+            max(col("l_extendedprice")).as("max_price")),
+      """SELECT l_returnflag,
+        |  quantile_cont(l_extendedprice, 0.5) AS p50,
+        |  quantile_cont(l_extendedprice, 0.95) AS p95,
+        |  min(l_extendedprice) AS min_price,
+        |  max(l_extendedprice) AS max_price
+        |FROM lineitem GROUP BY 1""".stripMargin),
+
     // ───── A5: distinct (ref scd2_delta_vendors.py:135-140)
     "a05_distinct" -> QueryDef.sql(
       (s, dir) =>
