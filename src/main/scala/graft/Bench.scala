@@ -61,9 +61,11 @@ object Bench {
         name -> (System.nanoTime() - t0) / 1e9
       }
 
-    // BENCH_REPEAT>1: report per-query minimum across iterations
-    // (steady state, GC-noise-free)
-    val repeat = sys.env.getOrElse("BENCH_REPEAT", "1").toInt
+    // Per-query minimum across iterations (steady state, GC-noise-free).
+    // Default 2: a single contended iteration (concurrent JVM stealing
+    // cores) can otherwise own the recorded number — the min of two runs
+    // defends the record at the cost of one extra pass.
+    val repeat = sys.env.getOrElse("BENCH_REPEAT", "2").toInt max 1
     val runs = (1 to repeat).map(_ => runOnce())
     val results = runs.head.map(_._1).map { name =>
       name -> runs.map(_.toMap.apply(name)).min

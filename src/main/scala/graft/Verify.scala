@@ -1,9 +1,40 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types._
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+
+  /** Replace instant timestamps with naive ones, recursively. */
+  private def toNtz(dt: DataType): DataType = dt match {
+    case TimestampType      => TimestampNTZType
+    case s: StructType      => StructType(s.fields.map(f => f.copy(dataType = toNtz(f.dataType))))
+    case a: ArrayType       => a.copy(elementType = toNtz(a.elementType))
+    case m: MapType         => m.copy(keyType = toNtz(m.keyType), valueType = toNtz(m.valueType))
+    case other              => other
+  }
+
+  /** Dump-layer normalization: Spark writes TimestampType to parquet with
+    * instant semantics (isAdjustedToUTC=true → Arrow timestamp[us, tz=UTC])
+    * while the DuckDB oracle produces naive timestamp[us]; the driver's
+    * schema/hash compare treats those as different. Casting to
+    * TIMESTAMP_NTZ under the UTC session timezone preserves every value
+    * (same wall-clock) and writes isAdjustedToUTC=false, matching the
+    * oracle. Applied to every dumped result so any future timestamp
+    * output is green by construction.
+    */
+  private[graft] def normalizeTimestamps(df: DataFrame): DataFrame = {
+    val needsCast = df.schema.fields.exists(f => toNtz(f.dataType) != f.dataType)
+    if (!needsCast) df
+    else df.select(df.schema.fields.map { f =>
+      val target = toNtz(f.dataType)
+      if (target == f.dataType) col(f.name)
+      else col(f.name).cast(target).as(f.name)
+    }.toIndexedSeq: _*)
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -20,8 +51,8 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try normalizeTimestamps(fn(spark, sfDir)).coalesce(1).write
+        .mode("overwrite").parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

@@ -42,6 +42,24 @@ object Mdm {
       .filter(col("id_1") < col("id_2"))
   }
 
+  /** Default block cap for [[capBlocks]]: 10k entities per block ≈
+    * 50M candidate pairs from one block — the ceiling of what one
+    * join task should own. Not binding at test SFs (blocks are ~12
+    * entities at sf0.01, ~120 at sf0.1); at 100 TB it routes hot
+    * blocks to a finer blocking key instead of letting one key own
+    * the stage.
+    */
+  val DefaultMaxBlockSize: Int = 10000
+
+  /** [[candidatePairs]] behind the [[capBlocks]] skew guard — the
+    * registered hot-path shape. Oversized blocks are dropped from the
+    * pair join; callers that need them route `capBlocks._2` to a
+    * finer strategy.
+    */
+  def candidatePairsCapped(entities: DataFrame, schema: EntitySchema,
+                           maxBlockSize: Int = DefaultMaxBlockSize): DataFrame =
+    candidatePairs(capBlocks(entities, schema, maxBlockSize)._1, schema)
+
   /** Skew guard for blocked self-joins: split entities into
     * (processable, rejected) by block size. A block of size b yields
     * b²/2 pairs — one hot key can dominate the whole join at scale;
@@ -160,6 +178,15 @@ object Mdm {
       lit(asOf).as("changed_at"))
     (updated, history)
   }
+
+  /** A8: steward activity log (`lifecycle_management.py:243-251`):
+    * `groupby(["reviewed_by", "review_status"]).size()` over the
+    * steward queue — one map-side-combined hash agg on a tiny key
+    * space (reviewers × statuses).
+    */
+  def stewardActivity(queue: DataFrame): DataFrame =
+    queue.groupBy("reviewed_by", "review_status")
+      .agg(count(lit(1)).as("n_reviews"))
 
   /** Lifecycle/governance metrics (`lifecycle_management.py:256-268`;
     * governance_metrics.csv shape).

@@ -76,17 +76,47 @@ object TextDedup {
     bands.reduce(_ unionByName _)
   }
 
+  /** Default LSH bucket cap: a bucket of b docs yields b²/2 pairs on
+    * one task, so a degenerate bucket (thousands of byte-identical
+    * docs — common in crawl corpora) turns the band join quadratic.
+    * 10k caps a single bucket at ~50M pairs; not binding at any test
+    * SF (buckets are ≤ tens of docs there).
+    */
+  val DefaultMaxBucketSize: Int = 10000
+
   /** Candidate near-dup pairs: docs sharing any LSH band bucket.
     * The self-join keys on (band_id, band_hash) — a hash shuffle of
     * the (small) signature table, never of the corpus text.
+    *
+    * Buckets larger than `maxBucketSize` are excluded (route them via
+    * [[lshOversizedBuckets]] — a bucket that hot is an exact-dup
+    * cluster, which `dedupExact` handles in O(b) not O(b²)). The size
+    * guard is a window count over the SAME key the join shuffles on,
+    * so it adds no extra shuffle and no driver-side broadcast of a
+    * bucket table that grows with the corpus.
     */
-  def lshCandidatePairs(bands: DataFrame, idCol: String): DataFrame = {
-    val a = bands.select(col("band_id"), col("band_hash"), col(idCol).as("id_1"))
-    val b = bands.select(col("band_id"), col("band_hash"), col(idCol).as("id_2"))
+  def lshCandidatePairs(bands: DataFrame, idCol: String,
+                        maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    val w = Window.partitionBy("band_id", "band_hash")
+    val capped = bands
+      .withColumn("_bucket_size", count(lit(1)).over(w))
+      .filter(col("_bucket_size") <= maxBucketSize)
+      .drop("_bucket_size")
+    val a = capped.select(col("band_id"), col("band_hash"), col(idCol).as("id_1"))
+    val b = capped.select(col("band_id"), col("band_hash"), col(idCol).as("id_2"))
     a.join(b, Seq("band_id", "band_hash"))
       .filter(col("id_1") < col("id_2"))
       .select("id_1", "id_2").distinct()
   }
+
+  /** Buckets rejected by the cap, with their sizes — for routing to
+    * the exact-dedup path or for skew diagnostics.
+    */
+  def lshOversizedBuckets(bands: DataFrame,
+                          maxBucketSize: Int = DefaultMaxBucketSize): DataFrame =
+    bands.groupBy("band_id", "band_hash")
+      .agg(count(lit(1)).as("bucket_size"))
+      .filter(col("bucket_size") > maxBucketSize)
 
   // ───────────────────────── SimHash ─────────────────────────
 
@@ -116,11 +146,18 @@ object TextDedup {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         blockCol: String, threshold: Double,
-                        shingleSize: Int = 5): DataFrame = {
+                        shingleSize: Int = 5,
+                        maxBlockSize: Int = DefaultMaxBucketSize): DataFrame = {
+    val wBlock = Window.partitionBy(blockCol)
     val prepared = df
       .withColumn("_norm", normalizeText(col(textCol)))
       .withColumn("_sh", shingleExpr("_norm", shingleSize))
       .select(col(idCol), col(blockCol), col("_sh"))
+      // same skew guard as lshCandidatePairs: a hot block would make
+      // the pairwise array-intersection quadratic on one task
+      .withColumn("_block_size", count(lit(1)).over(wBlock))
+      .filter(col("_block_size") <= maxBlockSize)
+      .drop("_block_size")
     val a = prepared.select(col(blockCol), col(idCol).as("id_1"), col("_sh").as("sh_1"))
     val b = prepared.select(col(blockCol), col(idCol).as("id_2"), col("_sh").as("sh_2"))
     a.join(b, Seq(blockCol))

@@ -26,8 +26,13 @@ object MdmQueries {
       col("c_nationkey").as("block_nation"),
       col("c_mktsegment").as("block_seg"))
 
+  // Hot path goes through the skew guard: blocks above
+  // Mdm.DefaultMaxBlockSize are excluded from the pair join (not
+  // binding at test SFs — blocks are ~12 entities at sf0.01 — so the
+  // oracle is unchanged; at scale it stops one hot block owning the
+  // stage).
   private def scored(s: SparkSession, dir: String): DataFrame =
-    Mdm.scorePairs(Mdm.candidatePairs(entities(s, dir), schema))
+    Mdm.scorePairs(Mdm.candidatePairsCapped(entities(s, dir), schema))
 
   /** Shared oracle prelude: entities with pre-computed token-sorted
     * normalized name/address, blocked pair join, scores.
@@ -102,6 +107,31 @@ object MdmQueries {
          |       THEN address_1 ELSE address_2 END AS golden_address,
          |  final_score
          |FROM s4 WHERE governance_action = 'AUTO_MERGE'""".stripMargin),
+
+    // ───── A8: steward activity log (ref lifecycle_management.py:243-251)
+    // The queue's reviewer/status fields are deterministic derivations
+    // (reviewer assigned round-robin by id, status from the score band)
+    // so the DuckDB twin re-derives them exactly.
+    "mdm_steward_activity" -> QueryDef.sql(
+      (s, dir) => {
+        val queue = Mdm.stewardQueue(scored(s, dir))
+          .withColumn("reviewed_by",
+            concat(lit("steward_user_"), (col("id_1") % 3 + 1).cast("string")))
+          .withColumn("review_status",
+            when(col("final_score") >= 90, "APPROVED")
+              .when(col("final_score") >= 85, "PENDING")
+              .otherwise("REJECTED"))
+        Mdm.stewardActivity(queue)
+      },
+      s"""$scoredSql,
+         |q AS (
+         |  SELECT concat('steward_user_', CAST(id_1 % 3 + 1 AS VARCHAR)) AS reviewed_by,
+         |    CASE WHEN final_score >= 90 THEN 'APPROVED'
+         |         WHEN final_score >= 85 THEN 'PENDING'
+         |         ELSE 'REJECTED' END AS review_status
+         |  FROM s4 WHERE governance_action = 'STEWARD_REVIEW')
+         |SELECT reviewed_by, review_status, COUNT(*) AS n_reviews
+         |FROM q GROUP BY 1, 2""".stripMargin),
 
     // ───── MDM scorecard (ref fuzzy_match.py:181-199)
     "mdm_scorecard" -> QueryDef.sql(

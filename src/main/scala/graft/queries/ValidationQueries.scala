@@ -131,6 +131,41 @@ object ValidationQueries {
         |       COUNT(*) AS n_orders
         |FROM orders GROUP BY 1, 2""".stripMargin),
 
+    // ───── S11→O4→gate round trip (ref dq-governance-gate/
+    // lambda_function.py:30-34,52-120): metrics persisted per-run as
+    // single-file JSON, gate reads the LATEST run back from storage
+    // (latest-by-sort) and decides on the persisted values. Two runs
+    // are written — a worse run_001 and the real run_002 — so the
+    // result proves latest-run discovery, not just the math.
+    "wf_gate_roundtrip" -> QueryDef.sql(
+      (s, dir) => {
+        val base = java.nio.file.Files.createTempDirectory("graft_gate_").toString
+        val annotated = Validation.annotate(t(s, dir, "lineitem"), lineitemRules)
+        val m = Validation.metrics(annotated, lineitemRules,
+          runId = "run_002", jobName = "lineitem_validation", maxErrorRate = 0.5)
+        val worse = m
+          .withColumn("records_valid", lit(0L))
+          .withColumn("run_id", lit("run_001"))
+        graft.operators.MetricsGate.persistRun(worse, base, "run_001")
+        graft.operators.MetricsGate.persistRun(m, base, "run_002")
+        graft.operators.MetricsGate.evaluate(s, base)
+      },
+      s"""WITH a AS (
+         |  SELECT COUNT(*) AS records_read,
+         |    CAST(SUM(CASE WHEN $isValidRuleSql THEN 1 ELSE 0 END) AS BIGINT) AS records_valid
+         |  FROM lineitem),
+         |r AS (
+         |  SELECT CASE WHEN records_read > 0
+         |              THEN CAST(records_valid AS DOUBLE) / records_read
+         |              ELSE 0.0 END AS ratio
+         |  FROM a)
+         |SELECT CASE WHEN ratio >= 0.9 THEN 'PASS' ELSE 'FAIL' END AS decision,
+         |  CASE WHEN ratio >= 0.9 THEN NULL ELSE 'QUALITY_GATE_FAILED' END AS reason,
+         |  round(ratio, 4) AS quality_ratio,
+         |  round(ratio * 100, 2) AS quality_score,
+         |  ratio >= 0.9 AS freshness_ok
+         |FROM r""".stripMargin),
+
     // ───── end-to-end curated pipeline: validate → filter → double
     // enrichment (supplier, then supplier's nation) → lineage stamp.
     // Glue-1 + Glue-2 fused in one declarative plan: Catalyst pushes

@@ -38,6 +38,37 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("persisted-metrics gate round trip: latest run decides, bad run aborts") {
+    import graft.operators.MetricsGate
+    val base = java.nio.file.Files.createTempDirectory("graft_gate_spec_").toString
+    // run_001 passes, run_002 (latest) fails — the gate must see run_002
+    MetricsGate.persistRun(
+      Seq((100L, 95L, "run_001")).toDF("records_read", "records_valid", "run_id"),
+      base, "run_001")
+    MetricsGate.persistRun(
+      Seq((100L, 10L, "run_002")).toDF("records_read", "records_valid", "run_id"),
+      base, "run_002")
+    assert(MetricsGate.latestRunPath(base).endsWith("run_id=run_002"))
+    val decision = MetricsGate.evaluate(spark, base).collect()(0)
+    assert(decision.getString(0) === "FAIL")
+    assert(decision.getString(1) === "QUALITY_GATE_FAILED")
+    assert(decision.getDouble(2) === 0.1)
+
+    // wired as a Pipeline stage gate: the PERSISTED artifact aborts the run
+    var ranNext = false
+    val out = Pipeline.run(spark, "p", Seq(
+      Stage("validate", (s, _) => Seq(1).toDF("x"),
+        gate = _ => MetricsGate.passesGate(spark, base)),
+      Stage("curate", (s, _) => { ranNext = true; Seq(1).toDF("x") })))
+    assert(out.isInstanceOf[GateFailed] && !ranNext)
+
+    // a newer good run flips the same gate to PASS
+    MetricsGate.persistRun(
+      Seq((100L, 95L, "run_003")).toDF("records_read", "records_valid", "run_id"),
+      base, "run_003")
+    assert(MetricsGate.passesGate(spark, base))
+  }
+
   test("transient stage failures are retried (ref 3-attempt policy)") {
     var attempts = 0
     val out = Pipeline.run(spark, "p", Seq(

@@ -20,6 +20,47 @@ class SkewSpec extends SparkSpec {
       plain.map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq)
   }
 
+  test("lshCandidatePairs drops an oversized bucket; lshOversizedBuckets reports it") {
+    import graft.operators.TextDedup
+    // bucket A: 5 docs (hot), bucket B: 2 docs (fine)
+    val bands = ((1 to 5).map(i => (0, "A", i.toLong)) ++ Seq((0, "B", 10L), (0, "B", 11L)))
+      .toDF("band_id", "band_hash", "doc_id")
+    val pairs = TextDedup.lshCandidatePairs(bands, "doc_id", maxBucketSize = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((10L, 11L))) // only the small bucket's pair survives
+    val hot = TextDedup.lshOversizedBuckets(bands, maxBucketSize = 3).collect()
+    assert(hot.length === 1 && hot.head.getString(1) === "A" && hot.head.getLong(2) === 5L)
+  }
+
+  test("lsh/mdm caps are not binding at test SF (results unchanged)") {
+    import graft.operators.Mdm
+    import graft.queries.MdmQueries
+    val ents = Tables.table(spark, sfDir, "customer").select(
+      col("c_custkey").as("id"), col("c_name").as("name"),
+      col("c_mktsegment").as("address"),
+      col("c_nationkey").as("block_nation"), col("c_mktsegment").as("block_seg"))
+    val capped = Mdm.candidatePairsCapped(ents, MdmQueries.schema)
+      .select("id_1", "id_2").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val plain = Mdm.candidatePairs(ents, MdmQueries.schema)
+      .select("id_1", "id_2").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(capped === plain)
+  }
+
+  test("candidatePairsCapped routes a hot block out of the pair join") {
+    import graft.operators.Mdm
+    import graft.operators.Mdm.EntitySchema
+    val sch = EntitySchema("id", "name", "address", Seq("blk"))
+    val ents = ((1 to 6).map(i => (i.toLong, s"n$i", s"a$i", "hot")) ++
+      Seq((10L, "x", "y", "cold"), (11L, "x", "y", "cold")))
+      .toDF("id", "name", "address", "blk")
+    val pairs = Mdm.candidatePairsCapped(ents, sch, maxBlockSize = 4)
+      .select("id_1", "id_2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((10L, 11L)))
+    val (_, rejected) = Mdm.capBlocks(ents, sch, maxBlockSize = 4)
+    assert(rejected.select("id").collect().map(_.getLong(0)).sorted.toSeq ===
+      (1L to 6L).toSeq)
+  }
+
   test("saltedJoin equals the plain join row-for-row") {
     val li = Tables.table(spark, sfDir, "lineitem").select("l_orderkey", "l_suppkey")
     val supp = Tables.table(spark, sfDir, "supplier").select("s_suppkey", "s_name")

@@ -41,20 +41,28 @@ def norm_value(v):
 def canon(table: pa.Table):
     cols = sorted(table.column_names)
     table = table.select(cols)
-    # cast any ns timestamps down to us (Spark writes us; DuckDB may
-    # surface ns from ns-typed parquet)
+    # Normalize the widths the driver tolerates (r01 record: int32 vs
+    # int64 passed schema_match) but PRESERVE timezone-ness, which it
+    # does not (r01: every timestamp[us, tz=UTC] vs timestamp[us]
+    # failed schema+hash). Also cast ns timestamps down to us (Spark
+    # writes us; DuckDB may surface ns from ns-typed parquet).
     fields = []
     for f in table.schema:
         t = f.type
         if pa.types.is_timestamp(t):
-            t = pa.timestamp("us")
+            t = pa.timestamp("us", tz=t.tz)
+        elif pa.types.is_integer(t):
+            t = pa.int64()
+        elif pa.types.is_floating(t):
+            t = pa.float64()
         fields.append(pa.field(f.name, t))
     table = table.cast(pa.schema(fields))
+    schema = [(f.name, str(f.type)) for f in table.schema]
     data = [col.to_pylist() for col in table.columns]
     rows = [tuple(norm_value(data[c][r]) for c in range(len(cols)))
             for r in range(table.num_rows)]
     rows.sort()
-    return cols, rows
+    return schema, rows
 
 
 def main():
@@ -91,7 +99,7 @@ def main():
             continue
         status, detail = "PASS", ""
         if gc != ec:
-            status, detail = "FAIL", f"columns {gc} vs {ec}"
+            status, detail = "FAIL", f"schema {gc} vs {ec}"
         elif len(gr) != len(er):
             status, detail = "FAIL", f"rows {len(gr)} vs {len(er)}"
         else:
