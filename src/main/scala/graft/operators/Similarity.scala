@@ -100,21 +100,67 @@ object Similarity {
       .select("query_id", "cand_id", "cos_sim", "rank")
   }
 
+  /** Deterministic spherical k-means (Lloyd) for IVF centroids:
+    * init = first-k vectors by id (deterministic, no RNG), a FIXED
+    * number of iterations, cosine-argmax assignment (matching how IVF
+    * probes cells). Per iteration: one broadcast of k centroids, one
+    * argmax pass, one two-level mean agg (groupBy (cell, dim) then
+    * reassembly) — O(iters) scans, no quadratic work. The k×dim
+    * centroid matrix is collected to the driver each round: that is
+    * index-build control plane (a few KB), not data.
+    */
+  def kmeansCentroids(df: DataFrame, idCol: String, vecCol: String,
+                      k: Int, iters: Int = 5): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vecs = df.select(col(idCol).as("vid"), col(vecCol).cast("array<double>").as("v"))
+    var centroids: Seq[(Int, Seq[Double])] =
+      vecs.orderBy(col("vid")).limit(k).collect().toSeq
+        .zipWithIndex.map { case (r, i) => i -> r.getSeq[Double](1) }
+    for (_ <- 1 to iters) {
+      val cDf = broadcast(centroids.toDF("centroid_id", "centroid_vec")
+        .withColumn("centroid_norm", l2Norm(col("centroid_vec"))))
+      val scored = vecs
+        .withColumn("_norm", l2Norm(col("v")))
+        .crossJoin(cDf)
+        .withColumn("_cos",
+          dot(col("v"), col("centroid_vec")) / (col("_norm") * col("centroid_norm")))
+      val w = Window.partitionBy(col("vid"))
+        .orderBy(col("_cos").desc, col("centroid_id").asc)
+      val cells = scored.withColumn("_r", row_number().over(w))
+        .filter(col("_r") === 1)
+        .select(col("centroid_id"), col("v"))
+      val means = cells
+        .select(col("centroid_id"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("centroid_id", "pos").agg(avg(col("x")).as("m"))
+        .collect()
+      val byCell = means.groupBy(_.getInt(0)).map { case (cid, rows) =>
+        cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+      }
+      // empty cells keep their previous centroid
+      centroids = centroids.map { case (cid, old) => cid -> byCell.getOrElse(cid, old) }
+    }
+    centroids.toDF("centroid_id", "centroid_vec")
+  }
+
   /** IVF (inverted-file) ANN: candidates are assigned to their
     * nearest centroid once (the "index build" — one pass), queries
-    * probe only their own cell. Centroids here are the deterministic
-    * first-k vectors (a real deployment would k-means them; the plan
-    * shape — broadcast centroids, argmax assignment, equi-join on
-    * cell — is identical). Versus LSH: cells adapt to the data
-    * distribution, and probing more cells (`nprobe`) trades recall
-    * for cost without rebuilding.
+    * probe only their own cell. Default centroids are the
+    * deterministic first-k vectors (oracle-expressible); pass
+    * `centroids = Some(kmeansCentroids(...))` for data-adaptive cells
+    * — the plan shape (broadcast centroids, argmax assignment,
+    * equi-join on cell) is identical either way. Versus LSH: cells
+    * adapt to the data distribution, and probing more cells
+    * (`nprobe`) trades recall for cost without rebuilding.
     */
   def ivfTopK(candidates: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, numCentroids: Int = 8,
-              nprobe: Int = 1): DataFrame = {
+              nprobe: Int = 1,
+              centroidsOverride: Option[DataFrame] = None): DataFrame = {
     val centroids = broadcast(
-      candidates.orderBy(col(idCol)).limit(numCentroids)
-        .select(col(idCol).as("centroid_id"), col(vecCol).as("centroid_vec"))
+      centroidsOverride.getOrElse(
+        candidates.orderBy(col(idCol)).limit(numCentroids)
+          .select(col(idCol).as("centroid_id"), col(vecCol).as("centroid_vec")))
         .withColumn("centroid_norm", l2Norm(col("centroid_vec"))))
 
     def assign(df: DataFrame, id: String, vec: String, topN: Int): DataFrame = {

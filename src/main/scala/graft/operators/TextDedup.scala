@@ -137,6 +137,34 @@ object TextDedup {
     agged.select(col(idCol), fp.as("simhash"))
   }
 
+  /** 64-bit SimHash — the production width (simhash16 exists for the
+    * oracle's 16-CASE re-derivation). Bit source is `xxhash64`, a
+    * codegen'd built-in: one 64-bit hash per token, so cost is
+    * O(tokens) and the whole expression stays in whole-stage codegen.
+    * Same agg shape as simhash16: per-bit signed vote sums in ONE
+    * groupBy pass, then fingerprint assembly.
+    */
+  def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tokens = df
+      .withColumn("_tok", explode(split(normalizeText(col(textCol)), " ")))
+      .withColumn("_h", xxhash64(col("_tok")))
+    val bitSums = (0 until 64).map(b =>
+      sum(when(shiftright(col("_h"), b).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"bit_$b"))
+    val agged = tokens.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+    val fp = (0 until 64).map(b =>
+      when(col(s"bit_$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    agged.select(col(idCol), fp.as("simhash64"))
+  }
+
+  /** Hamming distance between two simhash fingerprints —
+    * `bit_count(a XOR b)`; near-dup iff ≤ threshold (typically 3 for
+    * 64-bit).
+    */
+  def simhashHamming(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+
   // ───────────────────────── n-gram Jaccard ─────────────────────────
 
   /** Blocked n-gram Jaccard similarity pairs: candidates share a

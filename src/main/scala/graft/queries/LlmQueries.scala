@@ -211,6 +211,13 @@ object LlmQueries {
            |SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM bits""".stripMargin
       }),
 
+    // 64-bit production simhash — xxhash64 bit source is Spark-
+    // specific, so no SQL twin (rows-only check); the formula itself
+    // is oracle-proven at 16 bits by dd_simhash above and the
+    // near/far behavior is spec-covered (LlmOpsSpec).
+    "dd_simhash64" -> QueryDef.rowsOnly(
+      (s, dir) => TextDedup.simhash64(docs(s, dir), "doc_id", "text")),
+
     "dd_ngram_jaccard" -> QueryDef.sql(
       (s, dir) =>
         TextDedup.ngramJaccardPairs(nearDupCorpus(s, dir), "doc_id", "text",
@@ -279,6 +286,21 @@ object LlmQueries {
          |  FROM sc)
          |WHERE rank <= 10""".stripMargin),
 
+    // IVF with k-means-trained cells — the data-adaptive index build.
+    // Lloyd iterations aren't practically SQL-expressible, so this is
+    // a rows-only check; centroid convergence and recall are
+    // spec-covered (LlmOpsSpec), and the probe/join plan is the
+    // oracle-proven ann_ivf_topk shape.
+    "ann_ivf_kmeans_topk" -> QueryDef.rowsOnly(
+      (s, dir) => {
+        val e = emb(s, dir)
+        Similarity.ivfTopK(e, e.filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 10, nprobe = 1,
+          centroidsOverride =
+            Some(Similarity.kmeansCentroids(e, "vec_id", "embedding", k = 8, iters = 3)))
+          .withColumn("rank", col("rank").cast("int"))
+      }),
+
     "ann_ivf_topk" -> QueryDef.sql(
       (s, dir) => {
         val e = emb(s, dir)
@@ -336,7 +358,10 @@ object LlmQueries {
          |FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
          |WHERE round(${cosineSql("a.embedding", "b.embedding")}, 6) >= 0.99""".stripMargin),
 
-    // ───────── multimodal plumbing (decode stage is a marked stub) ─────────
+    // ───────── multimodal plumbing (header parse real; pixel decode
+    // is a marked stub). Payloads here are text bytes, so the header
+    // probe correctly reports no image format — the oracle pins the
+    // nulls; real-image parsing is spec-covered (LlmOpsSpec).
 
     "mm_features" -> QueryDef.sql(
       (s, dir) =>
@@ -348,7 +373,10 @@ object LlmQueries {
         |  md5(text) AS content_md5,
         |  array_to_string([CAST((i * CAST(octet_length(encode(text)) AS BIGINT)) // 4 AS VARCHAR)
         |                   for i in generate_series(0, 3)], ',') AS frame_offsets,
-        |  CAST(octet_length(encode(text)) % 256 AS BIGINT) AS fake_brightness
+        |  CAST(octet_length(encode(text)) % 256 AS BIGINT) AS fake_brightness,
+        |  CAST(NULL AS VARCHAR) AS image_format,
+        |  CAST(NULL AS INTEGER) AS width,
+        |  CAST(NULL AS INTEGER) AS height
         |FROM documents""".stripMargin)
   )
 }

@@ -96,11 +96,30 @@ object Tables {
 
   /** S13: managed-table sink — the JDBC full-overwrite semantics
     * (`ppcurated_rds.py:64-72`: replace named table `curated.x`)
-    * modeled as a catalog table overwrite; swap the format/options for
-    * a real JDBC url in a connected deployment.
+    * modeled as a catalog table overwrite; [[writeJdbc]] is the same
+    * semantics against a live JDBC url.
     */
   def writeManagedTable(df: DataFrame, table: String): Unit =
     df.write.mode("overwrite").saveAsTable(table)
+
+  /** S13: real JDBC overwrite sink (`ppcurated_rds.py:64-72` —
+    * `mode("overwrite")` replaces the named warehouse table). At
+    * scale, `numPartitions` caps concurrent connections so a
+    * 1000-task write doesn't open 1000 sessions against the database
+    * — the write is repartitioned down before the JDBC batch inserts.
+    */
+  def writeJdbc(df: DataFrame, url: String, table: String,
+                numPartitions: Int = 8,
+                props: java.util.Properties = new java.util.Properties()): Unit =
+    df.coalesce(numPartitions).write.mode("overwrite").jdbc(url, table, props)
+
+  /** JDBC read-back twin of [[writeJdbc]] (warehouse verification
+    * reads). Partitioned reads (`partitionColumn`/bounds) are the
+    * scale path; this plain form is for small verification queries.
+    */
+  def readJdbc(spark: SparkSession, url: String, table: String,
+               props: java.util.Properties = new java.util.Properties()): DataFrame =
+    spark.read.jdbc(url, table, props)
 
   /** P12: required-column assertion
     * (`nyc_validated_to_curated_etl.py:25-28`). */

@@ -88,6 +88,46 @@ class LlmOpsSpec extends SparkSpec {
     assert(joined.filter($"cos_sim" =!= $"bf_cos").count() === 0)
   }
 
+  test("simhash64: identical texts collide, near-dups are close, unrelated are far") {
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (3L, "the quick brown fox jumps over the lazy cat again and again today"),
+      (4L, "completely unrelated legal boilerplate concerning maritime insurance claims"))
+      .toDF("doc_id", "text")
+    val fp = TextDedup.simhash64(d, "doc_id", "text")
+    val m = fp.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(1L) === m(2L)) // identical text → identical fingerprint
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(m(1L), m(3L)) < ham(m(1L), m(4L))) // one-word change ≪ unrelated
+    assert(ham(m(1L), m(3L)) <= 16)
+    // the Column-side hamming agrees with the JVM-side one
+    val pairs = fp.as("a").crossJoin(fp.as("b"))
+      .select($"a.doc_id".as("i"), $"b.doc_id".as("j"),
+        TextDedup.simhashHamming($"a.simhash64", $"b.simhash64").as("h"))
+      .filter($"i" === 1 && $"j" === 3).head()
+    assert(pairs.getInt(2) === ham(m(1L), m(3L)))
+  }
+
+  test("kmeans centroids converge to planted clusters and drive IVF recall") {
+    // two well-separated direction clusters in 4-d
+    val cluster1 = (0 until 20).map(i => (i.toLong, Array(10f + i % 3, 1f, 0f, 0f)))
+    val cluster2 = (0 until 20).map(i => (100L + i, Array(0f, 1f, 10f + i % 3, 0f)))
+    val data = (cluster1 ++ cluster2).toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansCentroids(data, "vec_id", "embedding", k = 2, iters = 4)
+      .collect().map(r => r.getSeq[Double](1))
+    assert(cents.length === 2)
+    // one centroid per planted cluster: dominant axis 0 vs axis 2
+    val doms = cents.map(v => v.zipWithIndex.maxBy(_._1)._2).sorted
+    assert(doms.toSeq === Seq(0, 2))
+    // IVF with kmeans cells: neighbors of a cluster-1 query are all cluster-1
+    val q = data.filter($"vec_id" === 0L)
+    val topk = Similarity.ivfTopK(data, q, "vec_id", "embedding", k = 5,
+      centroidsOverride = Some(Similarity.kmeansCentroids(data, "vec_id", "embedding", 2, 4)))
+    val cands = topk.select("cand_id").as[Long].collect()
+    assert(cands.length === 5 && cands.forall(_ < 100L))
+  }
+
   test("multimodal plumbing: features are deterministic and partition-invariant") {
     val media = Multimodal.fromText(docs, "doc_id", "text", "image")
     val a = Multimodal.extractFeatures(media).orderBy("media_id").collect()
@@ -97,5 +137,69 @@ class LlmOpsSpec extends SparkSpec {
     assert(a.forall(f => f.content_md5.length === 32))
     val resized = Multimodal.resizeMeta(media, 224, 224)
     assert(resized.select("meta.width").distinct().as[Int].collect().toSeq === Seq(224))
+    // text payloads are not images: the header probe must say so
+    val feats = Multimodal.extractFeatures(media).collect()
+    assert(feats.forall(f => f.image_format.isEmpty && f.width.isEmpty && f.height.isEmpty))
+  }
+
+  // Minimal but REAL image fixtures: only the header bytes the parsers
+  // read (signature + dimension fields), hand-assembled per spec.
+  private def pngBytes(w: Int, h: Int): Array[Byte] = {
+    val sig = Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt, 0x0d, 0x0a, 0x1a, 0x0a)
+    val ihdr = Array(0, 0, 0, 13, 'I'.toInt, 'H'.toInt, 'D'.toInt, 'R'.toInt,
+      w >>> 24, (w >>> 16) & 0xff, (w >>> 8) & 0xff, w & 0xff,
+      h >>> 24, (h >>> 16) & 0xff, (h >>> 8) & 0xff, h & 0xff,
+      8, 2, 0, 0, 0)
+    (sig ++ ihdr).map(_.toByte)
+  }
+
+  private def jpegBytes(w: Int, h: Int): Array[Byte] = {
+    val soi = Array(0xff, 0xd8)
+    // APP0 segment (len 16) the walker must skip before finding SOF0
+    val app0 = Array(0xff, 0xe0, 0x00, 0x10) ++ Array.fill(14)(0)
+    val sof0 = Array(0xff, 0xc0, 0x00, 0x11, 8,
+      h >>> 8, h & 0xff, w >>> 8, w & 0xff, 3)
+    (soi ++ app0 ++ sof0).map(_.toByte)
+  }
+
+  private def gifBytes(w: Int, h: Int): Array[Byte] =
+    (Array('G'.toInt, 'I'.toInt, 'F'.toInt, '8'.toInt, '9'.toInt, 'a'.toInt,
+      w & 0xff, w >>> 8, h & 0xff, h >>> 8, 0, 0) ++ Array.fill(4)(0)).map(_.toByte)
+
+  test("image header parsing: true dimensions from PNG/JPEG/GIF bytes") {
+    import graft.operators.Multimodal.ImageHeader
+    assert(ImageHeader.probe(pngBytes(640, 480)).contains(ImageHeader.Info("png", 640, 480)))
+    assert(ImageHeader.probe(jpegBytes(1920, 1080)).contains(ImageHeader.Info("jpeg", 1920, 1080)))
+    assert(ImageHeader.probe(gifBytes(320, 200)).contains(ImageHeader.Info("gif", 320, 200)))
+    assert(ImageHeader.probe("not an image".getBytes).isEmpty)
+    assert(ImageHeader.probe(null).isEmpty)
+    // truncated payloads must not throw
+    assert(ImageHeader.probe(pngBytes(640, 480).take(10)).isEmpty)
+    assert(ImageHeader.probe(jpegBytes(1920, 1080).take(7)).isEmpty)
+  }
+
+  test("extractFeatures and withImageMeta surface real dimensions end-to-end") {
+    val media = Seq(
+      (1L, "image", pngBytes(640, 480)),
+      (2L, "image", jpegBytes(1920, 1080)),
+      (3L, "image", "plain text".getBytes))
+      .toDF("media_id", "kind", "content")
+      .withColumn("meta", org.apache.spark.sql.functions.struct(
+        org.apache.spark.sql.functions.lit(null).cast("int").as("width"),
+        org.apache.spark.sql.functions.lit(null).cast("int").as("height"),
+        org.apache.spark.sql.functions.lit(null).cast("long").as("duration_ms"),
+        org.apache.spark.sql.functions.lit(null).cast("int").as("sample_rate")))
+    val feats = Multimodal.extractFeatures(media).orderBy("media_id").collect()
+    assert(feats(0).image_format === Some("png"))
+    assert((feats(0).width, feats(0).height) === (Some(640), Some(480)))
+    assert(feats(1).image_format === Some("jpeg"))
+    assert((feats(1).width, feats(1).height) === (Some(1920), Some(1080)))
+    assert(feats(2).image_format === None)
+
+    val withMeta = Multimodal.withImageMeta(media).orderBy("media_id")
+      .select("meta.width", "meta.height").collect()
+    assert((withMeta(0).get(0), withMeta(0).get(1)) === (640, 480))
+    assert((withMeta(1).get(0), withMeta(1).get(1)) === (1920, 1080))
+    assert(withMeta(2).isNullAt(0) && withMeta(2).isNullAt(1))
   }
 }

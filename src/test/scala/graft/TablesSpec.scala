@@ -91,4 +91,21 @@ class TablesSpec extends SparkSpec {
         QualityCheck("qc", "SELECT COUNT(*) FROM bad WHERE rev < 0")))
     }
   }
+
+  test("writeJdbc/readJdbc round-trip and overwrite against a live JDBC url") {
+    import spark.implicits._
+    // Derby in-memory: a real JDBC database (driver ships with Spark)
+    val url = "jdbc:derby:memory:graft_jdbc;create=true"
+    val v1 = Seq((1L, "alpha"), (2L, "beta")).toDF("id", "name")
+    Tables.writeJdbc(v1, url, "curated_x")
+    val back1 = Tables.readJdbc(spark, url, "curated_x")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(back1 === Seq((1L, "alpha"), (2L, "beta")))
+    // overwrite replaces the table contents (ppcurated_rds semantics)
+    val v2 = Seq((3L, "gamma")).toDF("id", "name")
+    Tables.writeJdbc(v2, url, "curated_x")
+    val back2 = Tables.readJdbc(spark, url, "curated_x")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(back2 === Seq((3L, "gamma")))
+  }
 }
