@@ -29,15 +29,31 @@ object Mdm {
     * Token-sorted name/address forms are computed ONCE per entity
     * before the join — the normalization regexes are O(entities), not
     * O(pairs); pairwise work is levenshtein only.
+    *
+    * The join is forced to SHUFFLE-HASH on the block key, with an
+    * explicit repartition-by-num that AQE cannot coalesce. Two
+    * reasons, both measured: (1) AQE sees only the tiny INPUT (the
+    * entity table) and would coalesce to ~1 partition and pick
+    * broadcast-hash — but the OUTPUT is the b²-per-block pair
+    * explosion, which then runs serialized; (2) broadcast-hash-join's
+    * codegen'd multi-match emit is ~15× slower than shuffle-hash for
+    * high-fanout keys carrying string columns (4.9s vs 0.3s on the
+    * sf0.1 pair stage). Shuffle-hash on the block key is also the
+    * only strategy that survives 100 TB — the corpus can't be
+    * broadcast.
     */
   def candidatePairs(entities: DataFrame, schema: EntitySchema): DataFrame = {
-    def side(n: Int) = entities.select(
-      (schema.blockCols.map(col) :+
-        col(schema.idCol).as(s"id_$n") :+
-        col(schema.nameCol).as(s"name_$n") :+
-        col(schema.addressCol).as(s"address_$n") :+
-        tokenSorted(col(schema.nameCol)).as(s"_tok_name_$n") :+
-        tokenSorted(col(schema.addressCol)).as(s"_tok_addr_$n")): _*)
+    val n = entities.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    def side(i: Int) = entities
+      .repartition(n, schema.blockCols.map(col): _*)
+      .select(
+        (schema.blockCols.map(col) :+
+          col(schema.idCol).as(s"id_$i") :+
+          col(schema.nameCol).as(s"name_$i") :+
+          col(schema.addressCol).as(s"address_$i") :+
+          tokenSorted(col(schema.nameCol)).as(s"_tok_name_$i") :+
+          tokenSorted(col(schema.addressCol)).as(s"_tok_addr_$i")): _*)
+      .hint("shuffle_hash")
     side(1).join(side(2), schema.blockCols)
       .filter(col("id_1") < col("id_2"))
   }

@@ -203,13 +203,18 @@ object Similarity {
   def embeddingDupPairs(df: DataFrame, idCol: String, vecCol: String,
                         dim: Int, threshold: Double,
                         numPlanes: Int = 8): DataFrame = {
+    // shuffle-hash on the bucket key, repartitioned by explicit num —
+    // same pair-explosion rationale as Mdm.candidatePairs (AQE only
+    // sees the small input; output is quadratic per bucket)
+    val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val v = df.select(col(idCol), col(vecCol))
       .withColumn("bucket", lshBucket(col(vecCol), dim, numPlanes))
       .withColumn("_norm", l2Norm(col(vecCol)))
+      .repartition(n, col("bucket"))
     val a = v.select(col("bucket"), col(idCol).as("id_1"),
-      col(vecCol).as("v_1"), col("_norm").as("n_1"))
+      col(vecCol).as("v_1"), col("_norm").as("n_1")).hint("shuffle_hash")
     val b = v.select(col("bucket"), col(idCol).as("id_2"),
-      col(vecCol).as("v_2"), col("_norm").as("n_2"))
+      col(vecCol).as("v_2"), col("_norm").as("n_2")).hint("shuffle_hash")
     a.join(b, Seq("bucket"))
       .filter(col("id_1") < col("id_2"))
       .withColumn("cos_sim",

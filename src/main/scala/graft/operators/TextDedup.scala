@@ -97,13 +97,22 @@ object TextDedup {
     */
   def lshCandidatePairs(bands: DataFrame, idCol: String,
                         maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    // Repartition by the bucket key (no explicit N: AQE sizes the
+    // partition count from the actual band-table volume — a handful
+    // at test SF, thousands at 100 TB) + shuffle-hash join: AQE's
+    // default pick for a small build side is broadcast-hash, whose
+    // codegen'd multi-match emit measures ~15× slower than
+    // shuffle-hash on high-fanout keys (see Mdm.candidatePairs).
+    // The window's size count and both join sides all reuse this one
+    // partitioning — a single shuffle total.
     val w = Window.partitionBy("band_id", "band_hash")
     val capped = bands
+      .repartition(col("band_id"), col("band_hash"))
       .withColumn("_bucket_size", count(lit(1)).over(w))
       .filter(col("_bucket_size") <= maxBucketSize)
       .drop("_bucket_size")
-    val a = capped.select(col("band_id"), col("band_hash"), col(idCol).as("id_1"))
-    val b = capped.select(col("band_id"), col("band_hash"), col(idCol).as("id_2"))
+    val a = capped.select(col("band_id"), col("band_hash"), col(idCol).as("id_1")).hint("shuffle_hash")
+    val b = capped.select(col("band_id"), col("band_hash"), col(idCol).as("id_2")).hint("shuffle_hash")
     a.join(b, Seq("band_id", "band_hash"))
       .filter(col("id_1") < col("id_2"))
       .select("id_1", "id_2").distinct()
@@ -176,18 +185,21 @@ object TextDedup {
                         blockCol: String, threshold: Double,
                         shingleSize: Int = 5,
                         maxBlockSize: Int = DefaultMaxBucketSize): DataFrame = {
+    // same partitioning + join-strategy rationale as lshCandidatePairs
+    val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val wBlock = Window.partitionBy(blockCol)
     val prepared = df
       .withColumn("_norm", normalizeText(col(textCol)))
       .withColumn("_sh", shingleExpr("_norm", shingleSize))
       .select(col(idCol), col(blockCol), col("_sh"))
+      .repartition(n, col(blockCol))
       // same skew guard as lshCandidatePairs: a hot block would make
       // the pairwise array-intersection quadratic on one task
       .withColumn("_block_size", count(lit(1)).over(wBlock))
       .filter(col("_block_size") <= maxBlockSize)
       .drop("_block_size")
-    val a = prepared.select(col(blockCol), col(idCol).as("id_1"), col("_sh").as("sh_1"))
-    val b = prepared.select(col(blockCol), col(idCol).as("id_2"), col("_sh").as("sh_2"))
+    val a = prepared.select(col(blockCol), col(idCol).as("id_1"), col("_sh").as("sh_1")).hint("shuffle_hash")
+    val b = prepared.select(col(blockCol), col(idCol).as("id_2"), col("_sh").as("sh_2")).hint("shuffle_hash")
     a.join(b, Seq(blockCol))
       .filter(col("id_1") < col("id_2"))
       .withColumn("jaccard",
