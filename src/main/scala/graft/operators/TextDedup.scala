@@ -51,24 +51,29 @@ object TextDedup {
     * O(shingles), not O(shingles × numHashes). numHashes ≤ 6 with
     * 5-char segments (32 hex chars).
     *
-    * Deliberately explode → groupBy(min…), NOT per-row higher-order
-    * functions: `transform` lambdas are CodegenFallback (interpreted,
-    * boxed per element) and the hash array gets re-inlined per
-    * signature column — measured 14× SLOWER than this exploded shape
-    * at sf0.1. The explode's map-side partial min aggregation means
-    * the shuffle carries only numHashes partial mins per doc, not the
-    * shingles.
+    * Computed by the codegen'd Catalyst expression
+    * [[graft.plans.MinHashSigs]] — one tight JVM loop per row, no row
+    * explosion and NO SHUFFLE (the signature is a scan-side
+    * projection). Two rejected formulations, both measured at sf0.1:
+    * explode → groupBy(min…) pushes shingles×docs rows through a hash
+    * aggregate (~3.2s); higher-order `transform(shingles, md5)` is
+    * 14× slower still (HOF lambdas evaluate interpreted, and the
+    * array column re-inlines per signature column). The expression
+    * runs the same md5s in ~0.2s.
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         numHashes: Int = 6, shingleSize: Int = 5): DataFrame = {
     require(numHashes <= 6, "md5 provides 6 disjoint 5-hex-char segments")
-    val exploded = df
+    graft.plans.GraftExtensions.register(df.sparkSession) // idempotent
+    // Null filter on the INPUT column, not on _sigs: an output-side
+    // isNotNull gets pushed down and re-inlines the expression into
+    // the Filter, doubling the md5 work. normalizeText is null iff
+    // the text is null, so this is the same row set explode() kept.
+    df.filter(col(textCol).isNotNull)
       .withColumn("_norm", normalizeText(col(textCol)))
-      .withColumn("_sh", explode(shingleExpr("_norm", shingleSize)))
-      .withColumn("_h", md5(col("_sh")))
-    val sigCols = (0 until numHashes).map(i =>
-      min(substring(col("_h"), 1 + 5 * i, 5)).as(s"sig_$i"))
-    exploded.groupBy(col(idCol)).agg(sigCols.head, sigCols.tail: _*)
+      .withColumn("_sigs", expr(s"minhash_sigs(_norm, $numHashes, $shingleSize)"))
+      .select(col(idCol) +:
+        (0 until numHashes).map(i => col("_sigs").getItem(i).as(s"sig_$i")): _*)
   }
 
   /** LSH banding: rows of (id, band_id, band_hash) — md5 over the

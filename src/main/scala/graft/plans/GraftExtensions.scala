@@ -15,15 +15,33 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("poly_hash64"),
       new ExpressionInfo(classOf[PolyHash64].getName, "poly_hash64"),
       (children: Seq[Expression]) => PolyHash64(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_sigs"),
+      new ExpressionInfo(classOf[MinHashSigs].getName, "minhash_sigs"),
+      GraftExtensions.buildMinHashSigs))
   }
 }
 
 object GraftExtensions {
+
+  /** minhash_sigs(text[, numHashes[, shingleSize]]) — trailing args
+    * must be integer literals (they shape the output schema).
+    */
+  private[plans] val buildMinHashSigs: Seq[Expression] => Expression =
+    (children: Seq[Expression]) => {
+      def lit(i: Int, default: Int): Int = children.lift(i)
+        .map(e => e.eval().asInstanceOf[Number].intValue).getOrElse(default)
+      MinHashSigs(children.head, lit(1, 6), lit(2, 5))
+    }
+
   /** Per-session registration for sessions built without extensions
     * (e.g. the driver-owned Verify session). Idempotent.
     */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "poly_hash64", (children: Seq[Expression]) => PolyHash64(children.head),
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_sigs", buildMinHashSigs, "scala_udf")
+  }
 }
