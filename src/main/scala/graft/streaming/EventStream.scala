@@ -63,6 +63,21 @@ object EventStream {
       }
       .start()
 
+  /** Streaming exact deduplication for ingest pipelines: drop events
+    * whose dedup key was already seen, with state bounded by the
+    * event-time watermark (`dropDuplicatesWithinWatermark` — a late
+    * duplicate arriving inside the delay is still caught; state for
+    * keys older than the watermark is evicted, so state size is
+    * O(keys per watermark window), not O(stream)). The streaming twin
+    * of `TextDedup.dedupExact` for a document/event feed.
+    */
+  def streamingDedup(events: DataFrame, keyCols: Seq[String],
+                     watermarkDelay: String = "2 hours",
+                     tsCol: String = "ts"): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   final case class UserCount(user_id: Long, n_events: Long, last_ts: java.sql.Timestamp)
 
   /** Stateful running per-user event counts (mapGroupsWithState,

@@ -66,6 +66,32 @@ class StreamingSpec extends SparkSpec {
     assert(finalCounts === batch)
   }
 
+  test("streamingDedup drops cross-batch duplicate keys within the watermark") {
+    val dir = java.nio.file.Files.createTempDirectory("ddstream").toString
+    val ev = Tables.events(spark, sfDir).orderBy("event_id").limit(1000).cache()
+    val rows = ev.collect()
+    // batch 1: rows 0-599; batch 2: rows 300-999 → 300 duplicates straddle
+    // the micro-batch boundary (the case per-batch dedup can't catch)
+    Seq(rows.slice(0, 600), rows.slice(300, 1000)).zipWithIndex.foreach {
+      case (batch, i) =>
+        spark.createDataFrame(
+            spark.sparkContext.parallelize(batch.toSeq), ev.schema)
+          .coalesce(1).write.parquet(s"$dir/chunk_$i")
+        val src = new java.io.File(s"$dir/chunk_$i").listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.move(src.toPath,
+          java.nio.file.Paths.get(s"$dir/part_$i.parquet"))
+        Thread.sleep(1100)
+    }
+    val stream = EventStream.readEventStream(spark, dir, ev.schema)
+    val q = EventStream.streamingDedup(stream, Seq("event_id")).writeStream
+      .outputMode("append").format("memory").queryName("dd_out").start()
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("dd_out")
+    assert(out.count() === 1000)
+    assert(out.select("event_id").distinct().count() === 1000)
+  }
+
   test("sinkToLake lands watermark-closed windows in the partitioned lake layout") {
     val outDir = java.nio.file.Files.createTempDirectory("lake").toString + "/agg"
     val ckpt = java.nio.file.Files.createTempDirectory("ckpt").toString
