@@ -60,6 +60,11 @@ object TextAnalysis {
       .withColumn("punct_ratio",
         regexp_count(t, lit("[^A-Za-z0-9\\s\\x{4e00}-\\x{9fff}]")).cast("double") /
           greatest(length(t), lit(1)).cast("double"))
+      // stopword density: natural prose sits ~0.2-0.5; keyword-stuffed
+      // or gibberish text sits near 0 (stopword list = languageId's en set)
+      .withColumn("stopword_ratio",
+        round(regexp_count(lower(t), lit(StopwordPatterns.toMap.apply("en"))).cast("double") /
+          greatest(wsTokenCount(t), lit(1)).cast("double"), 4))
       .withColumn("quality_score",
         round(
           least(col("word_count").cast("double") / 50.0, lit(1.0)) * 0.5 +

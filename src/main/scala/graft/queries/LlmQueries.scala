@@ -90,12 +90,15 @@ object LlmQueries {
     "ta_quality_scores" -> QueryDef.sql(
       (s, dir) =>
         TextAnalysis.withQualityFeatures(docs(s, dir), "text")
-          .select("doc_id", "n_chars_m", "word_count", "punct_ratio", "quality_score"),
+          .select("doc_id", "n_chars_m", "word_count", "punct_ratio",
+            "stopword_ratio", "quality_score"),
       """SELECT doc_id,
         |  length(text) AS n_chars_m,
         |  len(string_split_regex(trim(text), '\s+')) AS word_count,
         |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s\x{4e00}-\x{9fff}]')) AS DOUBLE)
         |    / CAST(greatest(length(text), 1) AS DOUBLE) AS punct_ratio,
+        |  round(CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|for)\b')) AS DOUBLE)
+        |    / CAST(greatest(len(string_split_regex(trim(text), '\s+')), 1) AS DOUBLE), 4) AS stopword_ratio,
         |  round(
         |    least(CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) / 50.0, 1.0) * 0.5 +
         |    (1.0 - least(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s\x{4e00}-\x{9fff}]')) AS DOUBLE)

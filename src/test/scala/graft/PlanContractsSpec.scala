@@ -1,0 +1,69 @@
+package graft
+
+import graft.plans.GraftExtensions
+
+/** Physical-plan contracts for the headline queries: the shapes that
+  * make them scale are asserted here so a refactor (or an optimizer
+  * behavior change) that silently degrades a plan fails the suite,
+  * not the benchmark.
+  */
+class PlanContractsSpec extends SparkSpec {
+
+  private def plan(name: String): String = {
+    GraftExtensions.register(spark)
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+  }
+
+  private def countLines(p: String, needle: String): Int =
+    p.linesIterator.count(_.contains(needle))
+
+  test("e2e_curated: both dims broadcast, fact never shuffles") {
+    val p = plan("e2e_curated")
+    assert(countLines(p, "BroadcastHashJoin") === 2, p)
+    assert(countLines(p, "SortMergeJoin") === 0, p)
+    // every Exchange is a broadcast — the fact table itself is never
+    // hash-repartitioned
+    val shuffles = p.linesIterator
+      .filter(_.contains("Exchange")).filterNot(_.contains("BroadcastExchange"))
+    assert(shuffles.isEmpty, p)
+  }
+
+  test("daily_revenue: map-side partial aggregation before the one shuffle") {
+    val p = plan("daily_revenue")
+    assert(p.contains("partial_"), p) // partial agg on the scan side
+    val shuffles = p.linesIterator
+      .filter(_.contains("Exchange")).filterNot(_.contains("BroadcastExchange"))
+    assert(shuffles.size === 1, p) // exactly the group-key shuffle
+  }
+
+  test("p01_cast_projection: scan prunes to the projected columns") {
+    val p = plan("p01_cast_projection")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    // lineitem's wide payload must not be read for the cast projection
+    assert(!readSchema.contains("l_comment"), readSchema)
+  }
+
+  test("mdm_match_pairs: pair explosion runs as a shuffled hash join") {
+    val p = plan("mdm_match_pairs")
+    assert(countLines(p, "ShuffledHashJoin") >= 1, p)
+    assert(countLines(p, "SortMergeJoin") === 0, p)
+    // the block-key repartition is explicit-N so AQE can't serialize it
+    assert(p.contains("REPARTITION_BY_NUM"), p)
+  }
+
+  test("dd_minhash_pairs: band join is shuffled-hash; no sort-merge anywhere") {
+    val p = plan("dd_minhash_pairs")
+    assert(countLines(p, "ShuffledHashJoin") >= 1, p)
+    assert(countLines(p, "SortMergeJoin") === 0, p)
+    // signatures are the codegen'd expression, not an explode+agg
+    assert(p.contains("minhash_sigs"), p)
+    assert(!p.contains("Generate explode"), p)
+  }
+
+  test("ta_quality_scores and ta_rolling_hash: shuffle-free projections") {
+    for (name <- Seq("ta_quality_scores", "ta_rolling_hash")) {
+      val p = plan(name)
+      assert(countLines(p, "Exchange") === 0, s"$name:\n$p")
+    }
+  }
+}
