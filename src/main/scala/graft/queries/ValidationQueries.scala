@@ -166,6 +166,59 @@ object ValidationQueries {
          |  ratio >= 0.9 AS freshness_ok
          |FROM r""".stripMargin),
 
+    // ───── governance lineage edges (ref governance/lineage_schema.json
+    // required_fields; write_data_lineage lambda INSERT shape): one row
+    // per pipeline hop with the ACTUAL record counts of this run.
+    "gov_lineage" -> QueryDef.sql(
+      (s, dir) => {
+        val asOf = java.sql.Timestamp.valueOf("2024-06-01 00:00:00")
+        val annotated = Validation.annotate(t(s, dir, "lineitem"), lineitemRules)
+        val validCount = Validation.split(annotated)._1.count()
+        graft.operators.Lineage.toDf(s, Seq(
+          graft.operators.Lineage.edge("run_fixed", "raw_to_validated",
+            "raw", "validated", "lineitem", "lineitem_validated",
+            validCount, asOf),
+          graft.operators.Lineage.edge("run_fixed", "validated_to_curated",
+            "validated", "curated", "lineitem_validated", "lineitem_curated",
+            validCount, asOf)))
+      },
+      s"""WITH v AS (
+         |  SELECT COUNT(*) AS c FROM lineitem WHERE $isValidRuleSql)
+         |SELECT 'run_fixed' AS pipeline_run_id, 'raw_to_validated' AS job_name,
+         |  'raw' AS source_layer, 'validated' AS target_layer,
+         |  'lineitem' AS source_object, 'lineitem_validated' AS target_object,
+         |  CAST(c AS BIGINT) AS record_count,
+         |  TIMESTAMP '2024-06-01 00:00:00' AS run_timestamp
+         |FROM v
+         |UNION ALL
+         |SELECT 'run_fixed', 'validated_to_curated', 'validated', 'curated',
+         |  'lineitem_validated', 'lineitem_curated', CAST(c AS BIGINT),
+         |  TIMESTAMP '2024-06-01 00:00:00'
+         |FROM v""".stripMargin),
+
+    // ───── dataset metadata manifest (ref metadata_manifest.json;
+    // newpy.py create_metadata_manifest) — the catalog record answering
+    // "who owns this dataset"
+    // zones flattened to CSV for the compare: Spark writes parquet list
+    // elements as `element not null` while DuckDB writes nullable `l` —
+    // a spurious schema mismatch on an otherwise identical value.
+    "gov_manifest" -> QueryDef.sql(
+      (s, dir) =>
+        graft.operators.Lineage.metadataManifest(s,
+          dataset = "lineitem", bucket = "lake",
+          owner = "DataEngineeringTeam", domain = "Transportation",
+          classification = "Internal",
+          createdOn = java.sql.Timestamp.valueOf("2024-06-01 00:00:00"),
+          retentionPolicy = "7 years",
+          zones = Seq("raw", "validated", "curated"))
+          .withColumn("zones", concat_ws(",", col("zones"))),
+      """SELECT 'lineitem' AS dataset, 'lake' AS bucket,
+        |  'DataEngineeringTeam' AS owner, 'Transportation' AS domain,
+        |  'Internal' AS classification,
+        |  TIMESTAMP '2024-06-01 00:00:00' AS created_on,
+        |  '7 years' AS retention_policy,
+        |  'raw,validated,curated' AS zones""".stripMargin),
+
     // ───── end-to-end curated pipeline: validate → filter → double
     // enrichment (supplier, then supplier's nation) → lineage stamp.
     // Glue-1 + Glue-2 fused in one declarative plan: Catalyst pushes

@@ -73,4 +73,25 @@ class GovernanceSpec extends SparkSpec {
     assert(spark.table("t_managed").count() === 2)
     spark.sql("DROP TABLE t_managed")
   }
+
+  test("lineage edges enforce the layer vocabulary and forward flow") {
+    import graft.operators.Lineage
+    val asOf = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val ok = Lineage.edge("r1", "job", "raw", "curated", "a", "b", 10L, asOf)
+    assert(ok.record_count === 10L && ok.target_layer === "curated")
+    intercept[IllegalArgumentException] { // backwards flow
+      Lineage.edge("r1", "job", "curated", "raw", "a", "b", 1L, asOf)
+    }
+    intercept[IllegalArgumentException] { // unknown layer
+      Lineage.edge("r1", "job", "bronze", "curated", "a", "b", 1L, asOf)
+    }
+    // round-trips the S11 lineage sink
+    val base = java.nio.file.Files.createTempDirectory("lineage").toString
+    Lineage.write(Lineage.toDf(spark, Seq(ok)), base, "r1")
+    val back = spark.read.json(s"$base/run_id=r1")
+    assert(back.count() === 1)
+    assert(back.columns.sorted.toSeq === Seq("job_name", "pipeline_run_id",
+      "record_count", "run_timestamp", "source_layer", "source_object",
+      "target_layer", "target_object"))
+  }
 }
