@@ -126,6 +126,32 @@ object Scd2Queries {
       """SELECT 'single_current_per_key' AS rule,
         |       CAST(0 AS BIGINT) AS violations, TRUE AS passed
         |UNION ALL
-        |SELECT 'contiguous_versions', CAST(0 AS BIGINT), TRUE""".stripMargin)
+        |SELECT 'contiguous_versions', CAST(0 AS BIGINT), TRUE""".stripMargin),
+
+    // ───── table-level version audit (ref DeltaOP/delta_audit_update
+    // .py: initial load, then a compliance overwrite creates a NEW
+    // VERSION; delta_audit_read.py reads DESCRIBE HISTORY). The query
+    // REALLY writes both versions to a versioned store and returns
+    // the history the store reads back — counts are this run's data.
+    "delta_audit_history" -> QueryDef.sql(
+      (s, dir) => {
+        import graft.sources.VersionedTable
+        val base = java.nio.file.Files.createTempDirectory("graft_vt_").toString
+        val supp = Tables.table(s, dir, "supplier")
+          .select("s_suppkey", "s_name", "s_acctbal")
+        VersionedTable.write(supp, base, "initial_load", t0)
+        // compliance rule: remove non-positive balances (ref
+        // delta_audit_update.py:18 fare_amount > 0)
+        VersionedTable.write(supp.filter(col("s_acctbal") > 0), base,
+          "compliance_filter", t1)
+        VersionedTable.history(s, base)
+      },
+      """SELECT CAST(1 AS INTEGER) AS version, 'initial_load' AS operation,
+        |  (SELECT COUNT(*) FROM supplier) AS record_count,
+        |  TIMESTAMP '2024-01-01 00:00:00' AS run_timestamp
+        |UNION ALL
+        |SELECT CAST(2 AS INTEGER), 'compliance_filter',
+        |  (SELECT COUNT(*) FROM supplier WHERE s_acctbal > 0),
+        |  TIMESTAMP '2024-02-01 00:00:00'""".stripMargin)
   )
 }

@@ -92,6 +92,35 @@ class TablesSpec extends SparkSpec {
     }
   }
 
+  test("VersionedTable: overwrite creates versions; history and time travel read them") {
+    import graft.sources.VersionedTable
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("vt_spec_").toString
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2024-02-01 00:00:00")
+    val v1 = Seq((1, 10.0), (2, -5.0), (3, 7.5)).toDF("id", "fare")
+    assert(VersionedTable.write(v1, base, "initial_load", t0) === 1)
+    // compliance overwrite: drop negative fares → NEW version
+    assert(VersionedTable.write(v1.filter($"fare" > 0), base,
+      "compliance_filter", t1) === 2)
+
+    assert(VersionedTable.currentVersion(base) === Some(2))
+    assert(VersionedTable.read(spark, base).count() === 2) // latest
+    assert(VersionedTable.readVersion(spark, base, 1).count() === 3) // versionAsOf
+    // timestamp time travel: between the writes → version 1
+    assert(VersionedTable.readAsOf(spark, base,
+      java.sql.Timestamp.valueOf("2024-01-15 00:00:00")).count() === 3)
+
+    val hist = VersionedTable.history(spark, base).collect()
+    assert(hist.map(_.getInt(0)).toSeq === Seq(1, 2))
+    assert(hist.map(_.getString(1)).toSeq === Seq("initial_load", "compliance_filter"))
+    assert(hist.map(_.getLong(2)).toSeq === Seq(3L, 2L))
+    intercept[IllegalArgumentException] {
+      VersionedTable.readAsOf(spark, base,
+        java.sql.Timestamp.valueOf("2023-01-01 00:00:00"))
+    }
+  }
+
   test("writeJdbc/readJdbc round-trip and overwrite against a live JDBC url") {
     import spark.implicits._
     // Derby in-memory: a real JDBC database (driver ships with Spark)
