@@ -155,6 +155,52 @@ object Validation {
     }
   }
 
+  /** A parsed YAML rule suite (ref `day5-infra/governance/
+    * data_quality/taxi_zone_rules.yaml`): row-level rules plus
+    * table-level uniqueness keys and per-rule pass-rate thresholds.
+    */
+  final case class RuleSuite(
+      suiteName: String,
+      rowRules: Seq[Rule],
+      uniquenessCols: Seq[String],
+      thresholds: Map[String, Double])
+
+  /** YAML rule-suite loading — the reference's second rule format
+    * (`suite_name` + `rules: [{name, type, column, threshold,
+    * allowed}]`). Uses snakeyaml from Spark's own classpath; row
+    * rules map onto the Rule ADT, `uniqueness` rules surface as key
+    * columns for [[uniquenessCheck]].
+    */
+  def rulesFromYamlFile(path: String): RuleSuite = {
+    import scala.jdk.CollectionConverters._
+    val yaml = new org.yaml.snakeyaml.Yaml()
+    val root = yaml.load[java.util.Map[String, Object]](
+      java.nio.file.Files.readString(java.nio.file.Paths.get(path)))
+    val suiteName = Option(root.get("suite_name")).map(_.toString).getOrElse("suite")
+    val ruleMaps = root.get("rules").asInstanceOf[java.util.List[java.util.Map[String, Object]]]
+      .asScala.toSeq.map(_.asScala.toMap)
+    val thresholds = ruleMaps.flatMap { m =>
+      m.get("threshold").map(t => m("name").toString -> t.toString.toDouble)
+    }.toMap
+    val (uniq, row) = ruleMaps.partition(_("type").toString == "uniqueness")
+    val rowRules = row.map { m =>
+      val column = m("column").toString
+      m("type").toString match {
+        case "not_null" => NotNull(column)
+        case "allowed_values" =>
+          AllowedValues(column,
+            m("allowed").asInstanceOf[java.util.List[Object]].asScala.toSeq.map(_.toString))
+        case "between" | "range" =>
+          Between(column,
+            m.get("min").map(_.toString.toDouble).getOrElse(Double.MinValue),
+            m.get("max").map(_.toString.toDouble).getOrElse(Double.MaxValue))
+        case "positive" => GreaterThan(column, 0.0, orEqual = false)
+        case other => sys.error(s"unknown yaml rule type: $other")
+      }
+    }
+    RuleSuite(suiteName, rowRules, uniq.map(_("column").toString), thresholds)
+  }
+
   /** Reference-data freshness check (ref `lambda.py:21-28,95-108`:
     * staleness alert when newest record is older than the SLA).
     * Returns one row: (newest_ts, age_days, fresh). `asOf` injected

@@ -78,4 +78,42 @@ class ValidationSpec extends SparkSpec {
     val ok = Validation.uniquenessCheck(dup, Seq("k", "v")).collect()(0)
     assert(ok.getAs[Boolean]("passed"))
   }
+
+  test("rulesFromYamlFile parses a suite into rules, uniqueness keys, thresholds") {
+    val yaml =
+      """suite_name: entity_master_quality
+        |rules:
+        |  - name: id_unique
+        |    type: uniqueness
+        |    column: id
+        |    threshold: 1.0
+        |  - name: flag_not_null
+        |    type: not_null
+        |    column: flag
+        |    threshold: 1.0
+        |  - name: flag_allowed
+        |    type: allowed_values
+        |    column: flag
+        |    allowed: [A, N, R]
+        |    threshold: 0.99
+        |  - name: amount_positive
+        |    type: positive
+        |    column: amount
+        |""".stripMargin
+    val f = java.nio.file.Files.createTempFile("rules", ".yaml")
+    java.nio.file.Files.writeString(f, yaml)
+    val suite = Validation.rulesFromYamlFile(f.toString)
+    assert(suite.suiteName === "entity_master_quality")
+    assert(suite.uniquenessCols === Seq("id"))
+    assert(suite.thresholds === Map(
+      "id_unique" -> 1.0, "flag_not_null" -> 1.0, "flag_allowed" -> 0.99))
+    assert(suite.rowRules.map(_.getClass.getSimpleName) ===
+      Seq("NotNull", "AllowedValues", "GreaterThan"))
+    // parsed rules drive the same annotate path as hand-built ones
+    val annotated = Validation.annotate(df, suite.rowRules)
+    assert(annotated.filter(col("is_valid")).count() === 2) // ids 1, 4
+    // and the uniqueness keys drive the table-level check
+    assert(Validation.uniquenessCheck(df, suite.uniquenessCols)
+      .collect()(0).getAs[Boolean]("passed"))
+  }
 }
