@@ -30,6 +30,25 @@ object Enrichment {
       .drop(right(dimKey))
   }
 
+  /** Unknown-member fallback (ref `day16_zones.yml data_quality.
+    * unknown_row`: `location_id: -1` "Fallback for unmapped zones"):
+    * after a left enrichment, coalesce each dim attribute of
+    * unmatched fact rows to the dimension's declared unknown-member
+    * value, so downstream grouping never sees nulls and unmapped keys
+    * roll up under one explicit member. Pure projection — no extra
+    * join or shuffle.
+    */
+  def withUnknownMember(enriched: DataFrame, probeCol: String,
+                        defaults: Map[String, Any]): DataFrame = {
+    // Materialize the match test BEFORE rewriting any column: the
+    // probe column may itself be a default target, and a rewritten
+    // probe would make later defaults see "matched".
+    val tagged = enriched.withColumn("_unmatched", col(probeCol).isNull)
+    defaults.foldLeft(tagged) { case (df, (c, v)) =>
+      df.withColumn(c, when(col("_unmatched"), lit(v)).otherwise(col(c)))
+    }.drop("_unmatched")
+  }
+
   /** Orphan guard (ref `nyc_validated_to_curated_etl.py:141-145`):
     * count of fact rows whose key found no dim match. Callers raise
     * when > 0 (fail-the-job semantics) or route to quarantine.

@@ -230,6 +230,31 @@ object RelationalQueries {
         |WHERE NOT EXISTS (SELECT 1 FROM orders
         |                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)""".stripMargin),
 
+    // ───── unknown-member rollup (ref day16_zones.yml unknown_row:
+    // location_id -1 "Fallback for unmapped zones"): unmatched fact
+    // keys coalesce to the dimension's declared unknown member so
+    // groupings see one explicit bucket, never null
+    // The dim drops every 10th supplier so unmatched facts EXIST at
+    // every SF — the fallback path is genuinely exercised, not
+    // vacuously green.
+    "j12_unknown_member" -> QueryDef.sql(
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val supp = t(s, dir, "supplier").filter(col("s_suppkey") % 10 =!= 0)
+        val enriched = graft.operators.Enrichment.enrichWithDim(
+          li, supp, "l_suppkey", "s_suppkey", "supp_")
+        graft.operators.Enrichment.withUnknownMember(enriched, "supp_s_name",
+            Map("supp_s_name" -> "UNKNOWN", "supp_s_nationkey" -> -1L))
+          .groupBy("supp_s_nationkey")
+          .agg(count(lit(1)).as("n_items"))
+      },
+      """SELECT COALESCE(s.s_nationkey, -1) AS supp_s_nationkey,
+        |       CAST(COUNT(*) AS BIGINT) AS n_items
+        |FROM lineitem l
+        |LEFT JOIN (SELECT * FROM supplier WHERE s_suppkey % 10 <> 0) s
+        |  ON l.l_suppkey = s.s_suppkey
+        |GROUP BY 1""".stripMargin),
+
     // ───── J8: FK orphan-count audit (ref qc_vendor_fk.sql:26-30)
     "j08_fk_orphan_count" -> QueryDef.sql(
       (s, dir) => {

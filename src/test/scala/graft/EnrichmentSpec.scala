@@ -40,6 +40,20 @@ class EnrichmentSpec extends SparkSpec {
     assert(orphans.select("trip_id").as[Int].collect() === Array(3))
   }
 
+  test("withUnknownMember coalesces unmatched rows to the declared unknown member") {
+    import org.apache.spark.sql.functions.col
+    val dim = Seq((1, "Zone A", 10L), (2, "Zone B", 20L)).toDF("zone_id", "zone_name", "region")
+    val facts = Seq((100, 1), (101, 2), (102, 99)).toDF("trip_id", "pu_zone") // 99 unmapped
+    val enriched = Enrichment.enrichWithDim(facts, dim, "pu_zone", "zone_id", "z_")
+    val out = Enrichment.withUnknownMember(enriched, "z_zone_name",
+      Map("z_zone_name" -> "UNKNOWN", "z_region" -> -1L))
+      .orderBy("trip_id").collect()
+    assert(out.map(_.getAs[String]("z_zone_name")).toSeq === Seq("Zone A", "Zone B", "UNKNOWN"))
+    assert(out.map(_.getAs[Long]("z_region")).toSeq === Seq(10L, 20L, -1L))
+    // matched rows untouched
+    assert(out(0).getAs[Int]("trip_id") === 100)
+  }
+
   test("addLineage stamps deterministic audit columns") {
     val ts = java.sql.Timestamp.valueOf("2024-06-01 00:00:00")
     val out = Enrichment.addLineage(fact, "nyc_tlc", "r42", ts)
