@@ -190,34 +190,55 @@ object TextDedup {
   // ───────────────────────── n-gram Jaccard ─────────────────────────
 
   /** Blocked n-gram Jaccard similarity pairs: candidates share a
-    * block (e.g. language), similarity = |A∩B| / |A∪B| over shingle
-    * sets. Block first — the array intersection is the expensive
-    * part; never run it on the unblocked cross product.
+    * block (e.g. language), similarity = |A∩B| / |A∪B| over distinct
+    * shingle sets. Exact (no LSH recall loss), made tractable by
+    * three measured levers, none of which change a single output bit:
+    *
+    *  1. Shingles pack bijectively into sorted long arrays
+    *     ([[graft.plans.PackedShingles]]) and each pair intersects
+    *     via a two-pointer merge ([[graft.plans.JaccardSorted]]) —
+    *     the string formulation (array_intersect) builds a hash set
+    *     PER PAIR and measured 752s at sf0.1; this path is ~100×.
+    *  2. Size-ratio prune: J(A,B) ≥ t forces |A| ≥ t·|B| and
+    *     vice-versa, so pairs with mismatched set sizes skip the
+    *     merge entirely (pure necessary-condition filter).
+    *  3. Salted self-join: a block key alone caps parallelism at
+    *     #blocks (5 language blocks serialized 2.5M intersections
+    *     onto 5 tasks). The left side keys each doc to one of
+    *     `saltFactor` cells, the right side replicates into all of
+    *     them — every unordered pair lands in exactly one
+    *     (block, cell), parallelism becomes #blocks × saltFactor.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         blockCol: String, threshold: Double,
                         shingleSize: Int = 5,
-                        maxBlockSize: Int = DefaultMaxBucketSize): DataFrame = {
-    // same partitioning + join-strategy rationale as lshCandidatePairs
-    val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+                        maxBlockSize: Int = DefaultMaxBucketSize,
+                        saltFactor: Int = 8): DataFrame = {
+    graft.plans.GraftExtensions.register(df.sparkSession) // idempotent
     val wBlock = Window.partitionBy(blockCol)
     val prepared = df
+      .filter(col(textCol).isNotNull)
       .withColumn("_norm", normalizeText(col(textCol)))
-      .withColumn("_sh", shingleExpr("_norm", shingleSize))
+      .withColumn("_sh", expr(s"packed_shingles(_norm, $shingleSize)"))
       .select(col(idCol), col(blockCol), col("_sh"))
-      .repartition(n, col(blockCol))
+      .repartition(col(blockCol))
       // same skew guard as lshCandidatePairs: a hot block would make
-      // the pairwise array-intersection quadratic on one task
+      // the pairwise intersection quadratic on one task
       .withColumn("_block_size", count(lit(1)).over(wBlock))
       .filter(col("_block_size") <= maxBlockSize)
       .drop("_block_size")
-    val a = prepared.select(col(blockCol), col(idCol).as("id_1"), col("_sh").as("sh_1")).hint("shuffle_hash")
-    val b = prepared.select(col(blockCol), col(idCol).as("id_2"), col("_sh").as("sh_2")).hint("shuffle_hash")
-    a.join(b, Seq(blockCol))
+    val a = prepared.select(col(blockCol), col(idCol).as("id_1"), col("_sh").as("sh_1"))
+      .withColumn("_cell", pmod(xxhash64(col("id_1")), lit(saltFactor)))
+      .hint("shuffle_hash")
+    val b = prepared.select(col(blockCol), col(idCol).as("id_2"), col("_sh").as("sh_2"))
+      .withColumn("_cell", explode(sequence(lit(0L), lit(saltFactor - 1L))))
+      .hint("shuffle_hash")
+    a.join(b, Seq(blockCol, "_cell"))
       .filter(col("id_1") < col("id_2"))
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_1"), col("sh_2"))).cast("double") /
-          size(array_union(col("sh_1"), col("sh_2"))).cast("double"))
+      // lever 2: J ≥ t ⇒ min(|A|,|B|) ≥ t·max(|A|,|B|)
+      .filter(least(size(col("sh_1")), size(col("sh_2"))).cast("double") >=
+        lit(threshold) * greatest(size(col("sh_1")), size(col("sh_2"))).cast("double"))
+      .withColumn("jaccard", expr("jaccard_sorted(sh_1, sh_2)"))
       .filter(col("jaccard") >= threshold)
       .select("id_1", "id_2", "jaccard")
   }

@@ -19,6 +19,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("minhash_sigs"),
       new ExpressionInfo(classOf[MinHashSigs].getName, "minhash_sigs"),
       GraftExtensions.buildMinHashSigs))
+    ext.injectFunction((
+      new FunctionIdentifier("packed_shingles"),
+      new ExpressionInfo(classOf[PackedShingles].getName, "packed_shingles"),
+      GraftExtensions.buildPackedShingles))
+    ext.injectFunction((
+      new FunctionIdentifier("jaccard_sorted"),
+      new ExpressionInfo(classOf[JaccardSorted].getName, "jaccard_sorted"),
+      (children: Seq[Expression]) => JaccardSorted(children(0), children(1))))
   }
 }
 
@@ -34,6 +42,11 @@ object GraftExtensions {
       MinHashSigs(children.head, lit(1, 6), lit(2, 5))
     }
 
+  /** packed_shingles(text[, shingleSize]) — size must be a literal. */
+  private[plans] val buildPackedShingles: Seq[Expression] => Expression =
+    (children: Seq[Expression]) => PackedShingles(children.head,
+      children.lift(1).map(_.eval().asInstanceOf[Number].intValue).getOrElse(5))
+
   /** Per-session registration for sessions built without extensions
     * (e.g. the driver-owned Verify session). Idempotent.
     */
@@ -43,5 +56,11 @@ object GraftExtensions {
       "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash_sigs", buildMinHashSigs, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "packed_shingles", buildPackedShingles, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "jaccard_sorted",
+      (children: Seq[Expression]) => JaccardSorted(children(0), children(1)),
+      "scala_udf")
   }
 }
