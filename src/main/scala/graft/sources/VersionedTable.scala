@@ -38,6 +38,9 @@ object VersionedTable {
     val next = currentVersion(base).getOrElse(0) + 1
     val spark = df.sparkSession
     df.write.mode("errorifexists").parquet(s"$base/v=$next")
+    // count is read BACK from storage so the audit manifest records
+    // what actually landed, not what the plan attempted (a parquet
+    // count() reads only footers — cheap at any scale)
     val count = spark.read.parquet(s"$base/v=$next").count()
     import spark.implicits._
     Tables.writeJsonSingleFile(
