@@ -106,4 +106,13 @@ object Functions {
   /** Deterministic mean built from exactSum / count. */
   def exactAvg(c: Column, scale: Int = 4): Column =
     sum(c.cast(s"decimal(30,$scale)")).cast("double") / count(c)
+
+  /** `spark.sql.shuffle.partitions` as an Int, falling back to
+    * `defaultParallelism` on runtimes where the conf is non-numeric
+    * (e.g. "auto" under AQE-managed partitioning) — callers use this
+    * for explicit repartition-by-num on pair-explosion joins.
+    */
+  def numShufflePartitions(spark: org.apache.spark.sql.SparkSession): Int =
+    scala.util.Try(spark.conf.get("spark.sql.shuffle.partitions").toInt)
+      .getOrElse(spark.sparkContext.defaultParallelism)
 }

@@ -43,7 +43,7 @@ object Mdm {
     * broadcast.
     */
   def candidatePairs(entities: DataFrame, schema: EntitySchema): DataFrame = {
-    val n = entities.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val n = graft.functions.Functions.numShufflePartitions(entities.sparkSession)
     def side(i: Int) = entities
       .repartition(n, schema.blockCols.map(col): _*)
       .select(

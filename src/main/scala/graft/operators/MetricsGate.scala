@@ -29,12 +29,12 @@ object MetricsGate {
     * `sorted(runs, reverse=True)[0]` over S3 CommonPrefixes. This is a
     * driver-side control-plane listing of RUN DIRECTORIES (one per
     * run), not of data files — O(runs), independent of data scale.
+    * Listing goes through the Hadoop FileSystem API so the gate works
+    * against any scheme the session can reach (file/hdfs/s3a), not
+    * just the local filesystem.
     */
   def latestRunPath(basePath: String): String = {
-    val dirs = Option(new java.io.File(basePath).listFiles())
-      .getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("run_id="))
-      .map(_.getName).sorted.reverse
+    val dirs = Tables.listChildDirNames(basePath, "run_id=").sorted.reverse
     require(dirs.nonEmpty, s"No metrics runs found under $basePath")
     s"$basePath/${dirs.head}"
   }

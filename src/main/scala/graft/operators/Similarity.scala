@@ -113,11 +113,15 @@ object Similarity {
                       k: Int, iters: Int = 5): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // persisted: every Lloyd iteration runs two jobs (argmax assign +
+    // means) over this frame — uncached, an iters=5 build would
+    // re-execute the source scan + cast lineage ~10×
     val vecs = df.select(col(idCol).as("vid"), col(vecCol).cast("array<double>").as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var centroids: Seq[(Int, Seq[Double])] =
       vecs.orderBy(col("vid")).limit(k).collect().toSeq
         .zipWithIndex.map { case (r, i) => i -> r.getSeq[Double](1) }
-    for (_ <- 1 to iters) {
+    try for (_ <- 1 to iters) {
       val cDf = broadcast(centroids.toDF("centroid_id", "centroid_vec")
         .withColumn("centroid_norm", l2Norm(col("centroid_vec"))))
       val scored = vecs
@@ -139,7 +143,7 @@ object Similarity {
       }
       // empty cells keep their previous centroid
       centroids = centroids.map { case (cid, old) => cid -> byCell.getOrElse(cid, old) }
-    }
+    } finally vecs.unpersist(blocking = false)
     centroids.toDF("centroid_id", "centroid_vec")
   }
 
@@ -206,7 +210,7 @@ object Similarity {
     // shuffle-hash on the bucket key, repartitioned by explicit num —
     // same pair-explosion rationale as Mdm.candidatePairs (AQE only
     // sees the small input; output is quadratic per bucket)
-    val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val n = graft.functions.Functions.numShufflePartitions(df.sparkSession)
     val v = df.select(col(idCol), col(vecCol))
       .withColumn("bucket", lshBucket(col(vecCol), dim, numPlanes))
       .withColumn("_norm", l2Norm(col(vecCol)))

@@ -208,6 +208,11 @@ object TextDedup {
     *     `saltFactor` cells, the right side replicates into all of
     *     them — every unordered pair lands in exactly one
     *     (block, cell), parallelism becomes #blocks × saltFactor.
+    *
+    * Contract caveat: blocks larger than `maxBlockSize` are EXCLUDED
+    * from the pair join (skew guard), so "exact" holds per processed
+    * block — observe and route the dropped ones via
+    * [[ngramOversizedBlocks]].
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         blockCol: String, threshold: Double,
@@ -242,4 +247,19 @@ object TextDedup {
       .filter(col("jaccard") >= threshold)
       .select("id_1", "id_2", "jaccard")
   }
+
+  /** Blocks rejected by [[ngramJaccardPairs]]'s size cap, with their
+    * sizes — the observability companion to [[lshOversizedBuckets]]:
+    * the pair join silently excludes blocks larger than
+    * `maxBlockSize` (the "exact, no recall loss" guarantee holds only
+    * for processed blocks), so callers route these to the exact-dup
+    * path (a block that hot is an exact-dup cluster — O(b) there vs
+    * O(b²) here) or to a finer blocking key.
+    */
+  def ngramOversizedBlocks(df: DataFrame, textCol: String, blockCol: String,
+                           maxBlockSize: Int = DefaultMaxBucketSize): DataFrame =
+    df.filter(col(textCol).isNotNull)
+      .groupBy(blockCol)
+      .agg(count(lit(1)).as("block_size"))
+      .filter(col("block_size") > maxBlockSize)
 }

@@ -32,20 +32,43 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
 
+  /** Evaluate a trailing argument as a non-null integer literal, or
+    * raise a proper AnalysisException naming the function and
+    * parameter (instead of the opaque ClassCastException/NPE a column
+    * reference or NULL literal would otherwise produce — these args
+    * shape the output schema, so they must fold at analysis time).
+    */
+  private def foldableInt(fn: String, param: String, e: Expression): Int = {
+    if (!e.foldable)
+      throw new org.apache.spark.sql.AnalysisException(
+        "NON_FOLDABLE_ARGUMENT",
+        Map("funcName" -> s"`$fn`", "paramName" -> s"`$param`",
+          "paramType" -> "\"INT\""))
+    e.eval() match {
+      case n: Number => n.intValue
+      case _ =>
+        throw new org.apache.spark.sql.AnalysisException(
+          "INTERNAL_ERROR",
+          Map("message" ->
+            s"$fn: argument '$param' must be a non-null integer literal"))
+    }
+  }
+
   /** minhash_sigs(text[, numHashes[, shingleSize]]) — trailing args
     * must be integer literals (they shape the output schema).
     */
   private[plans] val buildMinHashSigs: Seq[Expression] => Expression =
     (children: Seq[Expression]) => {
-      def lit(i: Int, default: Int): Int = children.lift(i)
-        .map(e => e.eval().asInstanceOf[Number].intValue).getOrElse(default)
-      MinHashSigs(children.head, lit(1, 6), lit(2, 5))
+      def lit(i: Int, name: String, default: Int): Int = children.lift(i)
+        .map(e => foldableInt("minhash_sigs", name, e)).getOrElse(default)
+      MinHashSigs(children.head, lit(1, "numHashes", 6), lit(2, "shingleSize", 5))
     }
 
   /** packed_shingles(text[, shingleSize]) — size must be a literal. */
   private[plans] val buildPackedShingles: Seq[Expression] => Expression =
     (children: Seq[Expression]) => PackedShingles(children.head,
-      children.lift(1).map(_.eval().asInstanceOf[Number].intValue).getOrElse(5))
+      children.lift(1).map(e => foldableInt("packed_shingles", "shingleSize", e))
+        .getOrElse(5))
 
   /** Per-session registration for sessions built without extensions
     * (e.g. the driver-owned Verify session). Idempotent.

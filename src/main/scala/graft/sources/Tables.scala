@@ -121,6 +121,25 @@ object Tables {
                props: java.util.Properties = new java.util.Properties()): DataFrame =
     spark.read.jdbc(url, table, props)
 
+  /** Immediate child directories of `base` whose name starts with
+    * `prefix`, via the Hadoop FileSystem API — so control-plane
+    * listings (version dirs, run-id prefixes) work on any supported
+    * scheme (`file://`, `hdfs://`, `s3a://`), mirroring the
+    * reference lambda's S3 CommonPrefixes listing. Returns bare dir
+    * names, unsorted. O(children) driver-side metadata, never data.
+    */
+  def listChildDirNames(base: String, prefix: String): Seq[String] = {
+    val path = new org.apache.hadoop.fs.Path(base)
+    val conf = SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    val fs = path.getFileSystem(conf)
+    if (!fs.exists(path)) Seq.empty
+    else fs.listStatus(path).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
+      .map(_.getPath.getName)
+  }
+
   /** P12: required-column assertion
     * (`nyc_validated_to_curated_etl.py:25-28`). */
   def requireCols(df: DataFrame, cols: Seq[String]): Unit = {

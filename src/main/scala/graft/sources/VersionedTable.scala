@@ -18,11 +18,13 @@ import org.apache.spark.sql.functions._
   */
 object VersionedTable {
 
-  /** Version directories present under the base path, ascending. */
+  /** Version directories present under the base path, ascending —
+    * listed via the Hadoop FileSystem API (any scheme, not local-FS
+    * only).
+    */
   private def versions(base: String): Seq[Int] =
-    Option(new java.io.File(base).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("v="))
-      .map(_.getName.stripPrefix("v=").toInt).sorted.toSeq
+    Tables.listChildDirNames(base, "v=")
+      .map(_.stripPrefix("v=").toInt).sorted
 
   def currentVersion(base: String): Option[Int] = versions(base).lastOption
 

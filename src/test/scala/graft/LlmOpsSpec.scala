@@ -54,6 +54,23 @@ class LlmOpsSpec extends SparkSpec {
     assert(planted.agg(min("jaccard")).as[Double].collect()(0) > 0.7)
   }
 
+  test("ngram oversized blocks are observable and excluded consistently") {
+    val d = docs.select("doc_id", "text", "lang")
+    // cap below the largest lang block so the guard binds
+    val maxSize = 50
+    val over = TextDedup.ngramOversizedBlocks(d, "text", "lang", maxSize)
+    val overLangs = over.select("lang").as[String].collect().toSet
+    assert(overLangs.nonEmpty, "expected at least one lang block over the cap")
+    // every block is either processed (pairs may reference it) or listed
+    val pairs = TextDedup.ngramJaccardPairs(d, "doc_id", "text", "lang", 0.1,
+      maxBlockSize = maxSize)
+    val pairedLangs = pairs
+      .join(d.select($"doc_id".as("id_1"), $"lang"), "id_1")
+      .select("lang").as[String].collect().toSet
+    assert(pairedLangs.intersect(overLangs).isEmpty,
+      s"capped blocks leaked into the pair join: ${pairedLangs.intersect(overLangs)}")
+  }
+
   test("simhash gives identical fingerprints to identical texts") {
     val corpus = docs.select("doc_id", "text")
       .unionByName(docs.select(($"doc_id" + 20000).as("doc_id"), $"text"))

@@ -59,6 +59,20 @@ class MinHashSigsSpec extends SparkSpec {
     assert(r === 6)
   }
 
+  test("non-literal or null shape args raise AnalysisException, not CCE/NPE") {
+    graft.plans.GraftExtensions.register(spark)
+    val df = Seq((1, "some text")).toDF("id", "text")
+    df.createOrReplaceTempView("mh_arg_check")
+    val nonFoldable = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT minhash_sigs(text, id) FROM mh_arg_check").collect()
+    }
+    assert(nonFoldable.getMessage.contains("minhash_sigs"))
+    val nullLit = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT packed_shingles(text, CAST(NULL AS INT)) FROM mh_arg_check").collect()
+    }
+    assert(nullLit.getMessage.contains("packed_shingles"))
+  }
+
   test("signature stage explains with no shuffle below it") {
     val docs = Tables.table(spark, sfDir, "documents")
     val plan = TextDedup.minhashSignatures(docs, "doc_id", "text")
