@@ -159,17 +159,32 @@ object TextDedup {
     agged.select(col(idCol), fp.as("simhash"))
   }
 
-  /** 64-bit SimHash — the production width (simhash16 exists for the
-    * oracle's 16-CASE re-derivation). Bit source is `xxhash64`, a
-    * codegen'd built-in: one 64-bit hash per token, so cost is
-    * O(tokens) and the whole expression stays in whole-stage codegen.
-    * Same agg shape as simhash16: per-bit signed vote sums in ONE
-    * groupBy pass, then fingerprint assembly.
+  /** md5-derived 64-bit token hash: bits 63..32 from the first 8 hex
+    * chars, 31..0 from the next 8 (shiftleft wraps into the sign bit —
+    * the exact bit pattern survives). Any engine with md5 re-derives
+    * it, so a simhash built on it is oracle-checkable at full 64-bit
+    * width; `xxhash64` stays the cheaper production source.
     */
-  def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def md5Bits64(tok: Column): Column = {
+    val hi = conv(substring(md5(tok), 1, 8), 16, 10).cast("long")
+    val lo = conv(substring(md5(tok), 9, 8), 16, 10).cast("long")
+    shiftleft(hi, 32).bitwiseOR(lo)
+  }
+
+  /** 64-bit SimHash — the production width (simhash16 exists for the
+    * oracle's 16-CASE re-derivation). Default bit source is
+    * `xxhash64`, a codegen'd built-in: one 64-bit hash per token, so
+    * cost is O(tokens) and the whole expression stays in whole-stage
+    * codegen; pass [[md5Bits64]] for the engine-reproducible variant
+    * (the registered oracle query does). Same agg shape as simhash16:
+    * per-bit signed vote sums in ONE groupBy pass, then fingerprint
+    * assembly.
+    */
+  def simhash64(df: DataFrame, idCol: String, textCol: String,
+                bitSource: Column => Column = xxhash64(_)): DataFrame = {
     val tokens = df
       .withColumn("_tok", explode(split(normalizeText(col(textCol)), " ")))
-      .withColumn("_h", xxhash64(col("_tok")))
+      .withColumn("_h", bitSource(col("_tok")))
     val bitSums = (0 until 64).map(b =>
       sum(when(shiftright(col("_h"), b).bitwiseAND(1) === 1, 1).otherwise(-1))
         .as(s"bit_$b"))

@@ -214,12 +214,35 @@ object LlmQueries {
            |SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM bits""".stripMargin
       }),
 
-    // 64-bit production simhash — xxhash64 bit source is Spark-
-    // specific, so no SQL twin (rows-only check); the formula itself
-    // is oracle-proven at 16 bits by dd_simhash above and the
-    // near/far behavior is spec-covered (LlmOpsSpec).
-    "dd_simhash64" -> QueryDef.rowsOnly(
-      (s, dir) => TextDedup.simhash64(docs(s, dir), "doc_id", "text")),
+    // 64-bit simhash, oracle-checked at FULL width via the md5 bit
+    // source (hi/lo 32-bit halves — DuckDB re-derives both and
+    // assembles the signed fingerprint through HUGEINT to express the
+    // sign-bit term). Production default bit source is xxhash64
+    // (cheaper, Spark-specific) — same plan, spec-covered (LlmOpsSpec).
+    "dd_simhash64" -> QueryDef.sql(
+      (s, dir) => TextDedup.simhash64(docs(s, dir), "doc_id", "text",
+        TextDedup.md5Bits64),
+      {
+        val bitSums = (0 until 64).map { b =>
+          val src = if (b < 32) s"(lo >> $b)" else s"(hi >> ${b - 32})"
+          s"SUM(CASE WHEN ($src & 1) = 1 THEN 1 ELSE -1 END) AS b_$b"
+        }.mkString(",\n    ")
+        val fpu = (0 until 64).map { b =>
+          s"(CASE WHEN b_$b > 0 THEN CAST('${BigInt(1) << b}' AS HUGEINT) ELSE CAST(0 AS HUGEINT) END)"
+        }.mkString(" + ")
+        s"""WITH n AS (SELECT doc_id, ${normSql("text")} AS t FROM documents),
+           |toks AS (SELECT doc_id, unnest(string_split(t, ' ')) AS tok FROM n),
+           |hs AS (SELECT doc_id,
+           |         CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) AS hi,
+           |         CAST(concat('0x', substr(md5(tok), 9, 8)) AS BIGINT) AS lo FROM toks),
+           |bits AS (SELECT doc_id, $bitSums FROM hs GROUP BY doc_id),
+           |fpu AS (SELECT doc_id, $fpu AS u FROM bits)
+           |SELECT doc_id,
+           |  CAST(CASE WHEN u >= CAST('9223372036854775808' AS HUGEINT)
+           |            THEN u - CAST('18446744073709551616' AS HUGEINT)
+           |            ELSE u END AS BIGINT) AS simhash64
+           |FROM fpu""".stripMargin
+      }),
 
     "dd_ngram_jaccard" -> QueryDef.sql(
       (s, dir) =>
