@@ -108,6 +108,13 @@ object Similarity {
     * reassembly) — O(iters) scans, no quadratic work. The k×dim
     * centroid matrix is collected to the driver each round: that is
     * index-build control plane (a few KB), not data.
+    *
+    * Deterministic CROSS-ENGINE, not just cross-run: assignment
+    * scores are rounded to 6 dp (centroid-id tiebreak) and cell means
+    * go through an exact decimal sum (FP addition is not associative
+    * — a parallel double mean is partitioning-dependent), so an
+    * engine re-running the same recipe sequentially (the DuckDB
+    * oracle does, unrolled) reproduces every centroid bit-for-bit.
     */
   def kmeansCentroids(df: DataFrame, idCol: String, vecCol: String,
                       k: Int, iters: Int = 5): DataFrame = {
@@ -128,7 +135,8 @@ object Similarity {
         .withColumn("_norm", l2Norm(col("v")))
         .crossJoin(cDf)
         .withColumn("_cos",
-          dot(col("v"), col("centroid_vec")) / (col("_norm") * col("centroid_norm")))
+          round(dot(col("v"), col("centroid_vec")) /
+            (col("_norm") * col("centroid_norm")), 6))
       val w = Window.partitionBy(col("vid"))
         .orderBy(col("_cos").desc, col("centroid_id").asc)
       val cells = scored.withColumn("_r", row_number().over(w))
@@ -136,7 +144,9 @@ object Similarity {
         .select(col("centroid_id"), col("v"))
       val means = cells
         .select(col("centroid_id"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy("centroid_id", "pos").agg(avg(col("x")).as("m"))
+        .groupBy("centroid_id", "pos")
+        .agg((sum(col("x").cast("decimal(38,12)")).cast("double") /
+          count(lit(1))).as("m"))
         .collect()
       val byCell = means.groupBy(_.getInt(0)).map { case (cid, rows) =>
         cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq

@@ -312,12 +312,14 @@ object LlmQueries {
          |  FROM sc)
          |WHERE rank <= 10""".stripMargin),
 
-    // IVF with k-means-trained cells — the data-adaptive index build.
-    // Lloyd iterations aren't practically SQL-expressible, so this is
-    // a rows-only check; centroid convergence and recall are
-    // spec-covered (LlmOpsSpec), and the probe/join plan is the
-    // oracle-proven ann_ivf_topk shape.
-    "ann_ivf_kmeans_topk" -> QueryDef.rowsOnly(
+    // IVF with k-means-trained cells — the data-adaptive index build,
+    // oracle-checked END TO END: kmeansCentroids is cross-engine
+    // deterministic (round-6 assignment scores, exact decimal cell
+    // means — see its scaladoc), so the oracle unrolls the 3 Lloyd
+    // iterations as SQL CTEs (assign → argmax → per-dim exact mean →
+    // coalesce empty cells) and reproduces every centroid bit-for-bit
+    // before running the oracle-proven ann_ivf_topk probe/join shape.
+    "ann_ivf_kmeans_topk" -> QueryDef.sql(
       (s, dir) => {
         val e = emb(s, dir)
         Similarity.ivfTopK(e, e.filter(col("vec_id") < 5),
@@ -325,6 +327,66 @@ object LlmQueries {
           centroidsOverride =
             Some(Similarity.kmeansCentroids(e, "vec_id", "embedding", k = 8, iters = 3)))
           .withColumn("rank", col("rank").cast("int"))
+      },
+      {
+        val iters = 3
+        val itSql = (1 to iters).map { i =>
+          s"""asg$i AS (
+             |  SELECT v.vid, v.v, c.centroid_id,
+             |         round(${cosineSql("v.v", "c.cv")}, 6) AS cc
+             |  FROM vecs v, cent${i - 1} c),
+             |cell$i AS (
+             |  SELECT vid, v, centroid_id FROM (
+             |    SELECT vid, v, centroid_id,
+             |           row_number() OVER (PARTITION BY vid
+             |                              ORDER BY cc DESC, centroid_id) AS rn
+             |    FROM asg$i) WHERE rn = 1),
+             |mean$i AS (
+             |  SELECT centroid_id, d.i AS pos,
+             |         CAST(SUM(CAST(v[d.i] AS DECIMAL(38,12))) AS DOUBLE)
+             |           / COUNT(*) AS m
+             |  FROM cell$i, generate_series(1, 64) AS d(i)
+             |  GROUP BY 1, 2),
+             |cent$i AS (
+             |  SELECT p.centroid_id, COALESCE(n.nv, p.cv) AS cv
+             |  FROM cent${i - 1} p LEFT JOIN (
+             |    SELECT centroid_id, list(m ORDER BY pos) AS nv
+             |    FROM mean$i GROUP BY 1) n USING (centroid_id))""".stripMargin
+        }.mkString(",\n")
+        s"""WITH vecs AS (
+           |  SELECT vec_id AS vid,
+           |         [CAST(x AS DOUBLE) for x in embedding] AS v
+           |  FROM embeddings),
+           |cent0 AS (
+           |  SELECT CAST(row_number() OVER (ORDER BY vid) - 1 AS INTEGER) AS centroid_id,
+           |         v AS cv
+           |  FROM (SELECT vid, v FROM vecs ORDER BY vid LIMIT 8)),
+           |$itSql,
+           |asgF AS (
+           |  SELECT v.vid, c.centroid_id,
+           |         round(${cosineSql("v.v", "c.cv")}, 6) AS cc
+           |  FROM vecs v, cent$iters c),
+           |rankedF AS (
+           |  SELECT vid, centroid_id,
+           |         row_number() OVER (PARTITION BY vid
+           |                            ORDER BY cc DESC, centroid_id) AS rn
+           |  FROM asgF),
+           |cells AS (SELECT vid AS cand_id, centroid_id FROM rankedF WHERE rn = 1),
+           |probes AS (SELECT vid AS query_id, centroid_id FROM rankedF
+           |           WHERE rn = 1 AND vid < 5),
+           |sc AS (
+           |  SELECT p.query_id, ce.cand_id,
+           |         round(${cosineSql("eq.embedding", "ec.embedding")}, 6) AS cos_sim
+           |  FROM probes p
+           |  JOIN cells ce USING (centroid_id)
+           |  JOIN embeddings eq ON eq.vec_id = p.query_id
+           |  JOIN embeddings ec ON ec.vec_id = ce.cand_id
+           |  WHERE p.query_id <> ce.cand_id)
+           |SELECT query_id, cand_id, cos_sim, rank FROM (
+           |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+           |              ORDER BY cos_sim DESC, cand_id) AS INTEGER) AS rank
+           |  FROM sc)
+           |WHERE rank <= 10""".stripMargin
       }),
 
     "ann_ivf_topk" -> QueryDef.sql(
