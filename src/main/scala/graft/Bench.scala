@@ -50,8 +50,18 @@ object Bench {
 
     spark.range(1000000).selectExpr("sum(id)").collect() // JVM/codegen warmup
 
+    // BENCH_QUERIES overrides the set: "all" sweeps the entire
+    // registry (catches expensive queries invisible in the headline
+    // set — a 752s regression once hid there), or a comma-separated
+    // name list for focused profiling. Unset → headline contract set.
+    val selected: Seq[String] = sys.env.get("BENCH_QUERIES") match {
+      case Some("all") => SparkEntry.queries.keys.toSeq.sorted
+      case Some(list)  => list.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      case None        => headline
+    }
+
     def runOnce(dir: String): Seq[(String, Double)] =
-      headline.filter(SparkEntry.queries.contains).map { name =>
+      selected.filter(SparkEntry.queries.contains).map { name =>
         val fn = SparkEntry.queries(name)
         val t0 = System.nanoTime()
         try fn(spark, dir).write.format("noop").mode("overwrite").save()
@@ -72,10 +82,11 @@ object Bench {
     if (warmDir != sfDir) runOnce(warmDir)
 
     // Per-query minimum across iterations (steady state, GC-noise-free).
-    // Default 2: a single contended iteration (concurrent JVM stealing
-    // cores) can otherwise own the recorded number — the min of two runs
-    // defends the record at the cost of one extra pass.
-    val repeat = sys.env.getOrElse("BENCH_REPEAT", "2").toInt max 1
+    // Default 3: a single contended iteration (concurrent JVM stealing
+    // cores) can otherwise own the recorded number — the per-query min
+    // across three runs defends the record at the cost of two extra
+    // passes (~20s at sf0.1, cheap next to session startup).
+    val repeat = sys.env.getOrElse("BENCH_REPEAT", "3").toInt max 1
     val runs = (1 to repeat).map(_ => runOnce(sfDir))
     val results = runs.head.map(_._1).map { name =>
       name -> runs.map(_.toMap.apply(name)).min
