@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Canonical SparkSession builder for the engine — the one public
+  * entrypoint a library user configures a session through. Centralizes
+  * the confs the engine's semantics depend on, so every session
+  * (user app, Verify, Bench, tests) agrees:
+  *
+  *  - UTC session timezone: timestamp results are engine-reproducible
+  *    (oracle comparisons are tz-strict).
+  *  - TIMESTAMP_MICROS parquet output: Spark's INT96 default reads
+  *    back as nanos and OVERFLOWS year-9999 SCD2 sentinels.
+  *  - AQE on: runtime coalescing/skew-join — the 100-TB re-plan path.
+  *  - GraftExtensions: registers the engine's codegen'd Catalyst
+  *    expressions (poly_hash64, minhash_sigs, packed_shingles,
+  *    jaccard_sorted) as SQL functions.
+  *
+  * `spark.sql.shuffle.partitions` defaults to the cluster's core
+  * count when given (local mode: pass the parallelism you run with —
+  * the 200 default is wrong for a laptop and for a 1000-executor
+  * cluster alike).
+  */
+object GraftSession {
+
+  def builder(appName: String = "graft",
+              master: Option[String] = None,
+              shufflePartitions: Option[Int] = None): SparkSession.Builder = {
+    val b = SparkSession.builder()
+      .appName(appName)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+    val withMaster = master.fold(b)(b.master)
+    shufflePartitions.fold(withMaster)(n =>
+      withMaster.config("spark.sql.shuffle.partitions", n))
+  }
+
+  /** Local session sized to `cpus` threads — the shape Verify/Bench
+    * and tests run with.
+    */
+  def local(appName: String, cpus: Int, uiEnabled: Boolean = false): SparkSession =
+    builder(appName, Some(s"local[$cpus]"), Some(cpus))
+      .config("spark.ui.enabled", uiEnabled.toString)
+      .getOrCreate()
+}

@@ -123,6 +123,45 @@ object LlmQueries {
       s"""SELECT doc_id, md5(${normSql("text")}) AS fingerprint
          |FROM documents""".stripMargin),
 
+    // ───── end-to-end corpus curation: quality gate → exact dedup →
+    // per-language corpus stats (docs kept, total BPE-ish tokens,
+    // exact-mean quality). The integration query a training-data
+    // pipeline actually runs — every stage is an operator that is
+    // also individually oracle-proven above; this checks their
+    // COMPOSITION (filter ordering, dedup key on the filtered set,
+    // aggregate determinism) end to end. One scan, one dedup shuffle,
+    // one agg shuffle — no operator adds a pass.
+    "llm_corpus_pipeline" -> QueryDef.sql(
+      (s, dir) => {
+        val scored = TextAnalysis.withQualityFeatures(docs(s, dir), "text")
+          .filter(col("quality_score") >= 0.5)
+        TextDedup.dedupExact(scored, "doc_id", "text")
+          .withColumn("regex_tokens", TextAnalysis.regexTokenCount(col("text")))
+          .groupBy("lang")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("regex_tokens")).cast("long").as("total_tokens"),
+            round(sum(col("quality_score").cast("decimal(30,4)")).cast("double") /
+              count(lit(1)), 4).as("avg_quality"))
+      },
+      s"""WITH q AS (
+         |  SELECT doc_id, lang, text,
+         |    round(
+         |      least(CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) / 50.0, 1.0) * 0.5 +
+         |      (1.0 - least(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s\\x{4e00}-\\x{9fff}]')) AS DOUBLE)
+         |                     / CAST(greatest(length(text), 1) AS DOUBLE) * 5.0, 1.0)) * 0.5, 4) AS quality_score
+         |  FROM documents),
+         |kept AS (SELECT * FROM q WHERE quality_score >= 0.5),
+         |dedup AS (
+         |  SELECT * FROM kept
+         |  QUALIFY row_number() OVER (PARTITION BY md5(${normSql("text")})
+         |                             ORDER BY doc_id) = 1)
+         |SELECT lang,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT) AS total_tokens,
+         |  round(CAST(SUM(CAST(quality_score AS DECIMAL(30,4))) AS DOUBLE) / COUNT(*), 4) AS avg_quality
+         |FROM dedup GROUP BY 1""".stripMargin),
+
     // ───── custom Catalyst expression: codegen'd rolling hash
     // (poly_hash64 via GraftExtensions). DuckDB twin re-derives the
     // wrapping 64-bit fold with HUGEINT mod arithmetic.

@@ -36,6 +36,23 @@ object StreamingQueries {
         |FROM events
         |GROUP BY 1, 2, 3""".stripMargin),
 
+    // ───── the SAME window aggregate through the real streaming
+    // engine (readStream → Complete-mode agg → AvailableNow → memory
+    // sink): the oracle is identical to ev_window_agg's, so the gate
+    // verifies the streaming code path end-to-end, not just its batch
+    // twin. Exact decimal sum ⇒ micro-batch order can't show.
+    "ev_stream_window_agg" -> QueryDef.sql(
+      (s, dir) =>
+        graft.streaming.EventStream.windowedAggAvailableNow(
+          s, s"$dir/events.parquet"),
+      """SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,
+        |       time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) + INTERVAL 1 HOUR AS window_end,
+        |       event_type,
+        |       COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value
+        |FROM events
+        |GROUP BY 1, 2, 3""".stripMargin),
+
     // ───── as-of join: each click attached to the user's latest
     // at-or-before purchase (DuckDB verifies with its native ASOF
     // JOIN — our composed union-sort-window must match it exactly)

@@ -63,6 +63,56 @@ object EventStream {
       }
       .start()
 
+  /** Run the REAL streaming engine over the events table and return
+    * the final windowed aggregate: file-source readStream →
+    * [[windowedAgg]]'s grouping in Complete mode → memory sink, with
+    * `Trigger.AvailableNow` so the query processes every file then
+    * stops (the batch-bounded replay mode — same code path a live
+    * deployment runs, minus an unbounded source). Complete mode emits
+    * every window in the final result, so the answer equals the batch
+    * twin `ev_window_agg` bit-for-bit (the sum is an exact decimal —
+    * associative, so micro-batch accumulation order can't show).
+    *
+    * Scale note: Complete mode holds all windows in state — right for
+    * bounded replay/verification; an unbounded deployment uses
+    * [[windowedAgg]]'s watermarked Append mode + [[sinkToLake]].
+    */
+  def windowedAggAvailableNow(spark: SparkSession, eventsPath: String,
+                              windowDur: String = "1 hour",
+                              queryName: String = "ev_stream_window_agg"): DataFrame = {
+    // events.parquet carries TIMESTAMP(NANOS) — same legacy-conf read
+    // + micros conversion as Tables.events, applied to the stream
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(eventsPath).schema
+    // the file streaming source requires a directory (or glob) path;
+    // when handed a single parquet FILE, rewrite it as a {name} glob
+    // under its parent so the same call works for files and
+    // directories alike
+    val p = new org.apache.hadoop.fs.Path(eventsPath)
+    val conf = spark.sessionState.newHadoopConf()
+    val streamPath =
+      if (p.getFileSystem(conf).getFileStatus(p).isDirectory) eventsPath
+      else s"${p.getParent}/{${p.getName}}"
+    val stream = spark.readStream.schema(schema).parquet(streamPath)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val agg = stream
+      .groupBy(window(col("ts"), windowDur), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(30,6)")).cast("double").as("total_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n_events"), col("total_value"))
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
   /** Streaming exact deduplication for ingest pipelines: drop events
     * whose dedup key was already seen, with state bounded by the
     * event-time watermark (`dropDuplicatesWithinWatermark` — a late

@@ -51,6 +51,14 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("windowedAggAvailableNow (real engine, AvailableNow) equals the batch query") {
+    val streamed = EventStream.windowedAggAvailableNow(
+      spark, s"$sfDir/events.parquet", queryName = "spec_stream_agg")
+    val batch = graft.SparkEntry.queries("ev_window_agg")(spark, sfDir)
+    assert(streamed.count() === batch.count())
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("runningUserCounts converges to the batch per-user totals") {
     val stream = EventStream.readEventStream(spark, streamDir, staticEvents.schema)
     val q = EventStream.runningUserCounts(stream).writeStream
