@@ -75,4 +75,44 @@ object TextAnalysis {
     * key. (Near-dup fingerprints live in TextDedup: minhash/simhash.)
     */
   def fingerprint(text: Column): Column = md5(normalizeText(text))
+
+  // ───────────────────────── PII scrubbing ─────────────────────────
+
+  /** Engine-portable PII patterns (RE2-safe: no backrefs/lookaround,
+    * so the DuckDB oracle runs the identical regex). Deliberately
+    * C4-style coarse — a production pipeline layers locale-specific
+    * patterns on the same plumbing.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "\\+?[0-9][0-9()\\- ]{7,}[0-9]"
+
+  /** C4-style PII scrub: count then redact emails and phone numbers
+    * (emails first — a phone pattern can never span a redacted email
+    * but not vice versa). Pure per-row projection: shuffle-free,
+    * codegen'd, linear in corpus size.
+    */
+  def scrubPii(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_emails", regexp_count(t, lit(EmailPattern)))
+      .withColumn("n_phones", regexp_count(t, lit(PhonePattern)))
+      .withColumn("clean_text",
+        regexp_replace(regexp_replace(t, EmailPattern, "[EMAIL]"),
+          PhonePattern, "[PHONE]"))
+  }
+
+  // ─────────────────────── repetition scoring ───────────────────────
+
+  /** Gopher-style within-document repetition: 1 − distinct/total
+    * character n-grams of the normalized text (0 = all unique, → 1 as
+    * the doc degenerates into repeated boilerplate). Shuffle-free
+    * projection; the shingle arrays never leave the row.
+    */
+  def repetitionRatio(df: DataFrame, textCol: String, n: Int = 5): DataFrame =
+    df.withColumn("_norm", normalizeText(col(textCol)))
+      .withColumn("_total", greatest(length(col("_norm")) - (n - 1), lit(1)))
+      .withColumn("repetition_ratio",
+        round(lit(1.0) -
+          size(TextDedup.shingleExpr("_norm", n)).cast("double") /
+            col("_total").cast("double"), 4))
+      .drop("_norm", "_total")
 }

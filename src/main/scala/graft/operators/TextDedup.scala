@@ -263,6 +263,39 @@ object TextDedup {
       .select("id_1", "id_2", "jaccard")
   }
 
+  // ───────────────────── contamination check ─────────────────────
+
+  /** Train/eval contamination detection: corpus docs sharing at least
+    * `minCommon` distinct character n-grams with an eval/benchmark
+    * doc — the train-test-overlap sweep a training pipeline runs
+    * before a corpus ships. Returns (doc_id, eval_id, n_common).
+    *
+    * Shape for 100 TB: the eval set is always small (benchmarks), so
+    * its exploded shingle table is BROADCAST — the corpus explodes,
+    * hash-joins against it map-side (no corpus shuffle), and only the
+    * surviving (doc, eval) pairs reach the count aggregate. Shingles
+    * are packed longs ([[graft.plans.PackedShingles]], n ≤ 8) so the
+    * join keys are 8 bytes, not strings; packing is bijective so the
+    * overlap COUNT equals the string formulation the oracle runs.
+    */
+  def contaminationPairs(corpus: DataFrame, evalSet: DataFrame,
+                         idCol: String, textCol: String,
+                         shingleSize: Int = 8,
+                         minCommon: Int = 20): DataFrame = {
+    graft.plans.GraftExtensions.register(corpus.sparkSession)
+    def shingled(df: DataFrame, outId: String) = df
+      .filter(col(textCol).isNotNull)
+      .withColumn("_norm", normalizeText(col(textCol)))
+      .select(col(idCol).as(outId),
+        explode(expr(s"packed_shingles(_norm, $shingleSize)")).as("_sh"))
+    corpus.transform(shingled(_, "doc_id"))
+      .join(broadcast(evalSet.transform(shingled(_, "eval_id"))), "_sh")
+      .filter(col("doc_id") =!= col("eval_id"))
+      .groupBy("doc_id", "eval_id")
+      .agg(count(lit(1)).as("n_common"))
+      .filter(col("n_common") >= minCommon)
+  }
+
   /** Blocks rejected by [[ngramJaccardPairs]]'s size cap, with their
     * sizes — the observability companion to [[lshOversizedBuckets]]:
     * the pair join silently excludes blocks larger than

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.QueryDef
-import graft.operators.{Multimodal, Similarity, TextAnalysis, TextDedup}
+import graft.operators.{Multimodal, Sampling, Similarity, TextAnalysis, TextDedup}
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -122,6 +122,79 @@ object LlmQueries {
           col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint")),
       s"""SELECT doc_id, md5(${normSql("text")}) AS fingerprint
          |FROM documents""".stripMargin),
+
+    // ───── C4-style PII scrub. The synthetic docs carry no PII, so
+    // the query plants a deterministic email+phone per doc (same
+    // expression in both engines) and verifies count + redaction.
+    "ta_pii_scrub" -> QueryDef.sql(
+      (s, dir) => {
+        val planted = docs(s, dir).select(col("doc_id"),
+          concat(col("text"), lit(" reach user"), col("doc_id"),
+            lit("@example.com or +1 555-867-"),
+            (lit(1000) + pmod(col("doc_id"), lit(9000))).cast("string")).as("text"))
+        TextAnalysis.scrubPii(planted, "text")
+          .select("doc_id", "n_emails", "n_phones", "clean_text")
+      },
+      s"""WITH planted AS (
+         |  SELECT doc_id,
+         |         concat(text, ' reach user', doc_id, '@example.com or +1 555-867-',
+         |                CAST(1000 + doc_id % 9000 AS VARCHAR)) AS text
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '${TextAnalysis.EmailPattern}')) AS INTEGER) AS n_emails,
+         |  CAST(len(regexp_extract_all(text, '${TextAnalysis.PhonePattern}')) AS INTEGER) AS n_phones,
+         |  regexp_replace(regexp_replace(text, '${TextAnalysis.EmailPattern}', '[EMAIL]', 'g'),
+         |                 '${TextAnalysis.PhonePattern}', '[PHONE]', 'g') AS clean_text
+         |FROM planted""".stripMargin),
+
+    // ───── Gopher-style within-doc repetition score.
+    "ta_repetition" -> QueryDef.sql(
+      (s, dir) =>
+        TextAnalysis.repetitionRatio(docs(s, dir), "text")
+          .select("doc_id", "repetition_ratio"),
+      s"""WITH n AS (SELECT doc_id, ${normSql("text")} AS t FROM documents)
+         |SELECT doc_id,
+         |  round(1.0 -
+         |    CAST(len(list_distinct([substring(t, i, 5)
+         |           for i in generate_series(1, greatest(length(t) - 4, 1))])) AS DOUBLE)
+         |    / CAST(greatest(length(t) - 4, 1) AS DOUBLE), 4) AS repetition_ratio
+         |FROM n""".stripMargin),
+
+    // ───── train/eval contamination sweep: docs sharing ≥20 distinct
+    // 8-gram shingles with an "eval set" (docs 0-9). The oracle
+    // intersects string shingle sets; the Spark side joins packed-long
+    // shingles against the BROADCAST eval side — bijective packing ⇒
+    // identical counts.
+    "dd_contamination" -> QueryDef.sql(
+      (s, dir) => {
+        val d = docs(s, dir)
+        TextDedup.contaminationPairs(d, d.filter(col("doc_id") < 10),
+          "doc_id", "text")
+      },
+      s"""WITH n AS (SELECT doc_id, ${normSql("text")} AS t FROM documents),
+         |shl AS (
+         |  SELECT doc_id,
+         |         list_distinct([substring(t, i, 8)
+         |           for i in generate_series(1, greatest(length(t) - 7, 1))]) AS sh
+         |  FROM n),
+         |ev AS (SELECT doc_id AS eval_id, sh FROM shl WHERE doc_id < 10)
+         |SELECT c.doc_id, e.eval_id,
+         |       CAST(len(list_intersect(c.sh, e.sh)) AS BIGINT) AS n_common
+         |FROM shl c, ev e
+         |WHERE c.doc_id <> e.eval_id
+         |  AND len(list_intersect(c.sh, e.sh)) >= 20""".stripMargin),
+
+    // ───── deterministic stratified sampling (corpus mixing): per-
+    // language keep-rates as a pure function of md5(doc_id) — the same
+    // rows survive in any engine, run, or partitioning.
+    "corpus_sample" -> QueryDef.sql(
+      (s, dir) =>
+        Sampling.stratifiedSample(docs(s, dir), "doc_id", "lang",
+          Map("en" -> 50, "es" -> 25), defaultPct = 10)
+          .select("doc_id", "lang"),
+      """SELECT doc_id, lang FROM documents
+        |WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 100
+        |      < (CASE lang WHEN 'es' THEN 25 WHEN 'en' THEN 50 ELSE 10 END)""".stripMargin),
 
     // ───── end-to-end corpus curation: quality gate → exact dedup →
     // per-language corpus stats (docs kept, total BPE-ish tokens,

@@ -71,6 +71,64 @@ class LlmOpsSpec extends SparkSpec {
       s"capped blocks leaked into the pair join: ${pairedLangs.intersect(overLangs)}")
   }
 
+  test("scrubPii counts and redacts planted emails and phone numbers") {
+    val rows = Seq(
+      (1, "write to alice.smith@corp.example.org today"),
+      (2, "call +1 (555) 867-5309 or 555 123 4567 now"),
+      (3, "no contact info here at all")).toDF("id", "text")
+    val out = graft.operators.TextAnalysis.scrubPii(rows, "text")
+      .orderBy("id").collect()
+    assert(out(0).getAs[Int]("n_emails") === 1)
+    assert(out(0).getAs[String]("clean_text").contains("[EMAIL]"))
+    assert(!out(0).getAs[String]("clean_text").contains("@"))
+    assert(out(1).getAs[Int]("n_phones") === 2)
+    assert(!out(1).getAs[String]("clean_text").exists(_.isDigit))
+    assert(out(2).getAs[Int]("n_emails") === 0)
+    assert(out(2).getAs[Int]("n_phones") === 0)
+    assert(out(2).getAs[String]("clean_text") === "no contact info here at all")
+  }
+
+  test("repetitionRatio separates boilerplate from varied text") {
+    val rows = Seq(
+      (1, ("spam and eggs " * 50).trim),            // heavy repetition
+      (2, "the quick brown fox jumps over a lazy dog near riverbank")) // varied
+      .toDF("id", "text")
+    val out = graft.operators.TextAnalysis.repetitionRatio(rows, "text")
+      .orderBy("id").collect()
+    val rep = out(0).getAs[Double]("repetition_ratio")
+    val varied = out(1).getAs[Double]("repetition_ratio")
+    assert(rep > 0.9, s"boilerplate scored $rep")
+    assert(varied < 0.2, s"varied text scored $varied")
+  }
+
+  test("contaminationPairs flags a planted eval-doc copy with maximal overlap") {
+    val evalSet = docs.filter($"doc_id" < 10).select("doc_id", "text")
+    // plant a verbatim copy of eval doc 3 into the corpus at id 30000
+    val corpus = docs.select("doc_id", "text").unionByName(
+      docs.filter($"doc_id" === 3)
+        .select(lit(30000L).as("doc_id"), $"text"))
+    val pairs = TextDedup.contaminationPairs(corpus, evalSet, "doc_id", "text")
+    val planted = pairs.filter($"doc_id" === 30000 && $"eval_id" === 3)
+      .select("n_common").as[Long].collect()
+    assert(planted.length === 1 && planted(0) > 100,
+      s"planted copy overlap: ${planted.toSeq}")
+  }
+
+  test("hash sampling is deterministic, rate-accurate, and stratified") {
+    val s1 = graft.operators.Sampling.sampleByHash(docs, "doc_id", 30)
+      .select("doc_id").as[Long].collect().toSet
+    val s2 = graft.operators.Sampling.sampleByHash(
+      docs.repartition(7), "doc_id", 30)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s1 === s2, "sample changed under repartitioning")
+    val rate = s1.size.toDouble / docs.count()
+    assert(rate > 0.2 && rate < 0.4, s"30% sample kept $rate")
+    val strat = graft.operators.Sampling.stratifiedSample(
+      docs, "doc_id", "lang", Map("en" -> 100), defaultPct = 0)
+    assert(strat.filter($"lang" =!= "en").count() === 0)
+    assert(strat.count() === docs.filter($"lang" === "en").count())
+  }
+
   test("simhash gives identical fingerprints to identical texts") {
     val corpus = docs.select("doc_id", "text")
       .unionByName(docs.select(($"doc_id" + 20000).as("doc_id"), $"text"))
