@@ -66,4 +66,30 @@ class PlanContractsSpec extends SparkSpec {
       assert(countLines(p, "Exchange") === 0, s"$name:\n$p")
     }
   }
+
+  test("dd_contamination: eval side broadcast, corpus never shuffles pre-join") {
+    val p = plan("dd_contamination")
+    assert(countLines(p, "BroadcastHashJoin") === 1, p)
+    assert(countLines(p, "SortMergeJoin") === 0, p)
+    // the only non-broadcast exchange is the (doc, eval) count agg —
+    // the exploded corpus itself joins map-side
+    val shuffles = p.linesIterator
+      .filter(_.contains("Exchange")).filterNot(_.contains("BroadcastExchange"))
+    assert(shuffles.size === 1, p)
+  }
+
+  test("corpus_sample and ta_pii_scrub: shuffle-free scan-side work") {
+    for (name <- Seq("corpus_sample", "ta_pii_scrub")) {
+      val p = plan(name)
+      assert(countLines(p, "Exchange") === 0, s"$name:\n$p")
+    }
+  }
+
+  test("llm_corpus_pipeline: exactly two shuffles (dedup window + lang agg)") {
+    val p = plan("llm_corpus_pipeline")
+    val shuffles = p.linesIterator
+      .filter(_.contains("Exchange")).filterNot(_.contains("BroadcastExchange"))
+    assert(shuffles.size === 2, p)
+    assert(p.contains("partial_"), p) // lang agg combines map-side
+  }
 }
