@@ -36,12 +36,18 @@ object Verify {
   }
 
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // args: sfDir outDir [queryName...] — trailing names restrict the
+    // dump to a subset (debugging aid; the driver passes two args)
+    val (sfDir, outDir) = (args(0), args(1))
+    val only = args.drop(2).toSet
+    val selected =
+      if (only.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.filter { case (k, _) => only(k) }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val spark = GraftSession.local("graft-verify", cpus)
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    selected.foreach { case (name, fn) =>
       try normalizeTimestamps(fn(spark, sfDir)).coalesce(1).write
         .mode("overwrite").parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -263,6 +263,58 @@ object TextDedup {
       .select("id_1", "id_2", "jaccard")
   }
 
+  // ───────────────── duplicate clustering (components) ─────────────────
+
+  /** Connected components over a near-dup pair list — the step between
+    * pair generation (LSH/Jaccard/simhash) and survivorship: every doc
+    * in a transitive duplicate group gets the group's minimum id as
+    * `cluster_id`. Min-label propagation to FIXPOINT: each round every
+    * vertex takes the min of its own and its neighbors' labels; a
+    * round with zero changes proves convergence (labels equal the
+    * component minimum — exactly the oracle's recursive closure).
+    *
+    * Scale: each round is one hash-shuffle join (edges ⋈ labels on the
+    * neighbor key) + one min-agg; rounds needed = component diameter,
+    * and near-dup components are band-join near-cliques (diameter ≲ 3)
+    * — not long chains. Each round's result is EAGERLY
+    * local-checkpointed: `labels` appears on both sides of the round's
+    * join, so without lineage truncation the logical plan DOUBLES per
+    * round and the analyzer (not the data) blows the heap after ~10
+    * rounds. Local checkpoints keep iteration cost flat; on a real
+    * cluster prefer reliable `checkpoint()` (executor loss recovery).
+    * If components WERE long paths, switch to large-star/small-star
+    * (alternating min-propagation that squares path lengths per
+    * round) on the identical frame contract.
+    */
+  def dupClusters(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+    val edges = pairs.select(col("id_1").as("src"), col("id_2").as("dst"))
+      .unionByName(pairs.select(col("id_2").as("src"), col("id_1").as("dst")))
+      .distinct().localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster_id", col("id")).localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("dst"), col("cluster_id").as("_nl")), "dst")
+        .groupBy(col("src").as("id")).agg(min("_nl").as("_nmin"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster_id"), coalesce(col("_nmin"), col("cluster_id")))
+            .as("cluster_id"))
+        .localCheckpoint(true)
+      converged = next.join(labels.withColumnRenamed("cluster_id", "_old"), "id")
+        .filter(col("cluster_id") =!= col("_old")).isEmpty
+      labels.unpersist(blocking = false) // drop the superseded checkpoint blocks
+      labels = next
+      iter += 1
+    }
+    edges.unpersist(blocking = false)
+    require(converged, s"dupClusters did not converge in $maxIters rounds " +
+      "— components are pathological chains; use star-contraction here")
+    labels.select(col("id").as("doc_id"), col("cluster_id"))
+  }
+
   // ───────────────────── contamination check ─────────────────────
 
   /** Train/eval contamination detection: corpus docs sharing at least

@@ -45,6 +45,26 @@ object LlmQueries {
       |  UNION ALL
       |  SELECT doc_id + 10000, text || ' copy', lang FROM documents)""".stripMargin
 
+  /** CTE chain deriving the LSH band table (shared by the minhash
+    * pair and cluster oracles). Defined lazily: references
+    * `shinglesSql`, which is declared below.
+    */
+  private lazy val minhashBandsCtes =
+    s"""$nearDupCorpusSql,
+       |$shinglesSql,
+       |sh AS (SELECT doc_id, md5(unnest(sh)) AS h FROM shl),
+       |sig AS (
+       |  SELECT doc_id,
+       |    MIN(substr(h, 1, 5)) AS sig_0, MIN(substr(h, 6, 5)) AS sig_1,
+       |    MIN(substr(h, 11, 5)) AS sig_2, MIN(substr(h, 16, 5)) AS sig_3,
+       |    MIN(substr(h, 21, 5)) AS sig_4, MIN(substr(h, 26, 5)) AS sig_5
+       |  FROM sh GROUP BY doc_id),
+       |bands AS (
+       |  SELECT doc_id, 0 AS band_id,
+       |         md5(concat_ws(',', sig_0, sig_1, sig_2)) AS band_hash FROM sig
+       |  UNION ALL
+       |  SELECT doc_id, 1, md5(concat_ws(',', sig_3, sig_4, sig_5)) FROM sig)""".stripMargin
+
   private val shinglesSql =
     s"""n AS (SELECT doc_id, lang, ${normSql("text")} AS t FROM corpus),
        |shl AS (
@@ -289,24 +309,39 @@ object LlmQueries {
         TextDedup.lshCandidatePairs(
           TextDedup.lshBands(sigs, "doc_id"), "doc_id")
       },
-      s"""WITH $nearDupCorpusSql,
-         |$shinglesSql,
-         |sh AS (SELECT doc_id, md5(unnest(sh)) AS h FROM shl),
-         |sig AS (
-         |  SELECT doc_id,
-         |    MIN(substr(h, 1, 5)) AS sig_0, MIN(substr(h, 6, 5)) AS sig_1,
-         |    MIN(substr(h, 11, 5)) AS sig_2, MIN(substr(h, 16, 5)) AS sig_3,
-         |    MIN(substr(h, 21, 5)) AS sig_4, MIN(substr(h, 26, 5)) AS sig_5
-         |  FROM sh GROUP BY doc_id),
-         |bands AS (
-         |  SELECT doc_id, 0 AS band_id,
-         |         md5(concat_ws(',', sig_0, sig_1, sig_2)) AS band_hash FROM sig
-         |  UNION ALL
-         |  SELECT doc_id, 1, md5(concat_ws(',', sig_3, sig_4, sig_5)) FROM sig)
+      s"""WITH $minhashBandsCtes
          |SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2
          |FROM bands a JOIN bands b
          |  ON a.band_id = b.band_id AND a.band_hash = b.band_hash
          | AND a.doc_id < b.doc_id""".stripMargin),
+
+    // ───── pairs → clusters: connected components over the LSH pair
+    // list (min-label propagation to fixpoint). The oracle proves the
+    // fixpoint IS the transitive closure: a recursive CTE walks
+    // reachability and takes each vertex's minimum reachable id.
+    "dd_dup_clusters" -> QueryDef.sql(
+      (s, dir) => {
+        val sigs = TextDedup.minhashSignatures(nearDupCorpus(s, dir), "doc_id", "text")
+        TextDedup.dupClusters(
+          TextDedup.lshCandidatePairs(
+            TextDedup.lshBands(sigs, "doc_id"), "doc_id"))
+      },
+      s"""WITH RECURSIVE $minhashBandsCtes,
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2
+         |  FROM bands a JOIN bands b
+         |    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+         |   AND a.doc_id < b.doc_id),
+         |edges AS (
+         |  SELECT id_1 AS src, id_2 AS dst FROM pairs
+         |  UNION
+         |  SELECT id_2, id_1 FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, re.r FROM edges e JOIN reach re ON re.id = e.dst)
+         |SELECT id AS doc_id, MIN(r) AS cluster_id
+         |FROM reach GROUP BY 1""".stripMargin),
 
     "dd_simhash" -> QueryDef.sql(
       (s, dir) => TextDedup.simhash16(docs(s, dir), "doc_id", "text"),

@@ -71,6 +71,19 @@ class LlmOpsSpec extends SparkSpec {
       s"capped blocks leaked into the pair join: ${pairedLangs.intersect(overLangs)}")
   }
 
+  test("dupClusters: transitive chains collapse to the component minimum") {
+    // chain 1-2-3-4 (diameter 3, needs >1 propagation round), pair 10-11,
+    // and an isolated pair joined out of order
+    val pairs = Seq((2L, 3L), (1L, 2L), (3L, 4L), (10L, 11L), (21L, 20L))
+      .toDF("id_1", "id_2")
+    val clusters = TextDedup.dupClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(clusters(_) == 1L), clusters)
+    assert(clusters(10L) === 10L && clusters(11L) === 10L)
+    assert(clusters(20L) === 20L && clusters(21L) === 20L)
+    assert(clusters.size === 8)
+  }
+
   test("scrubPii counts and redacts planted emails and phone numbers") {
     val rows = Seq(
       (1, "write to alice.smith@corp.example.org today"),
