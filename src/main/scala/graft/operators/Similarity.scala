@@ -100,13 +100,61 @@ object Similarity {
       .select("query_id", "cand_id", "cos_sim", "rank")
   }
 
+  /** Driver-side centroid matrix (id → vector-as-doubles) from a
+    * small centroid frame — index-build CONTROL PLANE (k×dim doubles,
+    * a few KB), never data. Floats are promoted exactly (float→double
+    * is lossless), matching the in-plan `cast("double")` promotion.
+    */
+  private def collectCentroids(centroids: DataFrame, idCol: String,
+                               vecCol: String): Seq[(Long, Array[Double])] =
+    centroids.select(col(idCol).cast("long"), col(vecCol)).collect().toSeq
+      .map { r =>
+        r.getLong(0) -> r.getSeq[Any](1).map {
+          case f: Float  => f.toDouble
+          case d: Double => d
+          case x         => x.toString.toDouble
+        }.toArray
+      }.sortBy(_._1)
+
+  /** Exact replication of [[l2Norm]] for a driver-side vector: same
+    * left-to-right fold, so the double is bit-identical to the plan's.
+    */
+  private def normOf(v: Array[Double]): Double =
+    math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x))
+
+  /** Map-only nearest-centroid assignment: one cosine column per
+    * centroid (each kept as its own projection so codegen never
+    * duplicates the 64-element dot), then a first-max fold — strict
+    * `>` keeps the LOWEST centroid id on ties, exactly the window's
+    * (cos DESC, id ASC) order. Adds `centroid_id`; NO shuffle of the
+    * assigned frame — at 100 TB the corpus is assigned map-side where
+    * the previous window formulation shuffled every row.
+    */
+  private def assignNearest(df: DataFrame, vecCol: String, normCol: String,
+                            cents: Seq[(Long, Array[Double])]): DataFrame = {
+    require(cents.nonEmpty, "no centroids")
+    val scored = cents.foldLeft(df) { case (acc, (cid, cvec)) =>
+      acc.withColumn(s"_cc_$cid",
+        round(dot(col(vecCol), lit(cvec)) / (col(normCol) * lit(normOf(cvec))), 6))
+    }
+    val (_, bestId) = cents.tail.foldLeft(
+      (col(s"_cc_${cents.head._1}"), lit(cents.head._1))) {
+      case ((bc, bi), (cid, _)) =>
+        val c = col(s"_cc_$cid")
+        (when(c > bc, c).otherwise(bc), when(c > bc, lit(cid)).otherwise(bi))
+    }
+    scored.withColumn("centroid_id", bestId)
+      .drop(cents.map(c => s"_cc_${c._1}"): _*)
+  }
+
   /** Deterministic spherical k-means (Lloyd) for IVF centroids:
     * init = first-k vectors by id (deterministic, no RNG), a FIXED
     * number of iterations, cosine-argmax assignment (matching how IVF
-    * probes cells). Per iteration: one broadcast of k centroids, one
-    * argmax pass, one two-level mean agg (groupBy (cell, dim) then
-    * reassembly) — O(iters) scans, no quadratic work. The k×dim
-    * centroid matrix is collected to the driver each round: that is
+    * probes cells). Per iteration: a MAP-ONLY literal-argmax
+    * assignment (centroids live on the driver between rounds — no
+    * crossJoin, no window, no shuffle of the corpus) and one
+    * (cell, dim) mean agg — O(iters) scans, one shuffle per round,
+    * no quadratic work. The k×dim centroid matrix on the driver is
     * index-build control plane (a few KB), not data.
     *
     * Deterministic CROSS-ENGINE, not just cross-run: assignment
@@ -129,18 +177,13 @@ object Similarity {
       vecs.orderBy(col("vid")).limit(k).collect().toSeq
         .zipWithIndex.map { case (r, i) => i -> r.getSeq[Double](1) }
     try for (_ <- 1 to iters) {
-      val cDf = broadcast(centroids.toDF("centroid_id", "centroid_vec")
-        .withColumn("centroid_norm", l2Norm(col("centroid_vec"))))
-      val scored = vecs
-        .withColumn("_norm", l2Norm(col("v")))
-        .crossJoin(cDf)
-        .withColumn("_cos",
-          round(dot(col("v"), col("centroid_vec")) /
-            (col("_norm") * col("centroid_norm")), 6))
-      val w = Window.partitionBy(col("vid"))
-        .orderBy(col("_cos").desc, col("centroid_id").asc)
-      val cells = scored.withColumn("_r", row_number().over(w))
-        .filter(col("_r") === 1)
+      // centroids live on the driver between rounds, so assignment is
+      // the map-only literal argmax — each round is ONE job with ONE
+      // shuffle (the per-(cell, dim) mean agg), no window over a
+      // crossJoin
+      val cents = centroids.map { case (cid, v) => cid.toLong -> v.toArray }
+      val cells = assignNearest(
+        vecs.withColumn("_norm", l2Norm(col("v"))), "v", "_norm", cents)
         .select(col("centroid_id"), col("v"))
       val means = cells
         .select(col("centroid_id"), posexplode(col("v")).as(Seq("pos", "x")))
@@ -148,7 +191,7 @@ object Similarity {
         .agg((sum(col("x").cast("decimal(38,12)")).cast("double") /
           count(lit(1))).as("m"))
         .collect()
-      val byCell = means.groupBy(_.getInt(0)).map { case (cid, rows) =>
+      val byCell = means.groupBy(_.getLong(0).toInt).map { case (cid, rows) =>
         cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
       }
       // empty cells keep their previous centroid
@@ -158,12 +201,12 @@ object Similarity {
   }
 
   /** IVF (inverted-file) ANN: candidates are assigned to their
-    * nearest centroid once (the "index build" — one pass), queries
-    * probe only their own cell. Default centroids are the
-    * deterministic first-k vectors (oracle-expressible); pass
+    * nearest centroid once (the "index build" — one MAP-ONLY pass:
+    * literal argmax against driver-side centroids, the corpus never
+    * shuffles), queries probe only their own cell. Default centroids
+    * are the deterministic first-k vectors (oracle-expressible); pass
     * `centroids = Some(kmeansCentroids(...))` for data-adaptive cells
-    * — the plan shape (broadcast centroids, argmax assignment,
-    * equi-join on cell) is identical either way. Versus LSH: cells
+    * — the plan shape is identical either way. Versus LSH: cells
     * adapt to the data distribution, and probing more cells
     * (`nprobe`) trades recall for cost without rebuilding.
     */
@@ -171,31 +214,44 @@ object Similarity {
               vecCol: String, k: Int, numCentroids: Int = 8,
               nprobe: Int = 1,
               centroidsOverride: Option[DataFrame] = None): DataFrame = {
-    val centroids = broadcast(
+    // centroid matrix to the driver once (control plane): candidate
+    // assignment becomes a map-only literal argmax — the corpus is
+    // NEVER shuffled or crossJoined during the index build
+    val cents = collectCentroids(
       centroidsOverride.getOrElse(
         candidates.orderBy(col(idCol)).limit(numCentroids)
-          .select(col(idCol).as("centroid_id"), col(vecCol).as("centroid_vec")))
-        .withColumn("centroid_norm", l2Norm(col("centroid_vec"))))
+          .select(col(idCol).as("centroid_id"), col(vecCol).as("centroid_vec"))),
+      "centroid_id", "centroid_vec")
 
-    def assign(df: DataFrame, id: String, vec: String, topN: Int): DataFrame = {
-      val scored = df
-        .withColumn("_norm", l2Norm(col(vec)))
-        .crossJoin(centroids)
-        .withColumn("_c_cos",
-          round(dot(col(vec), col("centroid_vec")) /
-            (col("_norm") * col("centroid_norm")), 6))
+    // probe side (the small query set) may need topN > 1 cells: rank
+    // the per-centroid cosine columns with a window — fine to shuffle
+    // a query table, never the corpus
+    def assignTopN(df: DataFrame, id: String, vec: String, topN: Int): DataFrame = {
+      val scored = cents.foldLeft(df.withColumn("_norm", l2Norm(col(vec)))) {
+        case (acc, (cid, cvec)) =>
+          acc.withColumn(s"_cc_$cid",
+            round(dot(col(vec), lit(cvec)) / (col("_norm") * lit(normOf(cvec))), 6))
+      }
+      val unpivoted = scored.select(
+        col(id), col(vec), col("_norm"),
+        explode(array(cents.map { case (cid, _) =>
+          struct(lit(cid).as("centroid_id"), col(s"_cc_$cid").as("_c_cos"))
+        }: _*)).as("_ca"))
+        .select(col(id), col(vec), col("_norm"),
+          col("_ca.centroid_id").as("centroid_id"), col("_ca._c_cos").as("_c_cos"))
       val w = Window.partitionBy(col(id))
         .orderBy(col("_c_cos").desc, col("centroid_id").asc)
-      scored.withColumn("_crank", row_number().over(w))
+      unpivoted.withColumn("_crank", row_number().over(w))
         .filter(col("_crank") <= topN)
-        .drop("centroid_vec", "centroid_norm", "_c_cos", "_crank")
+        .drop("_c_cos", "_crank")
     }
 
-    val cells = assign(
-      candidates.select(col(idCol).as("cand_id"), col(vecCol).as("c_vec")),
-      "cand_id", "c_vec", topN = 1)
+    val cells = assignNearest(
+      candidates.select(col(idCol).as("cand_id"), col(vecCol).as("c_vec"))
+        .withColumn("_norm", l2Norm(col("c_vec"))),
+      "c_vec", "_norm", cents)
       .withColumnRenamed("_norm", "c_norm")
-    val probes = assign(
+    val probes = assignTopN(
       queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")),
       "query_id", "q_vec", topN = nprobe)
       .withColumnRenamed("_norm", "q_norm")
