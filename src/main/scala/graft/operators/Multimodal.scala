@@ -9,12 +9,12 @@ import org.apache.spark.sql.types._
   * Images/audio/video are opaque `binary` columns with typed metadata.
   * The Spark-side plumbing — schema, partitioning, batched
   * per-partition processing (the Scala analog of `mapInPandas`) — is
-  * real and tested. Header-level decoding (format detection + pixel
-  * dimensions for PNG/JPEG/GIF) is REAL, pure-JVM byte parsing
-  * ([[ImageHeader]]); only full pixel/spectral decode remains a
-  * clearly-marked DETERMINISTIC STUB because no codec libraries exist
-  * in this environment. Swapping in a real decoder changes ONE
-  * function body; every plan shape stays.
+  * real and tested. IMAGE decode is REAL end to end: pure-JVM header
+  * parsing ([[ImageHeader]]) plus full pixel decode and resize
+  * through the JDK's built-in `javax.imageio` (PNG/JPEG/GIF/BMP — no
+  * external codec library). Only audio/video spectral decode remains
+  * a clearly-marked DETERMINISTIC STUB (no codec exists in the JDK);
+  * swapping one in changes one function body, every plan shape stays.
   */
 object Multimodal {
 
@@ -121,16 +121,46 @@ object Multimodal {
       fake_brightness: Long,
       image_format: Option[String],
       width: Option[Int],
-      height: Option[Int])
+      height: Option[Int],
+      mean_r: Option[Double],
+      mean_g: Option[Double],
+      mean_b: Option[Double])
 
-  /** Per-row decode: format detection and dimensions are REAL header
-    * parsing ([[ImageHeader.probe]] — None for non-image payloads);
-    * the pixel-level features are a ─── STUB ─── (stable
-    * pseudo-features from the bytes: a real decoder would emit
-    * pixel/spectral values here, and changes only this body).
+  /** REAL pixel decode via the JDK's ImageIO (headless-safe; no
+    * external codec). Gated behind [[ImageHeader.probe]] so arbitrary
+    * binary payloads never pay a decoder attempt.
     */
-  private def decodeStub(mediaId: Long, content: Array[Byte],
-                         numFrames: Int): MediaFeatures = {
+  private def decodeImage(content: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content)))
+    catch { case _: Throwable => None }
+
+  /** Per-channel pixel means rounded to 4 dp — the canonical "did the
+    * decode really happen" feature (a header parse can't know them).
+    */
+  private def channelMeans(img: java.awt.image.BufferedImage): (Double, Double, Double) = {
+    var (r, g, b) = (0L, 0L, 0L)
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val p = img.getRGB(x, y)
+        r += (p >> 16) & 0xff; g += (p >> 8) & 0xff; b += p & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    val n = img.getWidth.toLong * img.getHeight
+    def m(s: Long) = math.round(s.toDouble / n * 10000).toDouble / 10000
+    (m(r), m(g), m(b))
+  }
+
+  /** Per-row decode: header probe + REAL pixel decode (ImageIO) for
+    * image payloads; non-image payloads (audio/video/text bytes) get
+    * the stable pseudo-features — the ─── STUB ─── path a spectral
+    * codec would replace (changes only this body).
+    */
+  private def decode(mediaId: Long, content: Array[Byte],
+                     numFrames: Int): MediaFeatures = {
     val len = if (content == null) 0L else content.length.toLong
     val md5 = java.security.MessageDigest.getInstance("MD5")
       .digest(if (content == null) Array.emptyByteArray else content)
@@ -138,8 +168,10 @@ object Multimodal {
     // frame sampling: numFrames evenly spaced byte offsets
     val offsets = (0 until numFrames).map(i => i * len / numFrames)
     val header = ImageHeader.probe(content)
+    val means = header.flatMap(_ => decodeImage(content)).map(channelMeans)
     MediaFeatures(mediaId, len, md5, offsets.mkString(","), len % 256,
-      header.map(_.format), header.map(_.width), header.map(_.height))
+      header.map(_.format), header.map(_.width), header.map(_.height),
+      means.map(_._1), means.map(_._2), means.map(_._3))
   }
 
   /** Batched per-partition feature extraction — the `mapInPandas`
@@ -154,9 +186,9 @@ object Multimodal {
     media.select("media_id", "content").as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.grouped(batchSize).flatMap { batch =>
-          // a real decoder would process `batch` as one vectorized call
+          // batch boundary = where a vectorized decoder amortizes setup
           batch.iterator.map { case (id, bytes) =>
-            decodeStub(id, bytes, numFrames)
+            decode(id, bytes, numFrames)
           }
         }
       }
@@ -186,9 +218,8 @@ object Multimodal {
   }
 
   /** Metadata-only resize stub: plumbing for a resize stage — updates
-    * the typed meta struct without touching payloads (a real resize
-    * rewrites `content` in the same mapPartitions shape as
-    * `extractFeatures`).
+    * the typed meta struct without touching payloads (see
+    * [[resizeImages]] for the real payload-rewriting path).
     */
   def resizeMeta(media: DataFrame, width: Int, height: Int): DataFrame =
     media.withColumn("meta",
@@ -197,4 +228,38 @@ object Multimodal {
         lit(height).as("height"),
         col("meta.duration_ms").as("duration_ms"),
         col("meta.sample_rate").as("sample_rate")))
+
+  /** REAL image resize: decode (ImageIO) → area-averaging scale →
+    * re-encode as PNG, payload and meta rewritten in the same
+    * mapPartitions shape as [[extractFeatures]]. Rows whose payload
+    * isn't a decodable image pass through untouched (the multimodal
+    * convention: a stage transforms its modality and forwards the
+    * rest).
+    */
+  def resizeImages(media: DataFrame, width: Int, height: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "kind", "content", "meta").as[MediaRow]
+      .mapPartitions(_.map { r =>
+        val resized = Option(r.content)
+          .filter(c => ImageHeader.probe(c).isDefined)
+          .flatMap(decodeImage).map { img =>
+            val scaled = new java.awt.image.BufferedImage(
+              width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = scaled.createGraphics()
+            try g.drawImage(
+              img.getScaledInstance(width, height, java.awt.Image.SCALE_AREA_AVERAGING),
+              0, 0, null)
+            finally g.dispose()
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(scaled, "png", bos)
+            bos.toByteArray
+          }
+        resized match {
+          case Some(bytes) => r.copy(content = bytes,
+            meta = r.meta.copy(width = Some(width), height = Some(height)))
+          case None => r
+        }
+      }).toDF()
+  }
 }

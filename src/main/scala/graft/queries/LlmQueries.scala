@@ -611,7 +611,10 @@ object LlmQueries {
         |  CAST(octet_length(encode(text)) % 256 AS BIGINT) AS fake_brightness,
         |  CAST(NULL AS VARCHAR) AS image_format,
         |  CAST(NULL AS INTEGER) AS width,
-        |  CAST(NULL AS INTEGER) AS height
+        |  CAST(NULL AS INTEGER) AS height,
+        |  CAST(NULL AS DOUBLE) AS mean_r,
+        |  CAST(NULL AS DOUBLE) AS mean_g,
+        |  CAST(NULL AS DOUBLE) AS mean_b
         |FROM documents""".stripMargin)
   )
 }
