@@ -290,6 +290,43 @@ object RelationalQueries {
         |  AND e2.ts > e1.ts AND e2.ts <= e1.ts + INTERVAL 1 HOUR
         |GROUP BY e1.user_id""".stripMargin),
 
+    // ───── J13 (scale extension): bucketed co-located join. Both
+    // sides are repartitioned onto the bucket scheme and written as
+    // bucketBy(orderkey)+sortBy(orderkey) managed tables (one file
+    // per bucket), so the sort-merge join reads pre-partitioned,
+    // pre-sorted buckets: ZERO shuffle Exchange below the join
+    // (pinned in PlanContractsSpec). This is the
+    // pay-the-shuffle-once-at-ingest pattern for 100-TB fact tables
+    // that are joined on the same key every run; 8 buckets at test
+    // scale stands in for cluster-core-count buckets.
+    "j13_bucketed_join" -> QueryDef.sql(
+      (s, dir) => {
+        val buckets = 8
+        val li = t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_extendedprice"))
+          .repartition(buckets, col("l_orderkey"))
+        val ord = t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority"))
+          .repartition(buckets, col("o_orderkey"))
+        Tables.writeBucketed(li, "graft_bkt_lineitem", buckets,
+          "l_orderkey", Seq("l_orderkey"))
+        Tables.writeBucketed(ord, "graft_bkt_orders", buckets,
+          "o_orderkey", Seq("o_orderkey"))
+        val bli = s.table("graft_bkt_lineitem")
+        val bord = s.table("graft_bkt_orders")
+        bli.hint("merge")
+          .join(bord, bli("l_orderkey") === bord("o_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(
+            exactSum(col("l_extendedprice")).as("revenue"),
+            count(lit(1)).as("line_count"))
+      },
+      """SELECT o_orderpriority,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) AS revenue,
+        |       COUNT(*) AS line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin),
+
     // ───── A1: groupBy-count HAVING (ref verify_delta_vendors_job.py:57-62)
     "a01_having_dupes" -> QueryDef.sql(
       (s, dir) =>

@@ -102,6 +102,36 @@ object Tables {
   def writeManagedTable(df: DataFrame, table: String): Unit =
     df.write.mode("overwrite").saveAsTable(table)
 
+  /** Bucketed managed-table sink (scale extension beyond the
+    * reference's plain-parquet zones): pre-hash-partition a table on
+    * its join/agg key at WRITE time so every later equi-join or
+    * groupBy on that key runs shuffle-free — both sides of a join
+    * bucketed `(key, n)` are already co-located, and `sortBy` makes
+    * each bucket file pre-sorted so sort-merge join skips its sort.
+    * This is the 100-TB lever for repeatedly-joined fact tables: pay
+    * one shuffle at ingest, never again. `numBuckets` should match
+    * the downstream parallelism (cluster cores), not the 8 used at
+    * test scale.
+    */
+  def writeBucketed(df: DataFrame, table: String, numBuckets: Int,
+                    bucketCol: String, sortCols: Seq[String] = Nil): Unit = {
+    // Idempotent across sessions: a managed table written by a PREVIOUS
+    // session leaves its warehouse directory behind while the new
+    // session's in-memory catalog has no entry for it — saveAsTable then
+    // fails with LOCATION_ALREADY_EXISTS. Drop the catalog entry and
+    // remove the orphaned location before writing.
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(loc)) fs.delete(loc, true)
+    val w = df.write.mode("overwrite").format("parquet")
+      .bucketBy(numBuckets, bucketCol)
+    val sorted = if (sortCols.isEmpty) w else w.sortBy(sortCols.head, sortCols.tail: _*)
+    sorted.saveAsTable(table)
+  }
+
   /** S13: real JDBC overwrite sink (`ppcurated_rds.py:64-72` —
     * `mode("overwrite")` replaces the named warehouse table). At
     * scale, `numPartitions` caps concurrent connections so a

@@ -85,6 +85,18 @@ class PlanContractsSpec extends SparkSpec {
     }
   }
 
+  test("j13_bucketed_join: co-located SMJ, zero shuffle below the join") {
+    val p = plan("j13_bucketed_join")
+    assert(countLines(p, "SortMergeJoin") === 1, p)
+    // both scans read pre-bucketed layouts: all 8 buckets selected
+    assert(countLines(p, "SelectedBucketsCount: 8 out of 8") === 2, p)
+    // the ONLY shuffle in the whole plan is the final group-by agg —
+    // the join itself is satisfied by the bucketing
+    val shuffles = p.linesIterator
+      .filter(_.contains("Exchange")).filterNot(_.contains("BroadcastExchange"))
+    assert(shuffles.size === 1, p)
+  }
+
   test("llm_corpus_pipeline: exactly two shuffles (dedup window + lang agg)") {
     val p = plan("llm_corpus_pipeline")
     val shuffles = p.linesIterator
