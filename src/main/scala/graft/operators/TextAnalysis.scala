@@ -102,6 +102,91 @@ object TextAnalysis {
 
   // ─────────────────────── repetition scoring ───────────────────────
 
+  // ─────────────────── corpus-level statistics ───────────────────
+
+  /** Whitespace word tokens of the lowercased trimmed text — the
+    * shared tokenizer for corpus statistics (case-folded so "The" and
+    * "the" count together).
+    */
+  def wordTokens(text: Column): Column =
+    split(lower(trim(text)), "\\s+")
+
+  /** Exact corpus top-k heavy hitters: explode tokens → count →
+    * top-k with a deterministic (count desc, token asc) order. The
+    * count combines map-side, so the shuffle carries one row per
+    * distinct token per task — bounded by vocabulary size, not corpus
+    * size — and the top-k runs as TakeOrderedAndProject (per-partition
+    * heap + driver merge of k rows, never a global sort). For
+    * sketch-budget variants, `count_min_sketch` runs over the same
+    * exploded frame.
+    */
+  def topTerms(df: DataFrame, textCol: String, k: Int): DataFrame =
+    df.select(explode(wordTokens(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(k)
+
+  /** CCNet-style unigram log-prob quality signal: build the corpus
+    * unigram LM (token → ln(tf/total)) and score each document by the
+    * mean log-probability of its tokens. Rare-token/gibberish
+    * documents score far below natural prose; the signal feeds the
+    * same gate as [[withQualityFeatures]].
+    *
+    * Scale shape: the LM is one vocabulary-bounded aggregation
+    * (~100k rows regardless of corpus size) broadcast back to the
+    * exploded token stream — the corpus itself is never shuffled for
+    * the join, and the per-doc mean is one key shuffle. Per-token
+    * log-probs are rounded then decimal-summed so the parallel mean
+    * is bit-deterministic.
+    */
+  def withUnigramLogProb(df: DataFrame, textCol: String,
+                         idCol: String): DataFrame = {
+    val toks = df
+      .select(col(idCol), explode(wordTokens(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+    val vocab = toks.groupBy("token").agg(count(lit(1)).as("tf"))
+    // total token count enters the plan as a broadcast 1-row frame —
+    // no driver-side collect, the LM build stays fully lazy
+    val total = vocab.agg(sum(col("tf")).as("total_tf"))
+    val lm = vocab.crossJoin(broadcast(total))
+      .select(col("token"),
+        round(log(col("tf").cast("double") / col("total_tf").cast("double")), 9)
+          .as("logp"))
+    toks.join(broadcast(lm), Seq("token"))
+      .groupBy(col(idCol))
+      .agg(
+        round(
+          (sum(col("logp").cast("decimal(30,9)")).cast("double") /
+            count(lit(1)).cast("double")), 6).as("mean_logp"),
+        count(lit(1)).as("n_tokens"))
+  }
+
+  /** Token-window document chunking with overlap — training-example
+    * prep (context-window packing). Tokens are windowed `chunkSize`
+    * at a time advancing by `chunkSize - overlap`; the final chunks
+    * may be shorter. Pure per-row array work (sequence → posexplode →
+    * slice): shuffle-free, codegen'd, linear in corpus size, and
+    * chunk ordinals are deterministic — no window function, no
+    * driver-side loop.
+    */
+  def chunkDocuments(df: DataFrame, textCol: String, idCol: String,
+                     chunkSize: Int = 64, overlap: Int = 16): DataFrame = {
+    require(overlap >= 0 && overlap < chunkSize,
+      s"overlap must be in [0, chunkSize); got overlap=$overlap chunkSize=$chunkSize")
+    val stride = chunkSize - overlap
+    df.withColumn("_toks", split(trim(col(textCol)), "\\s+"))
+      .select(col(idCol), col("_toks"),
+        posexplode(
+          sequence(lit(0), greatest(size(col("_toks")) - 1, lit(0)), lit(stride)))
+          .as(Seq("chunk_id", "_start")))
+      .select(col(idCol), col("chunk_id"),
+        concat_ws(" ", slice(col("_toks"), col("_start") + 1, lit(chunkSize)))
+          .as("chunk_text"),
+        size(slice(col("_toks"), col("_start") + 1, lit(chunkSize)))
+          .as("n_chunk_tokens"))
+  }
+
   /** Gopher-style within-document repetition: 1 − distinct/total
     * character n-grams of the normalized text (0 = all unique, → 1 as
     * the doc degenerates into repeated boilerplate). Shuffle-free

@@ -42,6 +42,26 @@ object TextDedup {
     df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
   }
 
+  /** Incremental ingest dedup: drop from `batch` every document whose
+    * fingerprint already exists in `corpus`, then dedup the batch
+    * against itself (min-id survivor). This is the snapshot-over-
+    * snapshot pattern for a growing training corpus: the corpus side
+    * reduces to its fingerprint column before the anti-join shuffle
+    * (never the text), so at 100 TB the join moves two narrow
+    * fingerprint streams — and when the corpus index is maintained as
+    * a bucketed table on `fingerprint`, the anti-join side needs no
+    * shuffle at all (see `Tables.writeBucketed`).
+    */
+  def dedupIncremental(corpus: DataFrame, batch: DataFrame,
+                       idCol: String, textCol: String): DataFrame = {
+    val fp = md5(normalizeText(col(textCol)))
+    val seen = corpus.select(fp.as("fingerprint"))
+    dedupExact(batch, idCol, textCol)
+      .withColumn("fingerprint", fp)
+      .join(seen, Seq("fingerprint"), "left_anti")
+      .drop("fingerprint")
+  }
+
   // ───────────────────────── MinHash + LSH ─────────────────────────
 
   /** MinHash signatures: numHashes min-hashes over the shingle set.

@@ -180,6 +180,89 @@ object LlmQueries {
          |    / CAST(greatest(length(t) - 4, 1) AS DOUBLE), 4) AS repetition_ratio
          |FROM n""".stripMargin),
 
+    // ───── corpus-level exact heavy hitters: vocabulary-bounded
+    // shuffle + TakeOrderedAndProject top-k (count desc, token asc
+    // tiebreak makes the boundary deterministic).
+    "ta_top_terms" -> QueryDef.sql(
+      (s, dir) => TextAnalysis.topTerms(docs(s, dir), "text", 50),
+      """SELECT token, COUNT(*) AS n
+        |FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+        |      FROM documents)
+        |WHERE token <> ''
+        |GROUP BY token
+        |ORDER BY n DESC, token ASC
+        |LIMIT 50""".stripMargin),
+
+    // ───── CCNet-style unigram log-prob quality signal: corpus LM
+    // broadcast back to the token stream; per-token ln rounded to 9dp
+    // then decimal-summed so the parallel mean is bit-deterministic.
+    "ta_unigram_logprob" -> QueryDef.sql(
+      (s, dir) =>
+        TextAnalysis.withUnigramLogProb(docs(s, dir), "text", "doc_id"),
+      """WITH toks AS (
+        |  SELECT doc_id, token FROM (
+        |    SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+        |    FROM documents)
+        |  WHERE token <> ''),
+        |vocab AS (SELECT token, COUNT(*) AS tf FROM toks GROUP BY token),
+        |total AS (SELECT CAST(SUM(tf) AS DOUBLE) AS total_tf FROM vocab),
+        |lm AS (SELECT token, ROUND(LN(CAST(tf AS DOUBLE) / total_tf), 9) AS logp
+        |       FROM vocab, total)
+        |SELECT doc_id,
+        |       ROUND(CAST(SUM(CAST(logp AS DECIMAL(30,9))) AS DOUBLE)
+        |             / CAST(COUNT(*) AS DOUBLE), 6) AS mean_logp,
+        |       COUNT(*) AS n_tokens
+        |FROM toks JOIN lm USING (token)
+        |GROUP BY doc_id""".stripMargin),
+
+    // ───── token-window chunking with overlap (context-window
+    // packing): shuffle-free per-row array windowing.
+    "ta_chunks" -> QueryDef.sql(
+      (s, dir) =>
+        TextAnalysis.chunkDocuments(docs(s, dir), "text", "doc_id",
+          chunkSize = 64, overlap = 16),
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),
+        |st AS (
+        |  SELECT doc_id, tk, unnest(range(0, greatest(len(tk), 1), 48)) AS s
+        |  FROM toks)
+        |SELECT doc_id,
+        |       CAST(s // 48 AS INT) AS chunk_id,
+        |       array_to_string(tk[s+1 : s+64], ' ') AS chunk_text,
+        |       CAST(len(tk[s+1 : s+64]) AS INT) AS n_chunk_tokens
+        |FROM st""".stripMargin),
+
+    // ───── incremental ingest dedup: new batch anti-joined against
+    // the existing corpus on fingerprint, then self-deduped. Batch
+    // plants all three cases: exact dups of the corpus (+30000,
+    // dropped), genuinely new docs (+40000, kept), and within-batch
+    // dups of those (+50000, dropped by the min-id survivor rule).
+    "dd_incremental" -> QueryDef.sql(
+      (s, dir) => {
+        val d = docs(s, dir).select("doc_id", "text")
+        val batch = d.select((col("doc_id") + 30000).as("doc_id"), col("text"))
+          .unionByName(d.select((col("doc_id") + 40000).as("doc_id"),
+            concat(col("text"), lit(" fresh")).as("text")))
+          .unionByName(d.select((col("doc_id") + 50000).as("doc_id"),
+            concat(col("text"), lit(" fresh")).as("text")))
+        TextDedup.dedupIncremental(d, batch, "doc_id", "text")
+          .select("doc_id")
+      },
+      s"""WITH batch AS (
+         |  SELECT doc_id + 30000 AS doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 40000, text || ' fresh' FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 50000, text || ' fresh' FROM documents),
+         |dedup AS (
+         |  SELECT doc_id, text FROM batch
+         |  QUALIFY row_number() OVER (PARTITION BY md5(${normSql("text")})
+         |                             ORDER BY doc_id) = 1)
+         |SELECT doc_id FROM dedup
+         |WHERE NOT EXISTS (
+         |  SELECT 1 FROM documents c
+         |  WHERE md5(${normSql("c.text")}) = md5(${normSql("dedup.text")}))""".stripMargin),
+
     // ───── train/eval contamination sweep: docs sharing ≥20 distinct
     // 8-gram shingles with an "eval set" (docs 0-9). The oracle
     // intersects string shingle sets; the Spark side joins packed-long

@@ -327,6 +327,49 @@ object RelationalQueries {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1""".stripMargin),
 
+    // ───── J14 (scale showcase): 6-table local-supplier volume join
+    // (TPC-H Q5 shape on the testdata schema). The fact joins
+    // supplier on its key with the "local" residual
+    // (c_nationkey = s_nationkey), nation/region are explicit
+    // broadcasts, and the region filter prunes nations BEFORE the
+    // fact-side joins run — Catalyst pushes it through the broadcast.
+    // Revenue is the rounded-product exact-decimal sum so parallel
+    // and serial aggregation agree bit-for-bit.
+    "j14_multi_join_volume" -> QueryDef.sql(
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val ord = t(s, dir, "orders")
+          .filter(col("o_orderdate") >= "1996-01-01" && col("o_orderdate") < "1997-01-01")
+        val cust = t(s, dir, "customer")
+        val supp = t(s, dir, "supplier")
+        val nat = t(s, dir, "nation")
+        val reg = t(s, dir, "region").filter(col("r_name") === "ASIA")
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(supp, col("l_suppkey") === col("s_suppkey"))
+          .join(cust,
+            col("o_custkey") === col("c_custkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("n_name"))
+          .agg(
+            exactSum(round(col("l_extendedprice") * (lit(1) - col("l_discount")), 4), 4)
+              .as("revenue"),
+            count(lit(1)).as("line_count"))
+      },
+      """SELECT n_name,
+        |       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount), 4) AS DECIMAL(30,4))) AS DOUBLE) AS revenue,
+        |       COUNT(*) AS line_count
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        |JOIN nation   ON s_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01'
+        |GROUP BY n_name""".stripMargin),
+
     // ───── A1: groupBy-count HAVING (ref verify_delta_vendors_job.py:57-62)
     "a01_having_dupes" -> QueryDef.sql(
       (s, dir) =>

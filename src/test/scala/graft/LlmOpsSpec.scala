@@ -32,6 +32,55 @@ class LlmOpsSpec extends SparkSpec {
     assert(deduped.filter($"doc_id" >= 20000).count() === 0)
   }
 
+  test("dedupIncremental: corpus dups drop, fresh docs survive once") {
+    val d = docs.select("doc_id", "text")
+    val batch = d.select(($"doc_id" + 30000).as("doc_id"), $"text")
+      .unionByName(d.select(($"doc_id" + 40000).as("doc_id"),
+        concat($"text", lit(" fresh")).as("text")))
+      .unionByName(d.select(($"doc_id" + 50000).as("doc_id"),
+        concat($"text", lit(" fresh")).as("text")))
+    val out = TextDedup.dedupIncremental(d, batch, "doc_id", "text")
+    // every surviving row is the min-id (+40000) copy of a fresh doc
+    assert(out.count() === d.count())
+    assert(out.filter($"doc_id" < 40000 || $"doc_id" >= 50000).count() === 0)
+  }
+
+  test("topTerms: counts match a direct groupBy and the boundary is deterministic") {
+    val toy = Seq("b b b c", "a a c", "a b c").toDF("text")
+    val top = TextAnalysis.topTerms(toy, "text", 2).collect()
+    // b:4, a:3, c:3 — the a/c tie at the k-boundary breaks token-asc
+    assert(top.map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      Seq(("b", 4L), ("a", 3L)))
+  }
+
+  test("chunkDocuments: windows cover every token and overlap by exactly `overlap`") {
+    val toy = Seq((1L, (1 to 100).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+    val chunks = TextAnalysis.chunkDocuments(toy, "text", "doc_id",
+      chunkSize = 64, overlap = 16).orderBy("chunk_id").collect()
+    // 100 tokens, stride 48 → starts 0, 48, 96
+    assert(chunks.length === 3)
+    val texts = chunks.map(_.getAs[String]("chunk_text"))
+    assert(texts(0).split(" ").length === 64)
+    assert(texts(1).split(" ").length === 52) // tokens 49..100
+    assert(texts(2).split(" ").length === 4)  // tokens 97..100
+    // consecutive chunks share exactly the 16-token overlap
+    assert(texts(0).split(" ").takeRight(16).toSeq ===
+      texts(1).split(" ").take(16).toSeq)
+    // concatenating stride-sized prefixes reconstructs the token stream
+    val rebuilt = chunks.flatMap(_.getAs[String]("chunk_text").split(" ").take(48))
+    assert(rebuilt.toSeq === (1 to 100).map(i => s"t$i"))
+  }
+
+  test("withUnigramLogProb: uniform tokens score ln(1/V) and rare-token docs score lower") {
+    val toy = Seq((1L, "x x x x"), (2L, "x x x y")).toDF("doc_id", "text")
+    val out = TextAnalysis.withUnigramLogProb(toy, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // corpus: x appears 7 of 8 times, y once. doc 1 = mean ln(7/8);
+    // doc 2 mixes three ln(7/8) with one ln(1/8) → strictly lower.
+    assert(math.abs(out(1L) - math.log(7.0 / 8.0)) < 1e-6)
+    assert(out(2L) < out(1L))
+  }
+
   test("minhash LSH recalls injected near-duplicates") {
     val d = docs.select("doc_id", "text", "lang")
     val corpus = d.unionByName(d.select(($"doc_id" + 10000).as("doc_id"),

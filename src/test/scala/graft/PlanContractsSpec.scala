@@ -97,6 +97,18 @@ class PlanContractsSpec extends SparkSpec {
     assert(shuffles.size === 1, p)
   }
 
+  test("j14_multi_join_volume: all five joins broadcast, date filter pushed") {
+    val p = plan("j14_multi_join_volume")
+    assert(countLines(p, "BroadcastHashJoin") === 5, p)
+    assert(countLines(p, "SortMergeJoin") === 0, p)
+    // fact side never shuffles: the only shuffle is the final agg
+    val shuffles = p.linesIterator
+      .filter(_.contains("Exchange")).filterNot(_.contains("BroadcastExchange"))
+    assert(shuffles.size === 1, p)
+    // the orderdate range predicate reaches the orders parquet scan
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), p)
+  }
+
   test("llm_corpus_pipeline: exactly two shuffles (dedup window + lang agg)") {
     val p = plan("llm_corpus_pipeline")
     val shuffles = p.linesIterator
