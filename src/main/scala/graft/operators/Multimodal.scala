@@ -87,6 +87,153 @@ object Multimodal {
       else parsePng(b).orElse(parseJpeg(b)).orElse(parseGif(b))
   }
 
+  /** Pure-JVM WAV (RIFF/WAVE) audio probe — no codec library. Walks
+    * the chunk list for `fmt ` (channels, sample rate, bits/sample)
+    * and `data` (payload length → frame count). Same contract as
+    * [[ImageHeader]]: O(header) scan per row inside the batched
+    * mapPartitions, zero extra shuffles.
+    */
+  object AudioHeader {
+    final case class Info(format: String, channels: Int, sampleRate: Int,
+                          bitsPerSample: Int, nFrames: Long) {
+      def durationMs: Long =
+        if (sampleRate <= 0) 0L else nFrames * 1000L / sampleRate
+    }
+
+    private def u8(b: Byte): Int = b & 0xff
+    private def le16(b: Array[Byte], i: Int): Int = u8(b(i)) | (u8(b(i + 1)) << 8)
+    private def le32(b: Array[Byte], i: Int): Long =
+      (u8(b(i)) | (u8(b(i + 1)) << 8) | (u8(b(i + 2)) << 16).toLong |
+        (u8(b(i + 3)).toLong << 24)) & 0xffffffffL
+
+    private def tagIs(b: Array[Byte], i: Int, tag: String): Boolean =
+      b(i) == tag(0) && b(i + 1) == tag(1) && b(i + 2) == tag(2) && b(i + 3) == tag(3)
+
+    def probe(b: Array[Byte]): Option[Info] = {
+      if (b == null || b.length < 44 ||
+        !tagIs(b, 0, "RIFF") || !tagIs(b, 8, "WAVE")) return None
+      var i = 12
+      var channels = 0; var sampleRate = 0; var bits = 0; var dataLen = -1L
+      while (i + 8 <= b.length) {
+        val size = le32(b, i + 4)
+        if (tagIs(b, i, "fmt ") && i + 24 <= b.length) {
+          channels = le16(b, i + 10)
+          sampleRate = le32(b, i + 12).toInt
+          bits = le16(b, i + 22)
+        } else if (tagIs(b, i, "data")) {
+          dataLen = math.min(size, (b.length - i - 8).toLong)
+        }
+        i += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+      }
+      if (channels <= 0 || bits <= 0 || dataLen < 0) None
+      else {
+        val frameBytes = channels * (bits / 8)
+        Some(Info("wav", channels, sampleRate, bits,
+          if (frameBytes == 0) 0L else dataLen / frameBytes))
+      }
+    }
+
+    /** Byte offset of the data chunk's payload, for sample decode. */
+    private[Multimodal] def dataOffset(b: Array[Byte]): Option[(Int, Long)] = {
+      var i = 12
+      while (i + 8 <= b.length) {
+        val size = le32(b, i + 4)
+        if (tagIs(b, i, "data"))
+          return Some((i + 8, math.min(size, (b.length - i - 8).toLong)))
+        i += 8 + size.toInt + (size.toInt & 1)
+      }
+      None
+    }
+  }
+
+  /** Build a PCM16 mono WAV payload from raw bytes (the standard
+    * 44-byte RIFF header + the bytes as little-endian samples,
+    * truncated to whole frames). Deterministic fixture generator —
+    * lets the audio path run on reproducible content the same way
+    * [[fromText]] feeds the generic path.
+    */
+  def wavFromPcmBytes(data: Array[Byte], sampleRate: Int = 16000): Array[Byte] = {
+    val body = if (data.length % 2 == 0) data else data.dropRight(1)
+    val byteRate = sampleRate * 2
+    val out = java.nio.ByteBuffer.allocate(44 + body.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + body.length)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1.toShort).putShort(1.toShort) // PCM, mono
+      .putInt(sampleRate).putInt(byteRate)
+      .putShort(2.toShort).putShort(16.toShort) // block align, bits
+      .put("data".getBytes("US-ASCII")).putInt(body.length)
+      .put(body)
+    out.array()
+  }
+
+  /** REAL PCM16 sample decode: RMS and peak amplitude over the data
+    * chunk (normalized to [0,1], rounded 6dp) — the audio analog of
+    * [[channelMeans]]: a header parse can't know them, only a real
+    * decode can.
+    */
+  private def pcm16Stats(b: Array[Byte]): Option[(Double, Double)] =
+    AudioHeader.dataOffset(b).map { case (off, len) =>
+      val n = (len / 2).toInt
+      var sumSq = 0.0; var peak = 0L
+      var i = 0
+      while (i < n) {
+        val s = ((b(off + 2 * i) & 0xff) | (b(off + 2 * i + 1) << 8)).toShort.toLong
+        sumSq += s.toDouble * s; if (math.abs(s) > peak) peak = math.abs(s)
+        i += 1
+      }
+      def r6(x: Double) = math.round(x * 1e6) / 1e6
+      if (n == 0) (0.0, 0.0)
+      else (r6(math.sqrt(sumSq / n) / 32768.0), r6(peak.toDouble / 32768.0))
+    }
+
+  final case class AudioFeatures(
+      media_id: Long, format: Option[String], channels: Option[Int],
+      sample_rate: Option[Int], n_frames: Option[Long],
+      duration_ms: Option[Long], rms: Option[Double], peak: Option[Double])
+
+  /** Batched per-partition audio feature extraction — same
+    * mapPartitions shape as [[extractFeatures]]: header fields from
+    * [[AudioHeader]], RMS/peak from the real sample decode.
+    * Non-WAV payloads yield all-None features and pass through.
+    */
+  def extractAudioFeatures(media: DataFrame,
+                           batchSize: Int = 64): Dataset[AudioFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "content").as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { case (id, bytes) =>
+            val h = AudioHeader.probe(bytes)
+            val stats = h.flatMap(_ => pcm16Stats(bytes))
+            AudioFeatures(id, h.map(_.format), h.map(_.channels),
+              h.map(_.sampleRate), h.map(_.nFrames), h.map(_.durationMs),
+              stats.map(_._1), stats.map(_._2))
+          }
+        }
+      }
+  }
+
+  /** Fill `meta.duration_ms/sample_rate` from REAL WAV header parsing
+    * — the audio twin of [[withImageMeta]]; unrecognized payloads keep
+    * their meta untouched.
+    */
+  def withAudioMeta(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "kind", "content", "meta").as[MediaRow]
+      .mapPartitions(_.map { r =>
+        AudioHeader.probe(r.content) match {
+          case Some(info) => r.copy(meta = r.meta.copy(
+            duration_ms = Some(info.durationMs),
+            sample_rate = Some(info.sampleRate)))
+          case None => r
+        }
+      }).toDF()
+  }
+
   val mediaSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("kind", StringType, nullable = false),

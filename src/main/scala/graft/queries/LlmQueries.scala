@@ -698,6 +698,30 @@ object LlmQueries {
         |  CAST(NULL AS DOUBLE) AS mean_r,
         |  CAST(NULL AS DOUBLE) AS mean_g,
         |  CAST(NULL AS DOUBLE) AS mean_b
+        |FROM documents""".stripMargin),
+
+    // ───── audio path: documents' UTF-8 bytes wrapped as real PCM16
+    // mono WAV payloads, then parsed BACK by the pure-JVM RIFF header
+    // reader — the oracle re-derives frame count and duration from
+    // byte-length arithmetic, proving the header round-trip. RMS/peak
+    // (the real sample decode) are spec-verified on synthetic sine
+    // waves (LlmOpsSpec) where SQL can't follow.
+    "mm_audio_meta" -> QueryDef.sql(
+      (s, dir) => {
+        import s.implicits._
+        val wavs = docs(s, dir)
+          .select(col("doc_id").cast("long"), col("text"))
+          .as[(Long, String)]
+          .mapPartitions(_.map { case (id, text) =>
+            (id, Multimodal.wavFromPcmBytes(text.getBytes("UTF-8")))
+          }).toDF("media_id", "content")
+        Multimodal.extractAudioFeatures(wavs)
+          .select("media_id", "sample_rate", "n_frames", "duration_ms")
+      },
+      """SELECT doc_id AS media_id,
+        |       16000 AS sample_rate,
+        |       CAST(octet_length(encode(text)) // 2 AS BIGINT) AS n_frames,
+        |       CAST((octet_length(encode(text)) // 2) * 1000 // 16000 AS BIGINT) AS duration_ms
         |FROM documents""".stripMargin)
   )
 }

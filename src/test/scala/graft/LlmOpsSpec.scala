@@ -303,6 +303,41 @@ class LlmOpsSpec extends SparkSpec {
     (Array('G'.toInt, 'I'.toInt, 'F'.toInt, '8'.toInt, '9'.toInt, 'a'.toInt,
       w & 0xff, w >>> 8, h & 0xff, h >>> 8, 0, 0) ++ Array.fill(4)(0)).map(_.toByte)
 
+  test("audio: WAV header round-trip, real PCM decode, and meta fill") {
+    // 0.5s of a 440 Hz sine at amplitude 0.5, PCM16 mono 16 kHz
+    val sr = 16000
+    val n = sr / 2
+    val pcm = new Array[Byte](n * 2)
+    val bb = java.nio.ByteBuffer.wrap(pcm).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    (0 until n).foreach { i =>
+      bb.putShort((math.sin(2 * math.Pi * 440 * i / sr) * 0.5 * 32767).toShort)
+    }
+    val wav = Multimodal.wavFromPcmBytes(pcm, sr)
+
+    val h = Multimodal.AudioHeader.probe(wav).get
+    assert(h.format === "wav" && h.channels === 1 &&
+      h.sampleRate === sr && h.bitsPerSample === 16)
+    assert(h.nFrames === n && h.durationMs === 500L)
+    // non-audio payloads are rejected, not misparsed
+    assert(Multimodal.AudioHeader.probe("not a wav".getBytes).isEmpty)
+
+    val media = Seq((1L, wav), (2L, "plain text bytes".getBytes)).toDF("media_id", "content")
+    val feats = Multimodal.extractAudioFeatures(media).collect()
+      .map(f => f.media_id -> f).toMap
+    // a sine of amplitude a has RMS a/sqrt(2): the only way to know
+    // this is to actually decode the samples
+    assert(math.abs(feats(1L).rms.get - 0.5 / math.sqrt(2)) < 0.001)
+    assert(math.abs(feats(1L).peak.get - 0.5) < 0.001)
+    assert(feats(2L).format.isEmpty && feats(2L).rms.isEmpty)
+
+    val withMeta = Multimodal.withAudioMeta(
+      Multimodal.fromText(docs.limit(3), "doc_id", "text", "audio")
+        .withColumn("content", lit(wav)))
+    val metas = withMeta.select("meta.duration_ms", "meta.sample_rate").distinct().collect()
+    assert(metas.length === 1 &&
+      metas(0).getLong(0) === 500L && metas(0).getInt(1) === sr)
+  }
+
   test("image header parsing: true dimensions from PNG/JPEG/GIF bytes") {
     import graft.operators.Multimodal.ImageHeader
     assert(ImageHeader.probe(pngBytes(640, 480)).contains(ImageHeader.Info("png", 640, 480)))
