@@ -40,6 +40,27 @@ object Micro {
       grouped.agg((sum(round(col("l_extendedprice") * 100).cast("long")) / 100.0))
         .write.format("noop").mode("overwrite").save()
     }
+
+    // vec_dot (codegen'd Expression) vs the aggregate(zip_with) HOF
+    // formulation on an all-pairs scoring workload
+    graft.plans.GraftExtensions.register(spark)
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    emb.count()
+    val q = broadcast(emb.limit(100)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv")))
+    val pairs = emb.crossJoin(q)
+    def hofDot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, x) => acc + x)
+    time("dot_codegen") {
+      pairs.select(sum(expr("vec_dot(embedding, qv)"))).write
+        .format("noop").mode("overwrite").save()
+    }
+    time("dot_hof") {
+      pairs.select(sum(hofDot(col("embedding"), col("qv")))).write
+        .format("noop").mode("overwrite").save()
+    }
     spark.stop()
   }
 }

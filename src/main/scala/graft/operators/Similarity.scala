@@ -16,15 +16,20 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** dot(a, b) with per-element double promotion, left-to-right sum. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  /** dot(a, b) with per-element double promotion, left-to-right sum —
+    * the codegen'd [[graft.plans.VecDot]] expression (bit-compatible
+    * with the previous `aggregate(zip_with(...))` HOF formulation,
+    * which was CodegenFallback and evaluated interpreted+boxed on
+    * every candidate pair). Callers must have `vec_dot` registered
+    * (GraftSession does; the DataFrame entry points below
+    * self-register).
+    */
+  def dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
 
-  def l2Norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0),
-      (acc, x) => acc + x.cast("double") * x.cast("double")))
+  def l2Norm(a: Column): Column = sqrt(call_function("vec_dot", a, a))
+
+  private def ensureRegistered(df: DataFrame): Unit =
+    graft.plans.GraftExtensions.register(df.sparkSession) // idempotent
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (l2Norm(a) * l2Norm(b))
@@ -36,6 +41,7 @@ object Similarity {
     */
   def bruteForceTopK(candidates: DataFrame, queries: DataFrame,
                      idCol: String, vecCol: String, k: Int): DataFrame = {
+    ensureRegistered(candidates)
     // norms are O(n + q), computed below the join — only the dot
     // product is per-pair work
     val q = broadcast(queries.select(
@@ -83,6 +89,7 @@ object Similarity {
   def lshTopK(candidates: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, dim: Int, k: Int,
               numPlanes: Int = 8): DataFrame = {
+    ensureRegistered(candidates)
     val c = candidates.select(col(idCol).as("cand_id"), col(vecCol).as("c_vec"))
       .withColumn("bucket", lshBucket(col("c_vec"), dim, numPlanes))
       .withColumn("c_norm", l2Norm(col("c_vec")))
@@ -166,6 +173,7 @@ object Similarity {
     */
   def kmeansCentroids(df: DataFrame, idCol: String, vecCol: String,
                       k: Int, iters: Int = 5): DataFrame = {
+    ensureRegistered(df)
     val spark = df.sparkSession
     import spark.implicits._
     // persisted: every Lloyd iteration runs two jobs (argmax assign +
@@ -214,6 +222,7 @@ object Similarity {
               vecCol: String, k: Int, numCentroids: Int = 8,
               nprobe: Int = 1,
               centroidsOverride: Option[DataFrame] = None): DataFrame = {
+    ensureRegistered(candidates)
     // centroid matrix to the driver once (control plane): candidate
     // assignment becomes a map-only literal argmax — the corpus is
     // NEVER shuffled or crossJoined during the index build
@@ -273,6 +282,7 @@ object Similarity {
   def embeddingDupPairs(df: DataFrame, idCol: String, vecCol: String,
                         dim: Int, threshold: Double,
                         numPlanes: Int = 8): DataFrame = {
+    ensureRegistered(df)
     // shuffle-hash on the bucket key, repartitioned by explicit num —
     // same pair-explosion rationale as Mdm.candidatePairs (AQE only
     // sees the small input; output is quadratic per bucket)
