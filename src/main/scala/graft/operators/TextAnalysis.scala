@@ -162,6 +162,27 @@ object TextAnalysis {
         count(lit(1)).as("n_tokens"))
   }
 
+  /** Corpus vocabulary statistics in one pass: total token instances,
+    * exact distinct tokens, and docs covered. Exact distinct is the
+    * verification form (one extra shuffle); at 100 TB swap
+    * `approx_count_distinct` into the same agg for a single-pass
+    * sketch answer — spec'd to stay within its 5% default error
+    * (LlmOpsSpec).
+    */
+  def vocabStats(df: DataFrame, textCol: String, idCol: String,
+                 approx: Boolean = false): DataFrame = {
+    val toks = df
+      .select(col(idCol), explode(wordTokens(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+    val distinctAgg =
+      if (approx) approx_count_distinct(col("token")).as("distinct_tokens")
+      else countDistinct(col("token")).as("distinct_tokens")
+    toks.agg(
+      count(lit(1)).as("total_tokens"),
+      distinctAgg,
+      countDistinct(col(idCol)).as("n_docs"))
+  }
+
   /** Token-window document chunking with overlap — training-example
     * prep (context-window packing). Tokens are windowed `chunkSize`
     * at a time advancing by `chunkSize - overlap`; the final chunks

@@ -232,6 +232,20 @@ object LlmQueries {
         |       CAST(len(tk[s+1 : s+64]) AS INT) AS n_chunk_tokens
         |FROM st""".stripMargin),
 
+    // ───── corpus vocabulary stats (exact verification form; the
+    // approx_count_distinct sketch twin is spec-checked).
+    "ta_vocab_stats" -> QueryDef.sql(
+      (s, dir) => TextAnalysis.vocabStats(docs(s, dir), "text", "doc_id"),
+      """WITH toks AS (
+        |  SELECT doc_id, token FROM (
+        |    SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+        |    FROM documents)
+        |  WHERE token <> '')
+        |SELECT COUNT(*) AS total_tokens,
+        |       COUNT(DISTINCT token) AS distinct_tokens,
+        |       COUNT(DISTINCT doc_id) AS n_docs
+        |FROM toks""".stripMargin),
+
     // ───── incremental ingest dedup: new batch anti-joined against
     // the existing corpus on fingerprint, then self-deduped. Batch
     // plants all three cases: exact dups of the corpus (+30000,

@@ -132,6 +132,22 @@ object Tables {
     sorted.saveAsTable(table)
   }
 
+  /** Range-sharded sorted output (training-example sharding): rows
+    * are range-partitioned on `sortCol` into `numShards` files, each
+    * internally sorted — a global sort order across shard files
+    * WITHOUT a single-reducer global sort (repartitionByRange samples
+    * range bounds, then each shard sorts locally in parallel). The
+    * standard layout for reproducible training-data delivery: shard k
+    * holds a contiguous key range, readers stream shards in order.
+    */
+  def writeSharded(df: DataFrame, path: String, sortCol: String,
+                   numShards: Int, mode: String = "overwrite"): Unit = {
+    import org.apache.spark.sql.functions.col
+    df.repartitionByRange(numShards, col(sortCol))
+      .sortWithinPartitions(sortCol)
+      .write.mode(mode).parquet(path)
+  }
+
   /** S13: real JDBC overwrite sink (`ppcurated_rds.py:64-72` —
     * `mode("overwrite")` replaces the named warehouse table). At
     * scale, `numPartitions` caps concurrent connections so a

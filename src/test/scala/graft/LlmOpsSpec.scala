@@ -81,6 +81,15 @@ class LlmOpsSpec extends SparkSpec {
     assert(out(2L) < out(1L))
   }
 
+  test("vocabStats: approx sketch agrees with exact within its error bound") {
+    val exact = TextAnalysis.vocabStats(docs, "text", "doc_id").collect()(0)
+    val approx = TextAnalysis.vocabStats(docs, "text", "doc_id", approx = true)
+      .collect()(0)
+    assert(exact.getLong(0) === approx.getLong(0)) // total is exact either way
+    val (e, a) = (exact.getLong(1).toDouble, approx.getLong(1).toDouble)
+    assert(math.abs(a - e) / e < 0.05, s"approx=$a exact=$e")
+  }
+
   test("minhash LSH recalls injected near-duplicates") {
     val d = docs.select("doc_id", "text", "lang")
     val corpus = d.unionByName(d.select(($"doc_id" + 10000).as("doc_id"),

@@ -137,4 +137,25 @@ class TablesSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
     assert(back2 === Seq((3L, "gamma")))
   }
+
+  test("writeSharded: shard files hold disjoint contiguous sorted key ranges") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_shards").toString
+    val df = Tables.table(spark, sfDir, "orders").select("o_orderkey", "o_totalprice")
+    Tables.writeSharded(df, dir, "o_orderkey", numShards = 4)
+
+    val back = spark.read.parquet(dir)
+      .select(col("o_orderkey"), col("_metadata.file_path").as("f"))
+    // no rows lost, no duplicates
+    assert(back.count() === df.count())
+    // per-file key ranges are disjoint → a global order across shards
+    val ranges = back.groupBy("f")
+      .agg(min("o_orderkey").as("lo"), max("o_orderkey").as("hi"))
+      .orderBy("lo")
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(ranges.length === 4)
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => assert(hi1 <= lo2, ranges.toSeq)
+      case _ =>
+    }
+  }
 }
