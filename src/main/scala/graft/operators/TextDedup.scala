@@ -318,15 +318,19 @@ object TextDedup {
       val neighborMin = edges
         .join(labels.select(col("id").as("dst"), col("cluster_id").as("_nl")), "dst")
         .groupBy(col("src").as("id")).agg(min("_nl").as("_nmin"))
+      // _changed rides along into the checkpoint so the convergence
+      // probe is a scan of already-materialized blocks — no extra
+      // join/shuffle per round
       val next = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("cluster_id"), coalesce(col("_nmin"), col("cluster_id")))
-            .as("cluster_id"))
+            .as("cluster_id"),
+          (coalesce(col("_nmin"), col("cluster_id")) < col("cluster_id"))
+            .as("_changed"))
         .localCheckpoint(true)
-      converged = next.join(labels.withColumnRenamed("cluster_id", "_old"), "id")
-        .filter(col("cluster_id") =!= col("_old")).isEmpty
+      converged = next.filter(col("_changed")).isEmpty
       labels.unpersist(blocking = false) // drop the superseded checkpoint blocks
-      labels = next
+      labels = next.drop("_changed")
       iter += 1
     }
     edges.unpersist(blocking = false)

@@ -109,6 +109,32 @@ class PlanContractsSpec extends SparkSpec {
     assert(p.contains("GreaterThanOrEqual(o_orderdate"), p)
   }
 
+  test("ta_top_terms: top-k runs as a bounded sort, not a global one") {
+    val p = plan("ta_top_terms")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("partial_"), p) // token counts combine map-side
+  }
+
+  test("ta_unigram_logprob: LM joins back as a broadcast, corpus never shuffles for it") {
+    val p = plan("ta_unigram_logprob")
+    assert(countLines(p, "BroadcastHashJoin") >= 1, p)
+    assert(countLines(p, "SortMergeJoin") === 0, p)
+  }
+
+  test("ta_chunks: chunking is a shuffle-free scan-side projection") {
+    val p = plan("ta_chunks")
+    assert(countLines(p, "Exchange") === 0, p)
+  }
+
+  test("dd_incremental: corpus side reduced to fingerprints before the anti-join") {
+    val p = plan("dd_incremental")
+    // the anti-join probe reads only doc_id+text and projects to the
+    // md5 fingerprint — the seen-side ReadSchema must not carry lang
+    // or other payload columns
+    val reads = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(reads.nonEmpty && reads.forall(!_.contains("lang")), reads.mkString("\n"))
+  }
+
   test("llm_corpus_pipeline: exactly two shuffles (dedup window + lang agg)") {
     val p = plan("llm_corpus_pipeline")
     val shuffles = p.linesIterator
