@@ -75,22 +75,20 @@ object GraftExtensions {
         .getOrElse(5))
 
   /** Per-session registration for sessions built without extensions
-    * (e.g. the driver-owned Verify session). Idempotent.
+    * (e.g. the driver-owned Verify session). Idempotent — and
+    * actually-idempotent: already-registered names are skipped so a
+    * per-operator register call doesn't spam "function replaced"
+    * warnings into every log.
     */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "poly_hash64", (children: Seq[Expression]) => PolyHash64(children.head),
-      "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "minhash_sigs", buildMinHashSigs, "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "packed_shingles", buildPackedShingles, "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "jaccard_sorted",
-      (children: Seq[Expression]) => JaccardSorted(children(0), children(1)),
-      "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "vec_dot", (children: Seq[Expression]) => VecDot(children(0), children(1)),
-      "scala_udf")
+    val reg = spark.sessionState.functionRegistry
+    def add(name: String, builder: Seq[Expression] => Expression): Unit =
+      if (!reg.functionExists(new FunctionIdentifier(name)))
+        reg.createOrReplaceTempFunction(name, builder, "scala_udf")
+    add("poly_hash64", children => PolyHash64(children.head))
+    add("minhash_sigs", buildMinHashSigs)
+    add("packed_shingles", buildPackedShingles)
+    add("jaccard_sorted", children => JaccardSorted(children(0), children(1)))
+    add("vec_dot", children => VecDot(children(0), children(1)))
   }
 }
