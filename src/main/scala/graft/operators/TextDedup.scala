@@ -42,6 +42,46 @@ object TextDedup {
     df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
   }
 
+  /** Passage-level duplicate detection (exact-substring dedup à la
+    * "Deduplicating Training Data Makes Language Models Better"):
+    * every `windowTokens`-token window of every document is keyed and
+    * counted across the corpus; windows appearing in MORE THAN ONE
+    * document are duplicated passages. Returns per-doc totals and the
+    * duplicated-window ratio — the signal a curation pipeline uses to
+    * trim boilerplate/quoted passages that DOC-level dedup can't see.
+    *
+    * Shape for 100 TB: one shuffle keyed on the window (count
+    * distinct docs combines partially map-side), one hash join back.
+    * Window keys here are the window strings so the DuckDB oracle can
+    * re-derive them verbatim; at petabyte scale key on
+    * `poly_hash64(window)` instead — 8-byte shuffle keys, same plan.
+    */
+  def duplicatePassages(df: DataFrame, idCol: String, textCol: String,
+                        windowTokens: Int = 10): DataFrame = {
+    require(windowTokens >= 2, s"windowTokens must be >= 2, got $windowTokens")
+    val w = windowTokens
+    val wins = df
+      .withColumn("_toks", split(trim(col(textCol)), "\\s+"))
+      .select(col(idCol),
+        explode(sequence(lit(0), greatest(size(col("_toks")) - w, lit(0)), lit(1)))
+          .as("_s"),
+        col("_toks"))
+      .select(col(idCol),
+        concat_ws(" ", slice(col("_toks"), col("_s") + 1, lit(w))).as("_win"))
+    val dupWins = wins.groupBy("_win")
+      .agg(countDistinct(col(idCol)).as("_nd"))
+      .filter(col("_nd") > 1)
+      .select(col("_win"), lit(1).as("_dup"))
+    wins.join(dupWins, Seq("_win"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_windows"),
+        count(col("_dup")).as("n_dup_windows"))
+      .withColumn("dup_ratio",
+        round(col("n_dup_windows").cast("double") /
+          col("n_windows").cast("double"), 4))
+  }
+
   /** Incremental ingest dedup: drop from `batch` every document whose
     * fingerprint already exists in `corpus`, then dedup the batch
     * against itself (min-id survivor). This is the snapshot-over-

@@ -277,6 +277,37 @@ object LlmQueries {
          |  SELECT 1 FROM documents c
          |  WHERE md5(${normSql("c.text")}) = md5(${normSql("dedup.text")}))""".stripMargin),
 
+    // ───── passage-level duplicate detection: corpus = originals ∪
+    // prefix-modified copies, so originals score dup_ratio 1.0 and
+    // copies score slightly below (their prefix windows are unique) —
+    // the ratio gradient doc-level dedup can't produce.
+    "dd_dup_passages" -> QueryDef.sql(
+      (s, dir) => {
+        val d = docs(s, dir).select("doc_id", "text")
+        val corpus = d.unionByName(d.select(
+          (col("doc_id") + 10000).as("doc_id"),
+          concat(lit("copy of "), col("text")).as("text")))
+        TextDedup.duplicatePassages(corpus, "doc_id", "text", windowTokens = 10)
+      },
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000, 'copy of ' || text FROM documents),
+        |toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM corpus),
+        |wins AS (
+        |  SELECT doc_id, array_to_string(tk[s+1 : s+10], ' ') AS w
+        |  FROM toks, LATERAL unnest(range(0, greatest(len(tk) - 9, 1), 1)) AS t(s)),
+        |dupw AS (
+        |  SELECT w FROM wins GROUP BY w HAVING COUNT(DISTINCT doc_id) > 1)
+        |SELECT doc_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_windows,
+        |       CAST(SUM(CASE WHEN w IN (SELECT w FROM dupw) THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_dup_windows,
+        |       round(CAST(SUM(CASE WHEN w IN (SELECT w FROM dupw) THEN 1 ELSE 0 END) AS DOUBLE)
+        |             / CAST(COUNT(*) AS DOUBLE), 4) AS dup_ratio
+        |FROM wins GROUP BY doc_id""".stripMargin),
+
     // ───── train/eval contamination sweep: docs sharing ≥20 distinct
     // 8-gram shingles with an "eval set" (docs 0-9). The oracle
     // intersects string shingle sets; the Spark side joins packed-long

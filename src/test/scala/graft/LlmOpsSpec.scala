@@ -90,6 +90,23 @@ class LlmOpsSpec extends SparkSpec {
     assert(math.abs(a - e) / e < 0.05, s"approx=$a exact=$e")
   }
 
+  test("duplicatePassages: a shared mid-document passage is found, unique context is not") {
+    val shared = (1 to 12).map(i => s"s$i").mkString(" ")
+    val doc1 = (1 to 5).map(i => s"u$i").mkString(" ") + " " + shared + " " +
+      (1 to 5).map(i => s"v$i").mkString(" ")
+    val doc2 = (1 to 5).map(i => s"w$i").mkString(" ") + " " + shared + " " +
+      (1 to 5).map(i => s"x$i").mkString(" ")
+    val out = TextDedup.duplicatePassages(
+      Seq((1L, doc1), (2L, doc2)).toDF("doc_id", "text"), "doc_id", "text",
+      windowTokens = 10)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // 22 tokens → 13 windows; only the 3 windows fully inside the
+    // 12-token shared passage repeat across docs
+    assert(out(1L) === ((13L, 3L, 0.2308)))
+    assert(out(2L) === ((13L, 3L, 0.2308)))
+  }
+
   test("minhash LSH recalls injected near-duplicates") {
     val d = docs.select("doc_id", "text", "lang")
     val corpus = d.unionByName(d.select(($"doc_id" + 10000).as("doc_id"),
