@@ -74,4 +74,41 @@ class SkewSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
     assert(a === b)
   }
+
+  test("AQE skew-join actually splits a skewed partition (the runtime re-plan path)") {
+    // GraftSession runs with AQE on; this proves the skew-join branch
+    // FIRES, not just that the conf is set. One key carries ~100k rows
+    // vs ~10 rows for the rest; thresholds are lowered so local-mode
+    // volumes qualify as skewed.
+    val confs = Map(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // hot key 7 carries 200k rows; the rest of the key space holds
+      // 10k singleton keys — the hot partition is ~40x the median
+      val left = spark.range(210000).select(
+        when($"id" < 10000, $"id").otherwise(lit(7L)).as("k"),
+        concat(lit("payload-payload-payload-"), $"id").as("pad"))
+      val right = spark.range(1000).select($"id".as("k"), lit("dim").as("v"))
+      // drive THIS dataset's QueryExecution (a write would re-plan a
+      // fresh one and leave this plan un-executed/isFinalPlan=false)
+      val joined = left.join(right, "k")
+      // 1000 singleton matches (k<1000) + 200000 rows on hot key 7
+      assert(joined.count() === 201000)
+      joined.collect()
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("isFinalPlan=true"), finalPlan)
+      assert(finalPlan.contains("skew=true"), finalPlan)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
 }
