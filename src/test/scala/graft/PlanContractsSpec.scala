@@ -135,6 +135,17 @@ class PlanContractsSpec extends SparkSpec {
     assert(reads.nonEmpty && reads.forall(!_.contains("lang")), reads.mkString("\n"))
   }
 
+  test("dd_dup_passages: window stream joins the dup set map-side; three bounded shuffles") {
+    val p = plan("dd_dup_passages")
+    // count-distinct expands to two exchanges + the final per-doc agg;
+    // the window stream itself joins the (small) dup-window set via
+    // broadcast at this SF — it is never shuffled for the join
+    val shuffles = p.linesIterator
+      .filter(_.contains("Exchange")).filterNot(_.contains("BroadcastExchange"))
+    assert(shuffles.size === 3, p)
+    assert(countLines(p, "BroadcastHashJoin") === 1, p)
+  }
+
   test("llm_corpus_pipeline: exactly two shuffles (dedup window + lang agg)") {
     val p = plan("llm_corpus_pipeline")
     val shuffles = p.linesIterator
