@@ -1,0 +1,31 @@
+package graft
+
+import graft.plans.GraftExtensions
+
+/** Whole-registry plan audit: every registered query's physical plan
+  * is swept for the anti-patterns that silently destroy scale —
+  * unbounded cartesian products and nested-loop joins. Deliberate
+  * exceptions are allowlisted BY NAME with their justification, so a
+  * new query (or a refactor of an old one) that slips into an
+  * accidental cross join fails the suite, not the 100 TB run.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  /** name → why an unbounded join shape is intentional there. */
+  private val allowedCartesian: Map[String, String] = Map(
+    "ann_topk" -> "deliberately-exact brute-force ANN baseline; queries broadcast",
+    "ta_unigram_logprob" -> "1-row total-token frame broadcast into the LM build")
+
+  test("no registered query hides an unlisted cartesian or nested-loop join") {
+    GraftExtensions.register(spark)
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+        val bad = plan.linesIterator.exists(l =>
+          l.contains("CartesianProduct") || l.contains("BroadcastNestedLoopJoin"))
+        if (bad && !allowedCartesian.contains(name)) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"unlisted cartesian/nested-loop joins in: ${offenders.mkString(", ")}")
+  }
+}
