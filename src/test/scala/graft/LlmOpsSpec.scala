@@ -81,6 +81,24 @@ class LlmOpsSpec extends SparkSpec {
     assert(out(2L) < out(1L))
   }
 
+  test("approx_percentile stays within its accuracy contract of the exact percentile") {
+    // the sketch twin of a11_percentiles for 100 TB: exact percentile
+    // buffers every value per group; approx_percentile holds a bounded
+    // sketch. Contract: rank error <= 1/accuracy of the row count.
+    val li = Tables.table(spark, sfDir, "lineitem")
+    val row = li.agg(
+      expr("percentile(l_extendedprice, 0.5)").as("exact"),
+      expr("approx_percentile(l_extendedprice, 0.5, 100)").as("approx"),
+      count(lit(1)).as("n")).collect()(0)
+    val (exact, approx, n) = (row.getDouble(0), row.getDouble(1), row.getLong(2))
+    val rankTolerance = (n / 100 + 1).toInt
+    val sorted = li.select("l_extendedprice").orderBy("l_extendedprice")
+      .collect().map(_.getDouble(0))
+    val exactRank = sorted.indexWhere(_ >= approx)
+    assert(math.abs(exactRank - n / 2.0) <= rankTolerance + 1,
+      s"approx=$approx exact=$exact rank=$exactRank n=$n")
+  }
+
   test("vocabStats: approx sketch agrees with exact within its error bound") {
     val exact = TextAnalysis.vocabStats(docs, "text", "doc_id").collect()(0)
     val approx = TextAnalysis.vocabStats(docs, "text", "doc_id", approx = true)

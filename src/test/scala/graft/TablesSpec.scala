@@ -138,6 +138,24 @@ class TablesSpec extends SparkSpec {
     assert(back2 === Seq((3L, "gamma")))
   }
 
+  test("partitioned layout: a partition-key filter prunes at planning, not at scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_prune").toString
+    val df = Tables.table(spark, sfDir, "orders")
+      .withColumn("od", to_date(col("o_orderdate")))
+    Tables.writePartitioned(df, dir, Seq("od"))
+    val latest = spark.read.parquet(dir).agg(max("od")).head().getDate(0)
+    val pruned = spark.read.parquet(dir).filter(col("od") === lit(latest))
+    val plan = pruned.queryExecution.executedPlan.toString
+    // the date predicate lands in PartitionFilters — directory-level
+    // pruning — NOT in PushedFilters (row-group level): at 100 TB this
+    // is the difference between listing one directory and scanning
+    // every file's footers
+    assert(plan.contains("PartitionFilters: [isnotnull(od"), plan)
+    assert(!plan.contains("PushedFilters: [IsNotNull(od"), plan)
+    assert(pruned.count() ===
+      df.filter(col("od") === lit(latest)).count())
+  }
+
   test("writeSharded: shard files hold disjoint contiguous sorted key ranges") {
     val dir = java.nio.file.Files.createTempDirectory("graft_shards").toString
     val df = Tables.table(spark, sfDir, "orders").select("o_orderkey", "o_totalprice")
