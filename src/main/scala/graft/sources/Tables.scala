@@ -132,6 +132,40 @@ object Tables {
     sorted.saveAsTable(table)
   }
 
+  /** JSONL (JSON-lines) corpus reader — the interchange format
+    * training corpora actually ship in. ALWAYS pass a schema in
+    * production: schema inference is a full extra pass over the data
+    * (at 100 TB, a second 100 TB scan before the first real one).
+    * `multiLine` stays false so files split by line and parallelize
+    * per-block; a multiline JSON document cannot be split.
+    */
+  def readJsonl(spark: SparkSession, path: String,
+                schema: Option[StructType] = None): DataFrame = {
+    val r = spark.read.option("mode", "PERMISSIVE")
+    schema.fold(r.json(path))(s => r.schema(s).json(path))
+  }
+
+  /** JSONL sink — one JSON object per line, splittable on re-read. */
+  def writeJsonl(df: DataFrame, path: String, mode: String = "overwrite"): Unit =
+    df.write.mode(mode).json(path)
+
+  /** Raw text-lines reader (one row per line, column `value`) — the
+    * lowest-level corpus ingestion surface; `wholetext=true` flips to
+    * one row per FILE for document-per-file layouts.
+    */
+  def readTextLines(spark: SparkSession, path: String,
+                    wholeFile: Boolean = false): DataFrame =
+    spark.read.option("wholetext", wholeFile.toString).text(path)
+
+  /** ORC round-trip — the other splittable columnar format Spark
+    * ships natively; same pushdown/pruning behavior as parquet.
+    */
+  def writeOrc(df: DataFrame, path: String, mode: String = "overwrite"): Unit =
+    df.write.mode(mode).orc(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** Range-sharded sorted output (training-example sharding): rows
     * are range-partitioned on `sortCol` into `numShards` files, each
     * internally sorted — a global sort order across shard files

@@ -138,6 +138,37 @@ class TablesSpec extends SparkSpec {
     assert(back2 === Seq((3L, "gamma")))
   }
 
+  test("JSONL round-trip preserves the documents schema and contents") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+    val docs = Tables.table(spark, sfDir, "documents")
+    Tables.writeJsonl(docs, dir)
+    val back = Tables.readJsonl(spark, dir, Some(docs.schema))
+    assert(back.schema === docs.schema)
+    assert(back.count() === docs.count())
+    assert(back.exceptAll(docs).isEmpty && docs.exceptAll(back).isEmpty)
+  }
+
+  test("readTextLines: per-line rows; wholetext gives one row per file") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_text")
+    java.nio.file.Files.writeString(dir.resolve("a.txt"), "line one\nline two\n")
+    java.nio.file.Files.writeString(dir.resolve("b.txt"), "only line\n")
+    val lines = Tables.readTextLines(spark, dir.toString)
+    assert(lines.count() === 3)
+    val whole = Tables.readTextLines(spark, dir.toString, wholeFile = true)
+    assert(whole.count() === 2)
+    assert(whole.collect().map(_.getString(0)).exists(_.contains("line one\nline two")))
+  }
+
+  test("ORC round-trip with pushdown parity") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    val li = Tables.table(spark, sfDir, "lineitem").select("l_orderkey", "l_quantity")
+    Tables.writeOrc(li, dir)
+    val back = Tables.readOrc(spark, dir).filter(col("l_quantity") > 30)
+    assert(back.count() === li.filter(col("l_quantity") > 30).count())
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30"), plan)
+  }
+
   test("partitioned layout: a partition-key filter prunes at planning, not at scan") {
     val dir = java.nio.file.Files.createTempDirectory("graft_prune").toString
     val df = Tables.table(spark, sfDir, "orders")
