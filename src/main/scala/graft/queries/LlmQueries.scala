@@ -232,6 +232,23 @@ object LlmQueries {
         |       CAST(len(tk[s+1 : s+64]) AS INT) AS n_chunk_tokens
         |FROM st""".stripMargin),
 
+    // ───── JSONL interchange round-trip THROUGH the oracle gate:
+    // documents → writeJsonl → readJsonl (schema-first) → aggregate;
+    // the oracle reads the original parquet, so any row lost or value
+    // mangled in the JSON round-trip breaks the hash match.
+    "corpus_jsonl_roundtrip" -> QueryDef.sql(
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_jsonl_").toString
+        val d = docs(s, dir)
+        Tables.writeJsonl(d, tmp)
+        Tables.readJsonl(s, tmp, Some(d.schema))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      },
+      """SELECT lang, COUNT(*) AS n_docs,
+        |       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY lang""".stripMargin),
+
     // ───── corpus vocabulary stats (exact verification form; the
     // approx_count_distinct sketch twin is spec-checked).
     "ta_vocab_stats" -> QueryDef.sql(
