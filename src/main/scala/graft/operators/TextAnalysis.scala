@@ -208,6 +208,35 @@ object TextAnalysis {
           .as("n_chunk_tokens"))
   }
 
+  /** Greedy sequential sequence packing: assign documents to packs of
+    * ~`targetTokens` by walking each stratum in deterministic id
+    * order and cutting a new pack when the running token total
+    * crosses a multiple of the target — constant-length training
+    * batches without a bin-packing solver, reproducible across runs
+    * and engines (it's just a window cumsum).
+    *
+    * Scale shape: packing runs INSIDE each stratum (language, shard,
+    * source), so the window never needs a global order — one shuffle
+    * on the stratum key, parallel across strata. For a single global
+    * stream, range-shard first (`Tables.writeSharded`) and pack per
+    * shard.
+    */
+  def packSequences(df: DataFrame, idCol: String, tokenCountCol: String,
+                    strataCol: String, targetTokens: Int): DataFrame = {
+    require(targetTokens > 0, s"targetTokens must be positive, got $targetTokens")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol)).orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    df.withColumn("_cum", sum(col(tokenCountCol)).over(w))
+      // the pack a doc lands in is decided by the tokens BEFORE it:
+      // a doc starting inside pack k belongs to pack k even if it
+      // overflows the boundary (packs can exceed target by < 1 doc)
+      .withColumn("pack_id",
+        floor((col("_cum") - col(tokenCountCol)) / targetTokens).cast("long"))
+      .drop("_cum")
+  }
+
   /** Gopher-style within-document repetition: 1 − distinct/total
     * character n-grams of the normalized text (0 = all unique, → 1 as
     * the doc degenerates into repeated boilerplate). Shuffle-free

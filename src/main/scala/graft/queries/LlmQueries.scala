@@ -249,6 +249,23 @@ object LlmQueries {
         |       CAST(SUM(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY lang""".stripMargin),
 
+    // ───── sequence packing: per-language greedy packs of ~512
+    // tokens (window cumsum — deterministic, engine-reproducible).
+    "ta_pack_sequences" -> QueryDef.sql(
+      (s, dir) => {
+        val d = docs(s, dir).withColumn("n_tokens",
+          TextAnalysis.wsTokenCount(col("text")))
+        TextAnalysis.packSequences(d, "doc_id", "n_tokens", "lang", 512)
+          .select("doc_id", "lang", "n_tokens", "pack_id")
+      },
+      """SELECT doc_id, lang,
+        |       len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+        |       CAST(FLOOR(CAST(SUM(len(string_split_regex(trim(text), '\s+')))
+        |                         OVER (PARTITION BY lang ORDER BY doc_id)
+        |                       - len(string_split_regex(trim(text), '\s+')) AS DOUBLE)
+        |                  / 512) AS BIGINT) AS pack_id
+        |FROM documents""".stripMargin),
+
     // ───── corpus vocabulary stats (exact verification form; the
     // approx_count_distinct sketch twin is spec-checked).
     "ta_vocab_stats" -> QueryDef.sql(

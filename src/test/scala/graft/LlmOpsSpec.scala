@@ -99,6 +99,31 @@ class LlmOpsSpec extends SparkSpec {
       s"approx=$approx exact=$exact rank=$exactRank n=$n")
   }
 
+  test("packSequences matches an independent sequential walk and keeps id order") {
+    val d = docs.withColumn("n_tokens", TextAnalysis.wsTokenCount($"text"))
+    val packed = TextAnalysis.packSequences(d, "doc_id", "n_tokens", "lang", 512)
+    // independent driver-side walk: pack = floor(tokens-before / 512)
+    // in id order within each language
+    val rows = packed.select("lang", "doc_id", "n_tokens", "pack_id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    rows.groupBy(_._1).values.foreach { langRows =>
+      var before = 0L
+      langRows.sortBy(_._2).foreach { case (_, _, n, packId) =>
+        assert(packId === before / 512, s"before=$before n=$n")
+        before += n
+      }
+    }
+    // a doc never lands in an earlier pack than a smaller-id doc
+    val stats = packed.groupBy("lang", "pack_id")
+      .agg(min($"doc_id").as("lo"), max($"doc_id").as("hi"))
+    stats.collect().groupBy(_.getString(0)).values.foreach { g =>
+      g.sortBy(_.getLong(1)).sliding(2).foreach {
+        case Array(a, b) => assert(a.getLong(3) < b.getLong(2))
+        case _ =>
+      }
+    }
+  }
+
   test("vocabStats: approx sketch agrees with exact within its error bound") {
     val exact = TextAnalysis.vocabStats(docs, "text", "doc_id").collect()(0)
     val approx = TextAnalysis.vocabStats(docs, "text", "doc_id", approx = true)
