@@ -60,6 +60,60 @@ object Similarity {
       .select("query_id", "cand_id", "cos_sim", "rank")
   }
 
+  /** Symmetric int8 quantization: `q_i = round(v_i / s)` with
+    * `s = max_i |v_i| / 127`, so every component lands in [-127, 127]
+    * and the result is a true `array<tinyint>` — 1 byte/dim at rest
+    * vs 4 for float32. At 100 TB that is the difference between an
+    * embedding corpus fitting in cluster memory or not: a 64-dim
+    * float32 corpus shrinks 4× with cosine ordering almost intact
+    * (see quantizedTopK recall spec). The per-vector max-abs scale
+    * cancels in cosine, so scoring needs no dequantization.
+    *
+    * Cross-engine deterministic: double-promoted division and
+    * half-away-from-zero rounding are identical in Spark and DuckDB,
+    * so the oracle reproduces the quantizer exactly. The `transform`
+    * HOFs here are interpreted (CodegenFallback) but run O(corpus)
+    * once at index-build time — never in the per-pair scoring loop.
+    */
+  def quantizeInt8(vec: Column): Column = {
+    val s = greatest(
+      array_max(transform(vec, x => abs(x.cast("double")))) / lit(127.0),
+      lit(java.lang.Double.MIN_NORMAL)) // zero-vector guard → all-zero q
+    transform(vec, x => round(x.cast("double") / s).cast("tinyint"))
+  }
+
+  /** Brute-force cosine top-k over int8-quantized vectors — the
+    * memory-scale variant of [[bruteForceTopK]]. Both sides quantize
+    * ONCE (projection below the join), then the per-pair hot loop is
+    * the same codegen'd `vec_dot`, now over small-integer-valued
+    * arrays: every product ≤ 127² and the 64-term sum ≪ 2^53, so the
+    * dot product is EXACT (no float-accumulation-order concerns at
+    * all) and the score is bit-reproducible in any engine. Queries
+    * broadcast; candidates never shuffle.
+    */
+  def quantizedTopK(candidates: DataFrame, queries: DataFrame,
+                    idCol: String, vecCol: String, k: Int): DataFrame = {
+    ensureRegistered(candidates)
+    // int8 codes widened back to double for the codegen'd dot; the
+    // widening is a per-row projection, not per-pair work
+    def qvec(v: Column) = transform(quantizeInt8(v), _.cast("double"))
+    val q = broadcast(queries.select(
+      col(idCol).as("query_id"), qvec(col(vecCol)).as("q_vec"))
+      .withColumn("q_norm", l2Norm(col("q_vec"))))
+    val c = candidates.select(
+      col(idCol).as("cand_id"), qvec(col(vecCol)).as("c_vec"))
+      .withColumn("c_norm", l2Norm(col("c_vec")))
+    val scored = c.crossJoin(q)
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("cos_sim",
+        round(dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("cand_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "cand_id", "cos_sim", "rank")
+  }
+
   /** Deterministic pseudo-random hyperplane component for (plane j,
     * dim d): ±1 from one md5-derived hex digit. Reproducible in any
     * engine with md5.

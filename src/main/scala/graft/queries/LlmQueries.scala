@@ -586,6 +586,39 @@ object LlmQueries {
          |  FROM sc)
          |WHERE rank <= 10""".stripMargin),
 
+    // ───── int8-quantized brute-force top-k: the ANN memory-scale
+    // path (1 byte/dim at rest, 4× smaller than float32; max-abs
+    // scale cancels in cosine so scoring never dequantizes). The
+    // oracle reproduces the quantizer digit-for-digit: double-
+    // promoted division + half-away-from-zero round are identical in
+    // Spark and DuckDB, and the int-valued dot is exact in both.
+    "ann_int8_topk" -> QueryDef.sql(
+      (s, dir) => {
+        val e = emb(s, dir)
+        Similarity.quantizedTopK(e, e.filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 10)
+          .withColumn("rank", col("rank").cast("int"))
+      },
+      s"""WITH sc0 AS (
+         |  SELECT vec_id, embedding,
+         |         greatest(list_max([abs(CAST(y AS DOUBLE)) for y in embedding]) / 127.0,
+         |                  2.2250738585072014e-308) AS s
+         |  FROM embeddings),
+         |qz AS (
+         |  SELECT vec_id,
+         |         [round(CAST(x AS DOUBLE) / s) for x in embedding] AS qv
+         |  FROM sc0),
+         |q AS (SELECT vec_id AS query_id, qv AS qvq FROM qz WHERE vec_id < 5),
+         |c AS (SELECT vec_id AS cand_id, qv AS qvc FROM qz),
+         |sc AS (
+         |  SELECT query_id, cand_id, round(${cosineSql("qvq", "qvc")}, 6) AS cos_sim
+         |  FROM c, q WHERE query_id <> cand_id)
+         |SELECT query_id, cand_id, cos_sim, rank FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |              ORDER BY cos_sim DESC, cand_id) AS INTEGER) AS rank
+         |  FROM sc)
+         |WHERE rank <= 10""".stripMargin),
+
     "ann_lsh_topk" -> QueryDef.sql(
       (s, dir) => {
         val e = emb(s, dir)

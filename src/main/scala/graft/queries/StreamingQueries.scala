@@ -53,6 +53,23 @@ object StreamingQueries {
         |FROM events
         |GROUP BY 1, 2, 3""".stripMargin),
 
+    // ───── stream-static broadcast join through the real streaming
+    // engine (readStream events ⋈ broadcast static customer dim →
+    // Complete-mode segment aggregate → AvailableNow → memory sink).
+    // Stream-static equi-joins are stateless; the dim hash table is
+    // shared across micro-batches. Exact decimal sum ⇒ arrival order
+    // can't show, so the batch oracle verifies the path end-to-end.
+    "ev_stream_enrich" -> QueryDef.sql(
+      (s, dir) =>
+        graft.streaming.EventStream.enrichedSegmentAggAvailableNow(s, dir),
+      """SELECT c.c_mktsegment AS mktsegment,
+        |       e.event_type,
+        |       COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(e.value AS DECIMAL(30,6))) AS DOUBLE) AS total_value
+        |FROM events e
+        |JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1, 2""".stripMargin),
+
     // ───── as-of join: each click attached to the user's latest
     // at-or-before purchase (DuckDB verifies with its native ASOF
     // JOIN — our composed union-sort-window must match it exactly)

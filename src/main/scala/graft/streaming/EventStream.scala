@@ -77,24 +77,46 @@ object EventStream {
     * bounded replay/verification; an unbounded deployment uses
     * [[windowedAgg]]'s watermarked Append mode + [[sinkToLake]].
     */
-  def windowedAggAvailableNow(spark: SparkSession, eventsPath: String,
-                              windowDur: String = "1 hour",
-                              queryName: String = "ev_stream_window_agg"): DataFrame = {
-    // events.parquet carries TIMESTAMP(NANOS) — same legacy-conf read
-    // + micros conversion as Tables.events, applied to the stream
+  /** File-source stream over the events parquet with the same
+    * TIMESTAMP(NANOS) handling as the batch `Tables.events` read. The
+    * file streaming source requires a directory (or glob) path; when
+    * handed a single parquet FILE, rewrite it as a `{name}` glob under
+    * its parent so the same call works for files and directories
+    * alike.
+    */
+  private def readEventsFileStream(spark: SparkSession, eventsPath: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(eventsPath).schema
-    // the file streaming source requires a directory (or glob) path;
-    // when handed a single parquet FILE, rewrite it as a {name} glob
-    // under its parent so the same call works for files and
-    // directories alike
     val p = new org.apache.hadoop.fs.Path(eventsPath)
     val conf = spark.sessionState.newHadoopConf()
     val streamPath =
       if (p.getFileSystem(conf).getFileStatus(p).isDirectory) eventsPath
       else s"${p.getParent}/{${p.getName}}"
-    val stream = spark.readStream.schema(schema).parquet(streamPath)
+    spark.readStream.schema(schema).parquet(streamPath)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Run a bounded streaming aggregation to completion and return the
+    * final table: Complete mode → memory sink → `Trigger.AvailableNow`
+    * (process every available file, then stop — the batch-bounded
+    * replay mode; same code path a live deployment runs, minus an
+    * unbounded source).
+    */
+  private def runCompleteToMemory(agg: DataFrame, queryName: String): DataFrame = {
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    agg.sparkSession.table(queryName)
+  }
+
+  def windowedAggAvailableNow(spark: SparkSession, eventsPath: String,
+                              windowDur: String = "1 hour",
+                              queryName: String = "ev_stream_window_agg"): DataFrame = {
+    val stream = readEventsFileStream(spark, eventsPath)
     val agg = stream
       .groupBy(window(col("ts"), windowDur), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
@@ -103,14 +125,37 @@ object EventStream {
         col("window.start").as("window_start"),
         col("window.end").as("window_end"),
         col("event_type"), col("n_events"), col("total_value"))
-    val q = agg.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(queryName)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(queryName)
+    runCompleteToMemory(agg, queryName)
+  }
+
+  /** Stream-static broadcast enrichment through the REAL streaming
+    * engine: readStream(events) inner-joined to the static customer
+    * dimension — broadcast, so each micro-batch probes a shared hash
+    * table and the dimension never shuffles (on a cluster: shipped
+    * once per executor, not per batch) — then aggregated per market
+    * segment and event type in Complete mode, AvailableNow trigger,
+    * memory sink. Stream-static equi-joins are stateless (no
+    * watermark needed): only the aggregation holds state, bounded by
+    * |segments| × |event types|.
+    *
+    * The exact decimal sum makes the result independent of
+    * micro-batch arrival order, so the answer equals the batch join +
+    * aggregate bit-for-bit and the DuckDB oracle verifies this
+    * streaming code path end-to-end.
+    */
+  def enrichedSegmentAggAvailableNow(spark: SparkSession, sfDir: String,
+                                     queryName: String = "ev_stream_enrich"): DataFrame = {
+    val stream = readEventsFileStream(spark, s"$sfDir/events.parquet")
+    val dim = broadcast(
+      spark.read.parquet(s"$sfDir/customer.parquet")
+        .select(col("c_custkey"), col("c_mktsegment")))
+    val agg = stream
+      .join(dim, stream("user_id") === dim("c_custkey"))
+      .groupBy(col("c_mktsegment").as("mktsegment"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(30,6)")).cast("double").as("total_value"))
+    runCompleteToMemory(agg, queryName)
   }
 
   /** Streaming exact deduplication for ingest pipelines: drop events

@@ -294,6 +294,32 @@ class LlmOpsSpec extends SparkSpec {
     assert(joined.filter($"cos_sim" =!= $"bf_cos").count() === 0)
   }
 
+  test("int8 quantization: true tinyint codes, saturated range, high top-k recall") {
+    import org.apache.spark.sql.types.{ArrayType, ByteType}
+    // codes are a REAL array<tinyint> (1 byte/dim at rest — the 4×
+    // memory claim), and every vector saturates its max-abs component
+    // to exactly ±127 (the symmetric-scale invariant)
+    val qz = emb.select($"vec_id",
+      Similarity.quantizeInt8($"embedding").as("q"))
+    assert(qz.schema("q").dataType.asInstanceOf[ArrayType].elementType === ByteType)
+    val absMax = qz.select(
+      array_max(transform($"q", c => abs(c.cast("int")))).as("m"))
+    assert(absMax.filter($"m" =!= 127).count() === 0)
+    assert(qz.select(array_max(transform($"q", _.cast("int"))).as("hi"))
+      .filter($"hi" > 127).count() === 0)
+
+    // quantized top-k ordering stays close to exact float cosine
+    val q = emb.filter($"vec_id" < 20)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "cand_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 10))
+    val quant = pairs(Similarity.quantizedTopK(emb, q, "vec_id", "embedding", 10))
+    val recall = (exact & quant).size.toDouble / exact.size
+    info(s"int8 recall@10 = $recall")
+    assert(recall >= 0.7, s"int8 recall@10 degraded: $recall")
+  }
+
   test("simhash64: identical texts collide, near-dups are close, unrelated are far") {
     val d = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again today"),

@@ -14,6 +14,7 @@ class PlanAuditSpec extends SparkSpec {
   /** name → why an unbounded join shape is intentional there. */
   private val allowedCartesian: Map[String, String] = Map(
     "ann_topk" -> "deliberately-exact brute-force ANN baseline; queries broadcast",
+    "ann_int8_topk" -> "same exhaustive scoring shape over int8 codes; queries broadcast",
     "ta_unigram_logprob" -> "1-row total-token frame broadcast into the LM build")
 
   test("no registered query hides an unlisted cartesian or nested-loop join") {

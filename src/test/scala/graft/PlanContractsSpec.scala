@@ -60,6 +60,18 @@ class PlanContractsSpec extends SparkSpec {
     assert(!p.contains("Generate explode"), p)
   }
 
+  test("ann_int8_topk: queries broadcast to every candidate partition; one rank shuffle") {
+    val p = plan("ann_int8_topk")
+    // quantized queries ship as a broadcast (no candidate-side
+    // shuffle for scoring); the only hash exchange is the top-k
+    // window's partition on query_id
+    assert(countLines(p, "BroadcastNestedLoopJoin") === 1, p)
+    assert(countLines(p, "SortMergeJoin") === 0, p)
+    val shuffles = p.linesIterator
+      .filter(_.contains("Exchange")).filterNot(_.contains("BroadcastExchange")).toSeq
+    assert(shuffles.size === 1, p)
+  }
+
   test("ta_quality_scores and ta_rolling_hash: shuffle-free projections") {
     for (name <- Seq("ta_quality_scores", "ta_rolling_hash")) {
       val p = plan(name)

@@ -59,6 +59,20 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("enrichedSegmentAggAvailableNow (stream-static broadcast join) equals the batch twin") {
+    val streamed = EventStream.enrichedSegmentAggAvailableNow(
+      spark, sfDir, queryName = "spec_stream_enrich")
+    val dim = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val ev = staticEvents
+    val batch = ev.join(dim, ev("user_id") === dim("c_custkey"))
+      .groupBy(col("c_mktsegment").as("mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(30,6)")).cast("double").as("total_value"))
+    assert(streamed.count() === batch.count())
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("runningUserCounts converges to the batch per-user totals") {
     val stream = EventStream.readEventStream(spark, streamDir, staticEvents.schema)
     val q = EventStream.runningUserCounts(stream).writeStream
