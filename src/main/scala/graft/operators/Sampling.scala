@@ -28,6 +28,69 @@ object Sampling {
     df.filter(bucketOf(col(keyCol)) < pct)
   }
 
+  /** Deterministic seeded global shuffle with contiguous 1-based
+    * positions — training-order randomization. Re-running, changing
+    * the partitioning, or re-expressing in another engine yields the
+    * SAME permutation: the order key is `md5(seed ∥ id)` (id as
+    * tiebreak), a pure function of the row.
+    *
+    * Assigning a GLOBAL position is the scale trap here: a bare
+    * `row_number() OVER (ORDER BY key)` is a global sort into a
+    * single window partition — one task owns 100 TB. Instead the hex
+    * PREFIX of the order key is the bucket, so bucket index order ∥
+    * within-bucket key order IS the global key order, and positions
+    * decompose into per-bucket ranks (one bounded shuffle on the
+    * ~uniform bucket key) plus a bucket-offset cumsum over a
+    * `numBuckets`-row frame (tiny by construction) broadcast back.
+    * Every stage is bounded regardless of corpus size.
+    */
+  def shuffledPositions(df: DataFrame, idCol: String, seed: String,
+                        hexPrefixLen: Int = 2): DataFrame = {
+    require(hexPrefixLen >= 1 && hexPrefixLen <= 4,
+      s"hexPrefixLen must be 1..4, got $hexPrefixLen")
+    import org.apache.spark.sql.expressions.Window
+    val keyed = df.select(col(idCol))
+      .withColumn("skey", md5(concat(lit(seed), col(idCol).cast("string"))))
+      .withColumn("bucket",
+        conv(substring(col("skey"), 1, hexPrefixLen), 16, 10).cast("long"))
+    val ranked = keyed.withColumn("rank",
+      row_number().over(Window.partitionBy(col("bucket"))
+        .orderBy(col("skey"), col(idCol))))
+    val offsets = keyed.groupBy("bucket").count()
+      .withColumn("offset",
+        coalesce(
+          sum(col("count")).over(Window.orderBy(col("bucket"))
+            .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select("bucket", "offset")
+    ranked.join(broadcast(offsets), "bucket")
+      .select(col(idCol), (col("offset") + col("rank")).as("pos"))
+  }
+
+  /** Per-stratum keep-rates (integer percent, the bucket granularity)
+    * that make a hash-sampled corpus hit a global TOKEN budget at the
+    * given stratum shares: `rate_s = min(100, ⌊100·budget·share_s /
+    * tokens_s⌋)`. Token totals are MEASURED (one aggregate, collected
+    * — O(|strata|) rows, so the driver hop is constant-size at any
+    * corpus scale); the returned map is curation config for
+    * [[stratifiedSample]]. Strata absent from `shares` or with zero
+    * measured tokens get no entry (sampled at the caller's
+    * defaultPct). Double math is ordered exactly as the SQL twin
+    * (`100.0·budget·share/t`) so rates reproduce cross-engine.
+    */
+  def tokenBudgetRates(df: DataFrame, strataCol: String, tokenCol: Column,
+                       budgetTokens: Long,
+                       shares: Map[String, Double]): Map[String, Int] = {
+    val totals = df.groupBy(col(strataCol)).agg(sum(tokenCol).as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    shares.flatMap { case (k, share) =>
+      totals.get(k).filter(_ > 0L).map { t =>
+        k -> math.min(100L,
+          math.floor(100.0 * budgetTokens * share / t).toLong).toInt
+      }
+    }
+  }
+
   /** Stratified deterministic sample — corpus MIXING: each stratum
     * (e.g. language, source, quality band) gets its own keep-rate;
     * strata absent from `rates` fall back to `defaultPct`. The rate

@@ -378,6 +378,54 @@ object LlmQueries {
         |WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 100
         |      < (CASE lang WHEN 'es' THEN 25 WHEN 'en' THEN 50 ELSE 10 END)""".stripMargin),
 
+    // ───── token-budget corpus mixture: keep-rates are DERIVED from
+    // measured per-language token totals so the sample hits a global
+    // token budget at fixed language shares (the knob a pretraining
+    // mix actually turns). Two passes: a constant-size rate aggregate
+    // (collected — O(|langs|)), then the shuffle-free hash-sample
+    // scan. The oracle recomputes the rate math digit-for-digit.
+    "corpus_mixture" -> QueryDef.sql(
+      (s, dir) => {
+        val d = docs(s, dir)
+        val rates = Sampling.tokenBudgetRates(
+          d.withColumn("tokens", TextAnalysis.regexTokenCount(col("text"))),
+          "lang", col("tokens"), budgetTokens = 5000L,
+          Map("en" -> 0.5, "es" -> 0.2, "de" -> 0.15, "fr" -> 0.1, "zh" -> 0.05))
+        Sampling.stratifiedSample(d, "doc_id", "lang", rates, defaultPct = 0)
+          .select("doc_id", "lang")
+      },
+      """WITH tk AS (
+        |  SELECT doc_id, lang,
+        |         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS tokens
+        |  FROM documents),
+        |tot AS (SELECT lang, SUM(tokens) AS t FROM tk GROUP BY lang),
+        |rates AS (
+        |  SELECT lang,
+        |         least(100, CAST(floor(CAST(100 AS DOUBLE) * 5000 *
+        |           (CASE lang WHEN 'en' THEN 0.5 WHEN 'es' THEN 0.2
+        |                      WHEN 'de' THEN 0.15 WHEN 'fr' THEN 0.1
+        |                      WHEN 'zh' THEN 0.05 ELSE 0 END) / t) AS BIGINT)) AS pct
+        |  FROM tot WHERE t > 0)
+        |SELECT d.doc_id, d.lang
+        |FROM documents d JOIN rates r ON d.lang = r.lang
+        |WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 100
+        |      < r.pct""".stripMargin),
+
+    // ───── seeded deterministic global shuffle (training-order
+    // randomization): contiguous 1-based positions in md5(seed‖id)
+    // order, computed WITHOUT a global sort — hex-prefix buckets give
+    // per-bucket ranks (bounded shuffle) + a 256-row offset cumsum
+    // broadcast back. The oracle's single-window row_number proves
+    // the decomposition equals the global ordering exactly.
+    "corpus_shuffle" -> QueryDef.sql(
+      (s, dir) =>
+        Sampling.shuffledPositions(docs(s, dir), "doc_id", "seed42"),
+      """WITH k AS (
+        |  SELECT doc_id, md5('seed42' || CAST(doc_id AS VARCHAR)) AS skey
+        |  FROM documents)
+        |SELECT doc_id, row_number() OVER (ORDER BY skey, doc_id) AS pos
+        |FROM k""".stripMargin),
+
     // ───── end-to-end corpus curation: quality gate → exact dedup →
     // per-language corpus stats (docs kept, total BPE-ish tokens,
     // exact-mean quality). The integration query a training-data

@@ -260,6 +260,41 @@ class LlmOpsSpec extends SparkSpec {
     assert(strat.count() === docs.filter($"lang" === "en").count())
   }
 
+  test("tokenBudgetRates: measured rates land the sample near the token budget") {
+    val withT = docs.withColumn("tokens", TextAnalysis.regexTokenCount($"text"))
+    val shares = Map("en" -> 0.5, "es" -> 0.2, "de" -> 0.15, "fr" -> 0.1, "zh" -> 0.05)
+    val rates = graft.operators.Sampling.tokenBudgetRates(
+      withT, "lang", $"tokens", 5000L, shares)
+    assert(rates.keySet === shares.keySet)
+    assert(rates.values.forall(r => r > 0 && r <= 100), rates.toString)
+    // pure function of the data — identical under repartitioning
+    assert(rates === graft.operators.Sampling.tokenBudgetRates(
+      withT.repartition(7), "lang", $"tokens", 5000L, shares))
+    // the sampled corpus lands near the budget (floor loss + 100-bucket
+    // hash granularity are the only slack)
+    val sampled = graft.operators.Sampling
+      .stratifiedSample(withT, "doc_id", "lang", rates, defaultPct = 0)
+      .agg(sum($"tokens")).head.getLong(0)
+    info(s"sampled tokens = $sampled (budget 5000)")
+    assert(sampled > 2500 && sampled < 9000, s"sampled $sampled vs budget 5000")
+  }
+
+  test("shuffledPositions: exact permutation, partitioning-invariant, seed-sensitive") {
+    val n = docs.count()
+    val pos = graft.operators.Sampling.shuffledPositions(docs, "doc_id", "seedA")
+    // positions are exactly 1..n (contiguous, no gaps or collisions)
+    assert(pos.select("pos").as[Long].collect().sorted.toSeq === (1L to n).toSeq)
+    // same seed under different physical partitioning → same mapping
+    val again = graft.operators.Sampling.shuffledPositions(
+      docs.repartition(7), "doc_id", "seedA")
+    assert(pos.exceptAll(again).isEmpty && again.exceptAll(pos).isEmpty)
+    // a different seed permutes differently (not the identity relabel)
+    val other = graft.operators.Sampling.shuffledPositions(docs, "doc_id", "seedB")
+      .withColumnRenamed("pos", "pos_b")
+    val same = pos.join(other, "doc_id").filter($"pos" === $"pos_b").count()
+    assert(same < n / 2, s"seedA and seedB agree on $same/$n positions")
+  }
+
   test("simhash gives identical fingerprints to identical texts") {
     val corpus = docs.select("doc_id", "text")
       .unionByName(docs.select(($"doc_id" + 20000).as("doc_id"), $"text"))

@@ -72,6 +72,16 @@ class PlanContractsSpec extends SparkSpec {
     assert(shuffles.size === 1, p)
   }
 
+  test("corpus_shuffle: global positions with NO global sort") {
+    val p = plan("corpus_shuffle")
+    // the scale trap would be a rangepartitioning exchange (global
+    // sort for a single row_number window); the decomposed plan ranks
+    // within hash-partitioned buckets and broadcasts the offsets
+    assert(countLines(p, "rangepartitioning") === 0, p)
+    assert(p.contains("hashpartitioning(bucket"), p)
+    assert(countLines(p, "BroadcastHashJoin") === 1, p)
+  }
+
   test("ta_quality_scores and ta_rolling_hash: shuffle-free projections") {
     for (name <- Seq("ta_quality_scores", "ta_rolling_hash")) {
       val p = plan(name)
