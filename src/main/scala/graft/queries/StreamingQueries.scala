@@ -70,6 +70,30 @@ object StreamingQueries {
         |JOIN customer c ON e.user_id = c.c_custkey
         |GROUP BY 1, 2""".stripMargin),
 
+    // ───── watermarked stream-stream interval join through the real
+    // engine (two file streams ⋈ on user + 30-min purchase window,
+    // Append → AvailableNow → memory). Inner joins emit per match and
+    // the set is order-independent, so the batch interval-join oracle
+    // verifies the stateful two-stream path end-to-end.
+    "ev_stream_interval_join" -> QueryDef.sql(
+      (s, dir) =>
+        graft.streaming.EventStream.clickPurchaseJoinAvailableNow(
+          s, s"$dir/events.parquet"),
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, value,
+        |         CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events),
+        |c AS (SELECT user_id, event_id AS click_id, ts AS c_ts
+        |      FROM e WHERE event_type = 'click'),
+        |p AS (SELECT user_id AS p_user_id, event_id AS purchase_id,
+        |             ts AS p_ts, value AS p_value
+        |      FROM e WHERE event_type = 'purchase')
+        |SELECT c.user_id, c.click_id, c.c_ts,
+        |       p.purchase_id, p.p_ts, p.p_value
+        |FROM c JOIN p ON c.user_id = p.p_user_id
+        | AND p.p_ts >= c.c_ts - INTERVAL 30 MINUTE
+        | AND p.p_ts <= c.c_ts""".stripMargin),
+
     // ───── as-of join: each click attached to the user's latest
     // at-or-before purchase (DuckDB verifies with its native ASOF
     // JOIN — our composed union-sort-window must match it exactly)

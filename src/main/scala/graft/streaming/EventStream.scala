@@ -158,6 +158,46 @@ object EventStream {
     runCompleteToMemory(agg, queryName)
   }
 
+  /** Watermarked STREAM-STREAM interval join through the real engine:
+    * clicks ⋈ purchases from two independent streams over the same
+    * events source, equi-keyed on user with the purchase constrained
+    * to [click − 30 min, click]. Inner stream-stream joins emit a
+    * match the moment both sides have arrived; the two watermarks plus
+    * the time constraint bound the buffered state (each side evicts
+    * rows the other side's watermark can no longer match), which is
+    * what makes the operator runnable on an unbounded feed — state is
+    * O(events per watermark window), not O(stream). Append mode,
+    * AvailableNow, memory sink; the emitted match set equals the batch
+    * interval join exactly (no aggregation, so arrival order can't
+    * show), letting the DuckDB oracle verify the code path end-to-end.
+    */
+  def clickPurchaseJoinAvailableNow(spark: SparkSession, eventsPath: String,
+                                    queryName: String = "ev_stream_interval_join"): DataFrame = {
+    val clicks = readEventsFileStream(spark, eventsPath)
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "2 hours")
+    val purchases = readEventsFileStream(spark, eventsPath)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"), col("value").as("p_value"))
+      .withWatermark("p_ts", "2 hours")
+    val joined = clicks.join(purchases,
+      expr("""user_id = p_user_id
+             |AND p_ts >= c_ts - INTERVAL 30 MINUTES
+             |AND p_ts <= c_ts""".stripMargin))
+      .select(col("user_id"), col("click_id"), col("c_ts"),
+        col("purchase_id"), col("p_ts"), col("p_value"))
+    val q = joined.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
   /** Streaming exact deduplication for ingest pipelines: drop events
     * whose dedup key was already seen, with state bounded by the
     * event-time watermark (`dropDuplicatesWithinWatermark` — a late

@@ -73,6 +73,36 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("stream-stream interval join recovers cross-batch matches from state") {
+    // two independent file streams over the 4-chunk replay: a click in
+    // an early micro-batch must stay buffered in join state until its
+    // matching purchase arrives in a later one
+    def clicksOf(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("c_ts"))
+        .withWatermark("c_ts", "2 hours")
+    def purchasesOf(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+          col("ts").as("p_ts"))
+        .withWatermark("p_ts", "2 hours")
+    val cond = expr(
+      "user_id = p_user_id AND p_ts >= c_ts - INTERVAL 30 MINUTES AND p_ts <= c_ts")
+    val joined = clicksOf(EventStream.readEventStream(spark, streamDir, staticEvents.schema))
+      .join(purchasesOf(EventStream.readEventStream(spark, streamDir, staticEvents.schema)),
+        cond)
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("ssj_out").start()
+    q.processAllAvailable(); q.stop()
+    def keys(df: org.apache.spark.sql.DataFrame) =
+      df.select("user_id", "click_id", "purchase_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val streamed = keys(spark.table("ssj_out"))
+    val batch = keys(clicksOf(staticEvents).join(purchasesOf(staticEvents), cond))
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("runningUserCounts converges to the batch per-user totals") {
     val stream = EventStream.readEventStream(spark, streamDir, staticEvents.schema)
     val q = EventStream.runningUserCounts(stream).writeStream
