@@ -169,6 +169,45 @@ class StreamingSpec extends SparkSpec {
     assert((landedSet -- batch).isEmpty)
   }
 
+  test("sinkToLake resumes from its checkpoint without re-emitting prior windows") {
+    val srcDir = java.nio.file.Files.createTempDirectory("resume_src").toString
+    val outDir = java.nio.file.Files.createTempDirectory("resume_lake").toString + "/agg"
+    val ckpt = java.nio.file.Files.createTempDirectory("resume_ckpt").toString
+    // reuse the 4-chunk ts-ordered replay files; phase 1 sees 2 of them
+    val chunks = new java.io.File(streamDir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    def copyIn(n: Int): Unit = chunks.take(n).foreach { f =>
+      val dst = java.nio.file.Paths.get(s"$srcDir/${f.getName}")
+      if (!dst.toFile.exists())
+        java.nio.file.Files.copy(f.toPath, dst)
+    }
+    def runOnce(): Unit = {
+      val stream = EventStream.readEventStream(spark, srcDir, staticEvents.schema)
+      val q = EventStream.sinkToLake(
+        EventStream.windowedAgg(stream, watermarkDelay = "1 hour"),
+        outDir, ckpt, Seq("event_type"))
+      q.processAllAvailable(); q.stop()
+    }
+    copyIn(2); runOnce()
+    val afterFirst = spark.read.parquet(outDir).count()
+    assert(afterFirst > 0, "phase 1 should land watermark-closed windows")
+    copyIn(4); runOnce() // NEW query instance, SAME checkpoint
+    val landed = spark.read.parquet(outDir)
+    assert(landed.count() > afterFirst, "phase 2 should land newly closed windows")
+    // exactly-once across the restart: no window re-emitted...
+    assert(landed.groupBy("window_start", "event_type").count()
+      .filter(col("count") > 1).count() === 0)
+    // ...and everything landed agrees with the batch aggregation
+    val batch = staticEvents
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    val landedSet = landed.select("window_start", "event_type", "n_events")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert((landedSet -- batch).isEmpty)
+  }
+
   test("sessionize emits watermark-closed sessions matching the batch gaps-and-islands") {
     val stream = EventStream.readEventStream(spark, streamDir, staticEvents.schema)
     val q = EventStream.sessionize(stream, gapMinutes = 30, watermarkDelay = "1 hour")
