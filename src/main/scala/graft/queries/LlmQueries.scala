@@ -378,6 +378,36 @@ object LlmQueries {
         |WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 100
         |      < (CASE lang WHEN 'es' THEN 25 WHEN 'en' THEN 50 ELSE 10 END)""".stripMargin),
 
+    // ───── sparse TF-IDF keyword retrieval: inverted-index shape
+    // (explode → filter to query terms → bounded TF/IDF shuffles,
+    // |terms|-row IDF broadcast) — the sparse sibling of the dense
+    // ANN queries. Round-9dp ln + decimal sum keep the top-k cut
+    // engine-exact.
+    "ta_tfidf_search" -> QueryDef.sql(
+      (s, dir) =>
+        TextAnalysis.tfidfRetrieve(docs(s, dir), "doc_id", "text",
+          Seq("join", "merge", "window", "scan"), k = 10),
+      """WITH toks AS (
+        |  SELECT doc_id, token FROM (
+        |    SELECT doc_id,
+        |           unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+        |    FROM documents)
+        |  WHERE token IN ('join', 'merge', 'window', 'scan')),
+        |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |idf AS (
+        |  SELECT token,
+        |         round(ln(CAST(n_docs AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)), 9) AS idf
+        |  FROM tf, n GROUP BY token, n_docs),
+        |w AS (
+        |  SELECT doc_id, round(CAST(tf AS DOUBLE) * idf, 9) AS w
+        |  FROM tf JOIN idf USING (token))
+        |SELECT doc_id,
+        |       round(CAST(SUM(CAST(w AS DECIMAL(30,9))) AS DOUBLE), 6) AS score
+        |FROM w GROUP BY doc_id
+        |ORDER BY score DESC, doc_id ASC
+        |LIMIT 10""".stripMargin),
+
     // ───── token-budget corpus mixture: keep-rates are DERIVED from
     // measured per-language token totals so the sample hits a global
     // token budget at fixed language shares (the knob a pretraining

@@ -260,6 +260,16 @@ class LlmOpsSpec extends SparkSpec {
     assert(strat.count() === docs.filter($"lang" === "en").count())
   }
 
+  test("tfidfRetrieve ranks a planted term-heavy doc first") {
+    val planted = docs.select($"doc_id", $"text").unionByName(
+      Seq((99999L, "zebra zebra zebra zebra quartz")).toDF("doc_id", "text"))
+    val top = TextAnalysis.tfidfRetrieve(planted, "doc_id", "text",
+      Seq("zebra"), k = 5).collect()
+    assert(top.head.getLong(0) === 99999L, top.mkString(";"))
+    val scores = top.map(_.getDouble(1))
+    assert(scores.toSeq === scores.sorted(Ordering[Double].reverse).toSeq)
+  }
+
   test("tokenBudgetRates: measured rates land the sample near the token budget") {
     val withT = docs.withColumn("tokens", TextAnalysis.regexTokenCount($"text"))
     val shares = Map("en" -> 0.5, "es" -> 0.2, "de" -> 0.15, "fr" -> 0.1, "zh" -> 0.05)

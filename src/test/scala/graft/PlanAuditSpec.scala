@@ -15,7 +15,8 @@ class PlanAuditSpec extends SparkSpec {
   private val allowedCartesian: Map[String, String] = Map(
     "ann_topk" -> "deliberately-exact brute-force ANN baseline; queries broadcast",
     "ann_int8_topk" -> "same exhaustive scoring shape over int8 codes; queries broadcast",
-    "ta_unigram_logprob" -> "1-row total-token frame broadcast into the LM build")
+    "ta_unigram_logprob" -> "1-row total-token frame broadcast into the LM build",
+    "ta_tfidf_search" -> "1-row corpus-size frame broadcast into the IDF build")
 
   test("no registered query hides an unlisted cartesian or nested-loop join") {
     GraftExtensions.register(spark)

@@ -72,6 +72,17 @@ class PlanContractsSpec extends SparkSpec {
     assert(shuffles.size === 1, p)
   }
 
+  test("ta_tfidf_search: inverted-index shape — broadcast IDF, bounded top-k sort") {
+    val p = plan("ta_tfidf_search")
+    // IDF joins back as a broadcast (posting lists never sort-merge)
+    // and the final top-k is a bounded TakeOrderedAndProject, not a
+    // global sort
+    assert(countLines(p, "SortMergeJoin") === 0, p)
+    assert(countLines(p, "BroadcastHashJoin") === 1, p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(countLines(p, "rangepartitioning") === 0, p)
+  }
+
   test("corpus_shuffle: global positions with NO global sort") {
     val p = plan("corpus_shuffle")
     // the scale trap would be a rangepartitioning exchange (global
