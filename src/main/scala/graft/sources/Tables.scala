@@ -166,6 +166,39 @@ object Tables {
   def readOrc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
 
+  /** Small-file compaction — lake maintenance for append-heavy
+    * layouts. Streaming sinks and per-batch appends accumulate tiny
+    * files; at 100 TB the scheduler/metadata cost of millions of
+    * small splits dominates the scan itself. Rewrites the directory
+    * into `ceil(bytes / targetFileBytes)` files — sized from the
+    * ACTUAL on-disk footprint, not a guessed partition count — using
+    * `coalesce` (narrow: no shuffle, readers merge input splits) and
+    * the atomic staging swap (`Scd2.writeAtomic`), so a concurrent
+    * reader never observes a half-compacted directory. Returns the
+    * target file count.
+    */
+  def compact(spark: SparkSession, path: String,
+              targetFileBytes: Long = 128L << 20): Int = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val bytes = fs.listStatus(p)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen).sum
+    val n = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    graft.operators.Scd2.writeAtomic(spark.read.parquet(path).coalesce(n), path)
+    n
+  }
+
+  /** Schema-evolution read: files in one directory may carry
+    * different (compatible) footers as columns are added over a
+    * table's life; `mergeSchema` unions them and files that predate a
+    * column surface NULL for it. Spark leaves this off by default
+    * because footer merging costs O(files) at planning — so it is an
+    * explicit per-read surface here, not a session conf.
+    */
+  def readMergedSchema(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
   /** Range-sharded sorted output (training-example sharding): rows
     * are range-partitioned on `sortCol` into `numShards` files, each
     * internally sorted — a global sort order across shard files

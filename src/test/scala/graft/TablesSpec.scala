@@ -187,6 +187,39 @@ class TablesSpec extends SparkSpec {
       df.filter(col("od") === lit(latest)).count())
   }
 
+  test("compact: small-file dir rewritten to the computed count, atomically, content-exact") {
+    val dir = tmp() + "/lake"
+    val df = Tables.table(spark, sfDir, "orders").limit(2000).cache()
+    df.repartition(16).write.parquet(dir)
+    def files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.length === 16)
+    val onDisk = files.map(_.length).sum
+    // target ~half the footprint → exactly 2 output files
+    val n = Tables.compact(spark, dir, targetFileBytes = (onDisk + 1) / 2)
+    assert(n === 2)
+    assert(files.length === n)
+    // no staging/backup residue (the swap completed)
+    val parent = new java.io.File(dir).getParentFile.listFiles().map(_.getName)
+    assert(!parent.exists(x => x.endsWith(".staging") || x.endsWith(".backup")), parent.mkString(","))
+    // content is byte-identical to the pre-compaction table
+    val after = spark.read.parquet(dir)
+    assert(after.exceptAll(df).isEmpty && df.exceptAll(after).isEmpty)
+  }
+
+  test("readMergedSchema: added columns surface as NULL on files that predate them") {
+    val dir = tmp() + "/evolving"
+    val v1 = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+    val v2 = Seq((3L, "c", 9.5)).toDF("id", "name", "score")
+    v1.write.parquet(dir)
+    v2.write.mode("append").parquet(dir)
+    val merged = Tables.readMergedSchema(spark, dir)
+    assert(merged.columns.sorted.toSeq === Seq("id", "name", "score"))
+    assert(merged.count() === 3)
+    assert(merged.filter($"score".isNull).count() === 2)
+    assert(merged.filter($"id" === 3L).head.getAs[Double]("score") === 9.5)
+  }
+
   test("writeSharded: shard files hold disjoint contiguous sorted key ranges") {
     val dir = java.nio.file.Files.createTempDirectory("graft_shards").toString
     val df = Tables.table(spark, sfDir, "orders").select("o_orderkey", "o_totalprice")
