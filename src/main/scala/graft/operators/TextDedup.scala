@@ -323,6 +323,93 @@ object TextDedup {
       .select("id_1", "id_2", "jaccard")
   }
 
+  /** Exact n-gram Jaccard join via PREFIX FILTERING (PPJoin-style) —
+    * the 100 TB form of [[ngramJaccardPairs]]. The block-cartesian
+    * version is quadratic within a block, so it needs the
+    * `maxBlockSize` guard and EXCLUDES blocks that outgrow it; at
+    * corpus scale the biggest block is most of the corpus and the
+    * guard swallows the data. Prefix filtering removes the quadratic
+    * step and the exclusion:
+    *
+    * For sorted distinct shingle sets (packed_shingles emits a fixed
+    * total order), J(A,B) ≥ t implies |A∩B| ≥ ⌈t·|A|⌉, and by
+    * pigeonhole any pair with that much overlap shares a token among
+    * each side's first `|A| − ⌊t·|A|⌋ + 1` elements (floor, not ceil
+    * — one element longer than necessary, so FP rounding of t·|A| can
+    * only widen the net, never lose a pair). Candidates are therefore
+    * an EQUI-join on (block, prefix-token) — shuffle-partitionable,
+    * subquadratic, no cartesian anywhere — followed by the same
+    * size-ratio filter and codegen'd `jaccard_sorted` verification.
+    * Output is identical to the all-pairs form, with no size cap and
+    * no excluded blocks.
+    *
+    * The prefix order matters enormously: selecting prefixes in byte
+    * order puts CORPUS-COMMON shingles (stopword n-grams) into
+    * prefixes, and a token shared by f docs contributes O(f²)
+    * candidate pairs — measured unusable at sf0.1 (minutes vs
+    * seconds). So prefixes are selected RARE-FIRST under the
+    * (document-frequency, shingle) total order — the canonical PPJoin
+    * ordering: one vocabulary-bounded counting pass, a shuffle join
+    * token→df, and a per-doc window take the `plen` rarest shingles;
+    * rare tokens have tiny fan-out, collapsing the candidate count.
+    * Verification still runs `jaccard_sorted` on the byte-sorted
+    * arrays (set semantics are order-independent). Pair dedup happens
+    * BEFORE verification so each candidate pays the O(|A|+|B|) merge
+    * exactly once.
+    *
+    * Measured crossover (be honest about it): at sf0.1 (10k docs,
+    * 2–4k per block) the block-cartesian form is FASTER (~8s vs
+    * ~60s) — blocks are still small enough that the quadratic pass is
+    * cheap, while the df join + per-doc rarity window here cost three
+    * extra bounded shuffles regardless of block size. The prefix form
+    * wins when blocks outgrow the quadratic budget (it has no size
+    * cap and excludes nothing); `ngramOversizedBlocks` reporting
+    * non-empty is exactly the signal to switch.
+    */
+  def ngramJaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
+                              blockCol: String, threshold: Double,
+                              shingleSize: Int = 5): DataFrame = {
+    graft.plans.GraftExtensions.register(df.sparkSession) // idempotent
+    val prepared = df
+      .filter(col(textCol).isNotNull)
+      .withColumn("_norm", normalizeText(col(textCol)))
+      .withColumn("_sh", expr(s"packed_shingles(_norm, $shingleSize)"))
+      .withColumn("_len", size(col("_sh")))
+      .withColumn("_plen",
+        (col("_len") - floor(lit(threshold) * col("_len")).cast("int") + 1))
+      .select(col(idCol), col(blockCol), col("_sh"), col("_len"), col("_plen"))
+    val toks = prepared.select(
+      col(idCol), col(blockCol), col("_len"), col("_plen"),
+      explode(col("_sh")).as("_tok"))
+    // document frequency per (block, shingle) — vocabulary-bounded
+    val dfreq = toks.groupBy(col(blockCol), col("_tok"))
+      .agg(count(lit(1)).as("_df"))
+    // per-doc prefix = the plen rarest shingles under the (df, token)
+    // total order (shared by both sides, as the lemma requires)
+    val byRarity = Window.partitionBy(col(idCol))
+      .orderBy(col("_df").asc, col("_tok").asc)
+    val prefixToks = toks.join(dfreq, Seq(blockCol, "_tok"))
+      .withColumn("_rk", row_number().over(byRarity))
+      .filter(col("_rk") <= col("_plen"))
+      .select(col(idCol), col(blockCol), col("_len"), col("_tok"))
+    def side(n: Int) = prefixToks.select(
+      col(blockCol), col("_tok"),
+      col(idCol).as(s"id_$n"), col("_len").as(s"len_$n"))
+    val candidates = side(1).join(side(2), Seq(blockCol, "_tok"))
+      .filter(col("id_1") < col("id_2"))
+      // size-ratio prune before the dedup shuffle: J ≥ t ⇒ min ≥ t·max
+      .filter(col("len_1").cast("double") >= lit(threshold) * col("len_2") &&
+        col("len_2").cast("double") >= lit(threshold) * col("len_1"))
+      .select("id_1", "id_2").dropDuplicates("id_1", "id_2")
+    val shingles = prepared.select(col(idCol), col("_sh"))
+    candidates
+      .join(shingles.select(col(idCol).as("id_1"), col("_sh").as("sh_1")), "id_1")
+      .join(shingles.select(col(idCol).as("id_2"), col("_sh").as("sh_2")), "id_2")
+      .withColumn("jaccard", expr("jaccard_sorted(sh_1, sh_2)"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_1", "id_2", "jaccard")
+  }
+
   // ───────────────── duplicate clustering (components) ─────────────────
 
   /** Connected components over a near-dup pair list — the step between

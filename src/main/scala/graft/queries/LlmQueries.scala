@@ -644,6 +644,25 @@ object LlmQueries {
          |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
          |    / CAST(len(list_distinct(list_cat(a.sh, b.sh))) AS DOUBLE) >= 0.5""".stripMargin),
 
+    // ───── PPJoin-style prefix-filtered exact Jaccard join: SAME
+    // result set as dd_ngram_jaccard (the oracle SQL is identical),
+    // but candidates come from an equi-join on (block, prefix token)
+    // instead of a block-cartesian — subquadratic, no size cap, no
+    // excluded blocks. This is the form that survives 100 TB, where
+    // the biggest block IS the corpus.
+    "dd_ngram_prefix" -> QueryDef.sql(
+      (s, dir) =>
+        TextDedup.ngramJaccardPairsPrefix(nearDupCorpus(s, dir), "doc_id",
+          "text", "lang", threshold = 0.5),
+      s"""WITH $nearDupCorpusSql,
+         |$shinglesSql
+         |SELECT a.doc_id AS id_1, b.doc_id AS id_2,
+         |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |    / CAST(len(list_distinct(list_cat(a.sh, b.sh))) AS DOUBLE) AS jaccard
+         |FROM shl a JOIN shl b ON a.lang = b.lang AND a.doc_id < b.doc_id
+         |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |    / CAST(len(list_distinct(list_cat(a.sh, b.sh))) AS DOUBLE) >= 0.5""".stripMargin),
+
     // ───────── similarity search ─────────
 
     "ann_topk" -> QueryDef.sql(

@@ -305,6 +305,20 @@ class LlmOpsSpec extends SparkSpec {
     assert(same < n / 2, s"seedA and seedB agree on $same/$n positions")
   }
 
+  test("prefix-filtered Jaccard join equals the all-pairs form pair-for-pair") {
+    val corpus = docs.select($"doc_id", $"text", $"lang").unionByName(
+      docs.select(($"doc_id" + 10000).as("doc_id"),
+        concat($"text", lit(" copy")).as("text"), $"lang"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val allPairs = pairs(TextDedup.ngramJaccardPairs(
+      corpus, "doc_id", "text", "lang", threshold = 0.5))
+    val prefix = pairs(TextDedup.ngramJaccardPairsPrefix(
+      corpus, "doc_id", "text", "lang", threshold = 0.5))
+    assert(prefix === allPairs)
+    assert(prefix.nonEmpty)
+  }
+
   test("simhash gives identical fingerprints to identical texts") {
     val corpus = docs.select("doc_id", "text")
       .unionByName(docs.select(($"doc_id" + 20000).as("doc_id"), $"text"))

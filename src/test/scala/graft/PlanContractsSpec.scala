@@ -83,6 +83,14 @@ class PlanContractsSpec extends SparkSpec {
     assert(countLines(p, "rangepartitioning") === 0, p)
   }
 
+  test("dd_ngram_prefix: candidates come from equi-joins only — no cartesian") {
+    val p = plan("dd_ngram_prefix")
+    // the whole point of prefix filtering: the quadratic block-
+    // cartesian is replaced by shuffle-partitionable equi-joins
+    assert(countLines(p, "CartesianProduct") === 0, p)
+    assert(countLines(p, "BroadcastNestedLoopJoin") === 0, p)
+  }
+
   test("corpus_shuffle: global positions with NO global sort") {
     val p = plan("corpus_shuffle")
     // the scale trap would be a rangepartitioning exchange (global
