@@ -915,6 +915,36 @@ object LlmQueries {
     // byte-length arithmetic, proving the header round-trip. RMS/peak
     // (the real sample decode) are spec-verified on synthetic sine
     // waves (LlmOpsSpec) where SQL can't follow.
+    // ───── REAL RIFF/AVI container parse: deterministic raw-RGB AVI
+    // built from each doc's bytes (8×4 frames, 96 B each, 10 fps),
+    // then width/height/frames/duration re-derived by the actual
+    // header parser. The oracle recomputes the container math from
+    // the text length — any builder/parser disagreement breaks it.
+    "mm_video_meta" -> QueryDef.sql(
+      (s, dir) => {
+        import s.implicits._
+        val vids = docs(s, dir)
+          .select(col("doc_id").cast("long"), col("text"))
+          .as[(Long, String)]
+          .mapPartitions(_.map { case (id, text) =>
+            val bytes = text.getBytes("UTF-8")
+            val frameSize = 96 // 8×4 RGB
+            val frames =
+              if (bytes.isEmpty) Seq(new Array[Byte](frameSize))
+              else bytes.grouped(frameSize)
+                .map(c => java.util.Arrays.copyOf(c, frameSize)).toSeq
+            (id, Multimodal.aviFromFrames(frames, width = 8, height = 4, fps = 10))
+          }).toDF("media_id", "content")
+        Multimodal.extractVideoFeatures(vids)
+          .select("media_id", "width", "height", "n_frames", "fps", "duration_ms")
+      },
+      """SELECT doc_id AS media_id,
+        |       8 AS width, 4 AS height,
+        |       GREATEST(CAST((octet_length(encode(text)) + 95) // 96 AS BIGINT), 1) AS n_frames,
+        |       10 AS fps,
+        |       GREATEST(CAST((octet_length(encode(text)) + 95) // 96 AS BIGINT), 1) * 100 AS duration_ms
+        |FROM documents""".stripMargin),
+
     "mm_audio_meta" -> QueryDef.sql(
       (s, dir) => {
         import s.implicits._

@@ -492,6 +492,26 @@ class LlmOpsSpec extends SparkSpec {
       metas(0).getLong(0) === 500L && metas(0).getInt(1) === sr)
   }
 
+  test("video: AVI container round-trip, real frame-chunk sampling, corrupt rejection") {
+    val frames = (0 until 7).map(i => Array.fill[Byte](96)(i.toByte))
+    val avi = Multimodal.aviFromFrames(frames, width = 8, height = 4, fps = 10)
+    // header round-trip: the parser reads back exactly what was built
+    val info = Multimodal.VideoHeader.probe(avi).get
+    assert(info.width === 8 && info.height === 4)
+    assert(info.nFrames === 7 && info.fps === 10)
+    assert(info.durationMs === 700)
+    // frame sampling extracts the REAL chunk payloads at even stride
+    val sampled = Multimodal.sampleVideoFrames(avi, k = 3)
+    assert(sampled.map(_._1) === Seq(0, 3, 6))
+    sampled.foreach { case (i, f) => assert(f.toSeq === frames(i).toSeq) }
+    // odd-length frames get RIFF word-alignment padding and still walk
+    val odd = Multimodal.aviFromFrames(Seq(Array.fill[Byte](5)(1), Array.fill[Byte](3)(2)), 2, 1)
+    assert(Multimodal.sampleVideoFrames(odd, 10).map(_._2.length) === Seq(5, 3))
+    // corrupt/non-AVI payloads are rejected, not mis-parsed
+    assert(Multimodal.VideoHeader.probe("not a video".getBytes).isEmpty)
+    assert(Multimodal.VideoHeader.probe(avi.take(20)).isEmpty)
+  }
+
   test("image header parsing: true dimensions from PNG/JPEG/GIF bytes") {
     import graft.operators.Multimodal.ImageHeader
     assert(ImageHeader.probe(pngBytes(640, 480)).contains(ImageHeader.Info("png", 640, 480)))
