@@ -495,6 +495,78 @@ object LlmQueries {
          |  round(CAST(SUM(CAST(quality_score AS DECIMAL(30,4))) AS DOUBLE) / COUNT(*), 4) AS avg_quality
          |FROM dedup GROUP BY 1""".stripMargin),
 
+    // ───── the FULL training-prep pipeline in one plan: quality gate
+    // → exact dedup → token-budget mixture (measured rates) → seeded
+    // global shuffle → per-language sequence packing → per-pack
+    // totals. Every stage is an operator individually oracle-proven
+    // above; this gates their COMPOSITION — any disagreement anywhere
+    // (a gate boundary, a dedup survivor, a rate, one shuffle
+    // position) shifts pack boundaries and breaks every downstream
+    // hash. Scale shape: two bounded aggregates (rates, packs), the
+    // shuffle-position machinery's bounded bucket ranks, and
+    // scan-side everything else — no stage is quadratic or global.
+    "llm_train_prep" -> QueryDef.sql(
+      (s, dir) => {
+        val gated = TextAnalysis.withQualityFeatures(docs(s, dir), "text")
+          .filter(col("quality_score") >= 0.5)
+        val deduped = TextDedup.dedupExact(gated, "doc_id", "text")
+          .withColumn("tokens", TextAnalysis.regexTokenCount(col("text")))
+        val rates = Sampling.tokenBudgetRates(deduped, "lang", col("tokens"),
+          budgetTokens = 5000L,
+          Map("en" -> 0.5, "es" -> 0.2, "de" -> 0.15, "fr" -> 0.1, "zh" -> 0.05))
+        val mixed = Sampling
+          .stratifiedSample(deduped, "doc_id", "lang", rates, defaultPct = 0)
+          .select("doc_id", "lang", "tokens")
+        val ordered = mixed.join(
+          Sampling.shuffledPositions(mixed, "doc_id", "seedtp"), "doc_id")
+        TextAnalysis.packSequences(ordered, "pos", "tokens", "lang",
+          targetTokens = 512)
+          .groupBy("lang", "pack_id")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("tokens")).cast("long").as("pack_tokens"))
+      },
+      s"""WITH q AS (
+         |  SELECT doc_id, lang, text,
+         |    round(
+         |      least(CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) / 50.0, 1.0) * 0.5 +
+         |      (1.0 - least(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s\\x{4e00}-\\x{9fff}]')) AS DOUBLE)
+         |                     / CAST(greatest(length(text), 1) AS DOUBLE) * 5.0, 1.0)) * 0.5, 4) AS quality_score
+         |  FROM documents),
+         |kept AS (SELECT * FROM q WHERE quality_score >= 0.5),
+         |dedup AS (
+         |  SELECT * FROM kept
+         |  QUALIFY row_number() OVER (PARTITION BY md5(${normSql("text")})
+         |                             ORDER BY doc_id) = 1),
+         |tk AS (
+         |  SELECT doc_id, lang,
+         |         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS tokens
+         |  FROM dedup),
+         |tot AS (SELECT lang, SUM(tokens) AS t FROM tk GROUP BY lang),
+         |rates AS (
+         |  SELECT lang,
+         |         least(100, CAST(floor(CAST(100 AS DOUBLE) * 5000 *
+         |           (CASE lang WHEN 'en' THEN 0.5 WHEN 'es' THEN 0.2
+         |                      WHEN 'de' THEN 0.15 WHEN 'fr' THEN 0.1
+         |                      WHEN 'zh' THEN 0.05 ELSE 0 END) / t) AS BIGINT)) AS pct
+         |  FROM tot WHERE t > 0),
+         |mixed AS (
+         |  SELECT tk.doc_id, tk.lang, tk.tokens
+         |  FROM tk JOIN rates r ON tk.lang = r.lang
+         |  WHERE CAST(concat('0x', substr(md5(CAST(tk.doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 100
+         |        < r.pct),
+         |pos AS (
+         |  SELECT doc_id, lang, tokens,
+         |         row_number() OVER (ORDER BY md5('seedtp' || CAST(doc_id AS VARCHAR)), doc_id) AS pos
+         |  FROM mixed),
+         |packed AS (
+         |  SELECT lang, tokens,
+         |         floor((SUM(tokens) OVER (PARTITION BY lang ORDER BY pos
+         |                                  ROWS UNBOUNDED PRECEDING) - tokens) / 512) AS pack_id
+         |  FROM pos)
+         |SELECT lang, CAST(pack_id AS BIGINT) AS pack_id,
+         |       COUNT(*) AS n_docs, CAST(SUM(tokens) AS BIGINT) AS pack_tokens
+         |FROM packed GROUP BY 1, 2""".stripMargin),
+
     // ───── custom Catalyst expression: codegen'd rolling hash
     // (poly_hash64 via GraftExtensions). DuckDB twin re-derives the
     // wrapping 64-bit fold with HUGEINT mod arithmetic.
