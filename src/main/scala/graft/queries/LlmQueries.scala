@@ -655,6 +655,44 @@ object LlmQueries {
          |SELECT id AS doc_id, MIN(r) AS cluster_id
          |FROM reach GROUP BY 1""".stripMargin),
 
+    // ───── near-dup RETENTION: the step after detection+clustering —
+    // keep each cluster's minimum doc_id, drop the other members,
+    // pass unclustered docs through. Detection → clustering →
+    // retention is the complete near-dedup story (the exact-dup twin
+    // is dd_dedup_result). Anti-join on the loser set: narrow, and
+    // the loser frame is bounded by the duplicate count, not the
+    // corpus.
+    "dd_neardup_result" -> QueryDef.sql(
+      (s, dir) => {
+        val corpus = nearDupCorpus(s, dir)
+        val sigs = TextDedup.minhashSignatures(corpus, "doc_id", "text")
+        val clusters = TextDedup.dupClusters(
+          TextDedup.lshCandidatePairs(
+            TextDedup.lshBands(sigs, "doc_id"), "doc_id"))
+        val losers = clusters
+          .filter(col("cluster_id") =!= col("doc_id")).select("doc_id")
+        corpus.join(losers, Seq("doc_id"), "left_anti")
+          .select("doc_id", "lang")
+      },
+      s"""WITH RECURSIVE $minhashBandsCtes,
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2
+         |  FROM bands a JOIN bands b
+         |    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+         |   AND a.doc_id < b.doc_id),
+         |edges AS (
+         |  SELECT id_1 AS src, id_2 AS dst FROM pairs
+         |  UNION
+         |  SELECT id_2, id_1 FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, re.r FROM edges e JOIN reach re ON re.id = e.dst)
+         |SELECT c.doc_id, c.lang
+         |FROM corpus c
+         |WHERE c.doc_id NOT IN (
+         |  SELECT id FROM reach GROUP BY id HAVING MIN(r) <> id)""".stripMargin),
+
     "dd_simhash" -> QueryDef.sql(
       (s, dir) => TextDedup.simhash16(docs(s, dir), "doc_id", "text"),
       {
