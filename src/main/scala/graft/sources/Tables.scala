@@ -199,6 +199,52 @@ object Tables {
   def readMergedSchema(spark: SparkSession, path: String): DataFrame =
     spark.read.option("mergeSchema", "true").parquet(path)
 
+  /** Z-order (Morton) interleave of two pre-normalized values in
+    * [0, 2^bits): bit i of `a` lands at position 2i, bit i of `b` at
+    * 2i+1. Built from shift/and/or Column ops only — codegen'd, no
+    * UDF. Sorting by this value clusters rows so that a contiguous
+    * slice covers a LOCAL region of BOTH dimensions.
+    */
+  def zValue(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
+             bits: Int = 16): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{lit, shiftleft, shiftrightunsigned}
+    (0 until bits).map { i =>
+      shiftleft(shiftrightunsigned(a, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(
+          shiftleft(shiftrightunsigned(b, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** Z-ordered clustered write — the two-dimension analogue of
+    * [[writeSharded]]. A single-column sort prunes file-level min/max
+    * stats on that column only: every file spans the FULL range of
+    * the second column, so predicates on it scan everything. Here
+    * both columns are min/max-normalized to `bits`-bit grid cells,
+    * Morton-interleaved, range-partitioned and sorted on the z-value:
+    * each output file covers a compact rectangle of the (colA, colB)
+    * space, so footer min/max pruning works for predicates on EITHER
+    * column. The normalization bounds come from one 4-value aggregate
+    * (constant driver hop at any scale).
+    */
+  def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String,
+                    numFiles: Int, bits: Int = 16): Unit = {
+    import org.apache.spark.sql.functions._
+    val r = df.agg(
+      min(col(colA)).cast("long"), max(col(colA)).cast("long"),
+      min(col(colB)).cast("long"), max(col(colB)).cast("long")).head
+    val (aMin, aMax, bMin, bMax) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val cells = (1L << bits) - 1
+    def norm(c: String, lo: Long, hi: Long) =
+      if (hi == lo) lit(0L)
+      else ((col(c).cast("long") - lo) * cells / (hi - lo))
+    df.withColumn("_z", zValue(norm(colA, aMin, aMax), norm(colB, bMin, bMax), bits))
+      .repartitionByRange(numFiles, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Range-sharded sorted output (training-example sharding): rows
     * are range-partitioned on `sortCol` into `numShards` files, each
     * internally sorted — a global sort order across shard files

@@ -220,6 +220,37 @@ class TablesSpec extends SparkSpec {
     assert(merged.filter($"id" === 3L).head.getAs[Double]("score") === 9.5)
   }
 
+  test("writeZOrdered: files cover compact regions of BOTH dimensions") {
+    val li = Tables.table(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_partkey")
+    // per-file normalized span of l_partkey under each layout
+    def avgPartkeySpan(dir: String): Double = {
+      val global = li.agg(max($"l_partkey") - min($"l_partkey")).head.getLong(0).toDouble
+      val spans = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .map { f =>
+          val r = spark.read.parquet(f.getAbsolutePath)
+            .agg(max($"l_partkey") - min($"l_partkey")).head
+          r.getLong(0).toDouble / global
+        }
+      spans.sum / spans.length
+    }
+    val zDir = tmp() + "/z"
+    val linDir = tmp() + "/lin"
+    Tables.writeZOrdered(li, zDir, "l_orderkey", "l_partkey", numFiles = 8)
+    li.repartitionByRange(8, $"l_orderkey").sortWithinPartitions("l_orderkey")
+      .write.parquet(linDir)
+    // single-column sort: every file spans ~the full l_partkey range;
+    // z-order: each file covers a compact rectangle of both dims
+    val (zSpan, linSpan) = (avgPartkeySpan(zDir), avgPartkeySpan(linDir))
+    info(s"avg normalized l_partkey span per file: z=$zSpan linear=$linSpan")
+    assert(zSpan < linSpan * 0.8, s"z=$zSpan linear=$linSpan")
+    // and nothing was lost in the rewrite
+    val back = spark.read.parquet(zDir)
+    assert(back.count() === li.count())
+    assert(back.exceptAll(li).isEmpty && li.exceptAll(back).isEmpty)
+  }
+
   test("writeSharded: shard files hold disjoint contiguous sorted key ranges") {
     val dir = java.nio.file.Files.createTempDirectory("graft_shards").toString
     val df = Tables.table(spark, sfDir, "orders").select("o_orderkey", "o_totalprice")
