@@ -114,7 +114,8 @@ object Multimodal {
         !tagIs(b, 0, "RIFF") || !tagIs(b, 8, "WAVE")) return None
       var i = 12
       var channels = 0; var sampleRate = 0; var bits = 0; var dataLen = -1L
-      while (i + 8 <= b.length) {
+      var ok = true
+      while (ok && i + 8 <= b.length) {
         val size = le32(b, i + 4)
         if (tagIs(b, i, "fmt ") && i + 24 <= b.length) {
           channels = le16(b, i + 10)
@@ -123,7 +124,12 @@ object Multimodal {
         } else if (tagIs(b, i, "data")) {
           dataLen = math.min(size, (b.length - i - 8).toLong)
         }
-        i += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+        // corrupt-size guard: a declared size past the payload end (or one
+        // whose unsigned value overflows Int) would step 0/negative and
+        // hang the executor — the declared chunk, if real, was truncated,
+        // so nothing can follow it: stop the walk
+        if (size > b.length - i - 8) ok = false
+        else i += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
       }
       if (channels <= 0 || bits <= 0 || dataLen < 0) None
       else {
@@ -140,6 +146,7 @@ object Multimodal {
         val size = le32(b, i + 4)
         if (tagIs(b, i, "data"))
           return Some((i + 8, math.min(size, (b.length - i - 8).toLong)))
+        if (size > b.length - i - 8) return None // corrupt/truncated size: stop
         i += 8 + size.toInt + (size.toInt & 1)
       }
       None
@@ -229,6 +236,7 @@ object Multimodal {
           }
           return None
         }
+        if (size > b.length - i - 8) return None // corrupt/truncated size: stop
         i += 8 + size.toInt + (size.toInt & 1)
       }
       None
@@ -243,14 +251,17 @@ object Multimodal {
         if (tagIs(b, i, "LIST") && i + 12 <= b.length && tagIs(b, i + 8, "movi")) {
           var j = i + 12
           val end = math.min(i + 8 + size, b.length.toLong).toInt
-          while (j + 8 <= end) {
-            val fsize = le32(b, j + 4).toInt
+          var ok = true
+          while (ok && j + 8 <= end) {
+            val fsize = le32(b, j + 4)
             if (tagIs(b, j, "00db") && j + 8 + fsize <= end)
-              out += java.util.Arrays.copyOfRange(b, j + 8, j + 8 + fsize)
-            j += 8 + fsize + (fsize & 1)
+              out += java.util.Arrays.copyOfRange(b, j + 8, j + 8 + fsize.toInt)
+            if (fsize > end - j - 8) ok = false // corrupt frame size: stop
+            else j += 8 + fsize.toInt + (fsize.toInt & 1)
           }
           return out.result()
         }
+        if (size > b.length - i - 8) return out.result() // corrupt size: stop
         i += 8 + size.toInt + (size.toInt & 1)
       }
       out.result()

@@ -81,8 +81,14 @@ object Sampling {
   def tokenBudgetRates(df: DataFrame, strataCol: String, tokenCol: Column,
                        budgetTokens: Long,
                        shares: Map[String, Double]): Map[String, Int] = {
-    val totals = df.groupBy(col(strataCol)).agg(sum(tokenCol).as("t"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // cast IN the aggregate so the collect matches the generic Column
+    // signature: a non-string strata column or a non-long token sum
+    // (double weights) would otherwise ClassCastException at runtime
+    val totals = df.groupBy(col(strataCol).cast("string").as("_s"))
+      .agg(sum(tokenCol).cast("long").as("t"))
+      .collect()
+      .filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
     shares.flatMap { case (k, share) =>
       totals.get(k).filter(_ > 0L).map { t =>
         k -> math.min(100L,

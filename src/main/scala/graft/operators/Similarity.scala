@@ -75,12 +75,21 @@ object Similarity {
     * HOFs here are interpreted (CodegenFallback) but run O(corpus)
     * once at index-build time — never in the per-pair scoring loop.
     */
-  def quantizeInt8(vec: Column): Column = {
-    val s = greatest(
-      array_max(transform(vec, x => abs(x.cast("double")))) / lit(127.0),
-      lit(java.lang.Double.MIN_NORMAL)) // zero-vector guard → all-zero q
-    transform(vec, x => round(x.cast("double") / s).cast("tinyint"))
-  }
+  /** Per-vector quantization scale `max_i |v_i| / 127` — materialize
+    * this as its OWN projected column before quantizing: inlined into
+    * the per-element lambda the O(d) max-abs pass re-evaluates for
+    * every element (O(d²) per vector — invisible at 64 dims, a real
+    * cost at production embedding widths).
+    */
+  def int8Scale(vec: Column): Column = greatest(
+    array_max(transform(vec, x => abs(x.cast("double")))) / lit(127.0),
+    lit(java.lang.Double.MIN_NORMAL)) // zero-vector guard → all-zero q
+
+  /** Quantize against a precomputed [[int8Scale]] column (the O(d) path). */
+  def quantizeInt8(vec: Column, scale: Column): Column =
+    transform(vec, x => round(x.cast("double") / scale).cast("tinyint"))
+
+  def quantizeInt8(vec: Column): Column = quantizeInt8(vec, int8Scale(vec))
 
   /** Brute-force cosine top-k over int8-quantized vectors — the
     * memory-scale variant of [[bruteForceTopK]]. Both sides quantize
@@ -95,14 +104,17 @@ object Similarity {
                     idCol: String, vecCol: String, k: Int): DataFrame = {
     ensureRegistered(candidates)
     // int8 codes widened back to double for the codegen'd dot; the
-    // widening is a per-row projection, not per-pair work
-    def qvec(v: Column) = transform(quantizeInt8(v), _.cast("double"))
-    val q = broadcast(queries.select(
-      col(idCol).as("query_id"), qvec(col(vecCol)).as("q_vec"))
-      .withColumn("q_norm", l2Norm(col("q_vec"))))
-    val c = candidates.select(
-      col(idCol).as("cand_id"), qvec(col(vecCol)).as("c_vec"))
-      .withColumn("c_norm", l2Norm(col("c_vec")))
+    // widening is a per-row projection, not per-pair work. The scale is
+    // its own projection so the max-abs pass runs once per row, not once
+    // per element (see int8Scale).
+    def quantized(df: DataFrame, outId: String, outVec: String, outNorm: String) =
+      df.select(col(idCol).as(outId), col(vecCol).as("_v"))
+        .withColumn("_s", int8Scale(col("_v")))
+        .withColumn(outVec, transform(quantizeInt8(col("_v"), col("_s")), _.cast("double")))
+        .withColumn(outNorm, l2Norm(col(outVec)))
+        .drop("_v", "_s")
+    val q = broadcast(quantized(queries, "query_id", "q_vec", "q_norm"))
+    val c = quantized(candidates, "cand_id", "c_vec", "c_norm")
     val scored = c.crossJoin(q)
       .filter(col("query_id") =!= col("cand_id"))
       .withColumn("cos_sim",

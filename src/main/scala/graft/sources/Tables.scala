@@ -181,11 +181,22 @@ object Tables {
               targetFileBytes: Long = 128L << 20): Int = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val bytes = fs.listStatus(p)
-      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-      .map(_.getLen).sum
+    // size RECURSIVELY: partitioned layouts keep their files in nested
+    // key=value dirs, so a top-level-only listing would see bytes=0 and
+    // silently compact a large table to one file
+    var bytes = 0L; var files = 0
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) { bytes += f.getLen; files += 1 }
+    }
     val n = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
-    graft.operators.Scd2.writeAtomic(spark.read.parquet(path).coalesce(n), path)
+    // coalesce is narrow but collapses the upstream SCAN to n tasks; when
+    // the compaction ratio is steep (many small files → few big ones) pay
+    // one round-robin shuffle instead so the read keeps its parallelism
+    val df = spark.read.parquet(path)
+    val arranged = if (files > 4 * n) df.repartition(n) else df.coalesce(n)
+    graft.operators.Scd2.writeAtomic(arranged, path)
     n
   }
 
@@ -232,12 +243,22 @@ object Tables {
     val r = df.agg(
       min(col(colA)).cast("long"), max(col(colA)).cast("long"),
       min(col(colB)).cast("long"), max(col(colB)).cast("long")).head
+    if (r.isNullAt(0) || r.isNullAt(2)) { // empty input: nothing to cluster
+      df.write.mode("overwrite").parquet(path)
+      return
+    }
     val (aMin, aMax, bMin, bMax) =
       (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
     val cells = (1L << bits) - 1
+    // normalize in DOUBLE, dividing before multiplying: the integer form
+    // (col−lo)·cells overflows Long once the key range exceeds ~2^47,
+    // silently producing garbage z-values; a double ratio in [0,1] times
+    // cells is exact enough for grid-cell assignment at any range
     def norm(c: String, lo: Long, hi: Long) =
       if (hi == lo) lit(0L)
-      else ((col(c).cast("long") - lo) * cells / (hi - lo))
+      else least(lit(cells), greatest(lit(0L),
+        ((col(c).cast("double") - lit(lo.toDouble)) /
+          lit(hi.toDouble - lo.toDouble) * lit(cells.toDouble)).cast("long")))
     df.withColumn("_z", zValue(norm(colA, aMin, aMax), norm(colB, bMin, bMax), bits))
       .repartitionByRange(numFiles, col("_z"))
       .sortWithinPartitions("_z")

@@ -512,6 +512,36 @@ class LlmOpsSpec extends SparkSpec {
     assert(Multimodal.VideoHeader.probe(avi.take(20)).isEmpty)
   }
 
+  test("corrupt chunk sizes terminate the RIFF walks instead of hanging") {
+    // a declared chunk size like 0xFFFFFFF8 used to truncate to a
+    // negative Int and make the walk step 0/negative — one malformed
+    // record with valid magic would stall the executor forever
+    def withEvilSize(b: Array[Byte], off: Int): Array[Byte] = {
+      val evil = b.clone()
+      evil(off) = 0xf8.toByte; evil(off + 1) = 0xff.toByte
+      evil(off + 2) = 0xff.toByte; evil(off + 3) = 0xff.toByte
+      evil
+    }
+    val frames = (0 until 3).map(i => Array.fill[Byte](16)(i.toByte))
+    val avi = Multimodal.aviFromFrames(frames, width = 4, height = 2)
+    // corrupt the hdrl LIST size (offset 16) AND its list type, so the
+    // walk must step over the chunk using the evil size → must return
+    val evilHdr = withEvilSize(avi, 16); evilHdr(20) = 'x'.toByte
+    assert(Multimodal.VideoHeader.probe(evilHdr) === None)
+    // corrupt the first frame chunk's size → sampling must return
+    val moviFrameSizeOff = avi.length - frames.map(f => 8 + f.length).sum + 4
+    val evilFrames = withEvilSize(avi, moviFrameSizeOff)
+    assert(Multimodal.sampleVideoFrames(evilFrames, 10).isEmpty)
+
+    val wav = Multimodal.wavFromPcmBytes(Array.fill[Byte](64)(3))
+    // corrupt the fmt chunk size (offset 16) → probe must return
+    assert(Multimodal.AudioHeader.probe(withEvilSize(wav, 16)) === None)
+    // features over a corrupt payload mixed into a batch still complete
+    val media = Seq((1L, evilHdr), (2L, avi)).toDF("media_id", "content")
+    val vf = Multimodal.extractVideoFeatures(media).collect().map(f => f.media_id -> f).toMap
+    assert(vf(1L).width.isEmpty && vf(2L).width.contains(4))
+  }
+
   test("image header parsing: true dimensions from PNG/JPEG/GIF bytes") {
     import graft.operators.Multimodal.ImageHeader
     assert(ImageHeader.probe(pngBytes(640, 480)).contains(ImageHeader.Info("png", 640, 480)))
