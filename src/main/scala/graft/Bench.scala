@@ -2,8 +2,19 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Benchmark main (driver contract): runs the headline query set on
-  * SPARK_GRAFT_SF_DIR and prints ONE JSON line.
+/** Benchmark main (driver contract): prints ONE JSON line.
+  *
+  * - `value` is the HEADLINE-set total at SPARK_GRAFT_SF_DIR — the
+  *   cross-round comparable number (same 16 queries since r4).
+  * - `queries` carries per-query seconds for the FULL registry at
+  *   SPARK_GRAFT_SF_DIR (min across BENCH_REPEAT runs), so no query
+  *   has correctness without a recorded wall-time.
+  * - `scale` is the derived-sf1 sweep: every query re-timed at
+  *   10× data ([[graft.sources.ScaledCorpus]]), cheapest-first under a
+  *   wall-clock budget with a per-query cap, and `cliffs` lists
+  *   queries whose per-row cost grew >2× — superlinear operators that
+  *   correctness checks can't see. Skips/caps are REPORTED, never
+  *   silent.
   *
   * Queries are materialized through the noop sink — count() lets
   * Spark's count-star shortcut skip projection work and would
@@ -33,6 +44,35 @@ object Bench {
     "ev_sessions",         // gaps-and-islands windowing
     "ev_asof_join")        // as-of join
 
+  /** Run one query to the noop sink under a cancellable job group;
+    * returns seconds, or -1 on timeout (jobs cancelled), -2 on error.
+    */
+  private def timedRun(spark: SparkSession, name: String, dir: String,
+                       capSec: Int): Double = {
+    val fn = SparkEntry.queries(name)
+    val group = s"bench-$name"
+    val t0 = System.nanoTime()
+    val runner = new Thread(() => {
+      // job group is thread-local: set it on the thread that submits
+      spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
+      fn(spark, dir).write.format("noop").mode("overwrite").save()
+    }, group)
+    val err = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    runner.setDaemon(true)
+    runner.setUncaughtExceptionHandler((_, e) => err.set(e))
+    runner.start()
+    runner.join(capSec * 1000L)
+    if (runner.isAlive) {
+      spark.sparkContext.cancelJobGroup(group)
+      runner.join(30000L) // drain cancellation
+      System.err.println(s"[bench] $name exceeded ${capSec}s cap, cancelled")
+      -1.0
+    } else if (err.get != null) {
+      System.err.println(s"[bench] $name failed: ${err.get.getMessage}")
+      -2.0
+    } else (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -41,30 +81,20 @@ object Bench {
 
     spark.range(1000000).selectExpr("sum(id)").collect() // JVM/codegen warmup
 
-    // BENCH_QUERIES overrides the set: "all" sweeps the entire
-    // registry (catches expensive queries invisible in the headline
-    // set — a 752s regression once hid there), or a comma-separated
-    // name list for focused profiling. Unset → headline contract set.
+    // BENCH_QUERIES narrows the set ("all" or comma-separated names)
+    // for focused profiling; default is the whole registry.
     val selected: Seq[String] = sys.env.get("BENCH_QUERIES") match {
-      case Some("all") => SparkEntry.queries.keys.toSeq.sorted
-      case Some(list)  => list.split(",").map(_.trim).filter(_.nonEmpty).toSeq
-      case None        => headline
+      case Some("all") | None => SparkEntry.queries.keys.toSeq.sorted
+      case Some(list) => list.split(",").map(_.trim).filter(_.nonEmpty).toSeq
     }
 
-    def runOnce(dir: String): Seq[(String, Double)] =
-      selected.filter(SparkEntry.queries.contains).map { name =>
-        val fn = SparkEntry.queries(name)
-        val t0 = System.nanoTime()
-        try fn(spark, dir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        }
-        name -> (System.nanoTime() - t0) / 1e9
-      }
+    def runOnce(dir: String, capSec: Int = 600): Seq[(String, Double)] =
+      selected.filter(SparkEntry.queries.contains)
+        .map(name => name -> timedRun(spark, name, dir, capSec))
 
     // Warm per-query codegen at the smallest SF: generated classes are
-    // cached by code shape, so a sub-second sf0.001 pass compiles every
-    // headline plan and the timed runs measure execution, not Janino.
+    // cached by code shape, so a fast sf0.001 pass compiles every plan
+    // and the timed runs measure execution, not Janino.
     val warmDir = new java.io.File(sfDir).getParent match {
       case null => sfDir
       case p if new java.io.File(s"$p/sf0.001").isDirectory => s"$p/sf0.001"
@@ -72,20 +102,71 @@ object Bench {
     }
     if (warmDir != sfDir) runOnce(warmDir)
 
-    // Per-query minimum across iterations (steady state, GC-noise-free).
-    // Default 3: a single contended iteration (concurrent JVM stealing
-    // cores) can otherwise own the recorded number — the per-query min
-    // across three runs defends the record at the cost of two extra
-    // passes (~20s at sf0.1, cheap next to session startup).
-    val repeat = sys.env.getOrElse("BENCH_REPEAT", "3").toInt max 1
+    // Per-query minimum across iterations (steady state, GC-noise-free):
+    // a single contended iteration (concurrent JVM stealing cores) can
+    // otherwise own the recorded number.
+    val repeat = sys.env.getOrElse("BENCH_REPEAT", "2").toInt max 1
     val runs = (1 to repeat).map(_ => runOnce(sfDir))
     val results = runs.head.map(_._1).map { name =>
       name -> runs.map(_.toMap.apply(name)).min
     }
+    val timeAt01 = results.toMap
+
+    // ── derived-sf1 scale sweep ──────────────────────────────────────
+    // 10× the bench SF via key-shifted replication (ScaledCorpus docs
+    // the construction); cheapest-first under a global budget with a
+    // per-query cap, so a superlinear query is DETECTED (flagged as a
+    // cliff) without the sweep paying its full runtime.
+    val scaleCopies = sys.env.getOrElse("BENCH_SCALE_COPIES", "10").toInt
+    val scaleBudget = sys.env.getOrElse("BENCH_SCALE_BUDGET_SEC", "900").toInt
+    val scaleCap = sys.env.getOrElse("BENCH_SCALE_QUERY_CAP_SEC", "120").toInt
+    val scaleOn = sys.env.getOrElse("BENCH_SCALE", "on") != "off" && scaleCopies > 1
+
+    val scaleJson: String = if (!scaleOn) "null" else {
+      val scaledDir = new java.io.File("target/bench-scaled").getAbsolutePath
+      graft.sources.ScaledCorpus.build(spark, sfDir, scaledDir, scaleCopies)
+      val order = results.sortBy(_._2).map(_._1) // cheapest at sf0.1 first
+      val sweepStart = System.nanoTime()
+      def elapsed = (System.nanoTime() - sweepStart) / 1e9
+      val timed = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+      val skipped = scala.collection.mutable.ArrayBuffer.empty[String]
+      order.foreach { name =>
+        if (elapsed > scaleBudget) skipped += name
+        else timed(name) = timedRun(spark, name, scaledDir, scaleCap)
+      }
+      if (skipped.nonEmpty)
+        System.err.println(s"[bench] scale sweep budget (${scaleBudget}s) hit; " +
+          s"skipped: ${skipped.mkString(",")}")
+      // cliff: per-row cost at Nx data grew >2x vs the bench SF.
+      // ratio = t_sfN / (copies * t_sf0.1); timeouts are cliffs by
+      // definition (ratio from the cap is a LOWER bound).
+      val cliffs = timed.toSeq.flatMap { case (name, tN) =>
+        val t1 = timeAt01.getOrElse(name, 0.0)
+        if (t1 <= 0.05 || tN == -2.0) None // too small to ratio / errored
+        else {
+          val eff = if (tN == -1.0) scaleCap.toDouble else tN
+          val ratio = eff / (scaleCopies * t1)
+          // ignore sub-second absolute costs: fixed per-query overhead
+          // dominates them and the ratio is noise
+          if (ratio > 2.0 && eff > 2.0) Some((name, ratio, tN == -1.0)) else None
+        }
+      }.sortBy(-_._2)
+      val qs = timed.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+        .mkString("{", ",", "}")
+      val cs = cliffs.map { case (n, r, to) =>
+        f"""{"name":"$n","ratio":$r%.2f,"timed_out":$to}"""
+      }.mkString("[", ",", "]")
+      val sk = skipped.map("\"" + _ + "\"").mkString("[", ",", "]")
+      f"""{"copies":$scaleCopies,"budget_sec":$scaleBudget,"query_cap_sec":$scaleCap,"queries":$qs,"cliffs":$cs,"skipped":$sk}"""
+    }
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val headlineTotal = results.collect {
+      case (k, v) if headline.contains(k) && v > 0 => v
+    }.sum
+    val totalAll = results.collect { case (_, v) if v > 0 => v }.sum
+    println(f"""{"metric":"total","value":$headlineTotal%.3f,"unit":"sec","queries":$qs,"total_all":$totalAll%.3f,"scale":$scaleJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
