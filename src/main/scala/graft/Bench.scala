@@ -146,9 +146,13 @@ object Bench {
         else {
           val eff = if (tN == -1.0) scaleCap.toDouble else tN
           val ratio = eff / (scaleCopies * t1)
-          // ignore sub-second absolute costs: fixed per-query overhead
-          // dominates them and the ratio is noise
-          if (ratio > 2.0 && eff > 2.0) Some((name, ratio, tN == -1.0)) else None
+          // a timeout is ALWAYS a cliff (its ratio is only a LOWER
+          // bound — the cap hid the true cost); otherwise ignore
+          // sub-second absolute costs, where fixed per-query overhead
+          // dominates and the ratio is noise
+          if (tN == -1.0 || (ratio > 2.0 && eff > 2.0))
+            Some((name, ratio, tN == -1.0))
+          else None
         }
       }.sortBy(-_._2)
       val qs = timed.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }

@@ -1,0 +1,174 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Zone-level access control + column-level data dictionary — the two
+  * governance artifacts of the reference the engine didn't yet model:
+  * `rbac_matrix.csv:1-4` (role × zone read/write grants) and
+  * `data_dictionary.csv:1-7` (per-column stewardship, sensitivity,
+  * quality rule).
+  *
+  * Spark has no built-in row/column security in the open-source
+  * engine, so the idiomatic rendition is VIEW COMPILATION: a role's
+  * effective permissions compile into what its DataFrames can contain
+  * — a denied zone read throws before any job is submitted (driver-
+  * side, zero data touched), and PII columns are REDACTED in the
+  * projection (sha2) for roles without governance access, so the
+  * physical plan a restricted role executes cannot leak the values.
+  * All control-plane: grants are a handful of rows, never data.
+  */
+object Governance {
+
+  // ───────────────────────────── RBAC ─────────────────────────────
+
+  /** Zone grant lattice (rbac_matrix.csv cell vocabulary). */
+  sealed abstract class Grant(val name: String, val canRead: Boolean,
+                              val canWrite: Boolean)
+  case object NoAccess  extends Grant("no_access", false, false)
+  case object ReadOnly  extends Grant("read", true, false)
+  case object ReadWrite extends Grant("read_write", true, true)
+
+  def parseGrant(s: String): Grant = s.trim.toLowerCase match {
+    case "no_access" | "none" => NoAccess
+    case "read"               => ReadOnly
+    case "read_write" | "rw"  => ReadWrite
+    case other => throw new IllegalArgumentException(s"unknown grant: $other")
+  }
+
+  /** One role's grants across zones (a parsed rbac_matrix.csv row). */
+  final case class Role(name: String, grants: Map[String, Grant],
+                        description: String = "")
+
+  /** The reference's own matrix (`rbac_matrix.csv:1-4`), as shipped:
+    * ETL reads/writes every data zone, analysts read only trusted
+    * zones, stewards read data and own the governance zone.
+    */
+  val ReferenceRoles: Seq[Role] = Seq(
+    Role("etl",
+      Map("raw" -> ReadWrite, "validated" -> ReadWrite,
+          "curated" -> ReadWrite, "governance" -> ReadOnly),
+      "ETL jobs ingest, validate, and curate data"),
+    Role("analyst",
+      Map("raw" -> NoAccess, "validated" -> ReadOnly,
+          "curated" -> ReadOnly, "governance" -> NoAccess),
+      "Analysts consume trusted curated data only"),
+    Role("steward",
+      Map("raw" -> ReadOnly, "validated" -> ReadOnly,
+          "curated" -> ReadOnly, "governance" -> ReadWrite),
+      "Data stewards manage quality rules, golden records, approvals"))
+
+  /** Parse a wide rbac_matrix.csv (`role_name,<zone>_zone...,description`)
+    * into roles — the melt of the reference's matrix shape.
+    */
+  def rolesFromCsv(spark: SparkSession, path: String): Seq[Role] = {
+    val df = graft.sources.Tables.csv(spark, path)
+    val zoneCols = df.columns.filter(_.endsWith("_zone"))
+    df.collect().toSeq.map { r =>
+      Role(
+        r.getAs[String]("role_name"),
+        zoneCols.map(z =>
+          z.stripSuffix("_zone") -> parseGrant(r.getAs[String](z))).toMap,
+        Option(r.getAs[String]("description")).getOrElse(""))
+    }
+  }
+
+  /** Effective-permissions matrix: one row per (role, zone) with the
+    * grant and its derived read/write bits — the query surface a
+    * governance dashboard reads.
+    */
+  def permissionMatrix(spark: SparkSession, roles: Seq[Role]): DataFrame = {
+    import spark.implicits._
+    roles.flatMap { role =>
+      role.grants.toSeq.sortBy(_._1).map { case (zone, g) =>
+        (role.name, zone, g.name, g.canRead, g.canWrite)
+      }
+    }.toDF("role_name", "zone", "permission", "can_read", "can_write")
+  }
+
+  final class AccessDeniedException(role: String, zone: String, op: String)
+    extends RuntimeException(s"role '$role' may not $op zone '$zone'")
+
+  private def grantOf(roles: Seq[Role], role: String, zone: String): Grant =
+    roles.find(_.name == role)
+      .getOrElse(throw new IllegalArgumentException(s"unknown role: $role"))
+      .grants.getOrElse(zone, NoAccess) // unknown zone = deny by default
+
+  /** Gate a zone read. Throws BEFORE any Spark job runs — access
+    * control is a plan-construction concern, not a runtime filter.
+    */
+  def checkRead(roles: Seq[Role], role: String, zone: String): Unit =
+    if (!grantOf(roles, role, zone).canRead)
+      throw new AccessDeniedException(role, zone, "read")
+
+  def checkWrite(roles: Seq[Role], role: String, zone: String): Unit =
+    if (!grantOf(roles, role, zone).canWrite)
+      throw new AccessDeniedException(role, zone, "write")
+
+  /** Role-scoped zone read: deny throws; allowed roles WITHOUT
+    * governance-zone access get PII columns redacted in the
+    * projection (sha2 — referentially stable: joins/groupBys on the
+    * redacted column still work, values don't leak). The redaction is
+    * part of the compiled view, so no plan the role can build from
+    * the returned frame recovers the raw values.
+    */
+  def readZone(spark: SparkSession, roles: Seq[Role], role: String,
+               zone: String, path: String,
+               piiCols: Set[String] = Set.empty): DataFrame = {
+    checkRead(roles, role, zone)
+    val df = spark.read.parquet(path)
+    val privileged = grantOf(roles, role, "governance").canRead
+    if (privileged || piiCols.isEmpty) df
+    else df.columns.foldLeft(df) { (acc, c) =>
+      if (piiCols.contains(c))
+        acc.withColumn(c, sha2(col(c).cast("string"), 256))
+      else acc
+    }
+  }
+
+  /** Role-scoped zone write (deny throws; no data touched). */
+  def writeZone(df: DataFrame, roles: Seq[Role], role: String,
+                zone: String, path: String): Unit = {
+    checkWrite(roles, role, zone)
+    df.write.mode("overwrite").parquet(path)
+  }
+
+  // ──────────────────────── data dictionary ───────────────────────
+
+  /** Columns a row-level rule constrains (for rule → column listing). */
+  private def ruleColumns(r: Validation.Rule): Seq[String] = r match {
+    case Validation.NotNull(c, _)              => Seq(c)
+    case Validation.Between(c, _, _, _)        => Seq(c)
+    case Validation.AllowedValues(c, _, _)     => Seq(c)
+    case Validation.GreaterThan(c, _, _, _)    => Seq(c)
+    case Validation.ColumnGte(l, rr, _)        => Seq(l, rr)
+  }
+
+  /** Column-level data dictionary generated FROM the schema and the
+    * rule suite (`data_dictionary.csv:1-7` re-expressed as a derived
+    * artifact instead of a hand-maintained file — it can never drift
+    * from the table it describes). One row per column: type/nullable
+    * from the StructType, quality rules joined from the suite,
+    * sensitivity derived from the PII set.
+    */
+  def dataDictionary(spark: SparkSession, table: String, schema: StructType,
+                     rules: Seq[Validation.Rule],
+                     piiCols: Set[String] = Set.empty,
+                     owner: String = "Data Engineering",
+                     retention: String = "7 years"): DataFrame = {
+    import spark.implicits._
+    val byCol: Map[String, Seq[String]] = rules
+      .flatMap(r => ruleColumns(r).map(_ -> r.name))
+      .groupBy(_._1).map { case (c, rs) => c -> rs.map(_._2).distinct.sorted }
+    schema.fields.toSeq.map { f =>
+      (table, f.name, f.dataType.catalogString, f.nullable,
+        byCol.getOrElse(f.name, Nil).mkString(","),
+        piiCols.contains(f.name),
+        if (piiCols.contains(f.name)) "Confidential" else "Internal",
+        owner, retention)
+    }.toDF("table_name", "column_name", "data_type", "nullable",
+      "quality_rules", "is_pii", "sensitivity", "data_steward",
+      "retention_policy")
+  }
+}

@@ -238,14 +238,26 @@ object Similarity {
     * oracle does, unrolled) reproduces every centroid bit-for-bit.
     */
   def kmeansCentroids(df: DataFrame, idCol: String, vecCol: String,
-                      k: Int, iters: Int = 5): DataFrame = {
+                      k: Int, iters: Int = 5, samplePct: Int = 100): DataFrame = {
     ensureRegistered(df)
     val spark = df.sparkSession
     import spark.implicits._
+    require(samplePct >= 1 && samplePct <= 100,
+      s"samplePct must be 1..100, got $samplePct")
+    // THE scale lever: train on a deterministic hash-sample of the
+    // corpus. Lloyd's per-iteration cost — the (cell, dim) mean agg,
+    // which shuffles corpus×dim rows via posexplode — drops by the
+    // sample rate, while centroid quality is statistically identical
+    // (cell means over a 10% uniform sample estimate the same means;
+    // see LlmOpsSpec recall-parity test). The hash-bucket sample is
+    // partitioning-invariant, so training is still deterministic and
+    // the IVF ASSIGNMENT path (map-only, full corpus) is untouched.
+    val base = if (samplePct >= 100) df
+               else Sampling.sampleByHash(df, idCol, samplePct)
     // persisted: every Lloyd iteration runs two jobs (argmax assign +
     // means) over this frame — uncached, an iters=5 build would
     // re-execute the source scan + cast lineage ~10×
-    val vecs = df.select(col(idCol).as("vid"), col(vecCol).cast("array<double>").as("v"))
+    val vecs = base.select(col(idCol).as("vid"), col(vecCol).cast("array<double>").as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var centroids: Seq[(Int, Seq[Double])] =
       vecs.orderBy(col("vid")).limit(k).collect().toSeq

@@ -34,6 +34,46 @@ object Skew {
         sum(col("_pcnt")).cast("long").as("count"))
   }
 
+  /** Deterministic per-key rank WITHOUT a per-key single reducer — the
+    * salted decomposition of `row_number() OVER (PARTITION BY key
+    * ORDER BY md5(seed ∥ id), id)`. A plain window sends EVERY row of
+    * a hot key to one task (windows have no partial aggregation — the
+    * one shuffle shape AQE cannot split), so a key holding 40% of a
+    * 100 TB table stalls its stage. Here the hex PREFIX of the order
+    * key is a bucket: hex-string order == (bucket asc, key asc), so
+    * per-(key, bucket) ranks plus a per-key running bucket-offset
+    * (a |keys|×256-row control frame, broadcast back) compose the
+    * EXACT same positions — the hot key now spreads over 16^prefixLen
+    * tasks. Same decomposition as [[Sampling.shuffledPositions]],
+    * generalized from one global partition to per-key partitions.
+    */
+  def saltedRank(df: DataFrame, keys: Seq[String], idCol: String,
+                 seed: String, hexPrefixLen: Int = 2): DataFrame = {
+    require(hexPrefixLen >= 1 && hexPrefixLen <= 4,
+      s"hexPrefixLen must be 1..4, got $hexPrefixLen")
+    import org.apache.spark.sql.expressions.Window
+    val kCols = keys.map(col)
+    val keyed = df.select((kCols :+ col(idCol)): _*)
+      .withColumn("_skey", md5(concat(lit(seed), col(idCol).cast("string"))))
+      .withColumn("_b",
+        conv(substring(col("_skey"), 1, hexPrefixLen), 16, 10).cast("long"))
+    val ranked = keyed.withColumn("_r",
+      row_number().over(Window.partitionBy((kCols :+ col("_b")): _*)
+        .orderBy(col("_skey"), col(idCol))))
+    // per-(key, bucket) counts → per-key running offsets: bounded at
+    // |keys| × 16^prefixLen rows by construction — control plane
+    val offsets = keyed.groupBy((kCols :+ col("_b")): _*).count()
+      .withColumn("_off",
+        coalesce(
+          sum(col("count")).over(Window.partitionBy(kCols: _*)
+            .orderBy(col("_b"))
+            .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select((kCols :+ col("_b") :+ col("_off")): _*)
+    ranked.join(broadcast(offsets), keys :+ "_b")
+      .select((kCols :+ col(idCol) :+ (col("_off") + col("_r")).as("pos")): _*)
+  }
+
   /** Salted broadcast-replicate join for a skewed fact⋈dim equi-join:
     * fact rows get a deterministic salt, the (small) dim is replicated
     * `factor` times, and the join key becomes (key, salt) — a hot fact

@@ -57,7 +57,31 @@ object TextDedup {
     * `poly_hash64(window)` instead — 8-byte shuffle keys, same plan.
     */
   def duplicatePassages(df: DataFrame, idCol: String, textCol: String,
-                        windowTokens: Int = 10): DataFrame = {
+                        windowTokens: Int = 10): DataFrame =
+    duplicatePassagesBy(df, idCol, textCol, windowTokens, identity)
+
+  /** Passage dedup with 8-BYTE shuffle keys — the production shape of
+    * [[duplicatePassages]]: every window string is folded to a long by
+    * the codegen'd `poly_hash64` BEFORE the shuffle, so the two wide
+    * exchanges (window count + join-back) move fixed-width longs
+    * instead of full window strings — at petabyte scale that is the
+    * difference between shuffling the corpus ~10× over (every token
+    * appears in ~windowTokens windows) and shuffling 8 bytes per
+    * window. Same plan, same output columns; a 64-bit hash collision
+    * could in principle merge two distinct windows, which at the
+    * corpus sizes this targets is ~n²/2⁶⁵ — negligible against the
+    * crawl noise passage dedup tolerates by design.
+    */
+  def duplicatePassagesHashed(df: DataFrame, idCol: String, textCol: String,
+                              windowTokens: Int = 10): DataFrame = {
+    graft.plans.GraftExtensions.register(df.sparkSession) // idempotent
+    duplicatePassagesBy(df, idCol, textCol, windowTokens,
+      w => call_function("poly_hash64", w))
+  }
+
+  private def duplicatePassagesBy(df: DataFrame, idCol: String, textCol: String,
+                                  windowTokens: Int,
+                                  winKey: Column => Column): DataFrame = {
     require(windowTokens >= 2, s"windowTokens must be >= 2, got $windowTokens")
     val w = windowTokens
     val wins = df
@@ -67,7 +91,7 @@ object TextDedup {
           .as("_s"),
         col("_toks"))
       .select(col(idCol),
-        concat_ws(" ", slice(col("_toks"), col("_s") + 1, lit(w))).as("_win"))
+        winKey(concat_ws(" ", slice(col("_toks"), col("_s") + 1, lit(w)))).as("_win"))
     val dupWins = wins.groupBy("_win")
       .agg(countDistinct(col(idCol)).as("_nd"))
       .filter(col("_nd") > 1)

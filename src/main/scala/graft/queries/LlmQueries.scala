@@ -342,6 +342,48 @@ object LlmQueries {
         |             / CAST(COUNT(*) AS DOUBLE), 4) AS dup_ratio
         |FROM wins GROUP BY doc_id""".stripMargin),
 
+    // ───── hashed-key passage dedup: the PRODUCTION shape of
+    // dd_dup_passages — window strings fold to 8-byte poly_hash64
+    // keys BEFORE the shuffle (fixed-width longs instead of the
+    // corpus text ~10× over). The oracle re-derives the same 64-bit
+    // wrapping fold per window with HUGEINT mod arithmetic and groups
+    // on it, so the hash itself is gate-verified, not just the counts.
+    "dd_dup_passages_hashed" -> QueryDef.sql(
+      (s, dir) => {
+        val d = docs(s, dir).select("doc_id", "text")
+        val corpus = d.unionByName(d.select(
+          (col("doc_id") + 10000).as("doc_id"),
+          concat(lit("copy of "), col("text")).as("text")))
+        TextDedup.duplicatePassagesHashed(corpus, "doc_id", "text",
+          windowTokens = 10)
+      },
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000, 'copy of ' || text FROM documents),
+        |toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM corpus),
+        |winstr AS (
+        |  SELECT doc_id, array_to_string(tk[s+1 : s+10], ' ') AS ws
+        |  FROM toks, LATERAL unnest(range(0, greatest(len(tk) - 9, 1), 1)) AS t(s)),
+        |wins AS (
+        |  SELECT doc_id,
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS HUGEINT),
+        |        [CAST(unicode(substring(ws, i, 1)) AS HUGEINT)
+        |         for i in generate_series(1, length(ws))]),
+        |      (acc, x) -> (acc * 31 + x) % CAST(18446744073709551616 AS HUGEINT)) AS w
+        |  FROM winstr),
+        |dupw AS (
+        |  SELECT w FROM wins GROUP BY w HAVING COUNT(DISTINCT doc_id) > 1)
+        |SELECT doc_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_windows,
+        |       CAST(SUM(CASE WHEN w IN (SELECT w FROM dupw) THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_dup_windows,
+        |       round(CAST(SUM(CASE WHEN w IN (SELECT w FROM dupw) THEN 1 ELSE 0 END) AS DOUBLE)
+        |             / CAST(COUNT(*) AS DOUBLE), 4) AS dup_ratio
+        |FROM wins GROUP BY doc_id""".stripMargin),
+
     // ───── train/eval contamination sweep: docs sharing ≥20 distinct
     // 8-gram shingles with an "eval set" (docs 0-9). The oracle
     // intersects string shingle sets; the Spark side joins packed-long

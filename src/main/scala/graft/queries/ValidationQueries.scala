@@ -219,6 +219,72 @@ object ValidationQueries {
         |  '7 years' AS retention_policy,
         |  'raw,validated,curated' AS zones""".stripMargin),
 
+    // ───── RBAC effective-permissions matrix (ref rbac_matrix.csv:1-4
+    // — role × zone grants, melted to long form with derived
+    // read/write bits). Enforcement (deny-throws, PII redaction) is
+    // spec'd in GovernanceSpec; this is the dashboard/query surface.
+    "gov_rbac" -> QueryDef.sql(
+      (s, _) =>
+        graft.operators.Governance.permissionMatrix(
+          s, graft.operators.Governance.ReferenceRoles),
+      """SELECT * FROM (VALUES
+        |  ('etl', 'curated', 'read_write', true, true),
+        |  ('etl', 'governance', 'read', true, false),
+        |  ('etl', 'raw', 'read_write', true, true),
+        |  ('etl', 'validated', 'read_write', true, true),
+        |  ('analyst', 'curated', 'read', true, false),
+        |  ('analyst', 'governance', 'no_access', false, false),
+        |  ('analyst', 'raw', 'no_access', false, false),
+        |  ('analyst', 'validated', 'read', true, false),
+        |  ('steward', 'curated', 'read', true, false),
+        |  ('steward', 'governance', 'read_write', true, true),
+        |  ('steward', 'raw', 'read', true, false),
+        |  ('steward', 'validated', 'read', true, false))
+        |AS t(role_name, zone, permission, can_read, can_write)""".stripMargin),
+
+    // ───── data dictionary GENERATED from schema + rule suite (ref
+    // data_dictionary.csv:1-7) — a derived artifact that cannot drift
+    // from the table it describes. The oracle re-derives column/type/
+    // nullable from DuckDB's own catalog (DESCRIBE) over the same
+    // parquet, so the generator is checked against an independent
+    // schema source, not against itself.
+    "gov_dictionary" -> QueryDef.sql(
+      (s, dir) => {
+        val schema = s.read.parquet(s"$dir/customer.parquet").schema
+        graft.operators.Governance.dataDictionary(
+          s, "customer", schema,
+          rules = Seq(
+            Validation.NotNull("c_custkey"),
+            Validation.NotNull("c_acctbal"),
+            Validation.Between("c_acctbal", -999.99, 9999.99),
+            Validation.NotNull("c_name")),
+          piiCols = Set("c_name"))
+      },
+      """WITH cols AS (
+        |  SELECT column_name, lower(column_type) AS ct,
+        |         "null" = 'YES' AS nullable
+        |  FROM (DESCRIBE customer)),
+        |rules(column_name, rule_name) AS (VALUES
+        |  ('c_custkey', 'not_null_c_custkey'),
+        |  ('c_acctbal', 'not_null_c_acctbal'),
+        |  ('c_acctbal', 'between_c_acctbal'),
+        |  ('c_name', 'not_null_c_name')),
+        |agg AS (
+        |  SELECT column_name,
+        |         string_agg(rule_name, ',' ORDER BY rule_name) AS rn
+        |  FROM rules GROUP BY 1)
+        |SELECT 'customer' AS table_name, c.column_name,
+        |  CASE c.ct WHEN 'varchar' THEN 'string'
+        |            WHEN 'integer' THEN 'int' ELSE c.ct END AS data_type,
+        |  c.nullable AS nullable,
+        |  coalesce(a.rn, '') AS quality_rules,
+        |  c.column_name = 'c_name' AS is_pii,
+        |  CASE WHEN c.column_name = 'c_name' THEN 'Confidential'
+        |       ELSE 'Internal' END AS sensitivity,
+        |  'Data Engineering' AS data_steward,
+        |  '7 years' AS retention_policy
+        |FROM cols c LEFT JOIN agg a USING (column_name)""".stripMargin),
+
     // ───── end-to-end curated pipeline: validate → filter → double
     // enrichment (supplier, then supplier's nation) → lineage stamp.
     // Glue-1 + Glue-2 fused in one declarative plan: Catalyst pushes

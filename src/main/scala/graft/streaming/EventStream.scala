@@ -63,6 +63,38 @@ object EventStream {
       }
       .start()
 
+  /** Idempotent per-batch landing: the batch's output directory is
+    * keyed by its batch id and OVERWRITTEN, so a retry after a crash
+    * mid-attempt (even one that already wrote files) REPLACES the
+    * partial output instead of appending a second copy. foreachBatch
+    * guarantees a replayed batch carries the same id and rows, so
+    * (overwrite ∘ same-id) ⇒ exactly-once in the lake — the plain
+    * append of [[sinkToLake]] cannot make that promise under retry.
+    * Exposed separately so failure-injection tests drive the exact
+    * production write path.
+    */
+  def landBatchIdempotent(batch: DataFrame, batchId: Long, path: String,
+                          partitionCols: Seq[String]): Unit =
+    if (!batch.isEmpty) {
+      val w = batch.write.mode("overwrite")
+      (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+        .parquet(s"$path/batch_id=$batchId")
+    }
+
+  /** [[sinkToLake]] with exactly-once semantics under batch retry —
+    * every micro-batch lands through [[landBatchIdempotent]]. Readers
+    * see `batch_id` as one more partition column of the layout.
+    */
+  def sinkToLakeExactlyOnce(out: DataFrame, path: String, checkpoint: String,
+                            partitionCols: Seq[String]): org.apache.spark.sql.streaming.StreamingQuery =
+    out.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        landBatchIdempotent(batch, id, path, partitionCols)
+      }
+      .start()
+
   /** Run the REAL streaming engine over the events table and return
     * the final windowed aggregate: file-source readStream →
     * [[windowedAgg]]'s grouping in Complete mode → memory sink, with

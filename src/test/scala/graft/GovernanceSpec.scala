@@ -94,4 +94,74 @@ class GovernanceSpec extends SparkSpec {
       "record_count", "run_timestamp", "source_layer", "source_object",
       "target_layer", "target_object"))
   }
+
+  test("rbac: denied zones throw before any job, PII redacts for unprivileged roles") {
+    import graft.operators.Governance
+    import graft.operators.Governance._
+    val base = java.nio.file.Files.createTempDirectory("rbac").toString
+    val df = Seq((1L, "Alice Cooper", 10.0), (2L, "Bob Dylan", 20.0))
+      .toDF("id", "name", "amount")
+    // etl may write the curated zone
+    Governance.writeZone(df, ReferenceRoles, "etl", "curated", s"$base/curated")
+    // analyst may NOT write curated (read-only grant) — deny throws
+    // driver-side, and nothing lands on disk
+    intercept[Governance.AccessDeniedException] {
+      Governance.writeZone(df.withColumn("amount", lit(0.0)),
+        ReferenceRoles, "analyst", "curated", s"$base/curated2")
+    }
+    assert(!new java.io.File(s"$base/curated2").exists())
+    // analyst may NOT read raw at all
+    intercept[Governance.AccessDeniedException] {
+      Governance.readZone(spark, ReferenceRoles, "analyst", "raw", s"$base/curated")
+    }
+    // unknown zone denies by default
+    intercept[Governance.AccessDeniedException] {
+      Governance.checkRead(ReferenceRoles, "etl", "secret")
+    }
+    // analyst CAN read curated, but PII columns come back redacted —
+    // referentially stable (equal names → equal hashes), values gone
+    val analystView = Governance.readZone(spark, ReferenceRoles, "analyst",
+      "curated", s"$base/curated", piiCols = Set("name"))
+    val names = analystView.select("name").collect().map(_.getString(0))
+    assert(names.forall(_.matches("[0-9a-f]{64}")))
+    // steward has governance read → sees raw PII
+    val stewardView = Governance.readZone(spark, ReferenceRoles, "steward",
+      "curated", s"$base/curated", piiCols = Set("name"))
+    assert(stewardView.select("name").collect().map(_.getString(0)).sorted
+      === Array("Alice Cooper", "Bob Dylan"))
+  }
+
+  test("rbac: the reference csv matrix round-trips through the parser") {
+    import graft.operators.Governance
+    val dir = java.nio.file.Files.createTempDirectory("rbaccsv").toString
+    // the reference's rbac_matrix.csv shape (quoted description field)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/rbac_matrix.csv"),
+      """role_name,raw_zone,validated_zone,curated_zone,governance_zone,description
+        |etl-role,read_write,read_write,read_write,read,"ETL jobs ingest, validate, and curate data"
+        |analyst-role,no_access,read,read,no_access,Analysts consume curated data
+        |""".stripMargin)
+    val roles = Governance.rolesFromCsv(spark, s"$dir/rbac_matrix.csv")
+    assert(roles.map(_.name) === Seq("etl-role", "analyst-role"))
+    assert(roles(0).grants("raw") === Governance.ReadWrite)
+    assert(roles(0).grants("governance") === Governance.ReadOnly)
+    assert(roles(1).grants("raw") === Governance.NoAccess)
+    val m = Governance.permissionMatrix(spark, roles)
+    assert(m.count() === 8)
+    assert(m.filter(col("can_write")).count() === 3)
+  }
+
+  test("data dictionary derives columns, rules, and sensitivity from the schema") {
+    import graft.operators.Governance
+    val schema = Seq((1L, "n", 2.5)).toDF("id", "name", "score").schema
+    val dict = Governance.dataDictionary(spark, "t", schema,
+      rules = Seq(NotNull("id"), Between("score", 0, 5), NotNull("score")),
+      piiCols = Set("name")).collect()
+      .map(r => r.getString(1) -> r).toMap
+    assert(dict.keySet === Set("id", "name", "score"))
+    assert(dict("id").getString(2) === "bigint")
+    assert(dict("score").getString(4) === "between_score,not_null_score")
+    assert(dict("name").getBoolean(5) && dict("name").getString(6) === "Confidential")
+    assert(!dict("id").getBoolean(5) && dict("id").getString(6) === "Internal")
+  }
 }

@@ -419,6 +419,48 @@ class LlmOpsSpec extends SparkSpec {
     assert(cands.length === 5 && cands.forall(_ < 100L))
   }
 
+  test("sample-trained kmeans keeps IVF recall at a 10% training sample") {
+    // planted-cluster corpus: 8 direction clusters in 16-d, 400 points.
+    // Cluster structure is what makes "recall parity" a meaningful
+    // claim — on structureless vectors IVF cells are arbitrary and
+    // nprobe=1 recall is noise either way. A 10% hash-sample keeps
+    // ~5 points per cluster, plenty to re-find the 8 centroids.
+    val pts = (0 until 400).map { i =>
+      val c = i % 8
+      val v = Array.fill(16)(0f)
+      v(2 * c) = 10f + (i % 7) * 0.3f
+      v(2 * c + 1) = 1f + (i % 5) * 0.2f
+      (i.toLong, v)
+    }
+    val corpus = pts.toDF("vec_id", "embedding")
+    val q = corpus.filter($"vec_id" < 16)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "cand_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(corpus, q, "vec_id", "embedding", 10))
+    def ivfRecall(pct: Int): Double = {
+      val cents = Similarity.kmeansCentroids(
+        corpus, "vec_id", "embedding", k = 8, iters = 3, samplePct = pct)
+      val got = pairs(Similarity.ivfTopK(corpus, q, "vec_id", "embedding",
+        k = 10, centroidsOverride = Some(cents)))
+      (exact & got).size.toDouble / exact.size
+    }
+    val full = ivfRecall(100)
+    val sampled = ivfRecall(10)
+    info(s"IVF recall@10: full-trained=$full, 10%-sample-trained=$sampled")
+    // parity: sampling the TRAINING set must not collapse recall —
+    // cell means over a uniform sample estimate the same centroids
+    assert(sampled >= full - 0.1, s"sample-trained recall $sampled vs full $full")
+    // determinism: hash-sampling is partitioning-invariant
+    val again = Similarity.kmeansCentroids(
+      corpus.repartition(7), "vec_id", "embedding", k = 8, iters = 3, samplePct = 10)
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    val first = Similarity.kmeansCentroids(
+      corpus, "vec_id", "embedding", k = 8, iters = 3, samplePct = 10)
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    assert(again === first)
+  }
+
   test("multimodal plumbing: features are deterministic and partition-invariant") {
     val media = Multimodal.fromText(docs, "doc_id", "text", "image")
     val a = Multimodal.extractFeatures(media).orderBy("media_id").collect()

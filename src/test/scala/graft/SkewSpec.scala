@@ -20,6 +20,25 @@ class SkewSpec extends SparkSpec {
       plain.map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq)
   }
 
+  test("saltedRank reproduces the single-reducer window positions exactly") {
+    import org.apache.spark.sql.expressions.Window
+    // hot key 0 holds 60% of rows; keys 1..9 split the rest
+    val df = (1 to 500).map(i => (if (i % 10 < 6) 0L else (i % 10).toLong, i.toLong))
+      .toDF("k", "id")
+    val plain = df.withColumn("pos",
+      row_number().over(Window.partitionBy(col("k"))
+        .orderBy(md5(concat(lit("s1"), col("id").cast("string"))), col("id")))
+        .cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val salted = Skew.saltedRank(df, Seq("k"), "id", seed = "s1")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(salted === plain)
+    // partitioning-invariant (the determinism contract)
+    val again = Skew.saltedRank(df.repartition(7), Seq("k"), "id", seed = "s1")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(again === plain)
+  }
+
   test("lshCandidatePairs drops an oversized bucket; lshOversizedBuckets reports it") {
     import graft.operators.TextDedup
     // bucket A: 5 docs (hot), bucket B: 2 docs (fine)

@@ -208,6 +208,53 @@ class StreamingSpec extends SparkSpec {
     assert((landedSet -- batch).isEmpty)
   }
 
+  test("exactly-once under a mid-batch crash: retry after a PARTIAL WRITE neither dups nor drops") {
+    // the nasty case: the crash lands AFTER the batch's files are on
+    // disk but BEFORE the engine commits the batch — a retry then
+    // re-runs the same batch id, and a plain append sink would write
+    // every row a second time. landBatchIdempotent must replace.
+    val outDir = java.nio.file.Files.createTempDirectory("crash_lake").toString + "/agg"
+    val ckpt = java.nio.file.Files.createTempDirectory("crash_ckpt").toString
+    val ctrlOut = java.nio.file.Files.createTempDirectory("ctrl_lake").toString + "/agg"
+    val ctrlCkpt = java.nio.file.Files.createTempDirectory("ctrl_ckpt").toString
+    val injected = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+    def run(out: String, cp: String, inject: Boolean): Unit = {
+      val stream = EventStream.readEventStream(spark, streamDir, staticEvents.schema)
+      val q = EventStream.windowedAgg(stream, watermarkDelay = "1 hour")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", cp)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          EventStream.landBatchIdempotent(b, id, out, Seq("event_type"))
+          if (inject && id >= 1 && injected.compareAndSet(false, true))
+            throw new RuntimeException("injected crash AFTER the batch write")
+        }
+        .start()
+      try q.processAllAvailable()
+      catch { case _: Exception => () } // the injected failure surfaces here
+      finally q.stop()
+    }
+
+    run(outDir, ckpt, inject = true) // crashes mid-stream, partial output on disk
+    assert(injected.get, "the crash must actually have been injected")
+    run(outDir, ckpt, inject = false) // restart from the SAME checkpoint
+    // control: the same pipeline never crashed
+    run(ctrlOut, ctrlCkpt, inject = false)
+
+    def landedSet(path: String) = spark.read.parquet(path)
+      .select("window_start", "event_type", "n_events")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    val crashed = landedSet(outDir)
+    val control = landedSet(ctrlOut)
+    assert(crashed === control,
+      s"crash+retry diverged from the never-crashed run: " +
+        s"missing=${control -- crashed} extra=${crashed -- control}")
+    // and no window row appears twice anywhere in the crashed lake
+    assert(spark.read.parquet(outDir)
+      .groupBy("window_start", "event_type").count()
+      .filter(col("count") > 1).count() === 0)
+  }
+
   test("sessionize emits watermark-closed sessions matching the batch gaps-and-islands") {
     val stream = EventStream.readEventStream(spark, streamDir, staticEvents.schema)
     val q = EventStream.sessionize(stream, gapMinutes = 30, watermarkDelay = "1 hour")

@@ -271,4 +271,23 @@ class TablesSpec extends SparkSpec {
       case _ =>
     }
   }
+
+  test("j13 bucketed ingest runs once per source; re-invocation reuses the tables") {
+    val q = SparkEntry.queries("j13_bucketed_join")
+    val r1 = q(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    assert(spark.catalog.tableExists(s"graft_bkt_lineitem_$tag"))
+    val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    def mtimes = new java.io.File(s"$wh/graft_bkt_lineitem_$tag")
+      .listFiles().map(f => f.getName -> f.lastModified).toMap
+    val before = mtimes
+    assert(before.nonEmpty)
+    // second invocation: same result, NO re-ingest (bucket files untouched)
+    val r2 = q(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(r2 === r1)
+    assert(mtimes === before, "bucketed ingest re-ran on re-invocation")
+  }
 }
