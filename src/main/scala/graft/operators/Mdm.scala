@@ -115,11 +115,26 @@ object Mdm {
       .drop("_tok_name_1", "_tok_name_2", "_tok_addr_1", "_tok_addr_2")
   }
 
+  /** Optimizer fence over a scored frame: identity projection whose
+    * columns are `no_inline`-wrapped, so a filter ABOVE it cannot be
+    * pushed below — without it, filtering on `governance_action`
+    * re-inlines the whole levenshtein scoring chain into the pair
+    * join's condition (every pair scored TWICE — measured 2.5–3× on
+    * the steward queries at 10× scale). The scoring projection below
+    * the fence stays deterministic, so it still collapses and fuses
+    * for consumers like `mdm_match_pairs` that never filter.
+    */
+  private def fenceScores(scored: DataFrame): DataFrame = {
+    val s = scored.sparkSession
+    scored.select(scored.columns.map(c =>
+      graft.plans.NoInline(s, col(c)).as(c)): _*)
+  }
+
   /** MEDIUM-confidence pairs routed to human review
     * (`fuzzy_match.py:91-107`; steward_review_queue.csv shape).
     */
   def stewardQueue(scored: DataFrame): DataFrame =
-    scored.filter(col("governance_action") === "STEWARD_REVIEW")
+    fenceScores(scored).filter(col("governance_action") === "STEWARD_REVIEW")
       .select("id_1", "id_2", "name_1", "name_2", "final_score")
 
   /** Golden records for AUTO_MERGE pairs (`fuzzy_match.py:121-144`):
@@ -127,7 +142,7 @@ object Mdm {
     * deterministic "id1,id2" key.
     */
   def goldenRecords(scored: DataFrame): DataFrame =
-    scored.filter(col("governance_action") === "AUTO_MERGE")
+    fenceScores(scored).filter(col("governance_action") === "AUTO_MERGE")
       .select(
         concat_ws(",", col("id_1"), col("id_2")).as("source_ids"),
         longestString(col("name_1"), col("name_2")).as("golden_name"),

@@ -31,6 +31,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
       (children: Seq[Expression]) => VecDot(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("no_inline"),
+      new ExpressionInfo(classOf[NoInline].getName, "no_inline"),
+      (children: Seq[Expression]) => NoInline(children.head)))
   }
 }
 
@@ -90,5 +94,6 @@ object GraftExtensions {
     add("packed_shingles", buildPackedShingles)
     add("jaccard_sorted", children => JaccardSorted(children(0), children(1)))
     add("vec_dot", children => VecDot(children(0), children(1)))
+    add("no_inline", children => NoInline(children.head))
   }
 }
