@@ -1,0 +1,49 @@
+package graft
+
+import graft.sources.ScaledCorpus
+import org.apache.spark.sql.functions._
+
+class ScaledCorpusSpec extends SparkSpec {
+
+  test("scaled corpus: exact k× counts, FK integrity, unique keys, diverged replicas") {
+    val out = java.nio.file.Files.createTempDirectory("scaled").toString
+    ScaledCorpus.build(spark, sfDir, out, copies = 3)
+
+    // every fact table is exactly 3×; conformed dims stay single-copy
+    ScaledCorpus.keyCols.foreach { case (table, keys) =>
+      val n0 = spark.read.parquet(s"$sfDir/$table.parquet").count()
+      val n = spark.read.parquet(s"$out/$table.parquet").count()
+      assert(n === (if (keys.isEmpty) n0 else 3 * n0), table)
+    }
+
+    // referential integrity survives the key shift: no orphan lineitems,
+    // no orphan orders — each replica joins only within itself
+    val li = spark.read.parquet(s"$out/lineitem.parquet")
+    val ord = spark.read.parquet(s"$out/orders.parquet")
+    val cust = spark.read.parquet(s"$out/customer.parquet")
+    assert(li.join(ord, li("l_orderkey") === ord("o_orderkey"), "left_anti")
+      .count() === 0)
+    assert(ord.join(cust, ord("o_custkey") === cust("c_custkey"), "left_anti")
+      .count() === 0)
+
+    // shifted keys stay unique
+    assert(cust.select("c_custkey").distinct().count() === cust.count())
+
+    // replica documents are NOT near-duplicates: same length (translate
+    // is length-preserving, n_chars stays valid), different content
+    val docs = spark.read.parquet(s"$out/documents.parquet")
+    val texts = docs
+      .filter(col("doc_id") % ScaledCorpus.Stride === 7)
+      .orderBy("doc_id").select("text").collect().map(_.getString(0))
+    assert(texts.length === 3)
+    assert(texts.distinct.length === 3, "replica text must diverge per copy")
+    assert(texts.map(_.length).distinct.length === 1, "perturbation must preserve length")
+
+    // idempotent: the marker short-circuits a rebuild (files untouched)
+    val f = new java.io.File(s"$out/lineitem.parquet")
+      .listFiles().filter(_.getName.endsWith(".parquet")).head
+    val mtime = f.lastModified()
+    ScaledCorpus.build(spark, sfDir, out, copies = 3)
+    assert(f.lastModified() === mtime, "rebuild must be a no-op under the marker")
+  }
+}
