@@ -64,6 +64,13 @@ object Bench {
     runner.join(capSec * 1000L)
     if (runner.isAlive) {
       spark.sparkContext.cancelJobGroup(group)
+      // a streaming query ignores job-group cancellation (it blocks in
+      // awaitTermination, not in a job) — stop any active streams so a
+      // capped ev_stream_* query can't keep running and pollute the
+      // timings of everything after it
+      spark.streams.active.foreach { q =>
+        try q.stop() catch { case _: Exception => () }
+      }
       runner.join(30000L) // drain cancellation
       System.err.println(s"[bench] $name exceeded ${capSec}s cap, cancelled")
       -1.0
