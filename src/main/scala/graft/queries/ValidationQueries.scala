@@ -242,6 +242,20 @@ object ValidationQueries {
         |  ('steward', 'validated', 'read', true, false))
         |AS t(role_name, zone, permission, can_read, can_write)""".stripMargin),
 
+    // ───── RBAC-governed read with PII redaction: the analyst role
+    // (curated read, NO governance access) sees c_name sha2-redacted —
+    // referentially stable (equal names → equal hashes), raw value
+    // unrecoverable. The oracle recomputes the same sha256, so the
+    // redaction path itself is gate-verified.
+    "gov_masked_read" -> QueryDef.sql(
+      (s, dir) =>
+        graft.operators.Governance.readZone(
+          s, graft.operators.Governance.ReferenceRoles, "analyst",
+          "curated", s"$dir/customer.parquet", piiCols = Set("c_name")),
+      """SELECT c_custkey, sha256(c_name) AS c_name, c_nationkey,
+        |       c_acctbal, c_mktsegment
+        |FROM customer""".stripMargin),
+
     // ───── data dictionary GENERATED from schema + rule suite (ref
     // data_dictionary.csv:1-7) — a derived artifact that cannot drift
     // from the table it describes. The oracle re-derives column/type/

@@ -126,6 +126,24 @@ class PlanContractsSpec extends SparkSpec {
     }
   }
 
+  test("mdm_steward_queue: scoring is fenced — no levenshtein re-inlined into the join") {
+    // without the no_inline fence, the governance_action filter is
+    // pushed into the pair join's condition with the whole levenshtein
+    // scoring chain duplicated (every pair scored twice — 3.9× at 10×)
+    val p = plan("mdm_steward_queue")
+    assert(p.contains("no_inline"), p)
+    // the filter compares the materialized column, not the re-inlined
+    // scoring expression...
+    val filterLines = p.linesIterator.filter(_.contains("Filter ")).toSeq
+    assert(filterLines.exists(_.contains("STEWARD_REVIEW")), p)
+    assert(!filterLines.exists(_.contains("levenshtein")),
+      "scoring chain re-inlined into the filter:\n" + filterLines.mkString("\n"))
+    // ...and the join stayed score-free (scores are computed above it)
+    val joinLines = p.linesIterator.filter(_.contains("Join")).toSeq
+    assert(!joinLines.exists(_.contains("levenshtein")),
+      "scoring chain re-inlined into the join:\n" + joinLines.mkString("\n"))
+  }
+
   test("j13_bucketed_join: co-located SMJ, zero shuffle below the join") {
     val p = plan("j13_bucketed_join")
     assert(countLines(p, "SortMergeJoin") === 1, p)
