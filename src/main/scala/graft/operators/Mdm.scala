@@ -189,6 +189,14 @@ object Mdm {
                  toState: String, changedBy: String,
                  asOf: java.sql.Timestamp): (DataFrame, DataFrame) = {
     require(LifecycleStates.contains(toState), s"unknown state $toState")
+    // explicit control-plane contract: `ids` compiles into the plan as
+    // an isin literal list and the illegal-transition probe collects
+    // O(|ids|) rows — both driver-side. Master dims are small by
+    // definition (reference lifecycle_management.py works in pandas);
+    // a caller holding a data-scale id set should join on a frame
+    // instead of passing a literal list.
+    require(ids.nonEmpty && ids.size <= 100000,
+      s"transition targets must be a bounded control-plane list, got ${ids.size}")
     val targeted = master.filter(col(idCol).isin(ids: _*))
     val illegal = targeted.filter(
       !col("lifecycle_state").isin(
