@@ -53,6 +53,17 @@ object StreamingQueries {
         |FROM events
         |GROUP BY 1, 2, 3""".stripMargin),
 
+    // ───── streaming exact dedup through the real engine
+    // (dropDuplicatesWithinWatermark → Append → AvailableNow): the
+    // emitted KEY set equals batch DISTINCT regardless of which
+    // physical row of a key arrived first, so the oracle verifies the
+    // watermark-bounded dedup state machine end-to-end.
+    "ev_stream_dedup" -> QueryDef.sql(
+      (s, dir) =>
+        graft.streaming.EventStream.dedupKeysAvailableNow(
+          s, s"$dir/events.parquet", Seq("user_id", "event_type")),
+      "SELECT DISTINCT user_id, event_type FROM events"),
+
     // ───── stream-static broadcast join through the real streaming
     // engine (readStream events ⋈ broadcast static customer dim →
     // Complete-mode segment aggregate → AvailableNow → memory sink).

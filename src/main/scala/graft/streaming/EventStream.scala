@@ -245,6 +245,29 @@ object EventStream {
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** [[streamingDedup]] through the real engine, bounded: first-seen
+    * keys stream out in Append mode under AvailableNow. Projecting
+    * ONLY the key columns makes the emitted rows a deterministic SET
+    * (which physical row of a key survives depends on arrival order;
+    * its key does not), so the DuckDB `SELECT DISTINCT` oracle
+    * verifies the streaming dedup code path end-to-end.
+    */
+  def dedupKeysAvailableNow(spark: SparkSession, eventsPath: String,
+                            keyCols: Seq[String],
+                            queryName: String = "ev_stream_dedup"): DataFrame = {
+    val stream = readEventsFileStream(spark, eventsPath)
+    val deduped = streamingDedup(stream, keyCols)
+      .select(keyCols.map(col): _*)
+    val q = deduped.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
   final case class UserCount(user_id: Long, n_events: Long, last_ts: java.sql.Timestamp)
 
   /** Stateful running per-user event counts (mapGroupsWithState,
