@@ -165,10 +165,28 @@ object Bench {
           else None
         }
       }.sortBy(-_._2)
+      // Per-INPUT-row ratio assumes work ∝ input. For pair-generating
+      // queries (blocked self-joins) output grows ~quadratically in
+      // block size, so a flagged ratio can still be sub-linear in true
+      // work. Record measured output growth per cliff so the flag
+      // carries its own null model: ratio ≪ rows_growth / copies
+      // means the implementation scales; ratio ≈ rows_growth / copies
+      // (or a timeout) means a real blow-up.
+      def outRows(name: String, dir: String): Long =
+        try SparkEntry.queries(name)(spark, dir).count()
+        catch { case _: Throwable => -1L }
+      val rowsGrowth: Map[String, Double] = cliffs.collect {
+        case (name, _, timedOut) if !timedOut =>
+          val base = outRows(name, sfDir)
+          val scaled = outRows(name, scaledDir)
+          name -> (if (base > 0 && scaled >= 0) scaled.toDouble / base else -1.0)
+      }.toMap
       val qs = timed.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
         .mkString("{", ",", "}")
       val cs = cliffs.map { case (n, r, to) =>
-        f"""{"name":"$n","ratio":$r%.2f,"timed_out":$to}"""
+        val rg = rowsGrowth.get(n).filter(_ > 0)
+          .map(g => f""","rows_growth":$g%.1f""").getOrElse("")
+        f"""{"name":"$n","ratio":$r%.2f,"timed_out":$to$rg}"""
       }.mkString("[", ",", "]")
       val sk = skipped.map("\"" + _ + "\"").mkString("[", ",", "]")
       f"""{"copies":$scaleCopies,"budget_sec":$scaleBudget,"query_cap_sec":$scaleCap,"queries":$qs,"cliffs":$cs,"skipped":$sk}"""
