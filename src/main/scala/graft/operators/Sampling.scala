@@ -97,6 +97,29 @@ object Sampling {
     }
   }
 
+  /** Deterministic train/val/test assignment — the split every
+    * training pipeline needs before ablations. Each row gets exactly
+    * one of `train`/`val`/`test` as a pure function of (seed, key):
+    * disjoint and exhaustive by construction (one bucket, three
+    * half-open ranges), reproducible across reruns, partitionings,
+    * and engines, and INDEPENDENT of any sampling decision when the
+    * seed differs from the sampler's (md5(seed ∥ key) and md5(key)
+    * are unrelated bits). Shuffle-free scan-side projection — the
+    * assignment costs one md5 per row at any corpus size; splits
+    * land co-partitioned with their source, so downstream per-split
+    * filters prune without a shuffle.
+    */
+  def splitAssign(df: DataFrame, keyCol: String, trainPct: Int, valPct: Int,
+                  seed: String = ""): DataFrame = {
+    require(trainPct >= 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"split percents must be >= 0 and sum <= 100, got ($trainPct, $valPct)")
+    val b = bucketOf(concat(lit(seed), col(keyCol).cast("string")))
+    df.withColumn("split",
+      when(b < trainPct, "train")
+        .when(b < trainPct + valPct, "val")
+        .otherwise("test"))
+  }
+
   /** Stratified deterministic sample — corpus MIXING: each stratum
     * (e.g. language, source, quality band) gets its own keep-rate;
     * strata absent from `rates` fall back to `defaultPct`. The rate

@@ -498,6 +498,24 @@ object LlmQueries {
         |SELECT doc_id, row_number() OVER (ORDER BY skey, doc_id) AS pos
         |FROM k""".stripMargin),
 
+    // ───── deterministic train/val/test split: one md5 bucket, three
+    // half-open ranges — disjoint and exhaustive by construction,
+    // reproducible across engines (the oracle re-derives the same
+    // buckets), independent of sampling decisions via the seed.
+    // Shuffle-free scan-side projection.
+    "corpus_split" -> QueryDef.sql(
+      (s, dir) =>
+        Sampling.splitAssign(docs(s, dir), "doc_id", trainPct = 80,
+          valPct = 10, seed = "splitv1")
+          .select("doc_id", "lang", "split"),
+      """SELECT doc_id, lang,
+        |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM (
+        |  SELECT doc_id, lang,
+        |    CAST(concat('0x', substr(md5('splitv1' || CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 100 AS b
+        |  FROM documents)""".stripMargin),
+
     // ───── end-to-end corpus curation: quality gate → exact dedup →
     // per-language corpus stats (docs kept, total BPE-ish tokens,
     // exact-mean quality). The integration query a training-data

@@ -260,6 +260,31 @@ class LlmOpsSpec extends SparkSpec {
     assert(strat.count() === docs.filter($"lang" === "en").count())
   }
 
+  test("splitAssign: disjoint-exhaustive, rate-accurate, seed-independent of sampling") {
+    val split = graft.operators.Sampling.splitAssign(
+      docs, "doc_id", trainPct = 80, valPct = 10, seed = "s1")
+    // every row gets exactly one split label (exhaustive by construction)
+    assert(split.count() === docs.count())
+    val byLabel = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLabel.keySet === Set("train", "val", "test"), byLabel.toString)
+    val n = docs.count().toDouble
+    assert(byLabel("train") / n > 0.7 && byLabel("train") / n < 0.9, byLabel.toString)
+    // deterministic under repartitioning
+    val again = graft.operators.Sampling.splitAssign(
+      docs.repartition(7), "doc_id", 80, 10, seed = "s1")
+    assert(split.exceptAll(again).isEmpty && again.exceptAll(split).isEmpty)
+    // split assignment is independent of a hash sample with a different
+    // seed: the sampled subset's train share matches the global share
+    // (correlated bits would skew it)
+    val sampled = graft.operators.Sampling.sampleByHash(docs, "doc_id", 30)
+    val sampledTrain = graft.operators.Sampling
+      .splitAssign(sampled, "doc_id", 80, 10, seed = "s1")
+      .filter($"split" === "train").count().toDouble / sampled.count()
+    assert(sampledTrain > 0.7 && sampledTrain < 0.9,
+      s"train share within sample: $sampledTrain")
+  }
+
   test("tfidfRetrieve ranks a planted term-heavy doc first") {
     val planted = docs.select($"doc_id", $"text").unionByName(
       Seq((99999L, "zebra zebra zebra zebra quartz")).toDF("doc_id", "text"))
