@@ -126,6 +126,50 @@ object TextDedup {
       .drop("fingerprint")
   }
 
+  /** [[dedupIncremental]] with a Bloom prefilter on the corpus side —
+    * the 100 TB form. The plain anti-join shuffles BOTH fingerprint
+    * streams by key; the corpus side is billions of rows ALL moved to
+    * answer a question about a small batch. Spark's own engine solves
+    * this shape with runtime bloom filters (InjectRuntimeFilter), but
+    * only under equi-JOINs it can see through — an anti-join probe
+    * side doesn't qualify. So the same trick is applied by hand with
+    * the engine's own expressions ([[graft.plans.GraftExtensions]]
+    * registers `bloom_agg`/`bloom_might_contain`):
+    *
+    *  1. one aggregate over the BATCH fingerprints builds a bloom
+    *     filter sized for |batch| at `fpp` (KBs–MBs — control plane);
+    *  2. the corpus scan keeps only fingerprints the filter might
+    *     contain — a codegen'd scan-side predicate that cuts the
+    *     corpus shuffle to ~|matches| + fpp·|corpus| rows;
+    *  3. the exact anti-join runs on the survivors.
+    *
+    * Blooms have NO false negatives, so every true duplicate survives
+    * the prefilter and the result is bit-identical to
+    * [[dedupIncremental]] — fpp only tunes how much harmless extra
+    * corpus traffic reaches the join. The batch count for sizing is
+    * one O(1)-row action on the small side.
+    */
+  def dedupIncrementalBloom(corpus: DataFrame, batch: DataFrame,
+                            idCol: String, textCol: String,
+                            fpp: Double = 0.01): DataFrame = {
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
+    graft.plans.GraftExtensions.register(corpus.sparkSession) // idempotent
+    val fp = md5(normalizeText(col(textCol)))
+    val newDocs = dedupExact(batch, idCol, textCol).withColumn("fingerprint", fp)
+    val n = newDocs.count()
+    if (n == 0) return newDocs.limit(0).drop("fingerprint")
+    val numBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(n, fpp)
+    val bloom = newDocs.select(
+      call_function("bloom_agg", xxhash64(col("fingerprint")),
+        lit(n), lit(numBits)).as("bf"))
+      .head.getAs[Array[Byte]]("bf")
+    val seen = corpus.select(fp.as("fingerprint"))
+      .filter(call_function("bloom_might_contain",
+        lit(bloom), xxhash64(col("fingerprint"))))
+    newDocs.join(seen, Seq("fingerprint"), "left_anti").drop("fingerprint")
+  }
+
   // ───────────────────────── MinHash + LSH ─────────────────────────
 
   /** MinHash signatures: numHashes min-hashes over the shingle set.

@@ -35,6 +35,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("no_inline"),
       new ExpressionInfo(classOf[NoInline].getName, "no_inline"),
       (children: Seq[Expression]) => NoInline(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "bloom_agg"),
+      GraftExtensions.buildBloomAgg))
+    ext.injectFunction((
+      new FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "bloom_might_contain"),
+      GraftExtensions.buildBloomMightContain))
   }
 }
 
@@ -78,6 +90,27 @@ object GraftExtensions {
       children.lift(1).map(e => foldableInt("packed_shingles", "shingleSize", e))
         .getOrElse(5))
 
+  /** bloom_agg(xxhash64_value, estimatedNumItems, numBits) — Spark's
+    * own BloomFilterAggregate (the engine uses it for runtime join
+    * filters), surfaced as a registered function so operators can
+    * hand-apply the same semijoin-pushdown trick where the optimizer
+    * can't see it (e.g. the probe side of an anti-join). Returns the
+    * serialized filter as binary.
+    */
+  private[plans] val buildBloomAgg: Seq[Expression] => Expression =
+    (children: Seq[Expression]) =>
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        children(0), children(1), children(2))
+
+  /** bloom_might_contain(serialized_filter, xxhash64_value) — the
+    * matching probe predicate (no false negatives; false-positive
+    * rate set by the build's numBits).
+    */
+  private[plans] val buildBloomMightContain: Seq[Expression] => Expression =
+    (children: Seq[Expression]) =>
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        children(0), children(1))
+
   /** Per-session registration for sessions built without extensions
     * (e.g. the driver-owned Verify session). Idempotent — and
     * actually-idempotent: already-registered names are skipped so a
@@ -95,5 +128,7 @@ object GraftExtensions {
     add("jaccard_sorted", children => JaccardSorted(children(0), children(1)))
     add("vec_dot", children => VecDot(children(0), children(1)))
     add("no_inline", children => NoInline(children.head))
+    add("bloom_agg", buildBloomAgg)
+    add("bloom_might_contain", buildBloomMightContain)
   }
 }

@@ -311,6 +311,39 @@ object LlmQueries {
          |  SELECT 1 FROM documents c
          |  WHERE md5(${normSql("c.text")}) = md5(${normSql("dedup.text")}))""".stripMargin),
 
+    // ───── bloom-prefiltered incremental dedup: same semantics and
+    // SAME ORACLE as dd_incremental (blooms have no false negatives,
+    // so the exact anti-join on the prefiltered corpus is
+    // bit-identical) — what changes is the plan: the corpus-side
+    // fingerprint stream is cut at the scan by a broadcast-size bloom
+    // predicate before it ever shuffles. The gate proving equality IS
+    // the point: it pins that the fpp knob trades traffic, not truth.
+    "dd_incremental_bloom" -> QueryDef.sql(
+      (s, dir) => {
+        val d = docs(s, dir).select("doc_id", "text")
+        val batch = d.select((col("doc_id") + 30000).as("doc_id"), col("text"))
+          .unionByName(d.select((col("doc_id") + 40000).as("doc_id"),
+            concat(col("text"), lit(" fresh")).as("text")))
+          .unionByName(d.select((col("doc_id") + 50000).as("doc_id"),
+            concat(col("text"), lit(" fresh")).as("text")))
+        TextDedup.dedupIncrementalBloom(d, batch, "doc_id", "text")
+          .select("doc_id")
+      },
+      s"""WITH batch AS (
+         |  SELECT doc_id + 30000 AS doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 40000, text || ' fresh' FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 50000, text || ' fresh' FROM documents),
+         |dedup AS (
+         |  SELECT doc_id, text FROM batch
+         |  QUALIFY row_number() OVER (PARTITION BY md5(${normSql("text")})
+         |                             ORDER BY doc_id) = 1)
+         |SELECT doc_id FROM dedup
+         |WHERE NOT EXISTS (
+         |  SELECT 1 FROM documents c
+         |  WHERE md5(${normSql("c.text")}) = md5(${normSql("dedup.text")}))""".stripMargin),
+
     // ───── passage-level duplicate detection: corpus = originals ∪
     // prefix-modified copies, so originals score dup_ratio 1.0 and
     // copies score slightly below (their prefix windows are unique) —

@@ -45,6 +45,44 @@ class LlmOpsSpec extends SparkSpec {
     assert(out.filter($"doc_id" < 40000 || $"doc_id" >= 50000).count() === 0)
   }
 
+  test("dedupIncrementalBloom equals the plain anti-join and actually prunes") {
+    val d = docs.select("doc_id", "text")
+    val batch = d.filter($"doc_id" < 50)
+      .select(($"doc_id" + 30000).as("doc_id"), $"text")
+      .unionByName(d.filter($"doc_id" < 50)
+        .select(($"doc_id" + 40000).as("doc_id"),
+          concat($"text", lit(" fresh")).as("text")))
+    val plain = TextDedup.dedupIncremental(d, batch, "doc_id", "text")
+    val bloom = TextDedup.dedupIncrementalBloom(d, batch, "doc_id", "text")
+    // bit-identical result: blooms have no false negatives, so the
+    // prefilter can only add harmless corpus rows to the anti-join
+    assert(plain.exceptAll(bloom).isEmpty && bloom.exceptAll(plain).isEmpty)
+    // the prefilter predicate reaches the plan (scan-side cut, not a
+    // post-shuffle filter)
+    val p = bloom.queryExecution.executedPlan.toString
+    assert(p.contains("might_contain"), p.take(2000))
+    // and it genuinely prunes: a 50-doc batch bloom at fpp=0.01 keeps
+    // ~50 true matches + ~1% of the other corpus fingerprints
+    val fp = org.apache.spark.sql.functions.md5(
+      graft.functions.Functions.normalizeText($"text"))
+    val kept = {
+      import org.apache.spark.sql.functions.{call_function, lit, xxhash64}
+      val n = 50L
+      val bits = org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(n, 0.01)
+      val bf = TextDedup.dedupExact(batch, "doc_id", "text")
+        .withColumn("fingerprint", fp)
+        .select(call_function("bloom_agg", xxhash64($"fingerprint"),
+          lit(n), lit(bits)).as("bf"))
+        .head.getAs[Array[Byte]]("bf")
+      d.select(fp.as("fingerprint"))
+        .filter(call_function("bloom_might_contain", lit(bf),
+          xxhash64($"fingerprint"))).count()
+    }
+    val corpusN = d.count()
+    assert(kept < corpusN / 2,
+      s"bloom prefilter kept $kept of $corpusN corpus fingerprints")
+  }
+
   test("topTerms: counts match a direct groupBy and the boundary is deterministic") {
     val toy = Seq("b b b c", "a a c", "a b c").toDF("text")
     val top = TextAnalysis.topTerms(toy, "text", 2).collect()
