@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.QueryDef
-import graft.operators.{Multimodal, Sampling, Similarity, TextAnalysis, TextDedup}
+import graft.operators.{Bpe, Multimodal, Sampling, Similarity, TextAnalysis, TextDedup}
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -279,6 +279,42 @@ object LlmQueries {
         |       COUNT(DISTINCT token) AS distinct_tokens,
         |       COUNT(DISTINCT doc_id) AS n_docs
         |FROM toks""".stripMargin),
+
+    // ───── BPE training, iteration 0: adjacent symbol-pair counts
+    // over the character-segmented word-frequency table — the exact
+    // aggregation the distributed trainer (Bpe.train, spec-verified
+    // against a sequential reference) runs each round; registering it
+    // gates the tokenizer path's corpus-side plumbing (word freq,
+    // segmentation, pair explode, weighted count, deterministic
+    // argmax order) against an independent engine. Top-50 with a
+    // total-order boundary so the limit is engine-stable.
+    "ta_bpe_pair_counts" -> QueryDef.sql(
+      (s, dir) => {
+        val words = Bpe.wordFreq(docs(s, dir), "text")
+          .select(concat(
+            transform(sequence(lit(1), length(col("word"))),
+              i => col("word").substr(i, lit(1))),
+            array(lit(Bpe.EndOfWord))).as("syms"), col("freq"))
+        Bpe.pairCounts(words)
+          .orderBy(col("n").desc, col("a").asc, col("b").asc)
+          .limit(50)
+      },
+      """WITH words AS (
+        |  SELECT word, COUNT(*) AS freq FROM (
+        |    SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+        |    FROM documents)
+        |  WHERE word <> '' GROUP BY word),
+        |syms AS (
+        |  SELECT freq,
+        |         list_append(list_transform(range(1, length(word)+1),
+        |           i -> substring(word, i, 1)), '</w>') AS s
+        |  FROM words),
+        |pairs AS (
+        |  SELECT s[i] AS a, s[i+1] AS b, freq
+        |  FROM syms, UNNEST(range(1, len(s))) AS t(i))
+        |SELECT a, b, CAST(SUM(freq) AS BIGINT) AS n
+        |FROM pairs GROUP BY a, b
+        |ORDER BY n DESC, a ASC, b ASC LIMIT 50""".stripMargin),
 
     // ───── incremental ingest dedup: new batch anti-joined against
     // the existing corpus on fingerprint, then self-deduped. Batch
