@@ -61,6 +61,64 @@ object Micro {
       pairs.select(sum(hofDot(col("embedding"), col("qv")))).write
         .format("noop").mode("overwrite").save()
     }
+
+    // dd_ngram_prefix stage breakdown (pass "ngram" as 2nd arg):
+    // where does the prefix-join's wall-time actually go at scale?
+    if (args.lift(1).contains("ngram")) {
+      import graft.functions.Functions.normalizeText
+      val docsDf = spark.read.parquet(s"$sfDir/documents.parquet")
+      val d = docsDf.select(col("doc_id"), col("text"), col("lang"))
+        .unionByName(docsDf.select((col("doc_id") + 10000).as("doc_id"),
+          concat(col("text"), lit(" copy")).as("text"), col("lang")))
+      d.count() // warm cache
+      val threshold = 0.5
+      val prepared = d
+        .filter(col("text").isNotNull)
+        .withColumn("_norm", normalizeText(col("text")))
+        .withColumn("_sh", expr("packed_shingles(_norm, 5)"))
+        .withColumn("_len", size(col("_sh")))
+        .withColumn("_plen",
+          (col("_len") - floor(lit(threshold) * col("_len")).cast("int") + 1))
+        .select(col("doc_id"), col("lang"), col("_sh"), col("_len"), col("_plen"))
+      val toks = prepared.select(
+        col("doc_id"), col("lang"), col("_len"), col("_plen"),
+        explode(col("_sh")).as("_tok"))
+      val dfreq = toks.groupBy(col("lang"), col("_tok"))
+        .agg(count(lit(1)).as("_df"))
+      import org.apache.spark.sql.expressions.Window
+      val byRarity = Window.partitionBy(col("doc_id"))
+        .orderBy(col("_df").asc, col("_tok").asc)
+      val prefixToks = toks.join(dfreq, Seq("lang", "_tok"))
+        .withColumn("_rk", row_number().over(byRarity))
+        .filter(col("_rk") <= col("_plen"))
+        .select(col("doc_id"), col("lang"), col("_len"), col("_tok"))
+      def side(n: Int) = prefixToks.select(
+        col("lang"), col("_tok"),
+        col("doc_id").as(s"id_$n"), col("_len").as(s"len_$n"))
+      val candidates = side(1).join(side(2), Seq("lang", "_tok"))
+        .filter(col("id_1") < col("id_2"))
+        .filter(col("len_1").cast("double") >= lit(threshold) * col("len_2") &&
+          col("len_2").cast("double") >= lit(threshold) * col("len_1"))
+        .select("id_1", "id_2").dropDuplicates("id_1", "id_2")
+      time("ng_prepared") {
+        prepared.write.format("noop").mode("overwrite").save()
+      }
+      time("ng_toks_dfreq") {
+        dfreq.write.format("noop").mode("overwrite").save()
+      }
+      time("ng_prefixToks") {
+        prefixToks.write.format("noop").mode("overwrite").save()
+      }
+      time("ng_candidates") {
+        candidates.write.format("noop").mode("overwrite").save()
+      }
+      time("ng_full") {
+        graft.operators.TextDedup.ngramJaccardPairsPrefix(
+          d, "doc_id", "text", "lang", threshold = 0.5)
+          .write.format("noop").mode("overwrite").save()
+      }
+      println(s"candidate pairs: ${candidates.count()}")
+    }
     spark.stop()
   }
 }
