@@ -16,8 +16,9 @@ object Micro {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val ngramOnly = args.lift(1).contains("ngram")
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
-    li.count() // warm file cache
+    if (!ngramOnly) li.count() // warm file cache
 
     def time(name: String)(f: => Unit): Unit = {
       val runs = (1 to 3).map { _ =>
@@ -26,6 +27,7 @@ object Micro {
       println(f"$name%-18s min=${runs.min}%.3fs runs=${runs.map(r => f"$r%.2f").mkString(",")}")
     }
 
+    if (!ngramOnly) {
     val grouped = li.filter(col("l_extendedprice") > 0)
       .groupBy(col("l_suppkey"), to_date(col("l_shipdate")).as("d"))
     time("decimal30_sum") {
@@ -61,10 +63,12 @@ object Micro {
       pairs.select(sum(hofDot(col("embedding"), col("qv")))).write
         .format("noop").mode("overwrite").save()
     }
+    }
 
     // dd_ngram_prefix stage breakdown (pass "ngram" as 2nd arg):
     // where does the prefix-join's wall-time actually go at scale?
-    if (args.lift(1).contains("ngram")) {
+    if (ngramOnly) {
+      graft.plans.GraftExtensions.register(spark)
       import graft.functions.Functions.normalizeText
       val docsDf = spark.read.parquet(s"$sfDir/documents.parquet")
       val d = docsDf.select(col("doc_id"), col("text"), col("lang"))
@@ -79,9 +83,13 @@ object Micro {
         .withColumn("_len", size(col("_sh")))
         .withColumn("_plen",
           (col("_len") - floor(lit(threshold) * col("_len")).cast("int") + 1))
-        .select(col("doc_id"), col("lang"), col("_sh"), col("_len"), col("_plen"))
+        .withColumn("_iplen",
+          (col("_len") -
+            floor(lit(2 * threshold / (1 + threshold)) * col("_len")).cast("int") + 1))
+        .select(col("doc_id"), col("lang"), col("_sh"), col("_len"),
+          col("_plen"), col("_iplen"))
       val toks = prepared.select(
-        col("doc_id"), col("lang"), col("_len"), col("_plen"),
+        col("doc_id"), col("lang"), col("_len"), col("_plen"), col("_iplen"),
         explode(col("_sh")).as("_tok"))
       val dfreq = toks.groupBy(col("lang"), col("_tok"))
         .agg(count(lit(1)).as("_df"))
@@ -91,31 +99,41 @@ object Micro {
       val prefixToks = toks.join(dfreq, Seq("lang", "_tok"))
         .withColumn("_rk", row_number().over(byRarity))
         .filter(col("_rk") <= col("_plen"))
-        .select(col("doc_id"), col("lang"), col("_len"), col("_tok"))
-      def side(n: Int) = prefixToks.select(
+        .select(col("doc_id"), col("lang"), col("_len"), col("_iplen"),
+          col("_tok"), col("_rk"))
+      val ix = prefixToks.filter(col("_rk") <= col("_iplen")).select(
         col("lang"), col("_tok"),
-        col("doc_id").as(s"id_$n"), col("_len").as(s"len_$n"))
-      val candidates = side(1).join(side(2), Seq("lang", "_tok"))
-        .filter(col("id_1") < col("id_2"))
-        .filter(col("len_1").cast("double") >= lit(threshold) * col("len_2") &&
-          col("len_2").cast("double") >= lit(threshold) * col("len_1"))
+        col("doc_id").as("id_1"), col("_len").as("len_1"), col("_rk").as("rk_1"))
+      val probe = prefixToks.select(
+        col("lang"), col("_tok"),
+        col("doc_id").as("id_2"), col("_len").as("len_2"), col("_rk").as("rk_2"))
+      val alpha = lit(threshold / (1 + threshold)) *
+        (col("len_1") + col("len_2")).cast("double")
+      val candidates = ix.join(probe, Seq("lang", "_tok"))
+        .filter(col("len_1") < col("len_2") ||
+          (col("len_1") === col("len_2") && col("id_1") < col("id_2")))
+        .filter(col("len_1").cast("double") >= lit(threshold) * col("len_2"))
+        .filter(
+          (least(col("rk_1"), col("rk_2")) +
+            least(col("len_1") - col("rk_1"), col("len_2") - col("rk_2")))
+            .cast("double") + lit(1e-9) >= alpha)
         .select("id_1", "id_2").dropDuplicates("id_1", "id_2")
-      time("ng_prepared") {
+      def time1(name: String)(f: => Unit): Unit = {
+        val t0 = System.nanoTime(); f
+        println(f"$name%-18s ${(System.nanoTime() - t0) / 1e9}%.3fs")
+        System.out.flush()
+      }
+      time1("ng_prepared") {
         prepared.write.format("noop").mode("overwrite").save()
       }
-      time("ng_toks_dfreq") {
+      time1("ng_toks_dfreq") {
         dfreq.write.format("noop").mode("overwrite").save()
       }
-      time("ng_prefixToks") {
+      time1("ng_prefixToks") {
         prefixToks.write.format("noop").mode("overwrite").save()
       }
-      time("ng_candidates") {
+      time1("ng_candidates") {
         candidates.write.format("noop").mode("overwrite").save()
-      }
-      time("ng_full") {
-        graft.operators.TextDedup.ngramJaccardPairsPrefix(
-          d, "doc_id", "text", "lang", threshold = 0.5)
-          .write.format("noop").mode("overwrite").save()
       }
       println(s"candidate pairs: ${candidates.count()}")
     }
