@@ -461,6 +461,92 @@ object Multimodal {
     (m(r), m(g), m(b))
   }
 
+  /** 64-bit average-hash (aHash) over REAL decoded pixels: 8×8
+    * block-mean luminance grid; bit k set iff block k is brighter
+    * than the grid mean. Block averaging is done manually over the
+    * exact decoded pixels — deliberately NOT via a Graphics2D scaler,
+    * whose filtering varies across JVMs/platforms and would make the
+    * hash non-reproducible. Deterministic, so near-dup detection on
+    * it is partitioning- and platform-invariant.
+    */
+  private[operators] def aHash(img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val lum = new Array[Double](64)
+    var k = 0
+    while (k < 64) {
+      val bx = k % 8; val by = k / 8
+      val x0 = bx * w / 8
+      val x1 = math.max(x0 + 1, (bx + 1) * w / 8)
+      val y0 = by * h / 8
+      val y1 = math.max(y0 + 1, (by + 1) * h / 8)
+      var s = 0.0; var n = 0
+      var y = y0
+      while (y < y1 && y < h) {
+        var x = x0
+        while (x < x1 && x < w) {
+          val p = img.getRGB(x, y)
+          s += 0.299 * ((p >> 16) & 0xff) + 0.587 * ((p >> 8) & 0xff) +
+            0.114 * (p & 0xff)
+          n += 1; x += 1
+        }
+        y += 1
+      }
+      lum(k) = if (n == 0) 0.0 else s / n
+      k += 1
+    }
+    val mean = lum.sum / 64
+    lum.indices.foldLeft(0L)((acc, i) =>
+      if (lum(i) > mean) acc | (1L << i) else acc)
+  }
+
+  final case class ImageHash(media_id: Long, ahash: Option[Long])
+
+  /** Batched per-partition perceptual hashing — the same mapPartitions
+    * shape as [[extractFeatures]]; non-image payloads hash to None and
+    * pass through.
+    */
+  def imageAHashes(media: DataFrame, batchSize: Int = 64): Dataset[ImageHash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "content").as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { case (id, bytes) =>
+            ImageHash(id,
+              ImageHeader.probe(bytes).flatMap(_ => decodeImage(bytes)).map(aHash))
+          }
+        }
+      }
+  }
+
+  /** Near-duplicate image pairs by banded aHash — the image analog of
+    * SimHash near-dup: four 16-bit bands of the 64-bit hash become
+    * equi-join keys (pigeonhole: Hamming ≤ 3 forces at least one
+    * identical band), candidates verify with the exact
+    * `bit_count(xor)` distance. Same scale shape as the text band
+    * joins: signatures are a map-side projection, the only shuffle is
+    * the band equi-join, no cartesian anywhere.
+    */
+  def imageNearDupPairs(media: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4 x 16-bit bands guarantee recall only for Hamming <= 3, got $maxHamming")
+    val hashes = imageAHashes(media).toDF().filter(col("ahash").isNotNull)
+    val bands = (0 until 4).map { b =>
+      hashes.select(col("media_id"), col("ahash"),
+        lit(b).as("band_id"),
+        shiftright(col("ahash"), b * 16).bitwiseAND(lit(0xffffL)).as("band_key"))
+    }.reduce(_ unionByName _)
+    def side(n: Int) = bands.select(col("band_id"), col("band_key"),
+      col("media_id").as(s"id_$n"), col("ahash").as(s"h_$n"))
+    side(1).join(side(2), Seq("band_id", "band_key"))
+      .filter(col("id_1") < col("id_2"))
+      .withColumn("hamming", bit_count(col("h_1").bitwiseXOR(col("h_2"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_1", "id_2", "hamming")
+      .dropDuplicates("id_1", "id_2")
+  }
+
   /** Per-row decode: header probe + REAL pixel decode (ImageIO) for
     * image payloads; non-image payloads (audio/video/text bytes) get
     * the stable pseudo-features — the ─── STUB ─── path a spectral

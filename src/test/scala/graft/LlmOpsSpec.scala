@@ -659,6 +659,46 @@ class LlmOpsSpec extends SparkSpec {
     assert(ImageHeader.probe(jpegBytes(1920, 1080).take(7)).isEmpty)
   }
 
+  test("imageAHashes + imageNearDupPairs: near-identical images pair, unrelated don't") {
+    import java.awt.image.BufferedImage
+    def png(img: BufferedImage): Array[Byte] = {
+      val bo = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bo)
+      bo.toByteArray
+    }
+    def gradient(w: Int, h: Int): BufferedImage = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, ((255 * x / w) << 16) | ((255 * y / h) << 8) | 128)
+      img
+    }
+    val base = gradient(64, 64)
+    // near-dup: the same gradient with a small corner patch changed
+    val tweaked = gradient(64, 64)
+    for (y <- 0 until 4; x <- 0 until 4) tweaked.setRGB(x, y, 0xffffff)
+    // unrelated: inverted gradient (structurally different everywhere)
+    val other = new BufferedImage(64, 64, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 64; x <- 0 until 64)
+      other.setRGB(x, y, ((255 - 255 * x / 64) << 16) | 200)
+    val media = Seq(
+      (1L, png(base)), (2L, png(tweaked)), (3L, png(other)),
+      (4L, "not an image".getBytes))
+      .toDF("media_id", "content")
+    val hashes = Multimodal.imageAHashes(media).collect()
+      .map(h => h.media_id -> h.ahash).toMap
+    // real decode: image payloads hash, non-image payloads don't
+    assert(hashes(1).isDefined && hashes(3).isDefined && hashes(4).isEmpty)
+    // determinism: same bytes → same hash under repartitioning
+    val again = Multimodal.imageAHashes(media.repartition(5)).collect()
+      .map(h => h.media_id -> h.ahash).toMap
+    assert(again === hashes)
+    val pairs = Multimodal.imageNearDupPairs(media, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"near-dup pair missing: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      s"unrelated image paired: $pairs")
+  }
+
   test("extractFeatures and withImageMeta surface real dimensions end-to-end") {
     val media = Seq(
       (1L, "image", pngBytes(640, 480)),
