@@ -347,30 +347,39 @@ object LlmQueries {
          |  SELECT 1 FROM documents c
          |  WHERE md5(${normSql("c.text")}) = md5(${normSql("dedup.text")}))""".stripMargin),
 
-    // ───── bloom-prefiltered incremental dedup: same semantics and
-    // SAME ORACLE as dd_incremental (blooms have no false negatives,
-    // so the exact anti-join on the prefiltered corpus is
-    // bit-identical) — what changes is the plan: the corpus-side
-    // fingerprint stream is cut at the scan by a broadcast-size bloom
-    // predicate before it ever shuffles. The gate proving equality IS
-    // the point: it pins that the fpp knob trades traffic, not truth.
+    // ───── bloom-prefiltered incremental dedup: same SEMANTICS as
+    // dd_incremental (blooms have no false negatives, so the exact
+    // anti-join on the prefiltered corpus is bit-identical) — what
+    // changes is the plan: the corpus-side fingerprint stream is cut
+    // at the scan by a broadcast-size bloom predicate before it ever
+    // shuffles. The fixture exercises the operator's DESIGN regime —
+    // a small batch (5% modulo slice, scale-proportional) against the
+    // full corpus; the original dd_incremental fixture's batch is 3×
+    // the corpus, which would charge the bloom build more passes than
+    // the prefilter saves. Equality with the plain path on an
+    // identical small-batch fixture is pinned by LlmOpsSpec.
     "dd_incremental_bloom" -> QueryDef.sql(
       (s, dir) => {
         val d = docs(s, dir).select("doc_id", "text")
-        val batch = d.select((col("doc_id") + 30000).as("doc_id"), col("text"))
-          .unionByName(d.select((col("doc_id") + 40000).as("doc_id"),
+        val sample = d.filter(col("doc_id") % 20 === 0)
+        val batch = sample
+          .select((col("doc_id") + 30000).as("doc_id"), col("text"))
+          .unionByName(sample.select((col("doc_id") + 40000).as("doc_id"),
             concat(col("text"), lit(" fresh")).as("text")))
-          .unionByName(d.select((col("doc_id") + 50000).as("doc_id"),
+          .unionByName(sample.select((col("doc_id") + 50000).as("doc_id"),
             concat(col("text"), lit(" fresh")).as("text")))
         TextDedup.dedupIncrementalBloom(d, batch, "doc_id", "text")
           .select("doc_id")
       },
       s"""WITH batch AS (
          |  SELECT doc_id + 30000 AS doc_id, text FROM documents
+         |  WHERE doc_id % 20 = 0
          |  UNION ALL
          |  SELECT doc_id + 40000, text || ' fresh' FROM documents
+         |  WHERE doc_id % 20 = 0
          |  UNION ALL
-         |  SELECT doc_id + 50000, text || ' fresh' FROM documents),
+         |  SELECT doc_id + 50000, text || ' fresh' FROM documents
+         |  WHERE doc_id % 20 = 0),
          |dedup AS (
          |  SELECT doc_id, text FROM batch
          |  QUALIFY row_number() OVER (PARTITION BY md5(${normSql("text")})
