@@ -171,21 +171,27 @@ object Bench {
       // work. Record measured output growth per cliff so the flag
       // carries its own null model: ratio ≪ rows_growth / copies
       // means the implementation scales; ratio ≈ rows_growth / copies
-      // (or a timeout) means a real blow-up.
+      // (or a timeout) means a real blow-up. base_rows disambiguates
+      // the aggregate shape: a constant-size output (rows_growth 1 at
+      // base_rows ~1) says the work lives in the internal stream and
+      // output growth can't judge it either way.
       def outRows(name: String, dir: String): Long =
         try SparkEntry.queries(name)(spark, dir).count()
         catch { case _: Throwable => -1L }
-      val rowsGrowth: Map[String, Double] = cliffs.collect {
+      val rowsGrowth: Map[String, (Long, Double)] = cliffs.collect {
         case (name, _, timedOut) if !timedOut =>
           val base = outRows(name, sfDir)
           val scaled = outRows(name, scaledDir)
-          name -> (if (base > 0 && scaled >= 0) scaled.toDouble / base else -1.0)
+          name -> (base,
+            if (base > 0 && scaled >= 0) scaled.toDouble / base else -1.0)
       }.toMap
       val qs = timed.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
         .mkString("{", ",", "}")
       val cs = cliffs.map { case (n, r, to) =>
-        val rg = rowsGrowth.get(n).filter(_ > 0)
-          .map(g => f""","rows_growth":$g%.1f""").getOrElse("")
+        val rg = rowsGrowth.get(n).filter(_._2 > 0)
+          .map { case (base, g) =>
+            f""","rows_growth":$g%.1f,"base_rows":$base%d"""
+          }.getOrElse("")
         f"""{"name":"$n","ratio":$r%.2f,"timed_out":$to$rg}"""
       }.mkString("[", ",", "]")
       val sk = skipped.map("\"" + _ + "\"").mkString("[", ",", "]")
