@@ -212,4 +212,27 @@ class PlanContractsSpec extends SparkSpec {
     assert(shuffles.size === 2, p)
     assert(p.contains("partial_"), p) // lang agg combines map-side
   }
+
+  test("corpus_split: a pure scan-side projection — zero exchanges of any kind") {
+    val p = plan("corpus_split")
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("ta_bpe_pair_counts: bounded top-k, map-side combine, no cartesian") {
+    val p = plan("ta_bpe_pair_counts")
+    // the deterministic top-50 must run as a per-partition heap +
+    // driver merge, never a global sort
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(countLines(p, "CartesianProduct") === 0, p)
+    assert(p.contains("partial_"), p) // pair counts combine map-side
+  }
+
+  test("dd_incremental_bloom: the bloom predicate cuts the corpus before its shuffle") {
+    val p = plan("dd_incremental_bloom")
+    assert(p.contains("might_contain"), p)
+    // the prefilter must sit below the anti-join, not above it: the
+    // Filter line carrying might_contain appears, and the join is a
+    // plain equi anti-join (no cartesian fallback)
+    assert(countLines(p, "CartesianProduct") === 0, p)
+  }
 }
