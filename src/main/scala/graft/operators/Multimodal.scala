@@ -520,31 +520,181 @@ object Multimodal {
       }
   }
 
-  /** Near-duplicate image pairs by banded aHash — the image analog of
-    * SimHash near-dup: four 16-bit bands of the 64-bit hash become
-    * equi-join keys (pigeonhole: Hamming ≤ 3 forces at least one
-    * identical band), candidates verify with the exact
-    * `bit_count(xor)` distance. Same scale shape as the text band
-    * joins: signatures are a map-side projection, the only shuffle is
-    * the band equi-join, no cartesian anywhere.
+  /** Banded Hamming self-join over 64-bit perceptual hashes — the
+    * shared engine under image/audio/video near-dup: four 16-bit
+    * bands of the hash become equi-join keys (pigeonhole: Hamming ≤ 3
+    * forces at least one identical band), candidates verify with the
+    * exact `bit_count(xor)` distance. Same scale shape as the text
+    * band joins: hashing is a map-side projection, the only shuffle
+    * is the band equi-join, no cartesian anywhere. `extraKeys` adds
+    * alignment columns to the band key (e.g. frame index for video,
+    * so frames compare position-aligned).
     */
-  def imageNearDupPairs(media: DataFrame, maxHamming: Int = 3): DataFrame = {
+  private def bandedHammingPairs(hashes: DataFrame, idCol: String,
+                                 hashCol: String, maxHamming: Int,
+                                 extraKeys: Seq[String] = Nil): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"4 x 16-bit bands guarantee recall only for Hamming <= 3, got $maxHamming")
-    val hashes = imageAHashes(media).toDF().filter(col("ahash").isNotNull)
+    val nn = hashes.filter(col(hashCol).isNotNull)
     val bands = (0 until 4).map { b =>
-      hashes.select(col("media_id"), col("ahash"),
-        lit(b).as("band_id"),
-        shiftright(col("ahash"), b * 16).bitwiseAND(lit(0xffffL)).as("band_key"))
+      nn.select((extraKeys.map(col) :+ col(idCol) :+ col(hashCol) :+
+        lit(b).as("band_id") :+
+        shiftright(col(hashCol), b * 16).bitwiseAND(lit(0xffffL))
+          .as("band_key")): _*)
     }.reduce(_ unionByName _)
-    def side(n: Int) = bands.select(col("band_id"), col("band_key"),
-      col("media_id").as(s"id_$n"), col("ahash").as(s"h_$n"))
-    side(1).join(side(2), Seq("band_id", "band_key"))
+    def side(n: Int) = bands.select(
+      (extraKeys.map(col) :+ col("band_id") :+ col("band_key") :+
+        col(idCol).as(s"id_$n") :+ col(hashCol).as(s"h_$n")): _*)
+    side(1).join(side(2), extraKeys ++ Seq("band_id", "band_key"))
       .filter(col("id_1") < col("id_2"))
       .withColumn("hamming", bit_count(col("h_1").bitwiseXOR(col("h_2"))))
       .filter(col("hamming") <= maxHamming)
-      .select("id_1", "id_2", "hamming")
-      .dropDuplicates("id_1", "id_2")
+      .select((extraKeys.map(col) :+ col("id_1") :+ col("id_2") :+
+        col("hamming")): _*)
+      .dropDuplicates(Seq("id_1", "id_2") ++ extraKeys)
+  }
+
+  /** Near-duplicate image pairs by banded aHash — see
+    * [[bandedHammingPairs]] for the join shape.
+    */
+  def imageNearDupPairs(media: DataFrame, maxHamming: Int = 3): DataFrame =
+    bandedHammingPairs(imageAHashes(media).toDF(), "media_id", "ahash",
+      maxHamming)
+
+  /** 64-bit audio fingerprint over the REAL PCM16 decode: 64
+    * block-RMS energies across the data chunk; bit k set iff block
+    * k's RMS exceeds the track mean — loudness structure, robust to
+    * small sample perturbations the way aHash is to pixel noise.
+    * Tracks shorter than 64 samples don't fingerprint.
+    */
+  private[operators] def audioHash(b: Array[Byte]): Option[Long] =
+    AudioHeader.dataOffset(b).flatMap { case (off, len) =>
+      val n = (len / 2).toInt
+      if (n < 64) None
+      else {
+        val rms = new Array[Double](64)
+        var k = 0
+        while (k < 64) {
+          val i0 = k * n / 64
+          val i1 = math.max(i0 + 1, (k + 1) * n / 64)
+          var s = 0.0
+          var i = i0
+          while (i < i1) {
+            val v = ((b(off + 2 * i) & 0xff) | (b(off + 2 * i + 1) << 8))
+              .toShort.toDouble
+            s += v * v; i += 1
+          }
+          rms(k) = math.sqrt(s / (i1 - i0))
+          k += 1
+        }
+        val mean = rms.sum / 64
+        Some(rms.indices.foldLeft(0L)((acc, i) =>
+          if (rms(i) > mean) acc | (1L << i) else acc))
+      }
+    }
+
+  final case class AudioHashRow(media_id: Long, audio_hash: Option[Long])
+
+  /** Batched per-partition audio fingerprinting — the audio sibling
+    * of [[imageAHashes]]; non-WAV payloads hash to None.
+    */
+  def audioHashes(media: DataFrame, batchSize: Int = 64): Dataset[AudioHashRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "content").as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { case (id, bytes) =>
+            AudioHashRow(id,
+              Option(bytes).filter(AudioHeader.probe(_).isDefined)
+                .flatMap(audioHash))
+          }
+        }
+      }
+  }
+
+  /** Near-duplicate audio pairs by banded block-RMS fingerprint. */
+  def audioNearDupPairs(media: DataFrame, maxHamming: Int = 3): DataFrame =
+    bandedHammingPairs(audioHashes(media).toDF(), "media_id", "audio_hash",
+      maxHamming)
+
+  /** aHash over a raw RGB888 frame buffer (the payload our AVI
+    * container carries): 8×8 block-mean luminance, same grid and
+    * bit rule as the image [[aHash]].
+    */
+  private[operators] def rgbFrameHash(frame: Array[Byte], w: Int,
+                                      h: Int): Option[Long] = {
+    if (frame == null || w <= 0 || h <= 0 || frame.length < w * h * 3) None
+    else {
+      val lum = new Array[Double](64)
+      var k = 0
+      while (k < 64) {
+        val bx = k % 8; val by = k / 8
+        val x0 = bx * w / 8; val x1 = math.max(x0 + 1, (bx + 1) * w / 8)
+        val y0 = by * h / 8; val y1 = math.max(y0 + 1, (by + 1) * h / 8)
+        var s = 0.0; var n = 0
+        var y = y0
+        while (y < y1 && y < h) {
+          var x = x0
+          while (x < x1 && x < w) {
+            val p = (y * w + x) * 3
+            s += 0.299 * (frame(p) & 0xff) + 0.587 * (frame(p + 1) & 0xff) +
+              0.114 * (frame(p + 2) & 0xff)
+            n += 1; x += 1
+          }
+          y += 1
+        }
+        lum(k) = if (n == 0) 0.0 else s / n
+        k += 1
+      }
+      val mean = lum.sum / 64
+      Some(lum.indices.foldLeft(0L)((acc, i) =>
+        if (lum(i) > mean) acc | (1L << i) else acc))
+    }
+  }
+
+  final case class VideoFrameHash(media_id: Long, frame_idx: Int,
+                                  frame_hash: Long)
+
+  /** Per-sampled-frame perceptual hashes for AVI payloads: the real
+    * container walk supplies raw RGB frames; each sampled frame gets
+    * the 8×8 aHash. `frame_idx` is the SAMPLE position (0..k-1), so
+    * equal-length videos compare position-aligned.
+    */
+  def videoFrameHashes(media: DataFrame, sampleK: Int = 4,
+                       batchSize: Int = 64): Dataset[VideoFrameHash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "content").as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.iterator.flatMap { case (id, bytes) =>
+            VideoHeader.probe(bytes).toSeq.flatMap { h =>
+              sampleVideoFrames(bytes, sampleK).zipWithIndex.flatMap {
+                case ((_, frame), si) =>
+                  rgbFrameHash(frame, h.width, h.height)
+                    .map(VideoFrameHash(id, si, _))
+              }
+            }
+          }
+        }
+      }
+  }
+
+  /** Near-duplicate video pairs: frames band-join position-aligned
+    * (the sample index is part of the join key), then videos pair
+    * when at least `minMatchingFrames` of their sampled frames are
+    * within `maxHamming`. Output (id_1, id_2, n_matching_frames).
+    */
+  def videoNearDupPairs(media: DataFrame, sampleK: Int = 4,
+                        maxHamming: Int = 3,
+                        minMatchingFrames: Int = 3): DataFrame = {
+    val framePairs = bandedHammingPairs(
+      videoFrameHashes(media, sampleK).toDF(), "media_id", "frame_hash",
+      maxHamming, extraKeys = Seq("frame_idx"))
+    framePairs.groupBy("id_1", "id_2")
+      .agg(count(lit(1)).cast("int").as("n_matching_frames"))
+      .filter(col("n_matching_frames") >= minMatchingFrames)
   }
 
   /** Per-row decode: header probe + REAL pixel decode (ImageIO) for

@@ -699,6 +699,75 @@ class LlmOpsSpec extends SparkSpec {
       s"unrelated image paired: $pairs")
   }
 
+  test("audioNearDupPairs: perturbed track pairs, different frequency doesn't") {
+    def sine(freq: Double, samples: Int, jitter: Int = 0): Array[Byte] = {
+      val out = new Array[Byte](samples * 2)
+      for (i <- 0 until samples) {
+        val v = (math.sin(2 * math.Pi * freq * i / 16000) * 12000).toInt +
+          (if (jitter != 0 && i % 97 == 0) jitter else 0)
+        out(2 * i) = (v & 0xff).toByte
+        out(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      }
+      out
+    }
+    // amplitude-modulated tones so the block-RMS profile has structure
+    def am(freq: Double, samples: Int, jitter: Int = 0): Array[Byte] = {
+      val base = sine(freq, samples, jitter)
+      for (i <- 0 until samples) {
+        val env = 0.2 + 0.8 * math.abs(math.sin(math.Pi * 7 * i / samples))
+        val v = (((base(2 * i) & 0xff) | (base(2 * i + 1) << 8)).toShort * env).toInt
+        base(2 * i) = (v & 0xff).toByte; base(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      }
+      base
+    }
+    val media = Seq(
+      (1L, Multimodal.wavFromPcmBytes(am(440, 16000))),
+      (2L, Multimodal.wavFromPcmBytes(am(440, 16000, jitter = 300))),
+      (3L, Multimodal.wavFromPcmBytes(sine(440, 16000))), // flat envelope
+      (4L, "not audio".getBytes))
+      .toDF("media_id", "content")
+    val hashes = Multimodal.audioHashes(media).collect()
+      .map(h => h.media_id -> h.audio_hash).toMap
+    assert(hashes(1).isDefined && hashes(3).isDefined && hashes(4).isEmpty)
+    val pairs = Multimodal.audioNearDupPairs(media, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"perturbed twin missing: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      s"different envelope paired: $pairs")
+  }
+
+  test("videoNearDupPairs: position-aligned frame hashing pairs the tweaked copy") {
+    val (w, h) = (32, 24)
+    def frame(shift: Int, invert: Boolean = false): Array[Byte] = {
+      val f = new Array[Byte]((w * h * 3))
+      for (y <- 0 until h; x <- 0 until w) {
+        val lum = if (invert) 255 - (255 * x / w) else (255 * ((x + shift) % w) / w)
+        val p = (y * w + x) * 3
+        f(p) = lum.toByte; f(p + 1) = lum.toByte; f(p + 2) = lum.toByte
+      }
+      f
+    }
+    def avi(frames: Seq[Array[Byte]]) = Multimodal.aviFromFrames(frames, w, h)
+    val baseFrames = (0 until 8).map(i => frame(i))
+    val tweaked = baseFrames.map { f =>
+      val c = f.clone(); c(0) = 127.toByte; c(1) = 127.toByte; c
+    }
+    val unrelated = (0 until 8).map(i => frame(i, invert = true))
+    val media = Seq(
+      (1L, avi(baseFrames)), (2L, avi(tweaked)), (3L, avi(unrelated)),
+      (4L, "not a video".getBytes))
+      .toDF("media_id", "content")
+    val fh = Multimodal.videoFrameHashes(media, sampleK = 4).collect()
+    assert(fh.count(_.media_id == 1L) === 4)
+    assert(!fh.exists(_.media_id == 4L))
+    val pairs = Multimodal.videoNearDupPairs(media, sampleK = 4,
+      maxHamming = 3, minMatchingFrames = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"tweaked copy missing: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      s"inverted video paired: $pairs")
+  }
+
   test("extractFeatures and withImageMeta surface real dimensions end-to-end") {
     val media = Seq(
       (1L, "image", pngBytes(640, 480)),
