@@ -561,35 +561,45 @@ object Multimodal {
     bandedHammingPairs(imageAHashes(media).toDF(), "media_id", "ahash",
       maxHamming)
 
-  /** 64-bit audio fingerprint over the REAL PCM16 decode: 64
-    * block-RMS energies across the data chunk; bit k set iff block
-    * k's RMS exceeds the track mean — loudness structure, robust to
-    * small sample perturbations the way aHash is to pixel noise.
+  /** 64-bit audio fingerprint over the REAL PCM16 decode: 64 block
+    * MEAN-ENERGY values across the data chunk; bit k set iff block
+    * k's energy exceeds the track mean — loudness structure, robust
+    * to small sample perturbations the way aHash is to pixel noise.
     * Tracks shorter than 64 samples don't fingerprint.
+    *
+    * Arithmetic is ENGINE-REPRODUCIBLE by construction (the DuckDB
+    * oracle `mm_audio_hash` re-derives the hash bit-for-bit): each
+    * block's Σv² is an exact Long, the per-block energy is ONE IEEE
+    * division of exact integers, and the track mean is a fixed-order
+    * left-fold of the 64 energies — no order-dependent float
+    * accumulation anywhere.
     */
   private[operators] def audioHash(b: Array[Byte]): Option[Long] =
     AudioHeader.dataOffset(b).flatMap { case (off, len) =>
       val n = (len / 2).toInt
       if (n < 64) None
       else {
-        val rms = new Array[Double](64)
+        val energy = new Array[Double](64)
         var k = 0
         while (k < 64) {
           val i0 = k * n / 64
-          val i1 = math.max(i0 + 1, (k + 1) * n / 64)
-          var s = 0.0
+          val i1 = (k + 1) * n / 64 // n >= 64 ⇒ i1 > i0, blocks partition [0,n)
+          var s = 0L
           var i = i0
           while (i < i1) {
             val v = ((b(off + 2 * i) & 0xff) | (b(off + 2 * i + 1) << 8))
-              .toShort.toDouble
+              .toShort.toLong
             s += v * v; i += 1
           }
-          rms(k) = math.sqrt(s / (i1 - i0))
+          energy(k) = s.toDouble / (i1 - i0)
           k += 1
         }
-        val mean = rms.sum / 64
-        Some(rms.indices.foldLeft(0L)((acc, i) =>
-          if (rms(i) > mean) acc | (1L << i) else acc))
+        var mean = 0.0
+        var j = 0
+        while (j < 64) { mean += energy(j); j += 1 }
+        mean /= 64
+        Some(energy.indices.foldLeft(0L)((acc, i) =>
+          if (energy(i) > mean) acc | (1L << i) else acc))
       }
     }
 

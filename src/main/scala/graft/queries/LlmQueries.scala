@@ -1209,6 +1209,62 @@ object LlmQueries {
         |       16000 AS sample_rate,
         |       CAST(octet_length(encode(text)) // 2 AS BIGINT) AS n_frames,
         |       CAST((octet_length(encode(text)) // 2) * 1000 // 16000 AS BIGINT) AS duration_ms
-        |FROM documents""".stripMargin)
+        |FROM documents""".stripMargin),
+
+    // ───── 64-bit audio fingerprint, re-derived BIT-FOR-BIT by the
+    // oracle: the docs' UTF-8 bytes wrapped as PCM16 WAV (as in
+    // mm_audio_meta), then the block-energy hash. The arithmetic is
+    // engine-reproducible by construction — exact Long Σv² per block,
+    // one IEEE division, fixed-order 64-term mean — so DuckDB can
+    // recompute the identical signed 64-bit value from hex-extracted
+    // bytes. This is the decode path the image/video hashes can't
+    // gate (SQL can't decode PNG/AVI); audio CAN be, so it is.
+    "mm_audio_hash" -> QueryDef.sql(
+      (s, dir) => {
+        import s.implicits._
+        val wavs = docs(s, dir)
+          .select(col("doc_id").cast("long"), col("text"))
+          .as[(Long, String)]
+          .mapPartitions(_.map { case (id, text) =>
+            (id, Multimodal.wavFromPcmBytes(text.getBytes("UTF-8")))
+          }).toDF("media_id", "content")
+        Multimodal.audioHashes(wavs).toDF()
+          .filter(col("audio_hash").isNotNull)
+          .select(col("media_id"), col("audio_hash"))
+      },
+      """WITH wav AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |         octet_length(encode(text)) // 2 AS n
+        |  FROM documents
+        |  WHERE octet_length(encode(text)) // 2 >= 64),
+        |samples AS (
+        |  SELECT doc_id, k, i,
+        |         ((k + 1) * n) // 64 - (k * n) // 64 AS cnt,
+        |         CAST(concat('0x', substr(hx, 4 * i + 3, 2),
+        |                     substr(hx, 4 * i + 1, 2)) AS INTEGER) AS u
+        |  FROM wav,
+        |       UNNEST(range(0, 64)) AS t(k),
+        |       UNNEST(range((k * n) // 64, ((k + 1) * n) // 64)) AS s(i)),
+        |energy AS (
+        |  SELECT doc_id, k,
+        |         CAST(SUM(CAST(CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS BIGINT)
+        |                  * CAST(CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS BIGINT))
+        |              AS DOUBLE) / any_value(cnt) AS e
+        |  FROM samples GROUP BY doc_id, k),
+        |m AS (
+        |  SELECT doc_id, list_sum(list(e ORDER BY k)) / 64 AS mean
+        |  FROM energy GROUP BY doc_id),
+        |h AS (
+        |  SELECT energy.doc_id,
+        |         SUM(CASE WHEN e > mean
+        |                  THEN CAST(power(2, k) AS HUGEINT)
+        |                  ELSE CAST(0 AS HUGEINT) END) AS raw
+        |  FROM energy JOIN m ON energy.doc_id = m.doc_id
+        |  GROUP BY energy.doc_id)
+        |SELECT doc_id AS media_id,
+        |       CAST(CASE WHEN raw >= CAST(power(2, 63) AS HUGEINT)
+        |                 THEN raw - CAST(power(2, 64) AS HUGEINT)
+        |                 ELSE raw END AS BIGINT) AS audio_hash
+        |FROM h""".stripMargin)
   )
 }
