@@ -83,6 +83,14 @@ class LlmOpsSpec extends SparkSpec {
       s"bloom prefilter kept $kept of $corpusN corpus fingerprints")
   }
 
+  test("dedupIncrementalBloom: empty batch short-circuits to an empty result") {
+    val d = docs.select("doc_id", "text")
+    val out = TextDedup.dedupIncrementalBloom(
+      d, d.filter($"doc_id" < 0), "doc_id", "text")
+    assert(out.count() === 0)
+    assert(out.columns.toSeq === Seq("doc_id", "text"))
+  }
+
   test("topTerms: counts match a direct groupBy and the boundary is deterministic") {
     val toy = Seq("b b b c", "a a c", "a b c").toDF("text")
     val top = TextAnalysis.topTerms(toy, "text", 2).collect()
