@@ -77,6 +77,14 @@ object ScaledCorpus {
     val m = marker(outDir, copies)
     val fs = m.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(m)) return
+    // a rebuild at a DIFFERENT copy count must invalidate the old
+    // marker, or a later request for that count would silently accept
+    // this build's data (markers otherwise accumulate)
+    val dir = new org.apache.hadoop.fs.Path(outDir)
+    if (fs.exists(dir))
+      fs.listStatus(dir).map(_.getPath)
+        .filter(_.getName.startsWith("_SCALED_OK_x"))
+        .foreach(p => fs.delete(p, false))
     // raw events carry TIMESTAMP(NANOS): read as int64 nanos and write
     // them back verbatim so the derived dir round-trips Tables.events
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

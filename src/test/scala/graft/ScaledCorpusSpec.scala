@@ -45,5 +45,16 @@ class ScaledCorpusSpec extends SparkSpec {
     val mtime = f.lastModified()
     ScaledCorpus.build(spark, sfDir, out, copies = 3)
     assert(f.lastModified() === mtime, "rebuild must be a no-op under the marker")
+
+    // a rebuild at a DIFFERENT copy count invalidates the old marker:
+    // requesting 3 copies again afterwards must really rebuild, not
+    // accept the 2-copy data under the stale x3 marker
+    ScaledCorpus.build(spark, sfDir, out, copies = 2)
+    assert(spark.read.parquet(s"$out/customer.parquet").count() ===
+      2 * spark.read.parquet(s"$sfDir/customer.parquet").count())
+    ScaledCorpus.build(spark, sfDir, out, copies = 3)
+    assert(spark.read.parquet(s"$out/customer.parquet").count() ===
+      3 * spark.read.parquet(s"$sfDir/customer.parquet").count(),
+      "stale marker must not mask a different-count rebuild")
   }
 }
