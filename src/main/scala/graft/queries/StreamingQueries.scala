@@ -105,6 +105,33 @@ object StreamingQueries {
         | AND p.p_ts >= c.c_ts - INTERVAL 30 MINUTE
         | AND p.p_ts <= c.c_ts""".stripMargin),
 
+    // ───── stream-stream LEFT OUTER interval join: unmatched clicks
+    // emit nulls only after the watermark passes their join window —
+    // on a bounded replay that means NEVER, unless a watermark
+    // heartbeat (synthetic far-future event per side, impossible
+    // user id, excluded from output by construction) pushes the
+    // final watermark past the tail. The oracle is the plain batch
+    // LEFT JOIN: equality proves both the outer-state semantics and
+    // the heartbeat pattern end-to-end.
+    "ev_stream_outer_join" -> QueryDef.sql(
+      (s, dir) =>
+        graft.streaming.EventStream.clickPurchaseLeftJoinAvailableNow(
+          s, s"$dir/events.parquet"),
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, value,
+        |         CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events),
+        |c AS (SELECT user_id, event_id AS click_id, ts AS c_ts
+        |      FROM e WHERE event_type = 'click'),
+        |p AS (SELECT user_id AS p_user_id, event_id AS purchase_id,
+        |             ts AS p_ts, value AS p_value
+        |      FROM e WHERE event_type = 'purchase')
+        |SELECT c.user_id, c.click_id, c.c_ts,
+        |       p.purchase_id, p.p_ts, p.p_value
+        |FROM c LEFT JOIN p ON c.user_id = p.p_user_id
+        | AND p.p_ts >= c.c_ts - INTERVAL 30 MINUTE
+        | AND p.p_ts <= c.c_ts""".stripMargin),
+
     // ───── as-of join: each click attached to the user's latest
     // at-or-before purchase (DuckDB verifies with its native ASOF
     // JOIN — our composed union-sort-window must match it exactly)

@@ -230,6 +230,69 @@ object EventStream {
     spark.table(queryName)
   }
 
+  /** Stream-stream LEFT OUTER interval join — the outer twin of
+    * [[clickPurchaseJoinAvailableNow]]: every click emits, matched
+    * rows carry the purchase columns, unmatched clicks emit nulls.
+    *
+    * The semantic trap outer joins add: an unmatched row may only
+    * emit once the WATERMARK has passed its join window (before that,
+    * a matching purchase could still arrive), and on a bounded replay
+    * the stream ends before the watermark passes the tail — so every
+    * unmatched click would sit in state forever and the outer rows
+    * would silently never appear. The operational fix is the
+    * WATERMARK HEARTBEAT: one synthetic far-future event per side
+    * (impossible user id) advances the final watermark past every
+    * real row, flushing all outer state. The sentinels never reach
+    * the output — the heartbeat click stays ahead of the watermark
+    * it creates, and a lone purchase never emits in a left join —
+    * so the result equals the batch LEFT JOIN exactly and the DuckDB
+    * oracle gates this code path end-to-end.
+    */
+  def clickPurchaseLeftJoinAvailableNow(spark: SparkSession, eventsPath: String,
+                                        queryName: String = "ev_stream_outer_join"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(eventsPath)
+    val maxNanos = raw.agg(max(col("ts"))).head.getLong(0)
+    val beat = lit(maxNanos + 10L * 3600 * 1000000000L) // +10h, in nanos
+    // DISTINCT impossible user ids per side: with a shared id (and
+    // equal timestamps) the two heartbeats would match EACH OTHER and
+    // emit — an inner match doesn't wait for any watermark
+    val heartbeats = Seq("click" -> -999L, "purchase" -> -998L).map {
+      case (tpe, uid) =>
+        raw.limit(1).select(
+          lit(-1L).as("event_id"), beat.as("ts"), lit(uid).as("user_id"),
+          lit(tpe).as("event_type"), lit(0.0).as("value"), lit("{}").as("props"))
+    }.reduce(_ unionByName _)
+    val beatDir = java.nio.file.Files.createTempDirectory("wm_heartbeat").toString
+    heartbeats.write.mode("overwrite").parquet(beatDir)
+    val stream = readEventsFileStream(spark, eventsPath)
+      .unionByName(readEventsFileStream(spark, beatDir))
+    val clicks = stream
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "2 hours")
+    val purchases = stream
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"), col("value").as("p_value"))
+      .withWatermark("p_ts", "2 hours")
+    val joined = clicks.join(purchases,
+      expr("""user_id = p_user_id
+             |AND p_ts >= c_ts - INTERVAL 30 MINUTES
+             |AND p_ts <= c_ts""".stripMargin),
+      "leftOuter")
+      .select(col("user_id"), col("click_id"), col("c_ts"),
+        col("purchase_id"), col("p_ts"), col("p_value"))
+    val q = joined.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
   /** Streaming exact deduplication for ingest pipelines: drop events
     * whose dedup key was already seen, with state bounded by the
     * event-time watermark (`dropDuplicatesWithinWatermark` — a late
