@@ -12,11 +12,30 @@ import org.apache.spark.sql.functions._
   * address=c_mktsegment, blocking on (c_nationkey, c_mktsegment).
   * The DuckDB twins re-derive token_sort_ratio from the same formula
   * (levenshtein over sorted normalized tokens — SURVEY.md §2.8).
+  *
+  * Every downstream query (steward queue, golden records, activity,
+  * scorecard) is registered TWICE: on the coarse (nation, segment)
+  * block and on the fine (nation, segment, name-suffix) block. The
+  * block schema is a semantic parameter — cross-block pairs are never
+  * considered — so the fine variants carry their own oracles rather
+  * than being an optimization of the coarse ones. The fine block's
+  * pair space is ~10× smaller (measured 4.7s vs 21.1s at 10× for the
+  * pair query), which is the scale-safe default for a 100-TB corpus;
+  * the coarse variants remain registered as the recall-maximal shape.
   */
 object MdmQueries {
 
   val schema: EntitySchema =
     EntitySchema("id", "name", "address", Seq("block_nation", "block_seg"))
+
+  /** Fine blocking adds a character from the name's VARYING region
+    * (the trailing digit — the standard fuzzy-match "blocking key"
+    * move, picking whatever field slice actually discriminates; the
+    * name PREFIX is constant on this fixture and would refine
+    * nothing). Cuts the pair-space constant ~10×.
+    */
+  val fineSchema: EntitySchema =
+    schema.copy(blockCols = schema.blockCols :+ "block_suffix")
 
   private def entities(s: SparkSession, dir: String): DataFrame =
     Tables.table(s, dir, "customer").select(
@@ -26,6 +45,10 @@ object MdmQueries {
       col("c_nationkey").as("block_nation"),
       col("c_mktsegment").as("block_seg"))
 
+  private def entitiesFine(s: SparkSession, dir: String): DataFrame =
+    entities(s, dir).withColumn("block_suffix",
+      substring(graft.functions.Functions.normalizeText(col("name")), -1, 1))
+
   // Hot path goes through the skew guard: blocks above
   // Mdm.DefaultMaxBlockSize are excluded from the pair join (not
   // binding at test SFs — blocks are ~12 entities at sf0.01 — so the
@@ -34,23 +57,35 @@ object MdmQueries {
   private def scored(s: SparkSession, dir: String): DataFrame =
     Mdm.scorePairs(Mdm.candidatePairsCapped(entities(s, dir), schema))
 
-  /** Shared oracle prelude: entities with pre-computed token-sorted
-    * normalized name/address, blocked pair join, scores.
+  private def scoredFine(s: SparkSession, dir: String): DataFrame =
+    Mdm.scorePairs(Mdm.candidatePairsCapped(entitiesFine(s, dir), fineSchema))
+
+  /** Shared oracle prelude, parameterized on the block key: entities
+    * with pre-computed token-sorted normalized name/address, blocked
+    * pair join, scores. `fine = true` adds the name-suffix block
+    * column to the entity CTE and the join condition.
     */
-  private val scoredSql =
-    """WITH e AS (
+  private def scoredPrelude(fine: Boolean): String = {
+    val biSelect =
+      if (fine)
+        """
+          |         right(trim(regexp_replace(regexp_replace(
+          |           lower(c_name), '[^a-z0-9 ]', '', 'g'), '\s+', ' ', 'g')), 1) AS bi,""".stripMargin
+      else ""
+    val biJoin = if (fine) " AND a.bi = b.bi" else ""
+    s"""WITH e AS (
       |  SELECT c_custkey AS id, c_name AS name, c_mktsegment AS address,
-      |         c_nationkey AS bn, c_mktsegment AS bs,
+      |         c_nationkey AS bn, c_mktsegment AS bs,$biSelect
       |         array_to_string(list_sort(string_split(trim(regexp_replace(regexp_replace(
-      |           lower(c_name), '[^a-z0-9 ]', '', 'g'), '\s+', ' ', 'g')), ' ')), ' ') AS tname,
+      |           lower(c_name), '[^a-z0-9 ]', '', 'g'), '\\s+', ' ', 'g')), ' ')), ' ') AS tname,
       |         array_to_string(list_sort(string_split(trim(regexp_replace(regexp_replace(
-      |           lower(c_mktsegment), '[^a-z0-9 ]', '', 'g'), '\s+', ' ', 'g')), ' ')), ' ') AS taddr
+      |           lower(c_mktsegment), '[^a-z0-9 ]', '', 'g'), '\\s+', ' ', 'g')), ' ')), ' ') AS taddr
       |  FROM customer),
       |p AS (
       |  SELECT a.id AS id_1, b.id AS id_2, a.name AS name_1, b.name AS name_2,
       |         a.address AS address_1, b.address AS address_2,
       |         a.tname AS tn1, b.tname AS tn2, a.taddr AS ta1, b.taddr AS ta2
-      |  FROM e a JOIN e b ON a.bn = b.bn AND a.bs = b.bs AND a.id < b.id),
+      |  FROM e a JOIN e b ON a.bn = b.bn AND a.bs = b.bs$biJoin AND a.id < b.id),
       |sc AS (
       |  SELECT id_1, id_2, name_1, name_2, address_1, address_2,
       |    CASE WHEN greatest(length(tn1), length(tn2)) = 0 THEN 100.0
@@ -75,93 +110,41 @@ object MdmQueries {
       |         WHEN confidence_bucket = 'MEDIUM' THEN 'STEWARD_REVIEW'
       |         ELSE 'NO_ACTION' END AS governance_action
       |  FROM s3)""".stripMargin
+  }
 
-  val defs: Map[String, QueryDef] = Map(
+  private val scoredSql = scoredPrelude(fine = false)
+  private val scoredFineSql = scoredPrelude(fine = true)
+
+  /** The downstream family, registered once per block schema. The
+    * Spark side composes the same Mdm operators over the supplied
+    * scored frame; the oracle shares the matching prelude.
+    */
+  private def familyDefs(suffix: String,
+                         sc: (SparkSession, String) => DataFrame,
+                         prelude: String): Map[String, QueryDef] = Map(
 
     // ───── J10/P19/P20: blocked candidate pairs with scores & routing
-    "mdm_match_pairs" -> QueryDef.sql(
+    s"mdm_match_pairs$suffix" -> QueryDef.sql(
       (s, dir) =>
-        scored(s, dir).select(
+        sc(s, dir).select(
           "id_1", "id_2", "name_score", "address_score", "final_score",
           "confidence_bucket", "governance_action"),
-      s"""$scoredSql
+      s"""$prelude
          |SELECT id_1, id_2, name_score, address_score, final_score,
          |       confidence_bucket, governance_action
          |FROM s4""".stripMargin),
 
-    // ───── the documented blocking lever, with recorded numbers: the
-    // (nation, segment) block key's population grows with the corpus,
-    // so the pair space is quadratic in scale — the coarse family's
-    // flagged superlinearity. Blocking ADDITIONALLY on a character
-    // from the name's VARYING region (the trailing digit here — the
-    // standard fuzzy-match "blocking key" move, picking whatever
-    // field slice actually discriminates; the name PREFIX is constant
-    // on this fixture and would refine nothing) cuts the pair-space
-    // constant ~10×. Finer blocking is a SEMANTIC choice —
-    // cross-block pairs are never considered — so this registers as
-    // its own query with its own oracle rather than an optimization
-    // of mdm_match_pairs. The skew_rank_salted/unsalted evidence
-    // pair, for MDM.
-    "mdm_match_pairs_fine" -> QueryDef.sql(
-      (s, dir) => {
-        val ents = entities(s, dir).withColumn("block_suffix",
-          substring(graft.functions.Functions.normalizeText(col("name")), -1, 1))
-        val fine = schema.copy(blockCols = schema.blockCols :+ "block_suffix")
-        Mdm.scorePairs(Mdm.candidatePairsCapped(ents, fine)).select(
-          "id_1", "id_2", "name_score", "address_score", "final_score",
-          "confidence_bucket", "governance_action")
-      },
-      s"""WITH e AS (
-         |  SELECT c_custkey AS id, c_name AS name, c_mktsegment AS address,
-         |         c_nationkey AS bn, c_mktsegment AS bs,
-         |         right(trim(regexp_replace(regexp_replace(
-         |           lower(c_name), '[^a-z0-9 ]', '', 'g'), '\\s+', ' ', 'g')), 1) AS bi,
-         |         array_to_string(list_sort(string_split(trim(regexp_replace(regexp_replace(
-         |           lower(c_name), '[^a-z0-9 ]', '', 'g'), '\\s+', ' ', 'g')), ' ')), ' ') AS tname,
-         |         array_to_string(list_sort(string_split(trim(regexp_replace(regexp_replace(
-         |           lower(c_mktsegment), '[^a-z0-9 ]', '', 'g'), '\\s+', ' ', 'g')), ' ')), ' ') AS taddr
-         |  FROM customer),
-         |p AS (
-         |  SELECT a.id AS id_1, b.id AS id_2,
-         |         a.tname AS tn1, b.tname AS tn2, a.taddr AS ta1, b.taddr AS ta2
-         |  FROM e a JOIN e b
-         |    ON a.bn = b.bn AND a.bs = b.bs AND a.bi = b.bi AND a.id < b.id),
-         |sc AS (
-         |  SELECT id_1, id_2,
-         |    CASE WHEN greatest(length(tn1), length(tn2)) = 0 THEN 100.0
-         |         ELSE round((1 - CAST(levenshtein(tn1, tn2) AS DOUBLE)
-         |                       / CAST(greatest(length(tn1), length(tn2)) AS DOUBLE)) * 100, 1)
-         |    END AS name_score,
-         |    CASE WHEN greatest(length(ta1), length(ta2)) = 0 THEN 100.0
-         |         ELSE round((1 - CAST(levenshtein(ta1, ta2) AS DOUBLE)
-         |                       / CAST(greatest(length(ta1), length(ta2)) AS DOUBLE)) * 100, 1)
-         |    END AS address_score
-         |  FROM p),
-         |s2 AS (
-         |  SELECT *, round(0.7 * name_score + 0.3 * address_score, 2) AS final_score FROM sc),
-         |s3 AS (
-         |  SELECT *,
-         |    CASE WHEN final_score >= 95 THEN 'HIGH'
-         |         WHEN final_score >= 80 THEN 'MEDIUM' ELSE 'LOW' END AS confidence_bucket
-         |  FROM s2)
-         |SELECT id_1, id_2, name_score, address_score, final_score,
-         |  confidence_bucket,
-         |  CASE WHEN confidence_bucket = 'HIGH' THEN 'AUTO_MERGE'
-         |       WHEN confidence_bucket = 'MEDIUM' THEN 'STEWARD_REVIEW'
-         |       ELSE 'NO_ACTION' END AS governance_action
-         |FROM s3""".stripMargin),
-
     // ───── steward review queue (ref fuzzy_match.py:91-107)
-    "mdm_steward_queue" -> QueryDef.sql(
-      (s, dir) => Mdm.stewardQueue(scored(s, dir)),
-      s"""$scoredSql
+    s"mdm_steward_queue$suffix" -> QueryDef.sql(
+      (s, dir) => Mdm.stewardQueue(sc(s, dir)),
+      s"""$prelude
          |SELECT id_1, id_2, name_1, name_2, final_score
          |FROM s4 WHERE governance_action = 'STEWARD_REVIEW'""".stripMargin),
 
     // ───── golden-record survivorship (ref fuzzy_match.py:121-144)
-    "mdm_golden_records" -> QueryDef.sql(
-      (s, dir) => Mdm.goldenRecords(scored(s, dir)),
-      s"""$scoredSql
+    s"mdm_golden_records$suffix" -> QueryDef.sql(
+      (s, dir) => Mdm.goldenRecords(sc(s, dir)),
+      s"""$prelude
          |SELECT concat_ws(',', id_1, id_2) AS source_ids,
          |  CASE WHEN length(coalesce(name_1, '')) >= length(coalesce(name_2, ''))
          |       THEN name_1 ELSE name_2 END AS golden_name,
@@ -174,9 +157,9 @@ object MdmQueries {
     // The queue's reviewer/status fields are deterministic derivations
     // (reviewer assigned round-robin by id, status from the score band)
     // so the DuckDB twin re-derives them exactly.
-    "mdm_steward_activity" -> QueryDef.sql(
+    s"mdm_steward_activity$suffix" -> QueryDef.sql(
       (s, dir) => {
-        val queue = Mdm.stewardQueue(scored(s, dir))
+        val queue = Mdm.stewardQueue(sc(s, dir))
           .withColumn("reviewed_by",
             concat(lit("steward_user_"), (col("id_1") % 3 + 1).cast("string")))
           .withColumn("review_status",
@@ -185,7 +168,7 @@ object MdmQueries {
               .otherwise("REJECTED"))
         Mdm.stewardActivity(queue)
       },
-      s"""$scoredSql,
+      s"""$prelude,
          |q AS (
          |  SELECT concat('steward_user_', CAST(id_1 % 3 + 1 AS VARCHAR)) AS reviewed_by,
          |    CASE WHEN final_score >= 90 THEN 'APPROVED'
@@ -196,12 +179,12 @@ object MdmQueries {
          |FROM q GROUP BY 1, 2""".stripMargin),
 
     // ───── MDM scorecard (ref fuzzy_match.py:181-199)
-    "mdm_scorecard" -> QueryDef.sql(
+    s"mdm_scorecard$suffix" -> QueryDef.sql(
       (s, dir) => {
         val ents = entities(s, dir)
-        Mdm.scorecard(ents.count(), scored(s, dir))
+        Mdm.scorecard(ents.count(), sc(s, dir))
       },
-      s"""$scoredSql,
+      s"""$prelude,
          |agg AS (
          |  SELECT COUNT(*) AS pairs,
          |    CAST(SUM(CASE WHEN confidence_bucket = 'MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS n_medium,
@@ -215,4 +198,8 @@ object MdmQueries {
          |  round(CAST(n_high AS DOUBLE) / CAST(pairs AS DOUBLE) * 100, 2) AS auto_merge_rate_percent
          |FROM agg, tot""".stripMargin)
   )
+
+  val defs: Map[String, QueryDef] =
+    familyDefs("", scored, scoredSql) ++
+      familyDefs("_fine", scoredFine, scoredFineSql)
 }
