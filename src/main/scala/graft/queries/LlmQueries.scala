@@ -1076,6 +1076,91 @@ object LlmQueries {
            |WHERE rank <= 10""".stripMargin
       }),
 
+    // Sample-trained k-means IVF — THE registered scale shape: Lloyd
+    // trains on a deterministic 10% md5 hash-sample of the corpus
+    // (Sampling.sampleByHash), so the per-iteration (cell, dim) mean
+    // agg — the posexplode corpus×dim shuffle that dominates the
+    // full-corpus build above — shrinks by the sample rate, while the
+    // map-only full-corpus ASSIGNMENT is unchanged. The hash sample
+    // is pure md5 arithmetic, so the oracle re-derives it exactly and
+    // unrolls the same Lloyd rounds over the sampled CTE. Centroids
+    // differ from the full-corpus build by construction (training set
+    // is a semantic parameter), hence a separate oracle-checked query
+    // rather than an optimization of ann_ivf_kmeans_topk.
+    "ann_ivf_kmeans_sampled" -> QueryDef.sql(
+      (s, dir) => {
+        val e = emb(s, dir)
+        Similarity.ivfTopK(e, e.filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 10, nprobe = 1,
+          centroidsOverride =
+            Some(Similarity.kmeansCentroids(e, "vec_id", "embedding",
+              k = 8, iters = 3, samplePct = 10)))
+          .withColumn("rank", col("rank").cast("int"))
+      },
+      {
+        val iters = 3
+        val itSql = (1 to iters).map { i =>
+          s"""asg$i AS (
+             |  SELECT v.vid, v.v, c.centroid_id,
+             |         round(${cosineSql("v.v", "c.cv")}, 6) AS cc
+             |  FROM samp v, cent${i - 1} c),
+             |cell$i AS (
+             |  SELECT vid, v, centroid_id FROM (
+             |    SELECT vid, v, centroid_id,
+             |           row_number() OVER (PARTITION BY vid
+             |                              ORDER BY cc DESC, centroid_id) AS rn
+             |    FROM asg$i) WHERE rn = 1),
+             |mean$i AS (
+             |  SELECT centroid_id, d.i AS pos,
+             |         CAST(SUM(CAST(v[d.i] AS DECIMAL(38,12))) AS DOUBLE)
+             |           / COUNT(*) AS m
+             |  FROM cell$i, generate_series(1, 64) AS d(i)
+             |  GROUP BY 1, 2),
+             |cent$i AS (
+             |  SELECT p.centroid_id, COALESCE(n.nv, p.cv) AS cv
+             |  FROM cent${i - 1} p LEFT JOIN (
+             |    SELECT centroid_id, list(m ORDER BY pos) AS nv
+             |    FROM mean$i GROUP BY 1) n USING (centroid_id))""".stripMargin
+        }.mkString(",\n")
+        s"""WITH vecs AS (
+           |  SELECT vec_id AS vid,
+           |         [CAST(x AS DOUBLE) for x in embedding] AS v
+           |  FROM embeddings),
+           |samp AS (
+           |  SELECT vid, v FROM vecs
+           |  WHERE CAST(concat('0x', substr(md5(CAST(vid AS VARCHAR)), 1, 6)) AS BIGINT) % 100 < 10),
+           |cent0 AS (
+           |  SELECT CAST(row_number() OVER (ORDER BY vid) - 1 AS INTEGER) AS centroid_id,
+           |         v AS cv
+           |  FROM (SELECT vid, v FROM samp ORDER BY vid LIMIT 8)),
+           |$itSql,
+           |asgF AS (
+           |  SELECT v.vid, c.centroid_id,
+           |         round(${cosineSql("v.v", "c.cv")}, 6) AS cc
+           |  FROM vecs v, cent$iters c),
+           |rankedF AS (
+           |  SELECT vid, centroid_id,
+           |         row_number() OVER (PARTITION BY vid
+           |                            ORDER BY cc DESC, centroid_id) AS rn
+           |  FROM asgF),
+           |cells AS (SELECT vid AS cand_id, centroid_id FROM rankedF WHERE rn = 1),
+           |probes AS (SELECT vid AS query_id, centroid_id FROM rankedF
+           |           WHERE rn = 1 AND vid < 5),
+           |sc AS (
+           |  SELECT p.query_id, ce.cand_id,
+           |         round(${cosineSql("eq.embedding", "ec.embedding")}, 6) AS cos_sim
+           |  FROM probes p
+           |  JOIN cells ce USING (centroid_id)
+           |  JOIN embeddings eq ON eq.vec_id = p.query_id
+           |  JOIN embeddings ec ON ec.vec_id = ce.cand_id
+           |  WHERE p.query_id <> ce.cand_id)
+           |SELECT query_id, cand_id, cos_sim, rank FROM (
+           |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+           |              ORDER BY cos_sim DESC, cand_id) AS INTEGER) AS rank
+           |  FROM sc)
+           |WHERE rank <= 10""".stripMargin
+      }),
+
     "ann_ivf_topk" -> QueryDef.sql(
       (s, dir) => {
         val e = emb(s, dir)
