@@ -7,14 +7,24 @@ import org.apache.spark.sql.SparkSession
   * - `value` is the HEADLINE-set total at SPARK_GRAFT_SF_DIR — the
   *   cross-round comparable number (same 16 queries since r4).
   * - `queries` carries per-query seconds for the FULL registry at
-  *   SPARK_GRAFT_SF_DIR (min across BENCH_REPEAT runs), so no query
-  *   has correctness without a recorded wall-time.
-  * - `scale` is the derived-sf1 sweep: every query re-timed at
-  *   10× data ([[graft.sources.ScaledCorpus]]), cheapest-first under a
-  *   wall-clock budget with a per-query cap, and `cliffs` lists
-  *   queries whose per-row cost grew >2× — superlinear operators that
-  *   correctness checks can't see. Skips/caps are REPORTED, never
-  *   silent.
+  *   SPARK_GRAFT_SF_DIR (min across successful BENCH_REPEAT runs), so
+  *   no query has correctness without a recorded wall-time. Queries
+  *   whose every repeat failed/timed out are listed in `failed` — a
+  *   transient failure in one repeat never masks a valid measurement
+  *   from another, and a fully-failed query is visible, not silently
+  *   dropped from the totals.
+  * - `scale` / `scale30` are derived-scale sweeps: every query
+  *   re-timed at 10× and 30× data ([[graft.sources.ScaledCorpus]]),
+  *   cheapest-first under a wall-clock budget with a per-query cap,
+  *   and `cliffs` lists queries whose per-row cost grew >2× —
+  *   superlinear operators that correctness checks can't see.
+  *   Skips/caps are REPORTED, never silent.
+  *
+  * The driver records only the TAIL of the printed line, so the JSON
+  * keys are ordered least- to most-important: the big per-query dicts
+  * come first and the headline/summary numbers are at the END of the
+  * line, surviving any truncation. The complete JSON is additionally
+  * written to `target/bench.json`.
   *
   * Queries are materialized through the noop sink — count() lets
   * Spark's count-star shortcut skip projection work and would
@@ -80,6 +90,10 @@ object Bench {
     } else (System.nanoTime() - t0) / 1e9
   }
 
+  private def jsonDict(entries: Iterable[(String, Double)]): String =
+    entries.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -109,43 +123,41 @@ object Bench {
     }
     if (warmDir != sfDir) runOnce(warmDir)
 
-    // Per-query minimum across iterations (steady state, GC-noise-free):
-    // a single contended iteration (concurrent JVM stealing cores) can
-    // otherwise own the recorded number.
+    // Per-query minimum across SUCCESSFUL iterations (steady state,
+    // GC-noise-free): a single contended iteration (concurrent JVM
+    // stealing cores) can otherwise own the recorded number — and the
+    // error/timeout sentinels (-1/-2) sort below any real timing, so
+    // the min is taken over positive timings only; a query keeps its
+    // sentinel (and lands in `failed`) only when EVERY repeat failed.
     val repeat = sys.env.getOrElse("BENCH_REPEAT", "2").toInt max 1
     val runs = (1 to repeat).map(_ => runOnce(sfDir))
     val results = runs.head.map(_._1).map { name =>
-      name -> runs.map(_.toMap.apply(name)).min
+      val timings = runs.map(_.toMap.apply(name))
+      val ok = timings.filter(_ > 0)
+      name -> (if (ok.nonEmpty) ok.min else timings.max) // max: prefer -1 over -2
     }
+    val failed = results.collect { case (k, v) if v <= 0 => k }
     val timeAt01 = results.toMap
 
-    // ── derived-sf1 scale sweep ──────────────────────────────────────
-    // 10× the bench SF via key-shifted replication (ScaledCorpus docs
-    // the construction); cheapest-first under a global budget with a
-    // per-query cap, so a superlinear query is DETECTED (flagged as a
-    // cliff) without the sweep paying its full runtime.
-    val scaleCopies = sys.env.getOrElse("BENCH_SCALE_COPIES", "10").toInt
-    val scaleBudget = sys.env.getOrElse("BENCH_SCALE_BUDGET_SEC", "900").toInt
-    // 180s: the slowest genuinely-linear query (dd_ngram_prefix,
-    // ~127s at 10×) must COMPLETE so it's judged by its real ratio;
-    // only true blow-ups should hit the cap
-    val scaleCap = sys.env.getOrElse("BENCH_SCALE_QUERY_CAP_SEC", "180").toInt
-    val scaleOn = sys.env.getOrElse("BENCH_SCALE", "on") != "off" && scaleCopies > 1
-
-    val scaleJson: String = if (!scaleOn) "null" else {
-      val scaledDir = new java.io.File("target/bench-scaled").getAbsolutePath
-      graft.sources.ScaledCorpus.build(spark, sfDir, scaledDir, scaleCopies)
-      val order = results.sortBy(_._2).map(_._1) // cheapest at sf0.1 first
+    // ── derived-scale sweep (shared by the 10× and 30× sections) ─────
+    // cheapest-first under a global budget with a per-query cap, so a
+    // superlinear query is DETECTED (flagged as a cliff) without the
+    // sweep paying its full runtime.
+    def sweep(copies: Int, budget: Int, cap: Int): (String, Seq[String]) = {
+      val scaledDir =
+        new java.io.File(s"target/bench-scaled-x$copies").getAbsolutePath
+      graft.sources.ScaledCorpus.build(spark, sfDir, scaledDir, copies)
+      val order = results.filter(_._2 > 0).sortBy(_._2).map(_._1)
       val sweepStart = System.nanoTime()
       def elapsed = (System.nanoTime() - sweepStart) / 1e9
       val timed = scala.collection.mutable.LinkedHashMap.empty[String, Double]
       val skipped = scala.collection.mutable.ArrayBuffer.empty[String]
       order.foreach { name =>
-        if (elapsed > scaleBudget) skipped += name
-        else timed(name) = timedRun(spark, name, scaledDir, scaleCap)
+        if (elapsed > budget) skipped += name
+        else timed(name) = timedRun(spark, name, scaledDir, cap)
       }
       if (skipped.nonEmpty)
-        System.err.println(s"[bench] scale sweep budget (${scaleBudget}s) hit; " +
+        System.err.println(s"[bench] ${copies}x sweep budget (${budget}s) hit; " +
           s"skipped: ${skipped.mkString(",")}")
       // cliff: per-row cost at Nx data grew >2x vs the bench SF.
       // ratio = t_sfN / (copies * t_sf0.1); timeouts are cliffs by
@@ -154,8 +166,8 @@ object Bench {
         val t1 = timeAt01.getOrElse(name, 0.0)
         if (t1 <= 0.05 || tN == -2.0) None // too small to ratio / errored
         else {
-          val eff = if (tN == -1.0) scaleCap.toDouble else tN
-          val ratio = eff / (scaleCopies * t1)
+          val eff = if (tN == -1.0) cap.toDouble else tN
+          val ratio = eff / (copies * t1)
           // a timeout is ALWAYS a cliff (its ratio is only a LOWER
           // bound — the cap hid the true cost); otherwise ignore
           // sub-second absolute costs, where fixed per-query overhead
@@ -185,8 +197,6 @@ object Bench {
           name -> (base,
             if (base > 0 && scaled >= 0) scaled.toDouble / base else -1.0)
       }.toMap
-      val qs = timed.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-        .mkString("{", ",", "}")
       val cs = cliffs.map { case (n, r, to) =>
         val rg = rowsGrowth.get(n).filter(_._2 > 0)
           .map { case (base, g) =>
@@ -195,16 +205,45 @@ object Bench {
         f"""{"name":"$n","ratio":$r%.2f,"timed_out":$to$rg}"""
       }.mkString("[", ",", "]")
       val sk = skipped.map("\"" + _ + "\"").mkString("[", ",", "]")
-      f"""{"copies":$scaleCopies,"budget_sec":$scaleBudget,"query_cap_sec":$scaleCap,"queries":$qs,"cliffs":$cs,"skipped":$sk}"""
+      val json =
+        f"""{"copies":$copies,"budget_sec":$budget,"query_cap_sec":$cap,"queries":${jsonDict(timed)},"cliffs":$cs,"skipped":$sk}"""
+      (json, cliffs.map(_._1))
     }
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
-    val headlineTotal = results.collect {
-      case (k, v) if headline.contains(k) && v > 0 => v
-    }.sum
+    val scaleCopies = sys.env.getOrElse("BENCH_SCALE_COPIES", "10").toInt
+    val scaleBudget = sys.env.getOrElse("BENCH_SCALE_BUDGET_SEC", "900").toInt
+    // 180s: the slowest genuinely-linear query (dd_ngram_prefix,
+    // ~90s at 10×) must COMPLETE so it's judged by its real ratio;
+    // only true blow-ups should hit the cap
+    val scaleCap = sys.env.getOrElse("BENCH_SCALE_QUERY_CAP_SEC", "180").toInt
+    val scaleOn = sys.env.getOrElse("BENCH_SCALE", "on") != "off" && scaleCopies > 1
+
+    // 30× section: full registry, tighter budget (cheapest-first means
+    // the budget cuts the most expensive tail, reported as skips).
+    val scale30Copies = sys.env.getOrElse("BENCH_SCALE30_COPIES", "30").toInt
+    val scale30Budget = sys.env.getOrElse("BENCH_SCALE30_BUDGET_SEC", "600").toInt
+    val scale30Cap = sys.env.getOrElse("BENCH_SCALE30_QUERY_CAP_SEC", "240").toInt
+    val scale30On =
+      sys.env.getOrElse("BENCH_SCALE30", "on") != "off" && scale30Copies > 1
+
+    val (scaleJson, cliffs10) =
+      if (scaleOn) sweep(scaleCopies, scaleBudget, scaleCap) else ("null", Nil)
+    val (scale30Json, cliffs30) =
+      if (scale30On) sweep(scale30Copies, scale30Budget, scale30Cap)
+      else ("null", Nil)
+
+    val headlineResults = results.filter { case (k, v) => headline.contains(k) && v > 0 }
+    val headlineTotal = headlineResults.map(_._2).sum
     val totalAll = results.collect { case (_, v) if v > 0 => v }.sum
-    println(f"""{"metric":"total","value":$headlineTotal%.3f,"unit":"sec","queries":$qs,"total_all":$totalAll%.3f,"scale":$scaleJson,"sf":"$sfDir"}""")
+    def names(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // Key order = truncation priority: full dicts first, then the
+    // headline per-query times, then the summary scalars — the last
+    // ~1KB of the line is self-contained.
+    val line =
+      f"""{"queries":${jsonDict(results)},"scale":$scaleJson,"scale30":$scale30Json,"headline_queries":${jsonDict(headlineResults)},"cliffs_10x":${names(cliffs10)},"cliffs_30x":${names(cliffs30)},"failed":${names(failed)},"total_all":$totalAll%.3f,"sf":"$sfDir","metric":"total","unit":"sec","value":$headlineTotal%.3f}"""
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("target/bench.json"), line)
+    println(line)
     spark.stop()
   }
 }

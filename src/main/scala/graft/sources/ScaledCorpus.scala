@@ -86,9 +86,14 @@ object ScaledCorpus {
         .filter(_.getName.startsWith("_SCALED_OK_x"))
         .foreach(p => fs.delete(p, false))
     // raw events carry TIMESTAMP(NANOS): read as int64 nanos and write
-    // them back verbatim so the derived dir round-trips Tables.events
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    keyCols.foreach { case (table, keys) =>
+    // them back verbatim so the derived dir round-trips Tables.events.
+    // The conf is session-global, so save and RESTORE it — a bench-only
+    // utility must not leave later plain parquet reads in the same
+    // session seeing nanos columns as longs.
+    val nanosKey = "spark.sql.legacy.parquet.nanosAsLong"
+    val prevNanos = spark.conf.getOption(nanosKey)
+    spark.conf.set(nanosKey, "true")
+    try keyCols.foreach { case (table, keys) =>
       val df = spark.read.parquet(s"$baseDir/$table.parquet")
       val out: DataFrame =
         if (keys.isEmpty) df
@@ -101,6 +106,9 @@ object ScaledCorpus {
           else shifted
         }.reduce(_ unionAll _)
       out.write.mode("overwrite").parquet(s"$outDir/$table.parquet")
+    } finally prevNanos match {
+      case Some(v) => spark.conf.set(nanosKey, v)
+      case None    => spark.conf.unset(nanosKey)
     }
     fs.create(m, true).close()
   }
