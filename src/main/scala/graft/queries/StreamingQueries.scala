@@ -132,6 +132,29 @@ object StreamingQueries {
         | AND p.p_ts >= c.c_ts - INTERVAL 30 MINUTE
         | AND p.p_ts <= c.c_ts""".stripMargin),
 
+    // ───── stream-stream FULL OUTER interval join: both sides' outer
+    // state flushed by the watermark heartbeat (EventStream scaladoc);
+    // oracle = batch FULL JOIN, user_id coalesced across sides
+    "ev_stream_full_outer" -> QueryDef.sql(
+      (s, dir) =>
+        graft.streaming.EventStream.clickPurchaseFullJoinAvailableNow(
+          s, s"$dir/events.parquet"),
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, value,
+        |         CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events),
+        |c AS (SELECT user_id, event_id AS click_id, ts AS c_ts
+        |      FROM e WHERE event_type = 'click'),
+        |p AS (SELECT user_id AS p_user_id, event_id AS purchase_id,
+        |             ts AS p_ts, value AS p_value
+        |      FROM e WHERE event_type = 'purchase')
+        |SELECT COALESCE(c.user_id, p.p_user_id) AS user_id,
+        |       c.click_id, c.c_ts,
+        |       p.purchase_id, p.p_ts, p.p_value
+        |FROM c FULL JOIN p ON c.user_id = p.p_user_id
+        | AND p.p_ts >= c.c_ts - INTERVAL 30 MINUTE
+        | AND p.p_ts <= c.c_ts""".stripMargin),
+
     // ───── as-of join: each click attached to the user's latest
     // at-or-before purchase (DuckDB verifies with its native ASOF
     // JOIN — our composed union-sort-window must match it exactly)

@@ -249,48 +249,103 @@ object EventStream {
     * oracle gates this code path end-to-end.
     */
   def clickPurchaseLeftJoinAvailableNow(spark: SparkSession, eventsPath: String,
-                                        queryName: String = "ev_stream_outer_join"): DataFrame = {
+                                        queryName: String = "ev_stream_outer_join"): DataFrame =
+    clickPurchaseOuterJoinRun(spark, eventsPath, "leftOuter", queryName).result
+
+  /** Stream-stream FULL OUTER interval join — [[clickPurchaseLeftJoinAvailableNow]]
+    * extended to both sides: unmatched purchases emit too (with null
+    * click columns), `user_id` coalesced across sides. The heartbeat
+    * flush argument is symmetric — the final watermark passes every
+    * real row on BOTH sides, so both sides' outer state flushes; the
+    * two heartbeats themselves sit beyond the watermark they create
+    * and never emit. Result equals the batch FULL JOIN exactly.
+    */
+  def clickPurchaseFullJoinAvailableNow(spark: SparkSession, eventsPath: String,
+                                        queryName: String = "ev_stream_full_outer"): DataFrame =
+    clickPurchaseOuterJoinRun(spark, eventsPath, "fullOuter", queryName).result
+
+  /** One outer-join replay's result plus the final state-store row
+    * count — the spec's evidence that watermarks actually EVICT
+    * buffered rows (bounded state is the whole point of the
+    * watermarked join; without eviction the count would be the full
+    * event set).
+    */
+  final case class OuterJoinRun(result: DataFrame, stateRowsTotal: Long)
+
+  def clickPurchaseOuterJoinRun(spark: SparkSession, eventsPath: String,
+                                joinType: String,
+                                queryName: String): OuterJoinRun = {
+    require(joinType == "leftOuter" || joinType == "fullOuter",
+      s"joinType must be leftOuter|fullOuter, got $joinType")
+    val outSchema = StructType.fromDDL(
+      "user_id BIGINT, click_id BIGINT, c_ts TIMESTAMP, " +
+        "purchase_id BIGINT, p_ts TIMESTAMP, p_value DOUBLE")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(eventsPath)
-    val maxNanos = raw.agg(max(col("ts"))).head.getLong(0)
+    val bounds = raw.agg(max(col("ts")), min(col("user_id"))).head
+    if (bounds.isNullAt(0)) // empty input: no rows, no heartbeat needed
+      return OuterJoinRun(
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema), 0L)
+    val maxNanos = bounds.getLong(0)
     val beat = lit(maxNanos + 10L * 3600 * 1000000000L) // +10h, in nanos
-    // DISTINCT impossible user ids per side: with a shared id (and
-    // equal timestamps) the two heartbeats would match EACH OTHER and
-    // emit — an inner match doesn't wait for any watermark
-    val heartbeats = Seq("click" -> -999L, "purchase" -> -998L).map {
+    // DISTINCT impossible user ids per side, derived BELOW the real id
+    // range (hardcoded sentinels could collide with real users, letting
+    // a heartbeat join real rows): with a shared id (and equal
+    // timestamps) the two heartbeats would match EACH OTHER and emit —
+    // an inner match doesn't wait for any watermark
+    val sentinelBase = math.min(bounds.getLong(1), 0L)
+    val heartbeats = Seq("click" -> (sentinelBase - 1L),
+                         "purchase" -> (sentinelBase - 2L)).map {
       case (tpe, uid) =>
         raw.limit(1).select(
           lit(-1L).as("event_id"), beat.as("ts"), lit(uid).as("user_id"),
           lit(tpe).as("event_type"), lit(0.0).as("value"), lit("{}").as("props"))
     }.reduce(_ unionByName _)
-    val beatDir = java.nio.file.Files.createTempDirectory("wm_heartbeat").toString
-    heartbeats.write.mode("overwrite").parquet(beatDir)
-    val stream = readEventsFileStream(spark, eventsPath)
-      .unionByName(readEventsFileStream(spark, beatDir))
-    val clicks = stream
-      .filter(col("event_type") === "click")
-      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("c_ts"))
-      .withWatermark("c_ts", "2 hours")
-    val purchases = stream
-      .filter(col("event_type") === "purchase")
-      .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
-        col("ts").as("p_ts"), col("value").as("p_value"))
-      .withWatermark("p_ts", "2 hours")
-    val joined = clicks.join(purchases,
-      expr("""user_id = p_user_id
-             |AND p_ts >= c_ts - INTERVAL 30 MINUTES
-             |AND p_ts <= c_ts""".stripMargin),
-      "leftOuter")
-      .select(col("user_id"), col("click_id"), col("c_ts"),
-        col("purchase_id"), col("p_ts"), col("p_value"))
-    val q = joined.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(queryName)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(queryName)
+    val beatDir = java.nio.file.Files.createTempDirectory("wm_heartbeat")
+    try {
+      heartbeats.write.mode("overwrite").parquet(beatDir.toString)
+      val stream = readEventsFileStream(spark, eventsPath)
+        .unionByName(readEventsFileStream(spark, beatDir.toString))
+      val clicks = stream
+        .filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("c_ts"))
+        .withWatermark("c_ts", "2 hours")
+      val purchases = stream
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+          col("ts").as("p_ts"), col("value").as("p_value"))
+        .withWatermark("p_ts", "2 hours")
+      val joined = clicks.join(purchases,
+        expr("""user_id = p_user_id
+               |AND p_ts >= c_ts - INTERVAL 30 MINUTES
+               |AND p_ts <= c_ts""".stripMargin),
+        joinType)
+        .select(
+          // fullOuter: unmatched purchases have a null click side
+          coalesce(col("user_id"), col("p_user_id")).as("user_id"),
+          col("click_id"), col("c_ts"),
+          col("purchase_id"), col("p_ts"), col("p_value"))
+      val q = joined.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(queryName)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // final state-store size: last progress entry that carries state
+      // operator metrics (the terminal no-data batch may not)
+      val stateRows = q.recentProgress.reverseIterator
+        .find(_.stateOperators.nonEmpty)
+        .map(_.stateOperators.map(_.numRowsTotal).sum)
+        .getOrElse(0L)
+      OuterJoinRun(spark.table(queryName), stateRows)
+    } finally { // bench runs this repeatedly — never leak the temp dir
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(beatDir).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
   }
 
   /** Streaming exact deduplication for ingest pipelines: drop events

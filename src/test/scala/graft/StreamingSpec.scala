@@ -273,4 +273,44 @@ class StreamingSpec extends SparkSpec {
     val missing = emitted -- batchSessions
     assert(missing.isEmpty, s"streamed sessions not in batch result: ${missing.take(3)}")
   }
+
+  test("full-outer stream join equals batch FULL JOIN and watermarks evict state") {
+    val run = EventStream.clickPurchaseOuterJoinRun(
+      spark, s"$sfDir/events.parquet", "fullOuter", "spec_full_outer_state")
+    val ev = staticEvents
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("c_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"), col("value").as("p_value"))
+    val batch = clicks.join(purchases,
+      expr("user_id = p_user_id AND p_ts >= c_ts - INTERVAL 30 MINUTES AND p_ts <= c_ts"),
+      "fullOuter")
+      .select(coalesce(col("user_id"), col("p_user_id")).as("user_id"),
+        col("click_id"), col("c_ts"), col("purchase_id"), col("p_ts"), col("p_value"))
+    assert(run.result.count() === batch.count())
+    assert(run.result.exceptAll(batch).isEmpty && batch.exceptAll(run.result).isEmpty,
+      "streamed full-outer result must equal the batch FULL JOIN")
+    // the eviction pin: without watermark eviction the final state
+    // would hold every buffered click+purchase; with it, only rows the
+    // watermark hasn't passed remain — the two heartbeats
+    val buffered = clicks.count() + purchases.count()
+    assert(run.stateRowsTotal < buffered,
+      s"state (${run.stateRowsTotal}) not evicted vs $buffered buffered rows")
+    assert(run.stateRowsTotal <= 4,
+      s"final state should hold only the heartbeat rows, got ${run.stateRowsTotal}")
+  }
+
+  test("outer stream join on an EMPTY events table returns the empty joined schema") {
+    val emptyDir = java.nio.file.Files.createTempDirectory("evempty").toString
+    staticEvents.limit(0).write.mode("overwrite").parquet(s"$emptyDir/events.parquet")
+    // raw-nanos round trip: the guard reads with nanosAsLong like the
+    // non-empty path, so write the raw file shape the same way
+    val out = EventStream.clickPurchaseOuterJoinRun(
+      spark, s"$emptyDir/events.parquet", "leftOuter", "spec_empty_outer")
+    assert(out.result.count() === 0L)
+    assert(out.result.columns.toSeq ===
+      Seq("user_id", "click_id", "c_ts", "purchase_id", "p_ts", "p_value"))
+    assert(out.stateRowsTotal === 0L)
+  }
 }
