@@ -37,13 +37,21 @@ object Governance {
     case other => throw new IllegalArgumentException(s"unknown grant: $other")
   }
 
-  /** One role's grants across zones (a parsed rbac_matrix.csv row). */
+  /** One role's grants across zones (a parsed rbac_matrix.csv row).
+    * `rawPii` is an EXPLICIT capability, deliberately separate from
+    * governance-zone readability: "may read governance metadata" and
+    * "may see raw PII values" are different privileges (the etl role
+    * reads governance configs but must never receive unredacted PII),
+    * and conflating them silently widened PII exposure.
+    */
   final case class Role(name: String, grants: Map[String, Grant],
-                        description: String = "")
+                        description: String = "", rawPii: Boolean = false)
 
   /** The reference's own matrix (`rbac_matrix.csv:1-4`), as shipped:
     * ETL reads/writes every data zone, analysts read only trusted
-    * zones, stewards read data and own the governance zone.
+    * zones, stewards read data and own the governance zone. Only the
+    * steward role — the PII owner managing golden records — carries
+    * the raw-PII capability.
     */
   val ReferenceRoles: Seq[Role] = Seq(
     Role("etl",
@@ -57,7 +65,8 @@ object Governance {
     Role("steward",
       Map("raw" -> ReadOnly, "validated" -> ReadOnly,
           "curated" -> ReadOnly, "governance" -> ReadWrite),
-      "Data stewards manage quality rules, golden records, approvals"))
+      "Data stewards manage quality rules, golden records, approvals",
+      rawPii = true))
 
   /** Parse a wide rbac_matrix.csv (`role_name,<zone>_zone...,description`)
     * into roles — the melt of the reference's matrix shape.
@@ -65,12 +74,15 @@ object Governance {
   def rolesFromCsv(spark: SparkSession, path: String): Seq[Role] = {
     val df = graft.sources.Tables.csv(spark, path)
     val zoneCols = df.columns.filter(_.endsWith("_zone"))
+    val hasPiiCol = df.columns.contains("raw_pii")
     df.collect().toSeq.map { r =>
       Role(
         r.getAs[String]("role_name"),
         zoneCols.map(z =>
           z.stripSuffix("_zone") -> parseGrant(r.getAs[String](z))).toMap,
-        Option(r.getAs[String]("description")).getOrElse(""))
+        Option(r.getAs[String]("description")).getOrElse(""),
+        rawPii = hasPiiCol &&
+          Option(r.getAs[String]("raw_pii")).exists(_.trim.toLowerCase == "true"))
     }
   }
 
@@ -106,19 +118,25 @@ object Governance {
     if (!grantOf(roles, role, zone).canWrite)
       throw new AccessDeniedException(role, zone, "write")
 
-  /** Role-scoped zone read: deny throws; allowed roles WITHOUT
-    * governance-zone access get PII columns redacted in the
+  /** Role-scoped zone read: deny throws; allowed roles WITHOUT the
+    * explicit raw-PII capability get PII columns redacted in the
     * projection (sha2 — referentially stable: joins/groupBys on the
     * redacted column still work, values don't leak). The redaction is
     * part of the compiled view, so no plan the role can build from
     * the returned frame recovers the raw values.
+    *
+    * `piiCols` defaulting to empty is a quiet-failure shape for an
+    * access-control API (a caller omitting it hands raw PII to any
+    * role) — production reads should go through [[readZoneGoverned]],
+    * which sources the set from the data dictionary; the explicit
+    * parameter exists for bootstrap and tests.
     */
   def readZone(spark: SparkSession, roles: Seq[Role], role: String,
                zone: String, path: String,
                piiCols: Set[String] = Set.empty): DataFrame = {
     checkRead(roles, role, zone)
     val df = spark.read.parquet(path)
-    val privileged = grantOf(roles, role, "governance").canRead
+    val privileged = roles.find(_.name == role).exists(_.rawPii)
     if (privileged || piiCols.isEmpty) df
     else df.columns.foldLeft(df) { (acc, c) =>
       if (piiCols.contains(c))
@@ -126,6 +144,24 @@ object Governance {
       else acc
     }
   }
+
+  /** The table's PII column set from a [[dataDictionary]] frame —
+    * control-plane collect (|columns| rows). */
+  def piiColsFromDictionary(dictionary: DataFrame, table: String): Set[String] =
+    dictionary
+      .filter(col("table_name") === table && col("is_pii"))
+      .select("column_name").collect().map(_.getString(0)).toSet
+
+  /** [[readZone]] with the PII set sourced from the data dictionary —
+    * the two governance artifacts COMPOSE: flipping a column's
+    * `is_pii` flag in the dictionary changes every governed read's
+    * projection, with no per-call-site PII lists to drift.
+    */
+  def readZoneGoverned(spark: SparkSession, roles: Seq[Role], role: String,
+                       zone: String, path: String,
+                       dictionary: DataFrame, table: String): DataFrame =
+    readZone(spark, roles, role, zone, path,
+      piiColsFromDictionary(dictionary, table))
 
   /** Role-scoped zone write (deny throws; no data touched). */
   def writeZone(df: DataFrame, roles: Seq[Role], role: String,

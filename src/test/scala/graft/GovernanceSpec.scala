@@ -164,4 +164,41 @@ class GovernanceSpec extends SparkSpec {
     assert(dict("name").getBoolean(5) && dict("name").getString(6) === "Confidential")
     assert(!dict("id").getBoolean(5) && dict("id").getString(6) === "Internal")
   }
+
+  test("dictionary-driven redaction: a dictionary edit changes the governed projection") {
+    import graft.operators.Governance
+    import graft.operators.Governance._
+    val base = java.nio.file.Files.createTempDirectory("rbacdict").toString
+    val df = Seq((1L, "Alice Cooper", 10.0), (2L, "Bob Dylan", 20.0))
+      .toDF("id", "name", "amount")
+    Governance.writeZone(df, ReferenceRoles, "etl", "curated", s"$base/curated")
+    def view(role: String, dict: org.apache.spark.sql.DataFrame) =
+      Governance.readZoneGoverned(spark, ReferenceRoles, role, "curated",
+        s"$base/curated", dict, "curated")
+    val hex64 = "[0-9a-f]{64}"
+
+    val dict1 = Governance.dataDictionary(spark, "curated", df.schema,
+      rules = Nil, piiCols = Set("name"))
+    val v1 = view("analyst", dict1)
+    assert(v1.select("name").collect().map(_.getString(0)).forall(_.matches(hex64)))
+    assert(v1.select("amount").collect().map(_.getDouble(0)).sorted === Array(10.0, 20.0))
+
+    // flipping a column's is_pii flag in the dictionary redacts it in
+    // the next governed read — no call-site PII list to update
+    val dict2 = Governance.dataDictionary(spark, "curated", df.schema,
+      rules = Nil, piiCols = Set("name", "amount"))
+    val v2 = view("analyst", dict2)
+    assert(v2.select("amount").collect().map(_.getString(0)).forall(_.matches(hex64)))
+
+    // raw PII is an explicit capability, not governance readability:
+    // etl READS the governance zone but is redacted like any other
+    // role; only the steward capability sees raw values
+    assert(ReferenceRoles.find(_.name == "etl").exists(r =>
+      r.grants("governance").canRead && !r.rawPii))
+    val etlView = view("etl", dict1)
+    assert(etlView.select("name").collect().map(_.getString(0)).forall(_.matches(hex64)))
+    val stewardView = view("steward", dict1)
+    assert(stewardView.select("name").collect().map(_.getString(0)).sorted
+      === Array("Alice Cooper", "Bob Dylan"))
+  }
 }
