@@ -176,9 +176,22 @@ object Tables {
     * the atomic staging swap (`Scd2.writeAtomic`), so a concurrent
     * reader never observes a half-compacted directory. Returns the
     * target file count.
+    *
+    * ORDERING: pass `sortCols` for a table whose layout carries
+    * meaning — a clustered/z-ordered table compacted through the
+    * round-robin path would silently lose its min/max file pruning
+    * (round-robin scatters rows across files; each file then spans
+    * the full key range). With `sortCols` the rewrite is
+    * `repartitionByRange` + `sortWithinPartitions`, which RESTORES
+    * clustering on those keys. Without it, `coalesce` preserves
+    * concatenated input order; the round-robin shuffle (taken only
+    * when the compaction ratio is steep, files > 4n) trades ordering
+    * for scan parallelism — acceptable for unordered append logs,
+    * wrong for clustered tables, hence the explicit parameter.
     */
   def compact(spark: SparkSession, path: String,
-              targetFileBytes: Long = 128L << 20): Int = {
+              targetFileBytes: Long = 128L << 20,
+              sortCols: Seq[String] = Nil): Int = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     // size RECURSIVELY: partitioned layouts keep their files in nested
@@ -195,7 +208,13 @@ object Tables {
     // the compaction ratio is steep (many small files → few big ones) pay
     // one round-robin shuffle instead so the read keeps its parallelism
     val df = spark.read.parquet(path)
-    val arranged = if (files > 4 * n) df.repartition(n) else df.coalesce(n)
+    import org.apache.spark.sql.functions.col
+    val arranged =
+      if (sortCols.nonEmpty)
+        df.repartitionByRange(n, sortCols.map(col): _*)
+          .sortWithinPartitions(sortCols.map(col): _*)
+      else if (files > 4 * n) df.repartition(n)
+      else df.coalesce(n)
     graft.operators.Scd2.writeAtomic(arranged, path)
     n
   }

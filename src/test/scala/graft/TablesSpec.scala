@@ -207,6 +207,37 @@ class TablesSpec extends SparkSpec {
     assert(after.exceptAll(df).isEmpty && df.exceptAll(after).isEmpty)
   }
 
+  test("compact with sortCols restores clustering that round-robin would destroy") {
+    val dir = tmp() + "/clustered"
+    val df = Tables.table(spark, sfDir, "orders")
+      .select("o_orderkey", "o_custkey").cache()
+    // clustered layout, then fragmented into many small files (the
+    // steep-ratio shape that triggers compact's round-robin path)
+    df.repartition(32).write.parquet(dir)
+    def keySpans(d: String): Seq[(Long, Long)] =
+      new java.io.File(d).listFiles().filter(_.getName.endsWith(".parquet")).toSeq
+        .map { f =>
+          val r = spark.read.parquet(f.getAbsolutePath)
+            .agg(min($"o_orderkey"), max($"o_orderkey")).head
+          (r.getLong(0), r.getLong(1))
+        }
+    val onDisk = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    val n = Tables.compact(spark, dir, targetFileBytes = (onDisk + 1) / 4,
+      sortCols = Seq("o_orderkey"))
+    assert(n >= 2)
+    // sorted compaction → file key ranges are (nearly) disjoint: each
+    // file's span is ~1/n of the global range, so min/max pruning works
+    val spans = keySpans(dir)
+    val global = spans.map(_._2).max - spans.map(_._1).min
+    val avgSpan = spans.map { case (lo, hi) => (hi - lo).toDouble }.sum /
+      spans.length / global
+    assert(avgSpan < 0.5, s"avg normalized span $avgSpan — clustering lost")
+    // content survived
+    val after = spark.read.parquet(dir)
+    assert(after.exceptAll(df).isEmpty && df.exceptAll(after).isEmpty)
+  }
+
   test("readMergedSchema: added columns surface as NULL on files that predate them") {
     val dir = tmp() + "/evolving"
     val v1 = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
