@@ -137,6 +137,39 @@ object Micro {
       }
       println(s"candidate pairs: ${candidates.count()}")
     }
+
+    // full dd_ngram_prefix with per-stage wall/shuffle accounting
+    // (pass "ngramstages" as 2nd arg)
+    if (args.lift(1).contains("ngramstages")) {
+      graft.plans.GraftExtensions.register(spark)
+      val docsDf = spark.read.parquet(s"$sfDir/documents.parquet")
+      val d = docsDf.select(col("doc_id"), col("text"), col("lang"))
+        .unionByName(docsDf.select((col("doc_id") + 10000).as("doc_id"),
+          concat(col("text"), lit(" copy")).as("text"), col("lang")))
+      d.count() // warm cache
+      val stages = new java.util.concurrent.ConcurrentHashMap[Int, String]()
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val si = sc.stageInfo
+          val dur = (si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L)) / 1000.0
+          val m = si.taskMetrics
+          stages.put(si.stageId,
+            f"stage=${si.stageId}%3d dur=$dur%7.1fs tasks=${si.numTasks}%4d " +
+              f"sRead=${m.shuffleReadMetrics.totalBytesRead / 1e9}%6.2fGB " +
+              f"sWrite=${m.shuffleWriteMetrics.bytesWritten / 1e9}%6.2fGB  ${si.name}")
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      val t0 = System.nanoTime()
+      graft.operators.TextDedup.ngramJaccardPairsPrefix(
+        d, "doc_id", "text", "lang", threshold = 0.5)
+        .write.format("noop").mode("overwrite").save()
+      println(f"full query: ${(System.nanoTime() - t0) / 1e9}%.1fs")
+      spark.sparkContext.removeSparkListener(listener)
+      import scala.jdk.CollectionConverters._
+      stages.asScala.toSeq.sortBy(_._1).foreach(s => println(s._2))
+    }
     spark.stop()
   }
 }

@@ -434,31 +434,65 @@ object TextDedup {
     * cap and excludes nothing); `ngramOversizedBlocks` reporting
     * non-empty is exactly the signal to switch.
     */
+  /** Shared-prefix-token requirement for the generalized prefix
+    * filter: a qualifying pair must expose at least
+    * `min(PrefixK, ceil(required overlap))` common tokens inside the
+    * (widened) prefixes, so pairs sharing only a handful of rare
+    * tokens by coincidence die BEFORE the expensive array
+    * verification. Pigeonhole: if |A∩B| ≥ α, the m smallest shared
+    * tokens (m = min(k, α)) all lie within the first |A| − α + m
+    * positions of A (the α − m largest shared tokens are the only
+    * shared ones allowed past that point) — so prefixes widened by
+    * k − 1 vs the classic k = 1 lemma retain ≥ m shared tokens for
+    * every true pair. The verify-input cut this buys is decisive at
+    * low thresholds, where the single-token lemma admits quadratically
+    * many one-off collisions.
+    */
+  val PrefixK: Int = 8
+
+  /** Frames persisted by the LAST [[ngramJaccardPairsPrefix]] call,
+    * unpersisted (non-blocking) on the next — repeated invocations in
+    * one session hold at most one invocation's disk blocks.
+    * Unpersisting a frame a still-lazy prior result depends on only
+    * costs recomputation, never correctness.
+    */
+  private val prefixCaches =
+    new java.util.concurrent.atomic.AtomicReference[Seq[DataFrame]](Nil)
+
   def ngramJaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
                               blockCol: String, threshold: Double,
                               shingleSize: Int = 5): DataFrame = {
     graft.plans.GraftExtensions.register(df.sparkSession) // idempotent
+    val k = PrefixK
     val prepared = df
       .filter(col(textCol).isNotNull)
       .withColumn("_norm", normalizeText(col(textCol)))
       .withColumn("_sh", expr(s"packed_shingles(_norm, $shingleSize)"))
       .withColumn("_len", size(col("_sh")))
-      // probe prefix: any pair with J ≥ t shares a token among the
-      // LARGER side's first len − ⌊t·len⌋ + 1 rarest tokens (floor —
-      // one longer than necessary, so FP rounding can only widen)
-      .withColumn("_plen",
-        (col("_len") - floor(lit(threshold) * col("_len")).cast("int") + 1))
+      // probe prefix: any pair with J ≥ t keeps its min(k, α) smallest
+      // shared tokens among the LARGER side's first
+      // len − ⌊t·len⌋ + k rarest tokens (floor — one longer than
+      // necessary, so FP rounding can only widen; capped at len)
+      .withColumn("_plen", least(col("_len"),
+        col("_len") - floor(lit(threshold) * col("_len")).cast("int") + k))
       // index prefix (PPJoin): the SMALLER side x of a qualifying
       // pair has overlap ≥ 2t/(1+t)·|x| (because |y| ≥ |x|), so its
-      // first len − ⌊2t/(1+t)·len⌋ + 1 rarest tokens already contain
-      // the pair's globally-first common token — a strictly shorter
+      // first len − ⌊2t/(1+t)·len⌋ + k rarest tokens already contain
+      // those min(k, α) smallest shared tokens — a strictly shorter
       // prefix (0.34·len vs 0.51·len at t=0.5), which is the join's
       // fan-in on one whole side
-      .withColumn("_iplen",
-        (col("_len") -
-          floor(lit(2 * threshold / (1 + threshold)) * col("_len")).cast("int") + 1))
+      .withColumn("_iplen", least(col("_len"),
+        col("_len") -
+          floor(lit(2 * threshold / (1 + threshold)) * col("_len")).cast("int") + k))
       .select(col(idCol), col(blockCol), col("_sh"), col("_len"),
         col("_plen"), col("_iplen"))
+      // DISK_ONLY, deliberately: consumed by the token explosion and
+      // both verify-side shingle fetches, so uncached the
+      // scan+normalize+shingle lineage runs three times (~20s of the
+      // 10× wall). Serialized disk blocks add no heap pressure —
+      // MEMORY_AND_DISK measured 45% SLOWER end-to-end here (25M-row
+      // deserialized caches thrash an 8 GB driver heap).
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val toks = prepared.select(
       col(idCol), col(blockCol), col("_len"), col("_plen"), col("_iplen"),
       explode(col("_sh")).as("_tok"))
@@ -476,6 +510,13 @@ object TextDedup {
       .filter(col("_rk") <= col("_plen"))
       .select(col(idCol), col(blockCol), col("_len"), col("_iplen"),
         col("_tok"), col("_rk"))
+      // both candidate-join sides consume this; uncached, the df join
+      // + per-doc rarity window (the most expensive upstream stage,
+      // ~18s at 10×) executes once PER SIDE with only its shuffle map
+      // stages reused
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    prefixCaches.getAndSet(Seq(prepared, prefixToks))
+      .foreach(_.unpersist(false))
     // asymmetric sides: the (len, id)-smaller side joins through its
     // SHORT index prefix, the larger side through its probe prefix;
     // the PPJoin lemma guarantees the first common token of any
@@ -488,24 +529,39 @@ object TextDedup {
       col(idCol).as("id_2"), col("_len").as("len_2"), col("_rk").as("rk_2"))
     val alpha = lit(threshold / (1 + threshold)) *
       (col("len_1") + col("len_2")).cast("double")
+    // per-row positional bound: a shared token at rarity positions
+    // (i, j) bounds the pair's overlap by min(i−1, j−1) + 1 +
+    // min(len_1−i, len_2−j)
+    val posBound =
+      (least(col("rk_1"), col("rk_2")) - lit(1) + lit(1) +
+        least(col("len_1") - col("rk_1"), col("len_2") - col("rk_2")))
+        .cast("double")
     val candidates = ix.join(probe, Seq(blockCol, "_tok"))
       .filter(col("len_1") < col("len_2") ||
         (col("len_1") === col("len_2") && col("id_1") < col("id_2")))
-      // size-ratio prune before the dedup shuffle: J ≥ t ⇒ min ≥ t·max
-      // (one direction suffices — len_1 ≤ len_2 by the side ordering)
+      // size-ratio prune before the pair-group shuffle: J ≥ t ⇒
+      // min ≥ t·max (one direction suffices — len_1 ≤ len_2 by the
+      // side ordering)
       .filter(col("len_1").cast("double") >= lit(threshold) * col("len_2"))
-      // positional filter: a token at rarity positions (i, j) bounds
-      // the overlap by min(i−1, j−1) + 1 + min(len_1−i, len_2−j);
-      // a row below the required overlap t/(1+t)·(len_1+len_2) cannot
-      // witness a qualifying pair (any true pair keeps ALL its shared
-      // prefix tokens ≥ the bound, so dedup-after-filter loses
-      // nothing). The 1e-9 slack keeps FP-borderline rows — harmless,
-      // verification is exact.
-      .filter(
-        (least(col("rk_1"), col("rk_2")) - lit(1) + lit(1) +
-          least(col("len_1") - col("rk_1"), col("len_2") - col("rk_2")))
-          .cast("double") + lit(1e-9) >= alpha)
-      .select("id_1", "id_2").dropDuplicates("id_1", "id_2")
+      // one row per pair, counting its shared prefix tokens. Row-level
+      // filters must NOT run before this count (dropping a shared-token
+      // row could push a true pair below the count requirement), so the
+      // positional filter becomes a pair-level max in the aggregate: a
+      // true pair's first-shared-token row always satisfies the bound,
+      // so max ≥ α holds for every qualifying pair. Lengths ride in the
+      // grouping key (functionally determined by the ids).
+      .groupBy(col("id_1"), col("id_2"), col("len_1"), col("len_2"))
+      .agg(count(lit(1)).as("_shared"), max(posBound).as("_posmax"))
+      // generalized prefix-count filter: min(k, ceil(α)) shared prefix
+      // tokens are GUARANTEED for a qualifying pair (see PrefixK); the
+      // 1e-9 slack rounds the requirement down, never up, so FP can
+      // only widen the net. This is the low-threshold workhorse — it
+      // kills the long tail of pairs sharing 1–k−1 rare tokens by
+      // coincidence before any array is fetched.
+      .filter(col("_shared") >=
+        least(lit(k).cast("long"), ceil(alpha - lit(1e-9)).cast("long")))
+      .filter(col("_posmax") + lit(1e-9) >= alpha)
+      .select("id_1", "id_2")
     // fetch joins stay unhinted: AQE picks the right strategy from
     // runtime sizes here (a forced shuffle_hash on the shingle side
     // measured 17% SLOWER end-to-end at 10× than AQE's own plan)
