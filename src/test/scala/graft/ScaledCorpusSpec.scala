@@ -8,6 +8,10 @@ class ScaledCorpusSpec extends SparkSpec {
   test("scaled corpus: exact k× counts, FK integrity, unique keys, diverged replicas") {
     val out = java.nio.file.Files.createTempDirectory("scaled").toString
     ScaledCorpus.build(spark, sfDir, out, copies = 3)
+    // build() now RESTORES the session's nanosAsLong conf (it used to
+    // leak it set); this spec's own reads of the nanos-typed events
+    // parquet need it on explicitly
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
     // every fact table is exactly 3×; conformed dims stay single-copy
     ScaledCorpus.keyCols.foreach { case (table, keys) =>
