@@ -170,6 +170,93 @@ object Governance {
     df.write.mode("overwrite").parquet(path)
   }
 
+  // ─────────────────────── storage lifecycle ──────────────────────
+
+  /** Age thresholds (days) for partition tiering: older than
+    * `archiveAfterDays` → ARCHIVE tier, older than `deleteAfterDays`
+    * → expired. The offline rendition of the reference's S3 bucket
+    * lifecycle rule (`newpy.py:89-98` — raw/ objects transition to
+    * GLACIER after 30 days): in a filesystem lake the unit of tiering
+    * is the PARTITION DIRECTORY, the "storage class" is a cheaper
+    * root, and the transition is a metadata rename — no data rewrite,
+    * which is what makes this runnable nightly over a 100 TB zone.
+    */
+  final case class StoragePolicy(archiveAfterDays: Int,
+                                 deleteAfterDays: Int = Int.MaxValue) {
+    require(archiveAfterDays >= 0 && deleteAfterDays >= archiveAfterDays,
+      s"need 0 <= archiveAfterDays <= deleteAfterDays, got ($archiveAfterDays, $deleteAfterDays)")
+  }
+
+  /** Dry-run lifecycle plan for a `partitionCol=value`-laid-out zone:
+    * one row per partition with its age at `asOf` and the action the
+    * policy assigns (HOT | ARCHIVE | DELETE). Listing is driver-side
+    * (partition counts are control-plane by definition — a date
+    * column has one directory per day); classification runs through
+    * Spark column functions so an engine re-deriving the plan from
+    * the partition values (the DuckDB oracle does) agrees exactly.
+    * `partDate` maps the partition's string value to a date — pass
+    * e.g. `v => to_date(concat(v, lit("-01")))` for month partitions.
+    */
+  def lifecyclePlan(spark: SparkSession, path: String, partitionCol: String,
+                    policy: StoragePolicy, asOf: java.sql.Date,
+                    partDate: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+                      c => to_date(c)): DataFrame = {
+    import spark.implicits._
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val prefix = s"$partitionCol="
+    val parts =
+      if (!fs.exists(p)) Seq.empty[String]
+      else fs.listStatus(p).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
+        .map(_.getPath.getName.stripPrefix(prefix)).sorted
+    parts.toDF("partition")
+      .withColumn("age_days",
+        datediff(lit(asOf), partDate(col("partition"))).cast("int"))
+      .withColumn("action",
+        when(col("age_days") >= policy.deleteAfterDays, "DELETE")
+          .when(col("age_days") >= policy.archiveAfterDays, "ARCHIVE")
+          .otherwise("HOT"))
+  }
+
+  /** Execute a [[lifecyclePlan]]: ARCHIVE partitions are RENAMED under
+    * `archivePath` (metadata move — same filesystem, no rewrite),
+    * DELETE partitions are removed, HOT untouched. Returns the audit
+    * frame (partition, age_days, action, status) — the T2
+    * union-append artifact a governance log keeps. Idempotent: moved
+    * partitions no longer list under `path`, so a re-run plans them
+    * HOT-nothing. The plan collect is bounded control-plane
+    * (|partitions| rows).
+    */
+  def lifecycleApply(spark: SparkSession, path: String, archivePath: String,
+                     partitionCol: String, policy: StoragePolicy,
+                     asOf: java.sql.Date,
+                     partDate: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+                       c => to_date(c)): DataFrame = {
+    import spark.implicits._
+    val plan = lifecyclePlan(spark, path, partitionCol, policy, asOf, partDate)
+      .collect().toSeq
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2)))
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    val arch = new org.apache.hadoop.fs.Path(archivePath)
+    val audit = plan.map { case (part, age, action) =>
+      val src = new org.apache.hadoop.fs.Path(root, s"$partitionCol=$part")
+      val status = action match {
+        case "ARCHIVE" =>
+          if (!fs.exists(arch)) fs.mkdirs(arch)
+          val dst = new org.apache.hadoop.fs.Path(arch, s"$partitionCol=$part")
+          if (fs.rename(src, dst)) "MOVED" else "RENAME_FAILED"
+        case "DELETE" =>
+          if (fs.delete(src, true)) "DELETED" else "DELETE_FAILED"
+        case _ => "KEPT"
+      }
+      (part, age, action, status)
+    }
+    audit.toDF("partition", "age_days", "action", "status")
+  }
+
   // ──────────────────────── data dictionary ───────────────────────
 
   /** Columns a row-level rule constrains (for rule → column listing). */

@@ -299,6 +299,43 @@ object ValidationQueries {
         |  '7 years' AS retention_policy
         |FROM cols c LEFT JOIN agg a USING (column_name)""".stripMargin),
 
+    // ───── storage-lifecycle dry-run plan (ref newpy.py:89-98 — the
+    // S3 raw→Glacier 30-day rule, re-expressed as partition-directory
+    // tiering): a month-partitioned zone is laid out from orders, and
+    // the plan classifies each partition by age at asOf (the table's
+    // max date) into HOT / ARCHIVE / DELETE. The zone layout is tiny
+    // (one aggregated row per month) so the query measures the
+    // CLASSIFIER, not a partitioned fact rewrite; the DuckDB twin
+    // re-derives partitions and ages from the same orders dates. The
+    // destructive apply path (rename to archive tier, delete expired,
+    // audit frame) is spec-verified in GovernanceSpec.
+    "gov_lifecycle_plan" -> QueryDef.sql(
+      (s, dir) => {
+        val zone = java.nio.file.Files.createTempDirectory("graft_zone_").toString
+        val months = t(s, dir, "orders")
+          .groupBy(substring(col("o_orderdate").cast("string"), 1, 7).as("om"))
+          .agg(count(lit(1)).as("n_orders"))
+        months.write.mode("overwrite").partitionBy("om").parquet(zone)
+        val asOf = t(s, dir, "orders")
+          .agg(max(col("o_orderdate").cast("date"))).head.getDate(0)
+        graft.operators.Governance.lifecyclePlan(
+          s, zone, "om",
+          graft.operators.Governance.StoragePolicy(
+            archiveAfterDays = 730, deleteAfterDays = 1825),
+          asOf, v => to_date(concat(v, lit("-01"))))
+      },
+      """WITH m AS (
+        |  SELECT substr(CAST(o_orderdate AS VARCHAR), 1, 7) AS partition
+        |  FROM orders GROUP BY 1),
+        |a AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS asof FROM orders)
+        |SELECT m.partition,
+        |  CAST(date_diff('day', CAST(m.partition || '-01' AS DATE), a.asof) AS INTEGER) AS age_days,
+        |  CASE
+        |    WHEN date_diff('day', CAST(m.partition || '-01' AS DATE), a.asof) >= 1825 THEN 'DELETE'
+        |    WHEN date_diff('day', CAST(m.partition || '-01' AS DATE), a.asof) >= 730 THEN 'ARCHIVE'
+        |    ELSE 'HOT' END AS action
+        |FROM m, a""".stripMargin),
+
     // ───── end-to-end curated pipeline: validate → filter → double
     // enrichment (supplier, then supplier's nation) → lineage stamp.
     // Glue-1 + Glue-2 fused in one declarative plan: Catalyst pushes

@@ -201,4 +201,37 @@ class GovernanceSpec extends SparkSpec {
     assert(stewardView.select("name").collect().map(_.getString(0)).sorted
       === Array("Alice Cooper", "Bob Dylan"))
   }
+
+  test("storage lifecycle: archive renames, delete removes, audit records, re-run is a no-op") {
+    import graft.operators.Governance
+    val base = java.nio.file.Files.createTempDirectory("lifecycle").toString
+    val zone = s"$base/raw"
+    val archive = s"$base/glacier"
+    // three daily partitions: fresh, archivable, expired (vs asOf)
+    Seq(("2024-06-01", 1L), ("2024-04-01", 2L), ("2023-01-01", 3L))
+      .toDF("d", "v").write.partitionBy("d").parquet(zone)
+    val asOf = java.sql.Date.valueOf("2024-06-10")
+    val policy = Governance.StoragePolicy(archiveAfterDays = 30, deleteAfterDays = 365)
+
+    val plan = Governance.lifecyclePlan(spark, zone, "d", policy, asOf)
+      .collect().map(r => r.getString(0) -> (r.getInt(1), r.getString(2))).toMap
+    assert(plan("2024-06-01") === ((9, "HOT")))
+    assert(plan("2024-04-01") === ((70, "ARCHIVE")))
+    assert(plan("2023-01-01") === ((526, "DELETE")))
+
+    val audit = Governance.lifecycleApply(spark, zone, archive, "d", policy, asOf)
+      .collect().map(r => r.getString(0) -> r.getString(3)).toMap
+    assert(audit === Map("2024-06-01" -> "KEPT",
+      "2024-04-01" -> "MOVED", "2023-01-01" -> "DELETED"))
+    // the hot partition is still readable in place; the archived one
+    // is readable at the archive tier (a metadata move, not a rewrite)
+    assert(new java.io.File(s"$zone/d=2024-06-01").isDirectory)
+    assert(!new java.io.File(s"$zone/d=2024-04-01").exists())
+    assert(!new java.io.File(s"$zone/d=2023-01-01").exists())
+    assert(spark.read.parquet(s"$archive/d=2024-04-01").count() === 1)
+    // idempotent: re-applying plans only the remaining hot partition
+    val rerun = Governance.lifecycleApply(spark, zone, archive, "d", policy, asOf)
+      .collect().map(r => (r.getString(0), r.getString(3)))
+    assert(rerun.toSeq === Seq(("2024-06-01", "KEPT")))
+  }
 }
