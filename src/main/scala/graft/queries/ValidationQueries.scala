@@ -318,11 +318,19 @@ object ValidationQueries {
         months.write.mode("overwrite").partitionBy("om").parquet(zone)
         val asOf = t(s, dir, "orders")
           .agg(max(col("o_orderdate").cast("date"))).head.getDate(0)
-        graft.operators.Governance.lifecyclePlan(
+        val plan = graft.operators.Governance.lifecyclePlan(
           s, zone, "om",
           graft.operators.Governance.StoragePolicy(
             archiveAfterDays = 730, deleteAfterDays = 1825),
           asOf, v => to_date(concat(v, lit("-01"))))
+        // the plan frame is built from the driver-side listing, so the
+        // temp zone can be removed immediately (bench repeats this
+        // query — never leak the scratch layout)
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(zone)).iterator()
+          .asScala.toSeq.sortBy(-_.getNameCount)
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        plan
       },
       """WITH m AS (
         |  SELECT substr(CAST(o_orderdate AS VARCHAR), 1, 7) AS partition
