@@ -492,7 +492,7 @@ object TextDedup {
       // 10× wall). Serialized disk blocks add no heap pressure —
       // MEMORY_AND_DISK measured 45% SLOWER end-to-end here (25M-row
       // deserialized caches thrash an 8 GB driver heap).
-      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val toks = prepared.select(
       col(idCol), col(blockCol), col("_len"), col("_plen"), col("_iplen"),
       explode(col("_sh")).as("_tok"))
@@ -514,7 +514,7 @@ object TextDedup {
       // + per-doc rarity window (the most expensive upstream stage,
       // ~18s at 10×) executes once PER SIDE with only its shuffle map
       // stages reused
-      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     prefixCaches.getAndSet(Seq(prepared, prefixToks))
       .foreach(_.unpersist(false))
     // asymmetric sides: the (len, id)-smaller side joins through its
@@ -562,13 +562,34 @@ object TextDedup {
         least(lit(k).cast("long"), ceil(alpha - lit(1e-9)).cast("long")))
       .filter(col("_posmax") + lit(1e-9) >= alpha)
       .select("id_1", "id_2")
-    // fetch joins stay unhinted: AQE picks the right strategy from
-    // runtime sizes here (a forced shuffle_hash on the shingle side
-    // measured 17% SLOWER end-to-end at 10× than AQE's own plan)
+    // Fetch joins are FORCED shuffle-hash — every alternative was
+    // measured and loses at scale:
+    //  - unhinted: Catalyst's static selectivity estimate makes the
+    //    candidate stream look broadcastable, and a broadcast stage
+    //    cannot be demoted once chosen — at 30× the build dies with
+    //    "Not enough memory to build and broadcast" (a planner trap
+    //    that would OOM a real cluster's driver the same way);
+    //  - merge: sorting the ~10⁸-row candidate stream by each id in
+    //    turn times out (>180s at 10× vs 81s shuffle-hash);
+    //  - shuffle-hash: both sides exchange (the only topology that
+    //    exists at 100 TB — a corpus-sized shingle table can never be
+    //    broadcast), costs ~30% at 10× over the doomed broadcast plan.
+    // Scale honesty, measured: the candidate-match volume of a prefix
+    // join at t=0.5 grows QUADRATICALLY in block population (147M at
+    // 10× → ~1.3G at 30× — same blocks, 3× the docs), so the exact
+    // join's wall-time is super-linear by nature at low thresholds no
+    // matter the filters — at 30× the pair aggregate exceeds one
+    // 8 GB JVM regardless of join strategy (a many-executor cluster
+    // divides that state; a single box cannot). The designed 100 TB
+    // path for corpus-scale near-dup at these thresholds is
+    // [[lshCandidatePairs]] (MinHash banding, linear in docs), with
+    // this operator for exact-output passes that can afford it.
     val shingles = prepared.select(col(idCol), col("_sh"))
     candidates
-      .join(shingles.select(col(idCol).as("id_1"), col("_sh").as("sh_1")), "id_1")
-      .join(shingles.select(col(idCol).as("id_2"), col("_sh").as("sh_2")), "id_2")
+      .join(shingles.select(col(idCol).as("id_1"), col("_sh").as("sh_1"))
+        .hint("shuffle_hash"), "id_1")
+      .join(shingles.select(col(idCol).as("id_2"), col("_sh").as("sh_2"))
+        .hint("shuffle_hash"), "id_2")
       .withColumn("jaccard", expr("jaccard_sorted(sh_1, sh_2)"))
       .filter(col("jaccard") >= threshold)
       // candidates are (len, id)-oriented; the contract is id_1 < id_2

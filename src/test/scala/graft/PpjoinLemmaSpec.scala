@@ -35,6 +35,14 @@ class PpjoinLemmaSpec extends AnyFunSuite {
   private def indexPrefixLen(len: Int, t: Double): Int =
     len - math.floor(2 * t / (1 + t) * len).toInt + 1
 
+  // the GENERALIZED (k-token) forms the production code runs with —
+  // prefixes widened by k − 1, capped at len (TextDedup.PrefixK)
+  private def probePrefixLenK(len: Int, t: Double, k: Int): Int =
+    math.min(len, len - math.floor(t * len).toInt + k)
+
+  private def indexPrefixLenK(len: Int, t: Double, k: Int): Int =
+    math.min(len, len - math.floor(2 * t / (1 + t) * len).toInt + k)
+
   test("prefix lemma and positional bound hold on 20k random qualifying pairs") {
     val rnd = new scala.util.Random(20260813L)
     var qualifying = 0
@@ -69,6 +77,19 @@ class PpjoinLemmaSpec extends AnyFunSuite {
             s"t=$t token at ($i,$jj) of (${x.length},${y.length}): " +
               s"bound $bound < alpha $alpha for a J=$j pair")
         }
+        // GENERALIZED k-token lemma (the production count filter):
+        // the k-widened prefixes must share at least min(k, ceil(α))
+        // tokens — the exact requirement ngramJaccardPairsPrefix
+        // applies before verification, so a violation here would mean
+        // the filter silently LOSES a qualifying pair
+        val k = graft.operators.TextDedup.PrefixK
+        val ixK = x.take(indexPrefixLenK(x.length, t, k)).toSet
+        val probeK = y.take(probePrefixLenK(y.length, t, k)).toSet
+        val needed = math.min(k.toLong, math.ceil(alpha - 1e-9).toLong)
+        val sharedK = ixK.intersect(probeK).size
+        assert(sharedK >= needed,
+          s"t=$t |x|=${x.length} |y|=${y.length} J=$j: k-prefixes share " +
+            s"$sharedK < required $needed tokens")
       }
     }
     assert(qualifying >= 10000, s"only $qualifying qualifying pairs generated")
