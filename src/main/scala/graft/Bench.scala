@@ -205,8 +205,13 @@ object Bench {
         f"""{"name":"$n","ratio":$r%.2f,"timed_out":$to$rg}"""
       }.mkString("[", ",", "]")
       val sk = skipped.map("\"" + _ + "\"").mkString("[", ",", "]")
+      // errored queries (-2.0) are excluded from cliff ratios (no
+      // timing to ratio) — name them explicitly so a scale-induced
+      // failure is never readable as "not flagged"
+      val er = timed.collect { case (n, v) if v == -2.0 => "\"" + n + "\"" }
+        .mkString("[", ",", "]")
       val json =
-        f"""{"copies":$copies,"budget_sec":$budget,"query_cap_sec":$cap,"queries":${jsonDict(timed)},"cliffs":$cs,"skipped":$sk}"""
+        f"""{"copies":$copies,"budget_sec":$budget,"query_cap_sec":$cap,"queries":${jsonDict(timed)},"cliffs":$cs,"errored":$er,"skipped":$sk}"""
       (json, cliffs.map(_._1))
     }
 
