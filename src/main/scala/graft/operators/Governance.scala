@@ -196,11 +196,14 @@ object Governance {
     * the partition values (the DuckDB oracle does) agrees exactly.
     * `partDate` maps the partition's string value to a date — pass
     * e.g. `v => to_date(concat(v, lit("-01")))` for month partitions.
+    * The default uses `try_to_date` (ANSI `to_date` THROWS on a
+    * malformed value): an unparseable partition yields a null age and
+    * surfaces as action UNPARSEABLE instead of killing the sweep.
     */
   def lifecyclePlan(spark: SparkSession, path: String, partitionCol: String,
                     policy: StoragePolicy, asOf: java.sql.Date,
                     partDate: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
-                      c => to_date(c)): DataFrame = {
+                      c => try_to_date(c)): DataFrame = {
     import spark.implicits._
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
@@ -213,8 +216,14 @@ object Governance {
     parts.toDF("partition")
       .withColumn("age_days",
         datediff(lit(asOf), partDate(col("partition"))).cast("int"))
+      // a value partDate can't parse (a stray dir, or Spark's
+      // __HIVE_DEFAULT_PARTITION__ for null keys) yields a null age;
+      // it must surface as its own action — the otherwise-branch would
+      // silently call it HOT and the apply collect would NPE on the
+      // null primitive
       .withColumn("action",
-        when(col("age_days") >= policy.deleteAfterDays, "DELETE")
+        when(col("age_days").isNull, "UNPARSEABLE")
+          .when(col("age_days") >= policy.deleteAfterDays, "DELETE")
           .when(col("age_days") >= policy.archiveAfterDays, "ARCHIVE")
           .otherwise("HOT"))
   }
@@ -232,11 +241,12 @@ object Governance {
                      partitionCol: String, policy: StoragePolicy,
                      asOf: java.sql.Date,
                      partDate: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
-                       c => to_date(c)): DataFrame = {
+                       c => try_to_date(c)): DataFrame = {
     import spark.implicits._
     val plan = lifecyclePlan(spark, path, partitionCol, policy, asOf, partDate)
       .collect().toSeq
-      .map(r => (r.getString(0), r.getInt(1), r.getString(2)))
+      .map(r => (r.getString(0),
+        if (r.isNullAt(1)) None else Some(r.getInt(1)), r.getString(2)))
     val conf = spark.sessionState.newHadoopConf()
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(conf)
@@ -250,6 +260,7 @@ object Governance {
           if (fs.rename(src, dst)) "MOVED" else "RENAME_FAILED"
         case "DELETE" =>
           if (fs.delete(src, true)) "DELETED" else "DELETE_FAILED"
+        case "UNPARSEABLE" => "SKIPPED" // never touch what we can't age
         case _ => "KEPT"
       }
       (part, age, action, status)

@@ -486,12 +486,15 @@ object TextDedup {
           floor(lit(2 * threshold / (1 + threshold)) * col("_len")).cast("int") + k))
       .select(col(idCol), col(blockCol), col("_sh"), col("_len"),
         col("_plen"), col("_iplen"))
-      // DISK_ONLY, deliberately: consumed by the token explosion and
-      // both verify-side shingle fetches, so uncached the
-      // scan+normalize+shingle lineage runs three times (~20s of the
-      // 10× wall). Serialized disk blocks add no heap pressure —
-      // MEMORY_AND_DISK measured 45% SLOWER end-to-end here (25M-row
-      // deserialized caches thrash an 8 GB driver heap).
+      // MEMORY_AND_DISK_SER, deliberately — each alternative fails:
+      // uncached, the scan+normalize+shingle lineage runs once per
+      // consumer (token explosion + both verify-side fetches, ~20s of
+      // the 10× wall); plain MEMORY_AND_DISK (deserialized) measured
+      // 45% slower end-to-end (row objects thrash an 8 GB heap); and
+      // DISK_ONLY reports ~0-byte stats (nothing held in memory),
+      // which baited the planner into broadcasting this multi-GB
+      // relation — fatal at 30×. Serialized blocks keep heap pressure
+      // low AND the stats truthful.
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val toks = prepared.select(
       col(idCol), col(blockCol), col("_len"), col("_plen"), col("_iplen"),

@@ -326,10 +326,7 @@ object ValidationQueries {
         // the plan frame is built from the driver-side listing, so the
         // temp zone can be removed immediately (bench repeats this
         // query — never leak the scratch layout)
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(java.nio.file.Paths.get(zone)).iterator()
-          .asScala.toSeq.sortBy(-_.getNameCount)
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        Tables.deletePath(s, zone)
         plan
       },
       """WITH m AS (

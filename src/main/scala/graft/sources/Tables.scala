@@ -219,6 +219,18 @@ object Tables {
     n
   }
 
+  /** Recursive path delete through the Hadoop fs (works for local
+    * temp artifacts and any lake filesystem alike) — the one shared
+    * cleanup helper, so scratch-dir lifecycles never hand-roll
+    * child-before-parent deletion order.
+    */
+  def deletePath(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(p, true)
+    ()
+  }
+
   /** Schema-evolution read: files in one directory may carry
     * different (compatible) footers as columns are added over a
     * table's life; `mergeSchema` unions them and files that predate a

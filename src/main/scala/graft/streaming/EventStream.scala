@@ -293,8 +293,11 @@ object EventStream {
     // range (hardcoded sentinels could collide with real users, letting
     // a heartbeat join real rows): with a shared id (and equal
     // timestamps) the two heartbeats would match EACH OTHER and emit —
-    // an inner match doesn't wait for any watermark
-    val sentinelBase = math.min(bounds.getLong(1), 0L)
+    // an inner match doesn't wait for any watermark. min(user_id) can
+    // be null with non-empty events (all ids null — such rows join
+    // nothing but still need flushing); 0 is then below every real id.
+    val sentinelBase =
+      if (bounds.isNullAt(1)) 0L else math.min(bounds.getLong(1), 0L)
     val heartbeats = Seq("click" -> (sentinelBase - 1L),
                          "purchase" -> (sentinelBase - 2L)).map {
       case (tpe, uid) =>
@@ -341,10 +344,7 @@ object EventStream {
         .getOrElse(0L)
       OuterJoinRun(spark.table(queryName), stateRows)
     } finally { // bench runs this repeatedly — never leak the temp dir
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(beatDir).iterator().asScala.toSeq
-        .sortBy(-_.getNameCount)
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      graft.sources.Tables.deletePath(spark, beatDir.toString)
     }
   }
 

@@ -233,5 +233,18 @@ class GovernanceSpec extends SparkSpec {
     val rerun = Governance.lifecycleApply(spark, zone, archive, "d", policy, asOf)
       .collect().map(r => (r.getString(0), r.getString(3)))
     assert(rerun.toSeq === Seq(("2024-06-01", "KEPT")))
+
+    // a partition whose value can't parse as a date (stray dir, or
+    // Spark's null-key __HIVE_DEFAULT_PARTITION__) is surfaced as
+    // UNPARSEABLE and never touched — not silently classified HOT,
+    // and no NPE in the apply collect
+    new java.io.File(s"$zone/d=notadate").mkdirs()
+    val plan2 = Governance.lifecyclePlan(spark, zone, "d", policy, asOf)
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(plan2("notadate") === "UNPARSEABLE")
+    val audit2 = Governance.lifecycleApply(spark, zone, archive, "d", policy, asOf)
+      .collect().map(r => r.getString(0) -> r.getString(3)).toMap
+    assert(audit2("notadate") === "SKIPPED")
+    assert(new java.io.File(s"$zone/d=notadate").isDirectory)
   }
 }
