@@ -623,12 +623,22 @@ object TextDedup {
     * (alternating min-propagation that squares path lengths per
     * round) on the identical frame contract.
     */
+  /** Checkpoint storage for the fixpoint rounds: SERIALIZED blocks.
+    * The default deserialized MEMORY_AND_DISK level pins row objects
+    * in storage memory; at 30× the accumulated round blocks squeezed
+    * the execution pool until a hash aggregate could not obtain its
+    * minimum pages (AGGREGATE_OUT_OF_MEMORY). Serialized blocks are
+    * several times smaller and give pages back to execution.
+    */
+  private val CkptLevel =
+    org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+
   def dupClusters(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
     val edges = pairs.select(col("id_1").as("src"), col("id_2").as("dst"))
       .unionByName(pairs.select(col("id_2").as("src"), col("id_1").as("dst")))
-      .distinct().localCheckpoint(true)
+      .distinct().localCheckpoint(true, CkptLevel)
     var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("cluster_id", col("id")).localCheckpoint(true)
+      .withColumn("cluster_id", col("id")).localCheckpoint(true, CkptLevel)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
@@ -644,7 +654,7 @@ object TextDedup {
             .as("cluster_id"),
           (coalesce(col("_nmin"), col("cluster_id")) < col("cluster_id"))
             .as("_changed"))
-        .localCheckpoint(true)
+        .localCheckpoint(true, CkptLevel)
       converged = next.filter(col("_changed")).isEmpty
       labels.unpersist(blocking = false) // drop the superseded checkpoint blocks
       labels = next.drop("_changed")
