@@ -217,10 +217,11 @@ object Bench {
 
     val scaleCopies = sys.env.getOrElse("BENCH_SCALE_COPIES", "10").toInt
     val scaleBudget = sys.env.getOrElse("BENCH_SCALE_BUDGET_SEC", "900").toInt
-    // 180s: the slowest genuinely-linear query (dd_ngram_prefix,
-    // ~90s at 10×) must COMPLETE so it's judged by its real ratio;
-    // only true blow-ups should hit the cap
-    val scaleCap = sys.env.getOrElse("BENCH_SCALE_QUERY_CAP_SEC", "180").toInt
+    // 300s: the slowest genuinely-completing query (dd_ngram_prefix,
+    // ~97s at 10× in-run, more under late-run cache pressure) must
+    // COMPLETE so it's judged by its real ratio; only true blow-ups
+    // should hit the cap
+    val scaleCap = sys.env.getOrElse("BENCH_SCALE_QUERY_CAP_SEC", "300").toInt
     val scaleOn = sys.env.getOrElse("BENCH_SCALE", "on") != "off" && scaleCopies > 1
 
     // 30× section: full registry, tighter budget (cheapest-first means

@@ -633,7 +633,16 @@ object TextDedup {
   private val CkptLevel =
     org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
 
+  /** The final labels checkpoint of the LAST [[dupClusters]] call —
+    * it backs the returned frame so it cannot be unpersisted inside
+    * the call; the next call swaps it out, bounding resident blocks
+    * to one invocation (same convention as the PPJoin caches).
+    */
+  private val clusterCache =
+    new java.util.concurrent.atomic.AtomicReference[Option[DataFrame]](None)
+
   def dupClusters(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+    clusterCache.getAndSet(None).foreach(_.unpersist(false))
     val edges = pairs.select(col("id_1").as("src"), col("id_2").as("dst"))
       .unionByName(pairs.select(col("id_2").as("src"), col("id_1").as("dst")))
       .distinct().localCheckpoint(true, CkptLevel)
@@ -663,6 +672,7 @@ object TextDedup {
     edges.unpersist(blocking = false)
     require(converged, s"dupClusters did not converge in $maxIters rounds " +
       "— components are pathological chains; use star-contraction here")
+    clusterCache.set(Some(labels))
     labels.select(col("id").as("doc_id"), col("cluster_id"))
   }
 
