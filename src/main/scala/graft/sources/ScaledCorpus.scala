@@ -23,8 +23,9 @@ import org.apache.spark.sql.functions._
   *    dedup operators would measure a synthetic 100× pair blow-up
   *    instead of 10× more data. n_chars stays valid (translate is
   *    length-preserving).
-  *  - `events.ts` raw nanos pass through unchanged (read with
-  *    nanosAsLong, written back as int64), and user_id shifts per
+  *  - `events.ts` passes through unchanged in the source's own
+  *    encoding (µs timestamp, or legacy nanos via
+  *    `Tables.readParquetAutoNanos`), and user_id shifts per
   *    copy: the user POPULATION grows 10×, per-user event counts stay
   *    constant — how traffic actually scales out.
   *
@@ -85,16 +86,12 @@ object ScaledCorpus {
       fs.listStatus(dir).map(_.getPath)
         .filter(_.getName.startsWith("_SCALED_OK_x"))
         .foreach(p => fs.delete(p, false))
-    // raw events carry TIMESTAMP(NANOS): read as int64 nanos and write
-    // them back verbatim so the derived dir round-trips Tables.events.
-    // The conf is session-global, so save and RESTORE it — a bench-only
-    // utility must not leave later plain parquet reads in the same
-    // session seeing nanos columns as longs.
-    val nanosKey = "spark.sql.legacy.parquet.nanosAsLong"
-    val prevNanos = spark.conf.getOption(nanosKey)
-    spark.conf.set(nanosKey, "true")
-    try keyCols.foreach { case (table, keys) =>
-      val df = spark.read.parquet(s"$baseDir/$table.parquet")
+    // event ts round-trips verbatim in whatever encoding the source
+    // carries: Tables.readParquetAutoNanos only escalates the legacy
+    // nanos conf when a footer actually needs it, and Tables.events
+    // dispatches on the decoded schema either way.
+    keyCols.foreach { case (table, keys) =>
+      val df = Tables.readParquetAutoNanos(spark, s"$baseDir/$table.parquet")
       val out: DataFrame =
         if (keys.isEmpty) df
         else (0 until copies).map { i =>
@@ -106,9 +103,6 @@ object ScaledCorpus {
           else shifted
         }.reduce(_ unionAll _)
       out.write.mode("overwrite").parquet(s"$outDir/$table.parquet")
-    } finally prevNanos match {
-      case Some(v) => spark.conf.set(nanosKey, v)
-      case None    => spark.conf.unset(nanosKey)
     }
     fs.create(m, true).close()
   }

@@ -28,16 +28,62 @@ object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** events.parquet carries TIMESTAMP(NANOS) which Spark 4 rejects by
-    * default — read nanos as long (legacy conf) and convert to a
-    * microsecond TimestampType (truncation, matching DuckDB's
-    * ns→µs cast). Centralized so every events consumer agrees.
+  /** Normalize the events `ts` column to session-zoned TimestampType
+    * regardless of how the file encoded it. Generators have shipped
+    * events.parquet both as TIMESTAMP(NANOS) — which Spark 4 rejects
+    * unless decoded as int64 nanos via the legacy nanosAsLong conf —
+    * and as plain timestamp[us] (decoded as TIMESTAMP_NTZ). A schema
+    * dispatch here makes every events consumer robust to either
+    * encoding instead of hard-coding one. Under the UTC session
+    * timezone the NTZ→TZ cast preserves the wall-clock value, so the
+    * result matches DuckDB's native read in both cases (ns→µs is a
+    * truncation, DuckDB's cast semantics).
     */
-  def events(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+  def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => df
+      case other => throw new IllegalArgumentException(
+        s"events.ts has unsupported type $other " +
+          "(expected int64 nanos, timestamp_ntz, or timestamp)")
+    }
   }
+
+  /** Spark 4 rejects parquet TIMESTAMP(NANOS) unless the legacy
+    * `nanosAsLong` conf is on. This helper OWNS that conf (the only
+    * set site in the engine): it first tries a plain read; only when
+    * the footer actually carries NANOS (the rejection error) does it
+    * enable the conf and retry. The conf must outlive the call — the
+    * returned frame decodes nanos lazily at execution — so it
+    * escalates per-session on demand instead of save/restoring; the
+    * common (µs) path never touches it, so plain timestamp reads
+    * elsewhere in the session are unaffected.
+    */
+  def readParquetAutoNanos(spark: SparkSession, path: String): DataFrame =
+    try spark.read.parquet(path)
+    catch {
+      case e: Throwable if mentionsNanos(e) =>
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.read.parquet(path)
+    }
+
+  private def mentionsNanos(e: Throwable): Boolean = {
+    var t: Throwable = e
+    while (t != null) {
+      if (t.getMessage != null && t.getMessage.contains("NANOS")) return true
+      t = if (t.getCause eq t) null else t.getCause
+    }
+    false
+  }
+
+  /** Events read with `ts` normalized to TimestampType — see
+    * [[normalizeEventTs]]. Centralized so every consumer agrees.
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame =
+    normalizeEventTs(readParquetAutoNanos(spark, s"$sfDir/events.parquet"))
 
   /** S3: CSV scan with header (reference zone/vendor master reads,
     * `nyc_validated_to_curated_etl.py:103`). `inferSchema=false` by

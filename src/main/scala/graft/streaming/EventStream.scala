@@ -110,22 +110,23 @@ object EventStream {
     * [[windowedAgg]]'s watermarked Append mode + [[sinkToLake]].
     */
   /** File-source stream over the events parquet with the same
-    * TIMESTAMP(NANOS) handling as the batch `Tables.events` read. The
-    * file streaming source requires a directory (or glob) path; when
-    * handed a single parquet FILE, rewrite it as a `{name}` glob under
-    * its parent so the same call works for files and directories
-    * alike.
+    * `ts` encoding dispatch as the batch `Tables.events` read (int64
+    * nanos / timestamp_ntz / timestamp — see
+    * `Tables.normalizeEventTs`). The file streaming source requires a
+    * directory (or glob) path; when handed a single parquet FILE,
+    * rewrite it as a `{name}` glob under its parent so the same call
+    * works for files and directories alike.
     */
   private def readEventsFileStream(spark: SparkSession, eventsPath: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(eventsPath).schema
+    val schema =
+      graft.sources.Tables.readParquetAutoNanos(spark, eventsPath).schema
     val p = new org.apache.hadoop.fs.Path(eventsPath)
     val conf = spark.sessionState.newHadoopConf()
     val streamPath =
       if (p.getFileSystem(conf).getFileStatus(p).isDirectory) eventsPath
       else s"${p.getParent}/{${p.getName}}"
-    spark.readStream.schema(schema).parquet(streamPath)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    graft.sources.Tables.normalizeEventTs(
+      spark.readStream.schema(schema).parquet(streamPath))
   }
 
   /** Run a bounded streaming aggregation to completion and return the
@@ -280,15 +281,17 @@ object EventStream {
     val outSchema = StructType.fromDDL(
       "user_id BIGINT, click_id BIGINT, c_ts TIMESTAMP, " +
         "purchase_id BIGINT, p_ts TIMESTAMP, p_value DOUBLE")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(eventsPath)
+    val raw = graft.sources.Tables.normalizeEventTs(
+      graft.sources.Tables.readParquetAutoNanos(spark, eventsPath))
     val bounds = raw.agg(max(col("ts")), min(col("user_id"))).head
     if (bounds.isNullAt(0)) // empty input: no rows, no heartbeat needed
       return OuterJoinRun(
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema), 0L)
-    val maxNanos = bounds.getLong(0)
-    val beat = lit(maxNanos + 10L * 3600 * 1000000000L) // +10h, in nanos
+    // +10h past the newest event; getTime's ms truncation loses <1s of
+    // that slack, irrelevant for a flush-everything heartbeat
+    val beat = lit(new java.sql.Timestamp(
+      bounds.getTimestamp(0).getTime + 10L * 3600 * 1000))
     // DISTINCT impossible user ids per side, derived BELOW the real id
     // range (hardcoded sentinels could collide with real users, letting
     // a heartbeat join real rows): with a shared id (and equal

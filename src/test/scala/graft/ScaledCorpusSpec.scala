@@ -8,15 +8,13 @@ class ScaledCorpusSpec extends SparkSpec {
   test("scaled corpus: exact k× counts, FK integrity, unique keys, diverged replicas") {
     val out = java.nio.file.Files.createTempDirectory("scaled").toString
     ScaledCorpus.build(spark, sfDir, out, copies = 3)
-    // build() now RESTORES the session's nanosAsLong conf (it used to
-    // leak it set); this spec's own reads of the nanos-typed events
-    // parquet need it on explicitly
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
     // every fact table is exactly 3×; conformed dims stay single-copy
     ScaledCorpus.keyCols.foreach { case (table, keys) =>
-      val n0 = spark.read.parquet(s"$sfDir/$table.parquet").count()
-      val n = spark.read.parquet(s"$out/$table.parquet").count()
+      val n0 = graft.sources.Tables.readParquetAutoNanos(
+        spark, s"$sfDir/$table.parquet").count()
+      val n = graft.sources.Tables.readParquetAutoNanos(
+        spark, s"$out/$table.parquet").count()
       assert(n === (if (keys.isEmpty) n0 else 3 * n0), table)
     }
 

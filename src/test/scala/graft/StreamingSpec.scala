@@ -304,8 +304,8 @@ class StreamingSpec extends SparkSpec {
   test("outer stream join on an EMPTY events table returns the empty joined schema") {
     val emptyDir = java.nio.file.Files.createTempDirectory("evempty").toString
     staticEvents.limit(0).write.mode("overwrite").parquet(s"$emptyDir/events.parquet")
-    // raw-nanos round trip: the guard reads with nanosAsLong like the
-    // non-empty path, so write the raw file shape the same way
+    // the guard reads through the same schema-dispatching normalize
+    // as the non-empty path, so any ts encoding round-trips
     val out = EventStream.clickPurchaseOuterJoinRun(
       spark, s"$emptyDir/events.parquet", "leftOuter", "spec_empty_outer")
     assert(out.result.count() === 0L)
