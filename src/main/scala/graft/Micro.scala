@@ -17,6 +17,23 @@ object Micro {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val ngramOnly = args.lift(1).contains("ngram")
+
+    // generic registered-query timing: `Micro <dir> query <name>...`
+    // (2 runs, min) — for one-off scale probes without a full sweep
+    if (args.lift(1).contains("query")) {
+      graft.plans.GraftExtensions.register(spark)
+      args.drop(2).foreach { n =>
+        val runs = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          SparkEntry.queries(n)(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        println(f"$n%-28s min=${runs.min}%.3fs runs=${runs.map(r => f"$r%.2f").mkString(",")}")
+      }
+      spark.stop(); return
+    }
+
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
     if (!ngramOnly) li.count() // warm file cache
 

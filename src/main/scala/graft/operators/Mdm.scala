@@ -76,6 +76,42 @@ object Mdm {
                            maxBlockSize: Int = DefaultMaxBlockSize): DataFrame =
     candidatePairs(capBlocks(entities, schema, maxBlockSize)._1, schema)
 
+  /** Block cap for pair streams feeding AGGREGATE outputs (activity
+    * logs, scorecards — O(reviewers×statuses) or 1 row out). A block
+    * of 1000 entities already yields ~500k scored pairs; past that the
+    * pairwise levenshtein work grows quadratically while the output
+    * doesn't grow at all, so hot blocks should pay the finer blocking
+    * key instead (see [[candidatePairsAdaptive]]). Pair-LISTING
+    * queries keep [[DefaultMaxBlockSize]] — their output grows with
+    * the pair space, so the work is at least proportional to the
+    * answer.
+    */
+  val AggregateMaxBlockSize: Int = 1000
+
+  /** [[candidatePairsCapped]] with the oversized-block route CLOSED
+    * instead of dropped: blocks over `maxBlockSize` on the coarse key
+    * are re-blocked on the refined key (coarse cols plus a
+    * discriminating column) and paired within those finer blocks.
+    * This is adaptive/progressive blocking — bounded compute per
+    * block, with recall inside hot blocks degrading gracefully to the
+    * refined key rather than to nothing. Refinement is one level; a
+    * block still oversized under the refined key needs a further
+    * compose by the caller. The two pair sets are disjoint (a pair's
+    * coarse block either is or is not oversized), so the union is
+    * deterministic.
+    */
+  def candidatePairsAdaptive(entities: DataFrame, coarse: EntitySchema,
+                             refined: EntitySchema,
+                             maxBlockSize: Int = AggregateMaxBlockSize): DataFrame = {
+    require(refined.blockCols.startsWith(coarse.blockCols),
+      s"refined block key ${refined.blockCols} must extend coarse ${coarse.blockCols}")
+    val (ok, oversized) = capBlocks(entities, coarse, maxBlockSize)
+    val pairCols = Seq(1, 2).flatMap(i => Seq(
+      s"id_$i", s"name_$i", s"address_$i", s"_tok_name_$i", s"_tok_addr_$i"))
+    candidatePairs(ok, coarse).select(pairCols.map(col): _*)
+      .unionByName(candidatePairs(oversized, refined).select(pairCols.map(col): _*))
+  }
+
   /** Skew guard for blocked self-joins: split entities into
     * (processable, rejected) by block size. A block of size b yields
     * b²/2 pairs — one hot key can dominate the whole join at scale;

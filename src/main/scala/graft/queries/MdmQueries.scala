@@ -60,6 +60,20 @@ object MdmQueries {
   private def scoredFine(s: SparkSession, dir: String): DataFrame =
     Mdm.scorePairs(Mdm.candidatePairsCapped(entitiesFine(s, dir), fineSchema))
 
+  /** Pair stream for the coarse AGGREGATE queries (activity,
+    * scorecard): adaptive blocking — coarse blocks up to
+    * `Mdm.AggregateMaxBlockSize` pair directly, oversized ones
+    * re-block on the fine suffix key. Identical to the plain coarse
+    * stream wherever the cap doesn't bind (all correctness SFs:
+    * blocks are ~12 entities at sf0.01, ~120 at sf0.1, cap 1000), so
+    * the coarse oracles hold; at 10×+ the hot blocks pay the fine key
+    * instead of a compute-quadratic pair space that feeds a 9-row
+    * aggregate.
+    */
+  private def scoredAdaptive(s: SparkSession, dir: String): DataFrame =
+    Mdm.scorePairs(Mdm.candidatePairsAdaptive(
+      entitiesFine(s, dir), schema, fineSchema))
+
   /** Shared oracle prelude, parameterized on the block key: entities
     * with pre-computed token-sorted normalized name/address, blocked
     * pair join, scores. `fine = true` adds the name-suffix block
@@ -117,10 +131,15 @@ object MdmQueries {
 
   /** The downstream family, registered once per block schema. The
     * Spark side composes the same Mdm operators over the supplied
-    * scored frame; the oracle shares the matching prelude.
+    * scored frame; the oracle shares the matching prelude. `aggSc` is
+    * the pair stream for the aggregate-output queries (activity,
+    * scorecard) — the coarse family points it at the adaptive stream
+    * since their work would otherwise be quadratic in block size with
+    * zero output growth; pair-listing queries always use `sc`.
     */
   private def familyDefs(suffix: String,
                          sc: (SparkSession, String) => DataFrame,
+                         aggSc: (SparkSession, String) => DataFrame,
                          prelude: String): Map[String, QueryDef] = Map(
 
     // ───── J10/P19/P20: blocked candidate pairs with scores & routing
@@ -159,7 +178,7 @@ object MdmQueries {
     // so the DuckDB twin re-derives them exactly.
     s"mdm_steward_activity$suffix" -> QueryDef.sql(
       (s, dir) => {
-        val queue = Mdm.stewardQueue(sc(s, dir))
+        val queue = Mdm.stewardQueue(aggSc(s, dir))
           .withColumn("reviewed_by",
             concat(lit("steward_user_"), (col("id_1") % 3 + 1).cast("string")))
           .withColumn("review_status",
@@ -182,7 +201,7 @@ object MdmQueries {
     s"mdm_scorecard$suffix" -> QueryDef.sql(
       (s, dir) => {
         val ents = entities(s, dir)
-        Mdm.scorecard(ents.count(), sc(s, dir))
+        Mdm.scorecard(ents.count(), aggSc(s, dir))
       },
       s"""$prelude,
          |agg AS (
@@ -200,6 +219,6 @@ object MdmQueries {
   )
 
   val defs: Map[String, QueryDef] =
-    familyDefs("", scored, scoredSql) ++
-      familyDefs("_fine", scoredFine, scoredFineSql)
+    familyDefs("", scored, scoredAdaptive, scoredSql) ++
+      familyDefs("_fine", scoredFine, scoredFine, scoredFineSql)
 }

@@ -25,6 +25,29 @@ class MdmSpec extends SparkSpec {
     assert(pairs.filter($"id_1" === 5 || $"id_2" === 5).count() === 0)
   }
 
+  test("adaptive pairs: identical to coarse under the cap, refined key inside oversized blocks") {
+    val refined = schema.copy(blockCols = schema.blockCols :+ "street")
+    val withStreet = vendors.withColumn("street",
+      substring(col("address"), -2, 2))
+    val pairKey = (df: org.apache.spark.sql.DataFrame) =>
+      df.select("id_1", "id_2").as[(Int, Int)].collect().toSet
+
+    // cap not binding → exactly the coarse pair set
+    val noBind = Mdm.candidatePairsAdaptive(withStreet, schema, refined,
+      maxBlockSize = 100)
+    assert(pairKey(noBind) === pairKey(Mdm.candidatePairs(vendors, schema)))
+
+    // cap 3 → NY/NYC (4 entities) is oversized and re-blocks on
+    // street: "St"→{1,3}, "et"→{2}, "ve"→{4} → only the (1,3) pair
+    // survives; CA block (1 entity) stays coarse with 0 pairs
+    val bind = Mdm.candidatePairsAdaptive(withStreet, schema, refined,
+      maxBlockSize = 3)
+    assert(pairKey(bind) === Set((1, 3)))
+    // scorePairs composes over the adaptive stream (pre-tokenized path)
+    val scored = Mdm.scorePairs(bind)
+    assert(scored.filter($"governance_action" === "AUTO_MERGE").count() === 1)
+  }
+
   test("scoring routes exact dups to AUTO_MERGE and near dups by threshold") {
     val scored = Mdm.scorePairs(Mdm.candidatePairs(vendors, schema))
     val p13 = scored.filter($"id_1" === 1 && $"id_2" === 3).collect()(0)
