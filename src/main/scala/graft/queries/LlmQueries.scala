@@ -772,8 +772,10 @@ object LlmQueries {
     "dd_dup_clusters" -> QueryDef.sql(
       (s, dir) => {
         val sigs = TextDedup.minhashSignatures(nearDupCorpus(s, dir), "doc_id", "text")
+        // star edges, not all-pairs: component-identical (see
+        // lshStarPairs) with O(bucket) instead of O(bucket²) edges
         TextDedup.dupClusters(
-          TextDedup.lshCandidatePairs(
+          TextDedup.lshStarPairs(
             TextDedup.lshBands(sigs, "doc_id"), "doc_id"))
       },
       s"""WITH RECURSIVE $minhashBandsCtes,
@@ -805,7 +807,7 @@ object LlmQueries {
         val corpus = nearDupCorpus(s, dir)
         val sigs = TextDedup.minhashSignatures(corpus, "doc_id", "text")
         val clusters = TextDedup.dupClusters(
-          TextDedup.lshCandidatePairs(
+          TextDedup.lshStarPairs(
             TextDedup.lshBands(sigs, "doc_id"), "doc_id"))
         val losers = clusters
           .filter(col("cluster_id") =!= col("doc_id")).select("doc_id")

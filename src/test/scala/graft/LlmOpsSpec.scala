@@ -248,6 +248,22 @@ class LlmOpsSpec extends SparkSpec {
     assert(clusters.size === 8)
   }
 
+  test("lshStarPairs: component-identical to the all-pairs band graph, far fewer edges") {
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id", $"text")
+    val bands = TextDedup.lshBands(
+      TextDedup.minhashSignatures(corpus, "doc_id", "text"), "doc_id")
+    val allPairs = TextDedup.lshCandidatePairs(bands, "doc_id")
+    val starPairs = TextDedup.lshStarPairs(bands, "doc_id")
+    assert(starPairs.count() <= allPairs.count())
+    // identical doc_id -> cluster_id map under either edge set
+    val viaAll = TextDedup.dupClusters(allPairs)
+      .as[(Long, Long)].collect().toMap
+    val viaStar = TextDedup.dupClusters(starPairs)
+      .as[(Long, Long)].collect().toMap
+    assert(viaStar === viaAll)
+  }
+
   test("scrubPii counts and redacts planted emails and phone numbers") {
     val rows = Seq(
       (1, "write to alice.smith@corp.example.org today"),
