@@ -469,9 +469,13 @@ object TextDedup {
     * k − 1 vs the classic k = 1 lemma retain ≥ m shared tokens for
     * every true pair. The verify-input cut this buys is decisive at
     * low thresholds, where the single-token lemma admits quadratically
-    * many one-off collisions.
+    * many one-off collisions. k trades prefix-table size (+k tokens
+    * per doc) against candidate survivors (>= k shared required):
+    * measured at 10x on the whole query, k=8 -> 95s (49.8M
+    * survivors), k=16 -> 79s, k=24 -> 90s (prefix growth overtakes
+    * the extra kill).
     */
-  val PrefixK: Int = 8
+  val PrefixK: Int = 16
 
   /** Frames persisted by the LAST [[ngramJaccardPairsPrefix]] call,
     * unpersisted (non-blocking) on the next — repeated invocations in
@@ -528,21 +532,28 @@ object TextDedup {
     // per-doc prefix = the plen rarest shingles under the (df, token)
     // total order (shared by both sides, as the lemma requires); _rk
     // (the token's 1-based rarity position) rides along for the
-    // positional filter below
-    val byRarity = Window.partitionBy(col(idCol))
-      .orderBy(col("_df").asc, col("_tok").asc)
+    // positional filter below. Computed as a grouped aggregate —
+    // collect the doc's (df, tok) structs, array_sort (struct order =
+    // field order = the required total order), slice to _plen,
+    // posexplode — NOT as a row_number window: the window formulation
+    // sort-shuffles every token row globally by (doc, df, tok), while
+    // the object-hash aggregate only sorts each doc's own ~hundreds
+    // of structs in memory (measured 95s → 74s end-to-end at 10×).
     val prefixToks = toks.join(dfreq, Seq(blockCol, "_tok"))
-      .withColumn("_rk", row_number().over(byRarity))
-      .filter(col("_rk") <= col("_plen"))
+      .groupBy(col(idCol))
+      .agg(first(col(blockCol)).as(blockCol), first(col("_len")).as("_len"),
+        first(col("_plen")).as("_plen"), first(col("_iplen")).as("_iplen"),
+        slice(array_sort(collect_list(struct(col("_df"), col("_tok")))),
+          lit(1), first(col("_plen"))).as("_pfx"))
       .select(col(idCol), col(blockCol), col("_len"), col("_iplen"),
-        col("_tok"), col("_rk"))
+        posexplode(col("_pfx")).as(Seq("_pos", "_e")))
+      .select(col(idCol), col(blockCol), col("_len"), col("_iplen"),
+        col("_e._tok").as("_tok"), (col("_pos") + lit(1)).as("_rk"))
       // both candidate-join sides consume this; uncached, the df join
       // + per-doc rarity window (the most expensive upstream stage,
       // ~18s at 10×) executes once PER SIDE with only its shuffle map
       // stages reused
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    prefixCaches.getAndSet(Seq(prepared, prefixToks))
-      .foreach(_.unpersist(false))
     // asymmetric sides: the (len, id)-smaller side joins through its
     // SHORT index prefix, the larger side through its probe prefix;
     // the PPJoin lemma guarantees the first common token of any
@@ -610,6 +621,8 @@ object TextDedup {
     // path for corpus-scale near-dup at these thresholds is
     // [[lshCandidatePairs]] (MinHash banding, linear in docs), with
     // this operator for exact-output passes that can afford it.
+    prefixCaches.getAndSet(Seq(prepared, prefixToks))
+      .foreach(_.unpersist(false))
     val shingles = prepared.select(col(idCol), col("_sh"))
     candidates
       .join(shingles.select(col(idCol).as("id_1"), col("_sh").as("sh_1"))
