@@ -13,6 +13,9 @@ import org.apache.spark.sql.SparkSession
   *   transient failure in one repeat never masks a valid measurement
   *   from another, and a fully-failed query is visible, not silently
   *   dropped from the totals.
+  * - `gc_ms` (top level and per sweep) is each reported run's
+  *   overlapped JVM GC time — the heap-pressure axis that explains
+  *   cross-environment wall-time gaps without re-run archaeology.
   * - `scale` / `scale30` are derived-scale sweeps: every query
   *   re-timed at 10× and 30× data ([[graft.sources.ScaledCorpus]]),
   *   cheapest-first under a wall-clock budget with a per-query cap,
@@ -57,10 +60,25 @@ object Bench {
   /** Run one query to the noop sink under a cancellable job group;
     * returns seconds, or -1 on timeout (jobs cancelled), -2 on error.
     */
+  /** One query's measurement: wall seconds (sentinel -1 timeout / -2
+    * error) plus the JVM-wide GC time the run overlapped. gc_ms makes
+    * cross-environment gaps diagnosable from the JSON alone — a query
+    * that is 3× slower in a shared long-lived JVM with gc_ms ≈ the
+    * wall gap is heap-pressure-bound, not plan-regressed.
+    */
+  final case class Timing(sec: Double, gcMs: Long)
+
+  private def totalGcMs: Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(b => math.max(b.getCollectionTime, 0L)).sum
+  }
+
   private def timedRun(spark: SparkSession, name: String, dir: String,
-                       capSec: Int): Double = {
+                       capSec: Int): Timing = {
     val fn = SparkEntry.queries(name)
     val group = s"bench-$name"
+    val gc0 = totalGcMs
     val t0 = System.nanoTime()
     val runner = new Thread(() => {
       // job group is thread-local: set it on the thread that submits
@@ -83,11 +101,11 @@ object Bench {
       }
       runner.join(30000L) // drain cancellation
       System.err.println(s"[bench] $name exceeded ${capSec}s cap, cancelled")
-      -1.0
+      Timing(-1.0, totalGcMs - gc0)
     } else if (err.get != null) {
       System.err.println(s"[bench] $name failed: ${err.get.getMessage}")
-      -2.0
-    } else (System.nanoTime() - t0) / 1e9
+      Timing(-2.0, totalGcMs - gc0)
+    } else Timing((System.nanoTime() - t0) / 1e9, totalGcMs - gc0)
   }
 
   private def jsonDict(entries: Iterable[(String, Double)]): String =
@@ -109,7 +127,7 @@ object Bench {
       case Some(list) => list.split(",").map(_.trim).filter(_.nonEmpty).toSeq
     }
 
-    def runOnce(dir: String, capSec: Int = 600): Seq[(String, Double)] =
+    def runOnce(dir: String, capSec: Int = 600): Seq[(String, Timing)] =
       selected.filter(SparkEntry.queries.contains)
         .map(name => name -> timedRun(spark, name, dir, capSec))
 
@@ -131,11 +149,17 @@ object Bench {
     // sentinel (and lands in `failed`) only when EVERY repeat failed.
     val repeat = sys.env.getOrElse("BENCH_REPEAT", "2").toInt max 1
     val runs = (1 to repeat).map(_ => runOnce(sfDir))
-    val results = runs.head.map(_._1).map { name =>
+    // per query: the fastest successful run's (sec, gcMs) pair — gc is
+    // taken from the SAME run whose wall-time is reported, so the two
+    // numbers describe one execution
+    val picked = runs.head.map(_._1).map { name =>
       val timings = runs.map(_.toMap.apply(name))
-      val ok = timings.filter(_ > 0)
-      name -> (if (ok.nonEmpty) ok.min else timings.max) // max: prefer -1 over -2
+      val ok = timings.filter(_.sec > 0)
+      name -> (if (ok.nonEmpty) ok.minBy(_.sec)
+               else timings.maxBy(_.sec)) // prefer -1 (timeout) over -2
     }
+    val results = picked.map { case (n, t) => n -> t.sec }
+    val gcMs = picked.map { case (n, t) => n -> t.gcMs.toDouble }
     val failed = results.collect { case (k, v) if v <= 0 => k }
     val timeAt01 = results.toMap
 
@@ -151,10 +175,15 @@ object Bench {
       val sweepStart = System.nanoTime()
       def elapsed = (System.nanoTime() - sweepStart) / 1e9
       val timed = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+      val sweepGc = scala.collection.mutable.LinkedHashMap.empty[String, Double]
       val skipped = scala.collection.mutable.ArrayBuffer.empty[String]
       order.foreach { name =>
         if (elapsed > budget) skipped += name
-        else timed(name) = timedRun(spark, name, scaledDir, cap)
+        else {
+          val t = timedRun(spark, name, scaledDir, cap)
+          timed(name) = t.sec
+          sweepGc(name) = t.gcMs.toDouble
+        }
       }
       if (skipped.nonEmpty)
         System.err.println(s"[bench] ${copies}x sweep budget (${budget}s) hit; " +
@@ -211,7 +240,7 @@ object Bench {
       val er = timed.collect { case (n, v) if v == -2.0 => "\"" + n + "\"" }
         .mkString("[", ",", "]")
       val json =
-        f"""{"copies":$copies,"budget_sec":$budget,"query_cap_sec":$cap,"queries":${jsonDict(timed)},"cliffs":$cs,"errored":$er,"skipped":$sk}"""
+        f"""{"copies":$copies,"budget_sec":$budget,"query_cap_sec":$cap,"queries":${jsonDict(timed)},"gc_ms":${jsonDict(sweepGc)},"cliffs":$cs,"errored":$er,"skipped":$sk}"""
       (json, cliffs.map(_._1))
     }
 
@@ -246,7 +275,7 @@ object Bench {
     // headline per-query times, then the summary scalars — the last
     // ~1KB of the line is self-contained.
     val line =
-      f"""{"queries":${jsonDict(results)},"scale":$scaleJson,"scale30":$scale30Json,"headline_queries":${jsonDict(headlineResults)},"cliffs_10x":${names(cliffs10)},"cliffs_30x":${names(cliffs30)},"failed":${names(failed)},"total_all":$totalAll%.3f,"sf":"$sfDir","metric":"total","unit":"sec","value":$headlineTotal%.3f}"""
+      f"""{"queries":${jsonDict(results)},"gc_ms":${jsonDict(gcMs)},"scale":$scaleJson,"scale30":$scale30Json,"headline_queries":${jsonDict(headlineResults)},"cliffs_10x":${names(cliffs10)},"cliffs_30x":${names(cliffs30)},"failed":${names(failed)},"total_all":$totalAll%.3f,"sf":"$sfDir","metric":"total","unit":"sec","value":$headlineTotal%.3f}"""
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
     java.nio.file.Files.writeString(java.nio.file.Paths.get("target/bench.json"), line)
     println(line)
