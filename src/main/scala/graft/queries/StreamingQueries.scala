@@ -189,6 +189,16 @@ object StreamingQueries {
         |ASOF LEFT JOIN purchases p
         |  ON c.user_id = p.user_id AND c.ts >= p.p_ts""".stripMargin),
 
+    // ───── the SAME sessionization through the real streaming engine
+    // (flatMapGroupsWithState + EventTimeTimeout, heartbeat-flushed):
+    // the oracle is identical to ev_sessions', so the gate verifies
+    // the custom-state code path end-to-end, not just its batch twin.
+    "ev_stream_sessions" -> QueryDef.sql(
+      (s, dir) =>
+        graft.streaming.EventStream.sessionsAvailableNow(
+          s, s"$dir/events.parquet"),
+      sessionsOracleSql),
+
     // ───── 30-min-gap sessionization, batch form (streaming twin:
     // sessionize). Gaps-and-islands: lag → new-session flag → running
     // sum as session index → per-session aggregate.
@@ -212,24 +222,30 @@ object StreamingQueries {
             count(lit(1)).as("n_events"))
           .select("user_id", "session_start", "session_end", "n_events")
       },
-      """WITH e AS (
-        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
-        |l AS (
-        |  SELECT user_id, event_id, ts,
-        |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
-        |  FROM e),
-        |f AS (
-        |  SELECT user_id, event_id, ts,
-        |         CASE WHEN prev_ts IS NULL OR ts > prev_ts + INTERVAL 30 MINUTE
-        |              THEN 1 ELSE 0 END AS ns
-        |  FROM l),
-        |g AS (
-        |  SELECT user_id, ts,
-        |         SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |                       ROWS UNBOUNDED PRECEDING) AS sid
-        |  FROM f)
-        |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
-        |       COUNT(*) AS n_events
-        |FROM g GROUP BY user_id, sid""".stripMargin)
+      sessionsOracleSql)
   )
+
+  /** Shared by the batch (`ev_sessions`) and streaming
+    * (`ev_stream_sessions`) twins — the result contract is identical.
+    */
+  private lazy val sessionsOracleSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |l AS (
+      |  SELECT user_id, event_id, ts,
+      |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      |  FROM e),
+      |f AS (
+      |  SELECT user_id, event_id, ts,
+      |         CASE WHEN prev_ts IS NULL OR ts > prev_ts + INTERVAL 30 MINUTE
+      |              THEN 1 ELSE 0 END AS ns
+      |  FROM l),
+      |g AS (
+      |  SELECT user_id, ts,
+      |         SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                       ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM f)
+      |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+      |       COUNT(*) AS n_events
+      |FROM g GROUP BY user_id, sid""".stripMargin
 }

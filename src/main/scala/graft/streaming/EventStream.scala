@@ -473,4 +473,52 @@ object EventStream {
           }
       }
   }
+
+  /** [[sessionize]] through the real engine, bounded and COMPLETE:
+    * one far-future heartbeat event (sentinel user id below the real
+    * id range) pushes the global event-time watermark past every real
+    * session's end + gap, so EventTimeTimeout fires for ALL of them
+    * on the terminal no-data batch and the emitted set equals the
+    * batch gaps-and-islands result (`ev_sessions`) exactly. The
+    * heartbeat's own session times out only past the beat, so it
+    * never emits — the output filter is belt-and-braces. Same
+    * watermark-heartbeat pattern as the outer stream joins.
+    */
+  def sessionsAvailableNow(spark: SparkSession, eventsPath: String,
+                           queryName: String = "ev_stream_sessions"): DataFrame = {
+    val raw = graft.sources.Tables.normalizeEventTs(
+      graft.sources.Tables.readParquetAutoNanos(spark, eventsPath))
+    val outSchema = StructType.fromDDL(
+      "user_id BIGINT, session_start TIMESTAMP, " +
+        "session_end TIMESTAMP, n_events BIGINT")
+    val bounds = raw.agg(max(col("ts")), min(col("user_id"))).head
+    if (bounds.isNullAt(0)) // empty input: no sessions, no heartbeat
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
+    val beat = new java.sql.Timestamp(
+      bounds.getTimestamp(0).getTime + 10L * 3600 * 1000)
+    val sentinel =
+      (if (bounds.isNullAt(1)) 0L else math.min(bounds.getLong(1), 0L)) - 1L
+    val beatDir = java.nio.file.Files.createTempDirectory("sess_heartbeat")
+    try {
+      raw.limit(1).select(
+        lit(-1L).as("event_id"), lit(beat).as("ts"),
+        lit(sentinel).as("user_id"), lit("heartbeat").as("event_type"),
+        lit(0.0).as("value"), lit("{}").as("props"))
+        .write.mode("overwrite").parquet(beatDir.toString)
+      val stream = readEventsFileStream(spark, eventsPath)
+        .unionByName(readEventsFileStream(spark, beatDir.toString))
+      val sess = sessionize(stream, gapMinutes = 30, watermarkDelay = "2 hours")
+        .filter(col("user_id") =!= sentinel)
+        .select("user_id", "session_start", "session_end", "n_events")
+      val q = sess.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(queryName)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(queryName)
+    } finally graft.sources.Tables.deletePath(spark, beatDir.toString)
+  }
 }

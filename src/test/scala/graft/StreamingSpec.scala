@@ -274,6 +274,18 @@ class StreamingSpec extends SparkSpec {
     assert(missing.isEmpty, s"streamed sessions not in batch result: ${missing.take(3)}")
   }
 
+  test("sessionsAvailableNow equals the batch gaps-and-islands EXACTLY (heartbeat flush)") {
+    val streamed = EventStream.sessionsAvailableNow(
+        spark, s"$sfDir/events.parquet", "spec_sessions_full")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+      .toSet
+    val batch = graft.SparkEntry.queries("ev_sessions")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+      .toSet
+    assert(streamed === batch,
+      s"missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
+  }
+
   test("full-outer stream join equals batch FULL JOIN and watermarks evict state") {
     val run = EventStream.clickPurchaseOuterJoinRun(
       spark, s"$sfDir/events.parquet", "fullOuter", "spec_full_outer_state")
