@@ -189,6 +189,20 @@ object StreamingQueries {
         |ASOF LEFT JOIN purchases p
         |  ON c.user_id = p.user_id AND c.ts >= p.p_ts""".stripMargin),
 
+    // ───── stateful running per-user counts through the real engine
+    // (mapGroupsWithState, Update mode, AvailableNow): the memory sink
+    // holds every per-batch update; max per key recovers the final
+    // running values exactly (count monotone, ts a running max), so
+    // the plain batch aggregate oracle verifies the custom-state
+    // Update-mode surface end-to-end.
+    "ev_stream_user_counts" -> QueryDef.sql(
+      (s, dir) =>
+        graft.streaming.EventStream.userCountsAvailableNow(
+          s, s"$dir/events.parquet"),
+      """SELECT user_id, COUNT(*) AS n_events,
+        |       max(CAST(ts AS TIMESTAMP)) AS last_ts
+        |FROM events GROUP BY 1""".stripMargin),
+
     // ───── the SAME sessionization through the real streaming engine
     // (flatMapGroupsWithState + EventTimeTimeout, heartbeat-flushed):
     // the oracle is identical to ev_sessions', so the gate verifies

@@ -404,13 +404,39 @@ object EventStream {
         case (userId, rows, state: GroupState[UserCount]) =>
           val batch = rows.toSeq
           val prev = state.getOption.getOrElse(UserCount(userId, 0L, batch.head._2))
-          val next = UserCount(
-            userId,
-            prev.n_events + batch.size,
-            batch.map(_._2).maxBy(_.getTime))
+          // max at FULL timestamp precision (getTime alone truncates to
+          // ms and breaks µs ties arbitrarily), folded over the prior
+          // state too — a later batch may carry only earlier events
+          val tsMax = (prev.last_ts +: batch.map(_._2))
+            .max(Ordering.by((t: java.sql.Timestamp) => (t.getTime, t.getNanos)))
+          val next = UserCount(userId, prev.n_events + batch.size, tsMax)
           state.update(next)
           next
       }
+  }
+
+  /** [[runningUserCounts]] through the real engine, bounded: Update
+    * mode → memory sink → AvailableNow. The memory sink appends each
+    * micro-batch's updated rows, so the FINAL value per key is
+    * recovered by max — n_events is a running count (monotone) and
+    * last_ts a running max, so the reduction is exact regardless of
+    * how the replay splits into batches. Verifies the
+    * mapGroupsWithState surface end-to-end against the plain batch
+    * aggregate oracle.
+    */
+  def userCountsAvailableNow(spark: SparkSession, eventsPath: String,
+                             queryName: String = "ev_stream_user_counts"): DataFrame = {
+    val stream = readEventsFileStream(spark, eventsPath)
+    val q = runningUserCounts(stream).toDF().writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+      .groupBy("user_id")
+      .agg(max(col("n_events")).as("n_events"), max(col("last_ts")).as("last_ts"))
   }
 
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)
