@@ -167,11 +167,19 @@ object Bench {
     // cheapest-first under a global budget with a per-query cap, so a
     // superlinear query is DETECTED (flagged as a cliff) without the
     // sweep paying its full runtime.
-    def sweep(copies: Int, budget: Int, cap: Int): (String, Seq[String]) = {
+    def sweep(copies: Int, budget: Int, cap: Int,
+              prior: Map[String, Double] = Map.empty)
+        : (String, Seq[String], Map[String, Double]) = {
       val scaledDir =
         new java.io.File(s"target/bench-scaled-x$copies").getAbsolutePath
       graft.sources.ScaledCorpus.build(spark, sfDir, scaledDir, copies)
-      val order = results.filter(_._2 > 0).sortBy(_._2).map(_._1)
+      // cheapest-first by the best predictor available: a PRIOR sweep's
+      // measured times when present (the 10× sweep predicts 30× far
+      // better than 1× — at 1× the output-quadratic pair queries look
+      // cheap, sort early, and eat the whole budget), else scaled 1×
+      val order = results.filter(_._2 > 0)
+        .sortBy { case (n, t1) => prior.getOrElse(n, t1 * copies) }
+        .map(_._1)
       val sweepStart = System.nanoTime()
       def elapsed = (System.nanoTime() - sweepStart) / 1e9
       val timed = scala.collection.mutable.LinkedHashMap.empty[String, Double]
@@ -241,7 +249,7 @@ object Bench {
         .mkString("[", ",", "]")
       val json =
         f"""{"copies":$copies,"budget_sec":$budget,"query_cap_sec":$cap,"queries":${jsonDict(timed)},"gc_ms":${jsonDict(sweepGc)},"cliffs":$cs,"errored":$er,"skipped":$sk}"""
-      (json, cliffs.map(_._1))
+      (json, cliffs.map(_._1), timed.toMap)
     }
 
     val scaleCopies = sys.env.getOrElse("BENCH_SCALE_COPIES", "10").toInt
@@ -256,16 +264,24 @@ object Bench {
     // 30× section: full registry, tighter budget (cheapest-first means
     // the budget cuts the most expensive tail, reported as skips).
     val scale30Copies = sys.env.getOrElse("BENCH_SCALE30_COPIES", "30").toInt
-    val scale30Budget = sys.env.getOrElse("BENCH_SCALE30_BUDGET_SEC", "600").toInt
+    // 900s: with the round-8 fixpoint/prefix rework the expensive tail
+    // fits — 600s left 33 of 119 queries unseen at 30×, 900 times
+    // nearly all of them (cheapest-first, so the budget cuts only the
+    // most expensive stragglers, still reported as skips)
+    val scale30Budget = sys.env.getOrElse("BENCH_SCALE30_BUDGET_SEC", "900").toInt
     val scale30Cap = sys.env.getOrElse("BENCH_SCALE30_QUERY_CAP_SEC", "240").toInt
     val scale30On =
       sys.env.getOrElse("BENCH_SCALE30", "on") != "off" && scale30Copies > 1
 
-    val (scaleJson, cliffs10) =
-      if (scaleOn) sweep(scaleCopies, scaleBudget, scaleCap) else ("null", Nil)
-    val (scale30Json, cliffs30) =
-      if (scale30On) sweep(scale30Copies, scale30Budget, scale30Cap)
-      else ("null", Nil)
+    val (scaleJson, cliffs10, timed10) =
+      if (scaleOn) sweep(scaleCopies, scaleBudget, scaleCap)
+      else ("null", Nil, Map.empty[String, Double])
+    // the 10× measurements (scaled ×3) order the 30× sweep so the
+    // known-expensive tail runs last and the budget buys max coverage
+    val prior30 = timed10.collect { case (n, t) if t > 0 => n -> t * 3 }
+    val (scale30Json, cliffs30, _) =
+      if (scale30On) sweep(scale30Copies, scale30Budget, scale30Cap, prior30)
+      else ("null", Nil, Map.empty[String, Double])
 
     val headlineResults = results.filter { case (k, v) => headline.contains(k) && v > 0 }
     val headlineTotal = headlineResults.map(_._2).sum
