@@ -235,4 +235,32 @@ class PlanContractsSpec extends SparkSpec {
     // plain equi anti-join (no cartesian fallback)
     assert(countLines(p, "CartesianProduct") === 0, p)
   }
+
+  test("mdm_steward_activity: adaptive pair streams shuffled-hash, size tags broadcast") {
+    val p = plan("mdm_steward_activity")
+    // one pair join per adaptive branch (coarse + refined), both forced
+    // shuffle-hash — never sort-merge, never cartesian
+    assert(countLines(p, "ShuffledHashJoin") >= 2, p)
+    assert(countLines(p, "SortMergeJoin") === 0, p)
+    assert(countLines(p, "CartesianProduct") === 0, p)
+    // the block-size tagging joins ride a broadcast of the tiny size
+    // table — the entity stream is never shuffled just to learn sizes
+    assert(countLines(p, "BroadcastHashJoin") >= 2, p)
+  }
+
+  test("lshStarPairs: star edges from one bucket window — no join anywhere") {
+    import org.apache.spark.sql.functions.col
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val bands = graft.operators.TextDedup.lshBands(
+      graft.operators.TextDedup.minhashSignatures(corpus, "doc_id", "text"),
+      "doc_id")
+    val p = graft.operators.TextDedup.lshStarPairs(bands, "doc_id")
+      .queryExecution.executedPlan.toString
+    // the all-pairs formulation self-joins the band table; the star
+    // form must not join at all — hub assignment is a window over the
+    // same bucket-key partitioning the repartition establishes
+    assert(countLines(p, "Join") === 0, p)
+    assert(countLines(p, "Window") === 1, p)
+  }
 }
