@@ -238,7 +238,12 @@ object LlmQueries {
     // mangled in the JSON round-trip breaks the hash match.
     "corpus_jsonl_roundtrip" -> QueryDef.sql(
       (s, dir) => {
-        val tmp = java.nio.file.Files.createTempDirectory("graft_jsonl_").toString
+        // stable per-input path, overwritten on each run: the returned
+        // frame reads the dir LAZILY, so it can't be deleted here —
+        // a fresh createTempDirectory per invocation leaked ~50 MB per
+        // bench/verify repeat instead of reusing one footprint
+        val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_jsonl_rt_" +
+          Integer.toHexString(dir.hashCode)
         val d = docs(s, dir)
         Tables.writeJsonl(d, tmp)
         Tables.readJsonl(s, tmp, Some(d.schema))
