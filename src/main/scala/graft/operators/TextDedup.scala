@@ -259,6 +259,30 @@ object TextDedup {
       .select("id_1", "id_2").distinct()
   }
 
+  /** Incremental NEAR-dup detection for ingest: candidate
+    * (batch doc, corpus doc) pairs sharing any LSH band bucket — the
+    * near-dup companion of [[dedupIncremental]]'s exact anti-join.
+    * The batch side is small by definition (one crawl/ingest
+    * increment), so its band table is BROADCAST and the corpus band
+    * stream probes it map-side: the corpus is never shuffled, which is
+    * the only workable shape when the corpus is 100 TB and the
+    * increment is gigabytes. Returns distinct (batch_id, corpus_id)
+    * candidates; compose with `jaccard_sorted` verification or an
+    * anti-join dropping collided batch docs, as the pipeline requires.
+    */
+  def nearDupIncrementalCandidates(corpus: DataFrame, batch: DataFrame,
+                                   idCol: String, textCol: String): DataFrame = {
+    val corpusBands = lshBands(minhashSignatures(corpus, idCol, textCol), idCol)
+    val batchBands = lshBands(minhashSignatures(batch, idCol, textCol), idCol)
+    corpusBands
+      .join(
+        broadcast(batchBands.select(
+          col("band_id"), col("band_hash"), col(idCol).as("batch_id"))),
+        Seq("band_id", "band_hash"))
+      .select(col("batch_id"), col(idCol).as("corpus_id"))
+      .distinct()
+  }
+
   /** Near-dup edges for CLUSTERING: one star per LSH bucket (every
     * member linked to the bucket's min id) instead of all pairs.
     * Component-equivalent to the [[lshCandidatePairs]] graph — two

@@ -394,6 +394,62 @@ object LlmQueries {
          |  SELECT 1 FROM documents c
          |  WHERE md5(${normSql("c.text")}) = md5(${normSql("dedup.text")}))""".stripMargin),
 
+    // ───── incremental NEAR-dup: batch = near-copies of the corpus
+    // (+60000, " copy" suffix) ∪ heavily-perturbed docs (+70000,
+    // letter-rotation translate — shingle sets diverge far below the
+    // banding threshold, so they must NOT collide). Candidates are
+    // (batch, corpus) band-bucket matches with the batch side
+    // BROADCAST — the corpus never shuffles (the 100 TB ingest shape,
+    // pinned in PlanContractsSpec).
+    "dd_incremental_neardup" -> QueryDef.sql(
+      (s, dir) => {
+        val d = docs(s, dir).select("doc_id", "text")
+        val batch = d.select((col("doc_id") + 60000).as("doc_id"),
+            concat(col("text"), lit(" copy")).as("text"))
+          .unionByName(d.select((col("doc_id") + 70000).as("doc_id"),
+            translate(col("text"), "etaoins", "taoinse").as("text")))
+        TextDedup.nearDupIncrementalCandidates(d, batch, "doc_id", "text")
+      },
+      s"""WITH batch AS (
+         |  SELECT doc_id + 60000 AS doc_id, text || ' copy' AS text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 70000, translate(text, 'etaoins', 'taoinse') FROM documents),
+         |cn AS (SELECT doc_id, ${normSql("text")} AS t FROM documents),
+         |bn AS (SELECT doc_id, ${normSql("text")} AS t FROM batch),
+         |csh AS (
+         |  SELECT doc_id, list_distinct([substring(t, i, 5)
+         |    for i in generate_series(1, greatest(length(t) - 4, 1))]) AS sh FROM cn),
+         |bsh AS (
+         |  SELECT doc_id, list_distinct([substring(t, i, 5)
+         |    for i in generate_series(1, greatest(length(t) - 4, 1))]) AS sh FROM bn),
+         |ch AS (SELECT doc_id, md5(unnest(sh)) AS h FROM csh),
+         |bh AS (SELECT doc_id, md5(unnest(sh)) AS h FROM bsh),
+         |csig AS (
+         |  SELECT doc_id,
+         |    MIN(substr(h, 1, 5)) AS sig_0, MIN(substr(h, 6, 5)) AS sig_1,
+         |    MIN(substr(h, 11, 5)) AS sig_2, MIN(substr(h, 16, 5)) AS sig_3,
+         |    MIN(substr(h, 21, 5)) AS sig_4, MIN(substr(h, 26, 5)) AS sig_5
+         |  FROM ch GROUP BY doc_id),
+         |bsig AS (
+         |  SELECT doc_id,
+         |    MIN(substr(h, 1, 5)) AS sig_0, MIN(substr(h, 6, 5)) AS sig_1,
+         |    MIN(substr(h, 11, 5)) AS sig_2, MIN(substr(h, 16, 5)) AS sig_3,
+         |    MIN(substr(h, 21, 5)) AS sig_4, MIN(substr(h, 26, 5)) AS sig_5
+         |  FROM bh GROUP BY doc_id),
+         |cbands AS (
+         |  SELECT doc_id, 0 AS band_id,
+         |         md5(concat_ws(',', sig_0, sig_1, sig_2)) AS band_hash FROM csig
+         |  UNION ALL
+         |  SELECT doc_id, 1, md5(concat_ws(',', sig_3, sig_4, sig_5)) FROM csig),
+         |bbands AS (
+         |  SELECT doc_id, 0 AS band_id,
+         |         md5(concat_ws(',', sig_0, sig_1, sig_2)) AS band_hash FROM bsig
+         |  UNION ALL
+         |  SELECT doc_id, 1, md5(concat_ws(',', sig_3, sig_4, sig_5)) FROM bsig)
+         |SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS corpus_id
+         |FROM bbands b JOIN cbands c
+         |  ON b.band_id = c.band_id AND b.band_hash = c.band_hash""".stripMargin),
+
     // ───── passage-level duplicate detection: corpus = originals ∪
     // prefix-modified copies, so originals score dup_ratio 1.0 and
     // copies score slightly below (their prefix windows are unique) —

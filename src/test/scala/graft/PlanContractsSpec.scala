@@ -248,6 +248,17 @@ class PlanContractsSpec extends SparkSpec {
     assert(countLines(p, "BroadcastHashJoin") >= 2, p)
   }
 
+  test("dd_incremental_neardup: batch bands broadcast, corpus never shuffles pre-join") {
+    val p = plan("dd_incremental_neardup")
+    assert(countLines(p, "BroadcastHashJoin") === 1, p)
+    assert(countLines(p, "SortMergeJoin") === 0, p)
+    // the ONLY non-broadcast exchange is the final pair distinct; the
+    // corpus band stream reaches the join without being repartitioned
+    val shuffles = p.linesIterator
+      .filter(_.contains("Exchange")).filterNot(_.contains("BroadcastExchange"))
+    assert(shuffles.size === 1, p)
+  }
+
   test("lshStarPairs: star edges from one bucket window — no join anywhere") {
     import org.apache.spark.sql.functions.col
     val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
