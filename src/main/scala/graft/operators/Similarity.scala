@@ -210,13 +210,14 @@ object Similarity {
       acc.withColumn(s"_cc_$cid",
         round(dot(col(vecCol), lit(cvec)) / (col(normCol) * lit(normOf(cvec))), 6))
     }
-    val (_, bestId) = cents.tail.foldLeft(
+    val (bestCos, bestId) = cents.tail.foldLeft(
       (col(s"_cc_${cents.head._1}"), lit(cents.head._1))) {
       case ((bc, bi), (cid, _)) =>
         val c = col(s"_cc_$cid")
         (when(c > bc, c).otherwise(bc), when(c > bc, lit(cid)).otherwise(bi))
     }
     scored.withColumn("centroid_id", bestId)
+      .withColumn("centroid_cos", bestCos)
       .drop(cents.map(c => s"_cc_${c._1}"): _*)
   }
 
@@ -379,5 +380,100 @@ object Similarity {
         round(dot(col("v_1"), col("v_2")) / (col("n_1") * col("n_2")), 6))
       .filter(col("cos_sim") >= threshold)
       .select("id_1", "id_2", "cos_sim")
+  }
+
+  /** Full-corpus cell assignment against a deterministic k-means
+    * codebook: train via [[kmeansCentroids]] (on a hash sample when
+    * `samplePct < 100`), then one MAP-ONLY literal-argmax pass over
+    * the corpus — the corpus never shuffles for the assignment.
+    * Output: one row per vector — `(vec_id, cell_id, centroid_cos)`
+    * plus the double-cast vector/norm (`_v`, `_norm`) for downstream
+    * within-cell comparisons. Shared base of [[semDedup]] and
+    * [[prototypePrune]].
+    */
+  private def corpusCells(df: DataFrame, idCol: String, vecCol: String,
+                          k: Int, iters: Int, samplePct: Int): DataFrame = {
+    val cents = collectCentroids(
+      kmeansCentroids(df, idCol, vecCol, k, iters, samplePct),
+      "centroid_id", "centroid_vec")
+    val v = df.select(col(idCol).cast("long").as("vec_id"),
+      col(vecCol).cast("array<double>").as("_v"))
+      .withColumn("_norm", l2Norm(col("_v")))
+    assignNearest(v, "_v", "_norm", cents)
+      .withColumn("cell_id", col("centroid_id").cast("int"))
+  }
+
+  /** SemDeDup — semantic near-duplicate pruning in embedding space
+    * (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication", arXiv:2303.09540):
+    * cluster the corpus with deterministic spherical k-means, then
+    * compare pairs ONLY within a cell; a vector is pruned when a
+    * LOWER-id vector in its cell has cosine ≥ `threshold`. The
+    * lowest-id-wins rule is the deterministic, order-free form of the
+    * paper's keep-one-per-group rule — monotone in id, so the result
+    * is partitioning-invariant and a sequential engine (the DuckDB
+    * twin) reproduces it exactly.
+    *
+    * Scale shape: the quadratic work is Σ|cell|², NOT |corpus|² —
+    * that is the paper's whole point. `k` is the scale lever (grow it
+    * with the corpus so cells stay O(corpus/k)); training cost is
+    * bounded separately by `samplePct`. The within-cell join is the
+    * same bucketed shuffle-hash self-join as [[embeddingDupPairs]]
+    * (explicit repartition on the cell key — AQE only sees the small
+    * input of a pair-exploding join), and the corpus-side assignment
+    * is map-only.
+    *
+    * Output: one row per input vector — `(vec_id, cell_id, keep)`.
+    */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String,
+               k: Int, iters: Int, threshold: Double,
+               samplePct: Int = 100): DataFrame = {
+    ensureRegistered(df)
+    val n = graft.functions.Functions.numShufflePartitions(df.sparkSession)
+    val cells = corpusCells(df, idCol, vecCol, k, iters, samplePct)
+    val byCell = cells.repartition(n, col("cell_id"))
+    val a = byCell.select(col("cell_id"), col("vec_id").as("id_1"),
+      col("_v").as("v_1"), col("_norm").as("n_1")).hint("shuffle_hash")
+    val b = byCell.select(col("cell_id"), col("vec_id").as("id_2"),
+      col("_v").as("v_2"), col("_norm").as("n_2")).hint("shuffle_hash")
+    val pruned = a.join(b, Seq("cell_id"))
+      .filter(col("id_1") < col("id_2"))
+      .filter(round(dot(col("v_1"), col("v_2")) / (col("n_1") * col("n_2")), 6)
+        >= threshold)
+      .select(col("id_2").as("vec_id")).distinct()
+    cells.select("vec_id", "cell_id")
+      .join(pruned.withColumn("_dup", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell_id"), col("_dup").isNull.as("keep"))
+  }
+
+  /** Prototype pruning (Sorscher et al. 2022, "Beyond neural scaling
+    * laws: beating power law scaling via data pruning",
+    * arXiv:2206.14486): within each k-means cell rank vectors by
+    * cosine to their OWN centroid; the most prototypical (closest)
+    * examples carry the least training signal at large data scale, so
+    * drop the top `prunePct` percent per cell (floor, so small cells
+    * under-prune rather than empty out). The per-cell window is
+    * bounded by the cell population (k is the lever, as in
+    * [[semDedup]]); ranking is deterministic cross-engine via the
+    * 6 dp-rounded cosine with id tiebreak.
+    *
+    * Output: one row per input vector —
+    * `(vec_id, cell_id, centroid_cos, keep)`.
+    */
+  def prototypePrune(df: DataFrame, idCol: String, vecCol: String,
+                     k: Int, iters: Int, prunePct: Int,
+                     samplePct: Int = 100): DataFrame = {
+    require(prunePct >= 0 && prunePct <= 100,
+      s"prunePct must be 0..100, got $prunePct")
+    ensureRegistered(df)
+    val cells = corpusCells(df, idCol, vecCol, k, iters, samplePct)
+    val w = Window.partitionBy(col("cell_id"))
+      .orderBy(col("centroid_cos").desc, col("vec_id").asc)
+    val cw = Window.partitionBy(col("cell_id"))
+    cells
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("_cnt", count(lit(1)).over(cw))
+      .select(col("vec_id"), col("cell_id"), col("centroid_cos"),
+        (col("_rn") > floor(col("_cnt") * lit(prunePct) / lit(100))).as("keep"))
   }
 }

@@ -82,6 +82,62 @@ object LlmQueries {
        |  * sqrt(list_aggregate([CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)
        |                 for i in generate_series(1, 64)], 'sum'))))""".stripMargin
 
+  /** Lloyd-unroll CTE chain replicating `Similarity.kmeansCentroids`
+    * (+ full-corpus assignment) over a `vecs(vid, v)` CTE already in
+    * scope. Emits `samp`, `cent0..cent$iters`, `asgF` and finally
+    * `cells(vid, centroid_id, cc)` — the per-vector cell with its
+    * 6 dp-rounded cosine to the winning centroid. Shared by the
+    * SemDeDup / prototype-pruning oracles; the `ann_ivf_kmeans_
+    * sampled` oracle predates it and keeps its inline copy.
+    */
+  private def kmeansCellsSql(k: Int, iters: Int, samplePct: Int): String = {
+    val samp =
+      if (samplePct >= 100) "samp AS (SELECT vid, v FROM vecs)"
+      else
+        s"""samp AS (
+           |  SELECT vid, v FROM vecs
+           |  WHERE CAST(concat('0x', substr(md5(CAST(vid AS VARCHAR)), 1, 6)) AS BIGINT) % 100 < $samplePct)""".stripMargin
+    val itSql = (1 to iters).map { i =>
+      s"""asg$i AS (
+         |  SELECT v.vid, v.v, c.centroid_id,
+         |         round(${cosineSql("v.v", "c.cv")}, 6) AS cc
+         |  FROM samp v, cent${i - 1} c),
+         |cell$i AS (
+         |  SELECT vid, v, centroid_id FROM (
+         |    SELECT vid, v, centroid_id,
+         |           row_number() OVER (PARTITION BY vid
+         |                              ORDER BY cc DESC, centroid_id) AS rn
+         |    FROM asg$i) WHERE rn = 1),
+         |mean$i AS (
+         |  SELECT centroid_id, d.i AS pos,
+         |         CAST(SUM(CAST(v[d.i] AS DECIMAL(38,12))) AS DOUBLE)
+         |           / COUNT(*) AS m
+         |  FROM cell$i, generate_series(1, 64) AS d(i)
+         |  GROUP BY 1, 2),
+         |cent$i AS (
+         |  SELECT p.centroid_id, COALESCE(n.nv, p.cv) AS cv
+         |  FROM cent${i - 1} p LEFT JOIN (
+         |    SELECT centroid_id, list(m ORDER BY pos) AS nv
+         |    FROM mean$i GROUP BY 1) n USING (centroid_id))""".stripMargin
+    }.mkString(",\n")
+    s"""$samp,
+       |cent0 AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vid) - 1 AS INTEGER) AS centroid_id,
+       |         v AS cv
+       |  FROM (SELECT vid, v FROM samp ORDER BY vid LIMIT $k)),
+       |$itSql,
+       |asgF AS (
+       |  SELECT v.vid, c.centroid_id,
+       |         round(${cosineSql("v.v", "c.cv")}, 6) AS cc
+       |  FROM vecs v, cent$iters c),
+       |cells AS (
+       |  SELECT vid, centroid_id, cc FROM (
+       |    SELECT vid, centroid_id, cc,
+       |           row_number() OVER (PARTITION BY vid
+       |                              ORDER BY cc DESC, centroid_id) AS rn
+       |    FROM asgF) WHERE rn = 1)""".stripMargin
+  }
+
   val defs: Map[String, QueryDef] = Map(
 
     // ───────── text analysis ─────────
@@ -1223,6 +1279,64 @@ object LlmQueries {
            |  FROM sc)
            |WHERE rank <= 10""".stripMargin
       }),
+
+    // ───── SemDeDup (arXiv:2303.09540): k-means cells bound the pair
+    // space (Σ|cell|², never |corpus|²); within-cell cosine ≥ t with
+    // lowest-id-wins pruning. Corpus = embeddings ∪ identical copies
+    // at +10000, so every copy is guaranteed a same-cell exact twin
+    // (identical vectors score identically against every centroid) —
+    // the oracle re-runs the unrolled Lloyd recipe and the same
+    // exists-lower-id rule.
+    "dd_semdedup" -> QueryDef.sql(
+      (s, dir) => {
+        val e = emb(s, dir).select("vec_id", "embedding")
+        val corpus = e.unionByName(
+          e.select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+        Similarity.semDedup(corpus, "vec_id", "embedding",
+          k = 8, iters = 2, threshold = 0.5)
+      },
+      s"""WITH vecs AS (
+         |  SELECT vec_id AS vid,
+         |         [CAST(x AS DOUBLE) for x in embedding] AS v
+         |  FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 10000,
+         |         [CAST(x AS DOUBLE) for x in embedding]
+         |  FROM embeddings),
+         |${kmeansCellsSql(k = 8, iters = 2, samplePct = 100)},
+         |dup AS (
+         |  SELECT DISTINCT b.vid
+         |  FROM cells a
+         |  JOIN cells b ON a.centroid_id = b.centroid_id AND a.vid < b.vid
+         |  JOIN vecs va ON va.vid = a.vid
+         |  JOIN vecs vb ON vb.vid = b.vid
+         |  WHERE round(${cosineSql("va.v", "vb.v")}, 6) >= 0.5)
+         |SELECT c.vid AS vec_id, c.centroid_id AS cell_id,
+         |       (d.vid IS NULL) AS keep
+         |FROM cells c LEFT JOIN dup d ON c.vid = d.vid""".stripMargin),
+
+    // ───── prototype pruning (arXiv:2206.14486): per-cell rank by
+    // cosine-to-own-centroid, drop the top 25% most prototypical per
+    // cell (floor — small cells under-prune). Per-cell window only;
+    // k is the scale lever exactly as in dd_semdedup.
+    "corpus_prune_prototypes" -> QueryDef.sql(
+      (s, dir) =>
+        Similarity.prototypePrune(emb(s, dir), "vec_id", "embedding",
+          k = 8, iters = 2, prunePct = 25),
+      s"""WITH vecs AS (
+         |  SELECT vec_id AS vid,
+         |         [CAST(x AS DOUBLE) for x in embedding] AS v
+         |  FROM embeddings),
+         |${kmeansCellsSql(k = 8, iters = 2, samplePct = 100)},
+         |r AS (
+         |  SELECT vid, centroid_id, cc,
+         |         row_number() OVER (PARTITION BY centroid_id
+         |                            ORDER BY cc DESC, vid) AS rn,
+         |         count(*) OVER (PARTITION BY centroid_id) AS cnt
+         |  FROM cells)
+         |SELECT vid AS vec_id, centroid_id AS cell_id, cc AS centroid_cos,
+         |       rn > floor(cnt * 25 / 100) AS keep
+         |FROM r""".stripMargin),
 
     "ann_ivf_topk" -> QueryDef.sql(
       (s, dir) => {

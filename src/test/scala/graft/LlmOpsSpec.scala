@@ -548,6 +548,64 @@ class LlmOpsSpec extends SparkSpec {
     assert(again === first)
   }
 
+  test("semDedup prunes same-cell near-dups by lowest-id-wins, keeps uniques") {
+    // two planted direction clusters + exact twins of cluster-1 points
+    val c1 = (0 until 10).map(i => (i.toLong, Array(10f + i % 3, 1f, 0f, 0f)))
+    val c2 = (0 until 10).map(i => (100L + i, Array(0f, 1f, 10f + i % 3, 0f)))
+    val twins = c1.map { case (id, v) => (1000L + id, v) }
+    val corpus = (c1 ++ c2 ++ twins).toDF("vec_id", "embedding")
+    val res = Similarity.semDedup(corpus, "vec_id", "embedding",
+      k = 2, iters = 3, threshold = 0.999)
+    val rows = res.collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
+    assert(rows.length === 30)
+    val keepOf = rows.map(r => r._1 -> r._3).toMap
+    // every exact twin (higher id) is pruned; its original is judged
+    // only against OTHER lower-id vectors
+    assert(twins.forall { case (id, _) => !keepOf(id) })
+    // cluster-2 has no twins and is angularly spread: vec 100 (lowest
+    // id overall in its cell) always survives
+    assert(keepOf(100L))
+    // twins land in the SAME cell as their originals (identical
+    // vectors score identically against every centroid)
+    val cellOf = rows.map(r => r._1 -> r._2).toMap
+    assert(c1.forall { case (id, _) => cellOf(id) === cellOf(1000L + id) })
+    // partitioning-invariant (the pruning rule is order-free)
+    val again = Similarity.semDedup(corpus.repartition(7), "vec_id", "embedding",
+      k = 2, iters = 3, threshold = 0.999)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2))).toSet
+    assert(again === rows.toSet)
+  }
+
+  test("prototypePrune drops exactly floor(pct) most-prototypical per cell") {
+    val c1 = (0 until 13).map(i => (i.toLong, Array(10f, 1f + i * 0.5f, 0f, 0f)))
+    val c2 = (0 until 7).map(i => (100L + i, Array(0f, 1f + i * 0.5f, 10f, 0f)))
+    val corpus = (c1 ++ c2).toDF("vec_id", "embedding")
+    val res = Similarity.prototypePrune(corpus, "vec_id", "embedding",
+      k = 2, iters = 3, prunePct = 25)
+    val rows = res.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getBoolean(3)))
+    assert(rows.length === 20)
+    // per cell: pruned count = floor(|cell| * 25 / 100)
+    val byCell = rows.groupBy(_._2)
+    byCell.foreach { case (_, cell) =>
+      val pruned = cell.count(!_._4)
+      assert(pruned === cell.length * 25 / 100,
+        s"cell of ${cell.length} pruned $pruned")
+    }
+    // the pruned ones are the TOP of the centroid-cos ranking: every
+    // pruned vector scores >= every kept vector in its cell (modulo
+    // the id tiebreak at equal scores)
+    byCell.foreach { case (_, cell) =>
+      val prunedMin = cell.filter(!_._4).map(_._3).minOption.getOrElse(2.0)
+      val keptMax = cell.filter(_._4).map(_._3).maxOption.getOrElse(-2.0)
+      assert(prunedMin >= keptMax - 1e-9)
+    }
+    // prunePct = 0 keeps everything
+    val none = Similarity.prototypePrune(corpus, "vec_id", "embedding",
+      k = 2, iters = 3, prunePct = 0)
+    assert(none.filter(!$"keep").count() === 0)
+  }
+
   test("multimodal plumbing: features are deterministic and partition-invariant") {
     val media = Multimodal.fromText(docs, "doc_id", "text", "image")
     val a = Multimodal.extractFeatures(media).orderBy("media_id").collect()

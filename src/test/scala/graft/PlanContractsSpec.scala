@@ -259,6 +259,28 @@ class PlanContractsSpec extends SparkSpec {
     assert(shuffles.size === 1, p)
   }
 
+  test("dd_semdedup: within-cell pair join is shuffled-hash on the cell key") {
+    val p = plan("dd_semdedup")
+    // the quadratic pair join must be the bucketed shuffle-hash form
+    // (pair-exploding joins mislead AQE's size estimates) and nothing
+    // may degenerate to a cartesian
+    assert(countLines(p, "ShuffledHashJoin") >= 1, p)
+    assert(countLines(p, "CartesianProduct") === 0, p)
+    assert(countLines(p, "BroadcastNestedLoopJoin") === 0, p)
+    // the cell-key repartition is explicit-N so AQE can't coalesce it
+    assert(p.contains("REPARTITION_BY_NUM"), p)
+  }
+
+  test("corpus_prune_prototypes: map-only assignment, one per-cell window shuffle") {
+    val p = plan("corpus_prune_prototypes")
+    // no joins at all — centroids are literals after the k-means
+    // build, assignment is scan-side, ranking is a per-cell window
+    assert(countLines(p, "Join") === 0, p)
+    val shuffles = p.linesIterator
+      .filter(_.contains("Exchange")).filterNot(_.contains("BroadcastExchange"))
+    assert(shuffles.size === 1, p)
+  }
+
   test("lshStarPairs: star edges from one bucket window — no join anywhere") {
     import org.apache.spark.sql.functions.col
     val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
