@@ -97,6 +97,44 @@ object Sampling {
     }
   }
 
+  /** Temperature-scaled mixture sampling (the multilingual-pretraining
+    * staple — Lample & Conneau 2019, arXiv:1901.07291 §3.1; XLM-R,
+    * Conneau et al. 2020, arXiv:1911.02116): stratum keep-rates are
+    * computed FROM the corpus distribution, q_i ∝ n_i^(1/τ), instead
+    * of hand-set shares ([[stratifiedSample]] + [[tokenBudgetRates]]
+    * cover that case). τ=1 reproduces the natural distribution, τ→∞
+    * approaches uniform, τ>1 up-samples low-resource strata. The
+    * stratum keep-pct is `100·budgetDocs·q_i/(Σq·n_i)` capped at 100
+    * (no replication — oversubscribed strata saturate).
+    *
+    * Scale shape: one strata-bounded count aggregate, the rate table
+    * broadcast back onto a scan-side hash filter — rates stay
+    * IN-PLAN (no driver collect), the corpus never shuffles.
+    * Engine-exact: the pow weight is rounded to 6 dp, the weight sum
+    * is an exact decimal sum (order-free), and the pct is floored
+    * only after a 6 dp round, so a sequential engine re-running the
+    * recipe makes identical keep decisions.
+    */
+  def temperatureSampledMixture(df: DataFrame, keyCol: String,
+                                strataCol: String, tau: Double,
+                                budgetDocs: Long): DataFrame = {
+    require(tau > 0, s"tau must be > 0, got $tau")
+    require(budgetDocs >= 0, s"budgetDocs must be >= 0, got $budgetDocs")
+    val q = df.groupBy(col(strataCol).as("_stratum"))
+      .agg(count(lit(1)).as("_n"))
+      .withColumn("_q", round(pow(col("_n").cast("double"), lit(1.0 / tau)), 6))
+    val tot = q.agg(
+      sum(col("_q").cast("decimal(38,12)")).cast("double").as("_qsum"))
+    val rates = q.crossJoin(broadcast(tot))
+      .withColumn("_pct", least(lit(100L),
+        floor(round(lit(100.0) * lit(budgetDocs.toDouble) * col("_q") /
+          (col("_qsum") * col("_n").cast("double")), 6))))
+      .select(col("_stratum"), col("_pct"))
+    df.join(broadcast(rates), col(strataCol) === col("_stratum"), "left")
+      .filter(bucketOf(col(keyCol)) < coalesce(col("_pct"), lit(0L)))
+      .drop("_stratum", "_pct")
+  }
+
   /** Deterministic train/val/test assignment — the split every
     * training pipeline needs before ablations. Each row gets exactly
     * one of `train`/`val`/`test` as a pure function of (seed, key):

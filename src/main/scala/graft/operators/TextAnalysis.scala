@@ -287,4 +287,159 @@ object TextAnalysis {
           size(TextDedup.shingleExpr("_norm", n)).cast("double") /
             col("_total").cast("double"), 4))
       .drop("_norm", "_total")
+
+  /** Corpus-frequency boilerplate scrub (the ACROSS-document sibling
+    * of [[repetitionRatio]]'s within-document signal — C4, Raffel et
+    * al. 2020, arXiv:1910.10683 §2.2 dedups three-sentence spans
+    * across the corpus; RefinedWeb, Penedo et al. 2023,
+    * arXiv:2306.01116 scrubs recurring lines): a segment of
+    * normalized text that recurs in ≥ `minDocs` DISTINCT documents is
+    * boilerplate (headers, navigation, license blurbs) and is removed
+    * IN PLACE; the rest of each document is reassembled in order.
+    * With no natural line breaks in the corpus, a "segment" is a
+    * non-overlapping `segTokens`-token window (position-aligned, so a
+    * shared prefix segments identically in every doc).
+    *
+    * Scale shape: segmentation is a scan-side array projection; the
+    * boilerplate dictionary is one (segment-key) distinct-doc count;
+    * the scrub is a shuffled-hash ANTI-join of the exploded segment
+    * stream against the dictionary (NOT broadcast — a template-heavy
+    * crawl can have a huge dictionary) plus one per-doc reassembly
+    * aggregate. Order is recovered by `array_sort` over (pos, seg)
+    * structs — never from collect_list's arrival order. Documents
+    * that are PURE boilerplate drop out of the result entirely.
+    */
+  def boilerplateScrub(df: DataFrame, idCol: String, textCol: String,
+                       segTokens: Int = 8, minDocs: Int = 10): DataFrame = {
+    require(segTokens >= 1, s"segTokens must be >= 1, got $segTokens")
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val toks = split(normalizeText(col(textCol)), " ")
+    val nseg = ceil(size(col("_toks")).cast("double") / segTokens).cast("int")
+    // staged once PRE-explode: both consumers below (dictionary count
+    // + anti-join stream) re-derive from the segment arrays — uncached,
+    // the 3-regex normalization and segmentation would run twice over
+    // the corpus. Caching before the explode keeps the cached footprint
+    // at one array row per doc (the exploded stream is ~segTokens×
+    // larger); the explode itself is cheap. Serialized storage for
+    // truthful size stats (see the X19 broadcast-trap post-mortem).
+    val segged = df
+      .select(col(idCol), col(textCol))
+      .withColumn("_toks", toks)
+      .withColumn("_segs",
+        transform(sequence(lit(0), greatest(nseg - 1, lit(0))),
+          i => array_join(slice(col("_toks"), i * segTokens + 1, lit(segTokens)), " ")))
+      .select(col(idCol), col("_segs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val ex = segged
+      .withColumn("_nseg", size(col("_segs")).cast("long"))
+      .select(col(idCol), col("_nseg"),
+        posexplode(col("_segs")).as(Seq("_pos", "_seg")))
+    val dict = ex.filter(col("_seg") =!= "")
+      .groupBy("_seg").agg(countDistinct(col(idCol)).as("_docs"))
+      .filter(col("_docs") >= minDocs)
+      .select("_seg")
+    ex.join(dict.hint("shuffle_hash"), Seq("_seg"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("_pos"), col("_seg")))),
+            p => p.getField("_seg")),
+          " ").as("clean_text"),
+        (first(col("_nseg")) - count(lit(1))).cast("long").as("n_removed"))
+  }
+
+  /** DSIR-style importance scoring (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling",
+    * arXiv:2302.03169): score every document by the log-likelihood
+    * ratio of a TARGET unigram LM over the RAW-corpus unigram LM —
+    * positive means "more target-like than the average raw document".
+    * Deterministic engine variant: Laplace-smoothed LMs over the
+    * shared raw vocabulary (V = |raw vocab| in both denominators, so
+    * target-absent tokens get a finite penalty), per-token 9 dp-
+    * rounded logs, per-doc decimal-summed mean rounded to 6 dp, and
+    * `keep = score ≥ threshold` — the deterministic top-of-
+    * distribution cut standing in for the paper's Gumbel resampling
+    * (RNG-dependent by design, so not engine-reproducible).
+    *
+    * Scale shape mirrors [[withUnigramLogProb]]: one vocab-bounded
+    * aggregate builds BOTH LMs in one pass (the target counts are a
+    * conditional sum, not a second scan), totals enter as a broadcast
+    * 1-row frame, the vocab-bounded log-ratio table broadcasts back
+    * onto the token stream, one per-doc aggregate. The corpus is
+    * never shuffled at full text width.
+    */
+  def dsirScores(df: DataFrame, idCol: String, textCol: String,
+                 isTarget: Column, threshold: Double): DataFrame = {
+    val toks = df
+      .select(col(idCol), isTarget.as("_is_target"),
+        explode(wordTokens(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+    val vocab = toks.groupBy("token").agg(
+      count(lit(1)).as("tf_raw"),
+      sum(when(col("_is_target"), 1L).otherwise(0L)).as("tf_target"))
+    val totals = vocab.agg(
+      sum(col("tf_raw")).as("total_raw"),
+      sum(col("tf_target")).as("total_target"),
+      count(lit(1)).as("v"))
+    val lm = vocab.crossJoin(broadcast(totals))
+      .select(col("token"),
+        (round(log((col("tf_target") + 1).cast("double") /
+          (col("total_target") + col("v")).cast("double")), 9) -
+          round(log((col("tf_raw") + 1).cast("double") /
+            (col("total_raw") + col("v")).cast("double")), 9)).as("logratio"))
+    toks.join(broadcast(lm), Seq("token"))
+      .groupBy(col(idCol))
+      .agg(
+        round(sum(col("logratio").cast("decimal(30,9)")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("dsir_score"),
+        count(lit(1)).as("n_tokens"))
+      .withColumn("keep", col("dsir_score") >= threshold)
+  }
+
+  /** Gopher document-quality rules (Rae et al. 2021, arXiv:2112.11446,
+    * Appendix A1.1) — the published hand-tuned filter set, each rule
+    * its own boolean column plus the conjunction, so downstream gates
+    * can route on individual failures:
+    *  - word count in [minWords, maxWords]            (50..100k)
+    *  - mean word length in [3, 10] characters
+    *  - symbol-to-word ratio ≤ 0.1 ('#' or '...')
+    *  - ≥ 80% of words contain an alphabetic character
+    *  - ≥ 2 hits of the English stop set (the paper's
+    *    "contains 2 of 8 required words" proxy)
+    * Pure scan-side projection — regexp counts and one array filter
+    * per row, shuffle-free at any corpus size; ratios are rounded to
+    * 4 dp BEFORE comparison so rule outcomes are engine-exact.
+    */
+  def gopherRules(df: DataFrame, textCol: String,
+                  minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    val t = col(textCol)
+    val words = split(trim(t), "\\s+")
+    val wc = wsTokenCount(t)
+    val meanWordLen = round(
+      length(regexp_replace(trim(t), "\\s+", "")).cast("double") /
+        greatest(wc, lit(1)).cast("double"), 4)
+    val symbolRatio = round(
+      (regexp_count(t, lit("#")) + regexp_count(t, lit("\\.\\.\\."))).cast("double") /
+        greatest(wc, lit(1)).cast("double"), 4)
+    val alphaRatio = round(
+      size(filter(words, w => regexp_count(w, lit("[A-Za-z]")) > 0)).cast("double") /
+        greatest(wc, lit(1)).cast("double"), 4)
+    val stopHits = regexp_count(lower(t), lit(StopwordPatterns.toMap.apply("en")))
+    df.withColumn("word_count", wc)
+      .withColumn("mean_word_len", meanWordLen)
+      .withColumn("symbol_ratio", symbolRatio)
+      .withColumn("alpha_word_ratio", alphaRatio)
+      .withColumn("stopword_hits", stopHits)
+      .withColumn("rule_word_count",
+        wc.between(minWords, maxWords))
+      .withColumn("rule_mean_word_len",
+        meanWordLen.between(3.0, 10.0))
+      .withColumn("rule_symbol_ratio", symbolRatio <= 0.1)
+      .withColumn("rule_alpha_words", alphaRatio >= 0.8)
+      .withColumn("rule_stopwords", stopHits >= 2)
+      .withColumn("gopher_pass",
+        col("rule_word_count") && col("rule_mean_word_len") &&
+          col("rule_symbol_ratio") && col("rule_alpha_words") &&
+          col("rule_stopwords"))
+  }
 }

@@ -438,6 +438,51 @@ object TextDedup {
       .select("id_1", "id_2", "jaccard")
   }
 
+  /** Exact n-gram CONTAINMENT pairs: C(A,B) = |A∩B| / min(|A|,|B|)
+    * ≥ t — the near-SUBSET detector (Broder 1997 separates
+    * resemblance from containment). Jaccard structurally misses
+    * doc-in-doc duplication: |A| ≪ |B| bounds J at |A|/|B| no matter
+    * how completely A is quoted inside B, which is exactly the
+    * excerpt-page / quoted-post / boilerplate-wrapper case a crawl
+    * corpus is full of. Same blocked shuffle-hash shape as
+    * [[ngramJaccardPairs]] minus its length-ratio prefilter —
+    * containment deliberately has no length bound (that asymmetry is
+    * the signal), so the block-size guard is the only quadratic
+    * control and corpus-scale routing belongs to the banded/minhash
+    * family. The intersection count is the codegen'd two-pointer
+    * `overlap_sorted`, normalized by the smaller set.
+    */
+  def ngramContainmentPairs(df: DataFrame, idCol: String, textCol: String,
+                            blockCol: String, threshold: Double,
+                            shingleSize: Int = 5,
+                            maxBlockSize: Int = DefaultMaxBucketSize,
+                            saltFactor: Int = 8): DataFrame = {
+    graft.plans.GraftExtensions.register(df.sparkSession) // idempotent
+    val wBlock = Window.partitionBy(blockCol)
+    val prepared = df
+      .filter(col(textCol).isNotNull)
+      .withColumn("_norm", normalizeText(col(textCol)))
+      .withColumn("_sh", expr(s"packed_shingles(_norm, $shingleSize)"))
+      .select(col(idCol), col(blockCol), col("_sh"))
+      .repartition(col(blockCol))
+      .withColumn("_block_size", count(lit(1)).over(wBlock))
+      .filter(col("_block_size") <= maxBlockSize)
+      .drop("_block_size")
+    val a = prepared.select(col(blockCol), col(idCol).as("id_1"), col("_sh").as("sh_1"))
+      .withColumn("_cell", pmod(xxhash64(col("id_1")), lit(saltFactor)))
+      .hint("shuffle_hash")
+    val b = prepared.select(col(blockCol), col(idCol).as("id_2"), col("_sh").as("sh_2"))
+      .withColumn("_cell", explode(sequence(lit(0L), lit(saltFactor - 1L))))
+      .hint("shuffle_hash")
+    a.join(b, Seq(blockCol, "_cell"))
+      .filter(col("id_1") < col("id_2"))
+      .withColumn("containment",
+        expr("overlap_sorted(sh_1, sh_2)").cast("double") /
+          least(size(col("sh_1")), size(col("sh_2"))).cast("double"))
+      .filter(col("containment") >= threshold)
+      .select("id_1", "id_2", "containment")
+  }
+
   /** Exact n-gram Jaccard join via PREFIX FILTERING (PPJoin-style) —
     * the 100 TB form of [[ngramJaccardPairs]]. The block-cartesian
     * version is quadratic within a block, so it needs the

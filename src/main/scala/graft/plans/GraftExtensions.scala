@@ -28,6 +28,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[JaccardSorted].getName, "jaccard_sorted"),
       (children: Seq[Expression]) => JaccardSorted(children(0), children(1))))
     ext.injectFunction((
+      new FunctionIdentifier("overlap_sorted"),
+      new ExpressionInfo(classOf[OverlapSorted].getName, "overlap_sorted"),
+      (children: Seq[Expression]) => OverlapSorted(children(0), children(1))))
+    ext.injectFunction((
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
       (children: Seq[Expression]) => VecDot(children(0), children(1))))
@@ -126,6 +130,7 @@ object GraftExtensions {
     add("minhash_sigs", buildMinHashSigs)
     add("packed_shingles", buildPackedShingles)
     add("jaccard_sorted", children => JaccardSorted(children(0), children(1)))
+    add("overlap_sorted", children => OverlapSorted(children(0), children(1)))
     add("vec_dot", children => VecDot(children(0), children(1)))
     add("no_inline", children => NoInline(children.head))
     add("bloom_agg", buildBloomAgg)

@@ -113,6 +113,63 @@ case class JaccardSorted(left: Expression, right: Expression)
   override def prettyName: String = "jaccard_sorted"
 }
 
+/** Two-pointer intersection COUNT over two sorted distinct long
+  * arrays — the shared primitive under both resemblance (Jaccard, see
+  * [[JaccardSorted]]) and containment C(A,B) = |A∩B| / min(|A|,|B|)
+  * (Broder 1997 distinguishes the two). Exposed separately so the
+  * containment join can normalize by the smaller set without paying a
+  * second merge walk or a per-pair hash set.
+  */
+case class OverlapSorted(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"overlap_sorted requires two ARRAY<BIGINT>, got " +
+        s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    OverlapSorted.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.plans.OverlapSorted.compute($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): OverlapSorted =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "overlap_sorted"
+}
+
+object OverlapSorted {
+  /** Two-pointer intersection count over sorted distinct long arrays. */
+  def compute(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var inter = 0L
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    inter
+  }
+}
+
 object JaccardSorted {
   /** Two-pointer intersection count over sorted distinct long arrays. */
   def compute(a: ArrayData, b: ArrayData): Double = {

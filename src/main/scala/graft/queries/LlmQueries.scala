@@ -271,6 +271,46 @@ object LlmQueries {
         |FROM toks JOIN lm USING (token)
         |GROUP BY doc_id""".stripMargin),
 
+    // ───── DSIR importance selection (arXiv:2302.03169): target =
+    // English docs, raw = the whole corpus; per-doc mean log-ratio of
+    // the Laplace-smoothed target LM over the raw LM, keep ≥ 0. The
+    // oracle re-derives both LMs and every rounding step.
+    "corpus_dsir_select" -> QueryDef.sql(
+      (s, dir) =>
+        TextAnalysis.dsirScores(docs(s, dir), "doc_id", "text",
+          isTarget = col("lang") === "en", threshold = 0.0),
+      """WITH toks AS (
+        |  SELECT doc_id, is_t, token FROM (
+        |    SELECT doc_id, lang = 'en' AS is_t,
+        |           unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+        |    FROM documents)
+        |  WHERE token <> ''),
+        |vocab AS (
+        |  SELECT token, COUNT(*) AS tf_raw,
+        |         SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS tf_target
+        |  FROM toks GROUP BY token),
+        |tot AS (
+        |  SELECT SUM(tf_raw) AS total_raw, SUM(tf_target) AS total_target,
+        |         COUNT(*) AS v
+        |  FROM vocab),
+        |lm AS (
+        |  SELECT token,
+        |         ROUND(LN(CAST(tf_target + 1 AS DOUBLE)
+        |                  / CAST(total_target + v AS DOUBLE)), 9)
+        |       - ROUND(LN(CAST(tf_raw + 1 AS DOUBLE)
+        |                  / CAST(total_raw + v AS DOUBLE)), 9) AS logratio
+        |  FROM vocab, tot),
+        |scored AS (
+        |  SELECT doc_id,
+        |         ROUND(CAST(SUM(CAST(logratio AS DECIMAL(30,9))) AS DOUBLE)
+        |               / CAST(COUNT(*) AS DOUBLE), 6) AS dsir_score,
+        |         COUNT(*) AS n_tokens
+        |  FROM toks JOIN lm USING (token)
+        |  GROUP BY doc_id)
+        |SELECT doc_id, dsir_score, n_tokens,
+        |       dsir_score >= 0.0 AS keep
+        |FROM scored""".stripMargin),
+
     // ───── token-window chunking with overlap (context-window
     // packing): shuffle-free per-row array windowing.
     "ta_chunks" -> QueryDef.sql(
@@ -678,6 +718,116 @@ object LlmQueries {
         |WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 100
         |      < r.pct""".stripMargin),
 
+    // ───── temperature-scaled mixture (arXiv:1901.07291 §3.1): the
+    // strata weights are DERIVED from the corpus distribution
+    // (q ∝ n^(1/τ), τ=2 up-samples low-resource langs) instead of
+    // hand-set shares as in corpus_mixture. Rates stay in-plan; the
+    // oracle re-derives pow/decimal-sum/floor bit-for-bit.
+    "corpus_mixture_temperature" -> QueryDef.sql(
+      (s, dir) =>
+        Sampling.temperatureSampledMixture(docs(s, dir), "doc_id", "lang",
+          tau = 2.0, budgetDocs = 300)
+          .select("doc_id", "lang"),
+      """WITH cnt AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+        |q AS (SELECT lang, n,
+        |             round(pow(CAST(n AS DOUBLE), 0.5), 6) AS q
+        |      FROM cnt),
+        |tot AS (SELECT CAST(SUM(CAST(q AS DECIMAL(38,12))) AS DOUBLE) AS qsum FROM q),
+        |rates AS (
+        |  SELECT lang,
+        |         least(100, CAST(floor(round(100.0 * 300 * q
+        |                  / (qsum * CAST(n AS DOUBLE)), 6)) AS BIGINT)) AS pct
+        |  FROM q, tot)
+        |SELECT d.doc_id, d.lang
+        |FROM documents d JOIN rates r USING (lang)
+        |WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 100
+        |      < r.pct""".stripMargin),
+
+    // ───── corpus-frequency boilerplate scrub (C4 §2.2 / RefinedWeb):
+    // segments recurring in ≥30 distinct docs are removed in place.
+    // Corpus = documents ∪ (+10000) copies with a fixed 8-token
+    // boilerplate prefix — the prefix segment recurs in every copy
+    // (≥30 docs → scrubbed) while position-alignment means each
+    // copy's remaining segments equal its original's (2 docs → kept):
+    // every copy's clean_text must equal its original's normalized
+    // text, and the oracle checks exactly that reassembly.
+    "ta_boilerplate_scrub" -> QueryDef.sql(
+      (s, dir) => {
+        val d = docs(s, dir).select("doc_id", "text")
+        val corpus = d.unionByName(d.select(
+          (col("doc_id") + 10000).as("doc_id"),
+          concat(lit("Subscribe to our newsletter for daily updates now "),
+            col("text")).as("text")))
+        TextAnalysis.boilerplateScrub(corpus, "doc_id", "text",
+          segTokens = 8, minDocs = 30)
+      },
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 10000,
+         |         'Subscribe to our newsletter for daily updates now ' || text
+         |  FROM documents),
+         |n AS (SELECT doc_id, ${normSql("text")} AS t FROM corpus),
+         |tk AS (SELECT doc_id, string_split(t, ' ') AS toks FROM n),
+         |sg AS (SELECT doc_id,
+         |  [array_to_string(toks[(i*8+1):(i*8+8)], ' ')
+         |   for i in generate_series(0,
+         |     greatest(CAST(ceil(len(toks) / 8.0) AS INTEGER) - 1, 0))] AS segs
+         |  FROM tk),
+         |ex AS (
+         |  SELECT doc_id, len(segs) AS nseg,
+         |         unnest([{'pos': i, 'seg': segs[i]}
+         |                 for i in generate_series(1, len(segs))],
+         |                recursive := true)
+         |  FROM sg),
+         |dict AS (
+         |  SELECT seg FROM ex WHERE seg <> ''
+         |  GROUP BY seg HAVING count(DISTINCT doc_id) >= 30),
+         |kept AS (SELECT ex.* FROM ex ANTI JOIN dict USING (seg))
+         |SELECT doc_id,
+         |       array_to_string(list(seg ORDER BY pos), ' ') AS clean_text,
+         |       CAST(any_value(nseg) - count(*) AS BIGINT) AS n_removed
+         |FROM kept GROUP BY doc_id""".stripMargin),
+
+    // ───── Gopher quality rules (arXiv:2112.11446 A1.1): the
+    // published doc-level filter set, one boolean column per rule +
+    // the conjunction; minWords=30 so both outcomes appear in the
+    // synthetic corpus (word counts 10..99).
+    "ta_gopher_rules" -> QueryDef.sql(
+      (s, dir) =>
+        TextAnalysis.gopherRules(docs(s, dir).select("doc_id", "text"),
+          "text", minWords = 30)
+          .drop("text"),
+      """WITH base AS (
+        |  SELECT doc_id, text,
+        |    string_split_regex(trim(text), '\s+') AS words,
+        |    len(string_split_regex(trim(text), '\s+')) AS wc
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, wc AS word_count,
+        |    round(CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE)
+        |          / greatest(wc, 1), 4) AS mean_word_len,
+        |    round(CAST(len(regexp_extract_all(text, '#'))
+        |             + len(regexp_extract_all(text, '\.\.\.')) AS DOUBLE)
+        |          / greatest(wc, 1), 4) AS symbol_ratio,
+        |    round(CAST(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+        |          / greatest(wc, 1), 4) AS alpha_word_ratio,
+        |    len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|for)\b')) AS stopword_hits
+        |  FROM base)
+        |SELECT doc_id, word_count, mean_word_len, symbol_ratio,
+        |       alpha_word_ratio, stopword_hits,
+        |       word_count BETWEEN 30 AND 100000 AS rule_word_count,
+        |       mean_word_len BETWEEN 3.0 AND 10.0 AS rule_mean_word_len,
+        |       symbol_ratio <= 0.1 AS rule_symbol_ratio,
+        |       alpha_word_ratio >= 0.8 AS rule_alpha_words,
+        |       stopword_hits >= 2 AS rule_stopwords,
+        |       (word_count BETWEEN 30 AND 100000)
+        |         AND (mean_word_len BETWEEN 3.0 AND 10.0)
+        |         AND (symbol_ratio <= 0.1)
+        |         AND (alpha_word_ratio >= 0.8)
+        |         AND (stopword_hits >= 2) AS gopher_pass
+        |FROM m""".stripMargin),
+
     // ───── seeded deterministic global shuffle (training-order
     // randomization): contiguous 1-based positions in md5(seed‖id)
     // order, computed WITHOUT a global sort — hex-prefix buckets give
@@ -1010,6 +1160,25 @@ object LlmQueries {
          |FROM shl a JOIN shl b ON a.lang = b.lang AND a.doc_id < b.doc_id
          |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
          |    / CAST(len(list_distinct(list_cat(a.sh, b.sh))) AS DOUBLE) >= 0.5""".stripMargin),
+
+    // ───── exact n-gram CONTAINMENT pairs (Broder 1997's second
+    // metric): |A∩B| / min(|A|,|B|) — the near-subset detector for
+    // doc-in-doc duplication that Jaccard's union denominator caps at
+    // |A|/|B|. The "+ ' copy'" variants are near-supersets of their
+    // originals, so they pair at t=0.9 where dd_ngram_jaccard needs
+    // t=0.5 for the same corpus.
+    "dd_ngram_containment" -> QueryDef.sql(
+      (s, dir) =>
+        TextDedup.ngramContainmentPairs(nearDupCorpus(s, dir), "doc_id",
+          "text", "lang", threshold = 0.9),
+      s"""WITH $nearDupCorpusSql,
+         |$shinglesSql
+         |SELECT a.doc_id AS id_1, b.doc_id AS id_2,
+         |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |    / CAST(least(len(a.sh), len(b.sh)) AS DOUBLE) AS containment
+         |FROM shl a JOIN shl b ON a.lang = b.lang AND a.doc_id < b.doc_id
+         |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |    / CAST(least(len(a.sh), len(b.sh)) AS DOUBLE) >= 0.9""".stripMargin),
 
     // ───── PPJoin-style prefix-filtered exact Jaccard join: SAME
     // result set as dd_ngram_jaccard (the oracle SQL is identical),

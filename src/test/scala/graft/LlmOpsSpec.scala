@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Multimodal, Similarity, TextAnalysis, TextDedup}
+import graft.operators.{Multimodal, Sampling, Similarity, TextAnalysis, TextDedup}
 import graft.sources.Tables
 import org.apache.spark.sql.functions._
 
@@ -604,6 +604,120 @@ class LlmOpsSpec extends SparkSpec {
     val none = Similarity.prototypePrune(corpus, "vec_id", "embedding",
       k = 2, iters = 3, prunePct = 0)
     assert(none.filter(!$"keep").count() === 0)
+  }
+
+  test("temperatureSampledMixture: tau=1 is the uniform hash sample; tau>1 up-samples") {
+    val rows = ((0 until 90).map(i => (i.toLong, "big")) ++
+      (100 until 110).map(i => (i.toLong, "small"))).toDF("id", "stratum")
+    // tau=1 → q_i = n_i → pct_i = 100·budget/N for EVERY stratum: the
+    // temperature mixture degenerates to the plain uniform hash sample
+    val t1 = Sampling.temperatureSampledMixture(rows, "id", "stratum", 1.0, 50)
+      .select("id").as[Long].collect().toSet
+    val uniform = Sampling.sampleByHash(rows, "id", 50)
+      .select("id").as[Long].collect().toSet
+    assert(t1 === uniform)
+    // tau=2 → sqrt weighting: the small stratum's pct saturates at 100
+    // (every row kept) while the big stratum is subsampled
+    val t2 = Sampling.temperatureSampledMixture(rows, "id", "stratum", 2.0, 50)
+    val byStratum = t2.groupBy("stratum").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byStratum("small") === 10L) // saturated
+    assert(byStratum("big") < 90L && byStratum("big") > 0L)
+    // partitioning-invariant (rates are a pure function of counts)
+    val again = Sampling.temperatureSampledMixture(
+      rows.repartition(7), "id", "stratum", 2.0, 50)
+      .select("id").as[Long].collect().toSet
+    assert(again === t2.select("id").as[Long].collect().toSet)
+  }
+
+  test("boilerplateScrub removes frequent segments in place; pure boilerplate drops out") {
+    val d = Seq(
+      (1L, "Alpha beta gamma"),
+      (2L, "beta delta"),
+      (3L, "Beta")).toDF("doc_id", "text")
+    val out = TextAnalysis.boilerplateScrub(d, "doc_id", "text",
+      segTokens = 1, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    // "beta" recurs in 3 distinct docs (case-folded) → scrubbed; order
+    // of the survivors is preserved
+    assert(out(1L) === ("alpha gamma", 1L))
+    assert(out(2L) === ("delta", 1L))
+    // doc 3 is pure boilerplate → no row at all
+    assert(!out.contains(3L))
+    // below the doc threshold nothing is removed
+    val none = TextAnalysis.boilerplateScrub(d, "doc_id", "text",
+      segTokens = 1, minDocs = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(none.values.forall(_ === 0L) && none.size === 3)
+  }
+
+  test("gopherRules: each published rule trips on its own violation") {
+    val d = Seq(
+      (1L, "the cat and dog is here today for fun now"), // passes all
+      (2L, "too short"),                                 // word count
+      (3L, "a b c d e f g h i j"),                       // mean word len < 3
+      (4L, "the cat ### and ### dog ### is ### the ### end ### now ### ok"), // symbols
+      (5L, "1 2 3 4 5 6 7 8 9 10 11 12 the is"),         // alpha ratio
+      (6L, "cat dog bird fish wolf bear lion tiger den")) // no stopwords
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRules(d, "text", minWords = 5).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Boolean]("gopher_pass"))
+    assert(!out(2L).getAs[Boolean]("rule_word_count"))
+    assert(!out(3L).getAs[Boolean]("rule_mean_word_len"))
+    assert(!out(4L).getAs[Boolean]("rule_symbol_ratio"))
+    assert(!out(5L).getAs[Boolean]("rule_alpha_words"))
+    assert(!out(6L).getAs[Boolean]("rule_stopwords"))
+    // the failing docs fail ONLY their targeted rule's conjunction
+    assert((2L to 6L).forall(i => !out(i).getAs[Boolean]("gopher_pass")))
+  }
+
+  test("ngramContainmentPairs finds doc-in-doc pairs that Jaccard structurally misses") {
+    val small = "the quick brown fox jumps over the lazy dog tonight"
+    val big = small + " " + Seq.tabulate(40)(i => s"filler$i word$i more$i").mkString(" ")
+    val d = Seq(
+      (1L, small, "en"),
+      (2L, big, "en"),                       // contains doc 1 verbatim
+      (3L, "completely different content about spark plans", "en"))
+      .toDF("doc_id", "text", "lang")
+    val cont = TextDedup.ngramContainmentPairs(d, "doc_id", "text", "lang",
+      threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cont === Set((1L, 2L)))
+    // Jaccard at the same corpus: |small| / |big| caps J well below 0.9
+    val jac = TextDedup.ngramJaccardPairs(d, "doc_id", "text", "lang",
+      threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(jac.isEmpty)
+    // identical docs reach containment 1.0 exactly
+    val twin = Seq((1L, small, "en"), (2L, small, "en"))
+      .toDF("doc_id", "text", "lang")
+    val t = TextDedup.ngramContainmentPairs(twin, "doc_id", "text", "lang", 0.99)
+      .collect()
+    assert(t.length === 1 && t.head.getDouble(2) === 1.0)
+  }
+
+  test("dsirScores separates target-like from raw-typical documents") {
+    // target docs share a distinctive vocabulary; the off-target docs
+    // use a disjoint one; mixed docs sit in between
+    val target = (0 until 20).map(i => (i.toLong, "alpha beta gamma delta", "tgt"))
+    val other = (100 until 120).map(i => (i.toLong, "omega sigma rho tau", "raw"))
+    val d = (target ++ other).toDF("doc_id", "text", "kind")
+    val res = TextAnalysis.dsirScores(d, "doc_id", "text",
+      isTarget = $"kind" === "tgt", threshold = 0.0)
+    val rows = res.collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(3)))
+    // every target doc scores strictly above every off-target doc, and
+    // the zero threshold separates them exactly
+    val tgtScores = rows.filter(_._1 < 100).map(_._2)
+    val rawScores = rows.filter(_._1 >= 100).map(_._2)
+    assert(tgtScores.min > rawScores.max)
+    assert(rows.filter(_._1 < 100).forall(_._3))
+    assert(rows.filter(_._1 >= 100).forall(!_._3))
+    // partitioning-invariant: decimal sums + rounded logs
+    val again = TextAnalysis.dsirScores(d.repartition(7), "doc_id", "text",
+      $"kind" === "tgt", 0.0)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(again === rows.map(r => (r._1, r._2)).toSet)
   }
 
   test("multimodal plumbing: features are deterministic and partition-invariant") {

@@ -16,7 +16,11 @@ class PlanAuditSpec extends SparkSpec {
     "ann_topk" -> "deliberately-exact brute-force ANN baseline; queries broadcast",
     "ann_int8_topk" -> "same exhaustive scoring shape over int8 codes; queries broadcast",
     "ta_unigram_logprob" -> "1-row total-token frame broadcast into the LM build",
-    "ta_tfidf_search" -> "1-row corpus-size frame broadcast into the IDF build")
+    "ta_tfidf_search" -> "1-row corpus-size frame broadcast into the IDF build",
+    "corpus_mixture_temperature" ->
+      "1-row decimal weight-sum frame broadcast into the strata rate table",
+    "corpus_dsir_select" ->
+      "1-row LM-totals frame broadcast into the vocab-bounded log-ratio table")
 
   test("no registered query hides an unlisted cartesian or nested-loop join") {
     GraftExtensions.register(spark)

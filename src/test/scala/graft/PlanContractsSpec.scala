@@ -281,6 +281,43 @@ class PlanContractsSpec extends SparkSpec {
     assert(shuffles.size === 1, p)
   }
 
+  test("corpus_mixture_temperature: rate table broadcasts back, corpus filter is scan-side") {
+    val p = plan("corpus_mixture_temperature")
+    // the derived rates join onto the corpus as a broadcast — the
+    // corpus itself is never hash-partitioned for the sampling filter
+    assert(countLines(p, "BroadcastHashJoin") >= 1, p)
+    assert(countLines(p, "SortMergeJoin") === 0, p)
+    assert(countLines(p, "CartesianProduct") === 0, p)
+  }
+
+  test("ta_boilerplate_scrub: dictionary anti-join is shuffled-hash, not broadcast") {
+    val p = plan("ta_boilerplate_scrub")
+    // a template-heavy crawl can have a huge boilerplate dictionary:
+    // the scrub must not depend on broadcasting it
+    assert(p.contains("LeftAnti"), p)
+    assert(countLines(p, "ShuffledHashJoin") >= 1, p)
+    assert(countLines(p, "BroadcastHashJoin") === 0, p)
+    assert(countLines(p, "SortMergeJoin") === 0, p)
+  }
+
+  test("ta_gopher_rules: pure scan-side projection — zero exchanges") {
+    val p = plan("ta_gopher_rules")
+    assert(countLines(p, "Exchange") === 0, p)
+    assert(countLines(p, "Join") === 0, p)
+  }
+
+  test("corpus_dsir_select: both LMs in one pass, log-ratio table broadcasts back") {
+    val p = plan("corpus_dsir_select")
+    // the token stream joins the vocab-bounded log-ratio table as a
+    // broadcast — the corpus text is never shuffled at full width
+    assert(countLines(p, "BroadcastHashJoin") >= 1, p)
+    assert(countLines(p, "SortMergeJoin") === 0, p)
+    // one combined vocab aggregate builds BOTH LMs: exactly one
+    // token-keyed aggregate exchange feeds the lm subtree (raw+target
+    // counts are one conditional-sum pass, not two scans)
+    assert(countLines(p, "partial_count") >= 1, p)
+  }
+
   test("lshStarPairs: star edges from one bucket window — no join anywhere") {
     import org.apache.spark.sql.functions.col
     val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
