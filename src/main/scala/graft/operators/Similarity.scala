@@ -446,6 +446,40 @@ object Similarity {
       .select(col("vec_id"), col("cell_id"), col("_dup").isNull.as("keep"))
   }
 
+  /** Scale path of [[semDedup]]: pairs are compared only within
+    * (cell, LSH-bucket) — the random-hyperplane sub-blocking cuts the
+    * within-cell pair space ~2^numPlanes× when the corpus outgrows a
+    * fixed codebook (the 30× sweep measured the plain form at ratio
+    * 2.06 with k pinned by its oracle). Identical vectors share every
+    * bucket, so EXACT duplicates are never lost; near-dups below
+    * cos=1 can split across buckets — the standard LSH recall trade,
+    * tuned down by numPlanes. Same lowest-id-wins rule, same output
+    * shape. Keep [[semDedup]] as the exact-within-cell parity form;
+    * route corpus scale here (the dd_minhash_pairs ↔ dd_ngram_* split,
+    * in embedding space).
+    */
+  def semDedupBucketed(df: DataFrame, idCol: String, vecCol: String,
+                       dim: Int, k: Int, iters: Int, threshold: Double,
+                       numPlanes: Int = 4, samplePct: Int = 100): DataFrame = {
+    ensureRegistered(df)
+    val n = graft.functions.Functions.numShufflePartitions(df.sparkSession)
+    val cells = corpusCells(df, idCol, vecCol, k, iters, samplePct)
+      .withColumn("_bucket", lshBucket(col("_v"), dim, numPlanes))
+    val byCell = cells.repartition(n, col("cell_id"), col("_bucket"))
+    val a = byCell.select(col("cell_id"), col("_bucket"), col("vec_id").as("id_1"),
+      col("_v").as("v_1"), col("_norm").as("n_1")).hint("shuffle_hash")
+    val b = byCell.select(col("cell_id"), col("_bucket"), col("vec_id").as("id_2"),
+      col("_v").as("v_2"), col("_norm").as("n_2")).hint("shuffle_hash")
+    val pruned = a.join(b, Seq("cell_id", "_bucket"))
+      .filter(col("id_1") < col("id_2"))
+      .filter(round(dot(col("v_1"), col("v_2")) / (col("n_1") * col("n_2")), 6)
+        >= threshold)
+      .select(col("id_2").as("vec_id")).distinct()
+    cells.select("vec_id", "cell_id")
+      .join(pruned.withColumn("_dup", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell_id"), col("_dup").isNull.as("keep"))
+  }
+
   /** Prototype pruning (Sorscher et al. 2022, "Beyond neural scaling
     * laws: beating power law scaling via data pruning",
     * arXiv:2206.14486): within each k-means cell rank vectors by

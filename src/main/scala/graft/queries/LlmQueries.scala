@@ -869,6 +869,104 @@ object LlmQueries {
     // COMPOSITION (filter ordering, dedup key on the filtered set,
     // aggregate determinism) end to end. One scan, one dedup shuffle,
     // one agg shuffle — no operator adds a pass.
+    // ───── composed curation pipeline over THIS round's operators:
+    // Gopher rule gate → DSIR importance selection → temperature
+    // mixture → per-lang summary, all one plan. Each stage is
+    // individually oracle-proven (ta_gopher_rules, corpus_dsir_select,
+    // corpus_mixture_temperature); this gates their COMPOSITION — the
+    // DSIR LMs are built over the GATED corpus and the mixture rates
+    // over the DSIR survivors, so any stage disagreement shifts every
+    // downstream number. Scale shape: scan-side gate, vocab-bounded
+    // LM aggs, one doc-keyed join of scores back to strata, strata-
+    // bounded rate agg — nothing quadratic, nothing global.
+    "llm_curation_pipeline" -> QueryDef.sql(
+      (s, dir) => {
+        val gk = TextAnalysis.gopherRules(
+          docs(s, dir).select("doc_id", "lang", "text"), "text", minWords = 30)
+          .filter(col("gopher_pass"))
+          .select("doc_id", "lang", "text")
+        val dk = TextAnalysis.dsirScores(gk, "doc_id", "text",
+          isTarget = col("lang") === "en", threshold = 0.0)
+          .filter(col("keep"))
+          .join(gk.select("doc_id", "lang"), Seq("doc_id"))
+        Sampling.temperatureSampledMixture(dk, "doc_id", "lang",
+          tau = 2.0, budgetDocs = 200)
+          .groupBy("lang")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).cast("long").as("total_tokens"),
+            round(sum(col("dsir_score").cast("decimal(30,6)")).cast("double") /
+              count(lit(1)).cast("double"), 6).as("avg_dsir"))
+      },
+      """WITH m AS (
+        |  SELECT doc_id, lang, text,
+        |    len(string_split_regex(trim(text), '\s+')) AS wc,
+        |    round(CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE)
+        |          / greatest(len(string_split_regex(trim(text), '\s+')), 1), 4) AS mwl,
+        |    round(CAST(len(regexp_extract_all(text, '#'))
+        |             + len(regexp_extract_all(text, '\.\.\.')) AS DOUBLE)
+        |          / greatest(len(string_split_regex(trim(text), '\s+')), 1), 4) AS sym,
+        |    round(CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |                               w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+        |          / greatest(len(string_split_regex(trim(text), '\s+')), 1), 4) AS alpha,
+        |    len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|for)\b')) AS stop
+        |  FROM documents),
+        |gk AS (
+        |  SELECT doc_id, lang, text FROM m
+        |  WHERE wc BETWEEN 30 AND 100000 AND mwl BETWEEN 3.0 AND 10.0
+        |    AND sym <= 0.1 AND alpha >= 0.8 AND stop >= 2),
+        |toks AS (
+        |  SELECT doc_id, is_t, token FROM (
+        |    SELECT doc_id, lang = 'en' AS is_t,
+        |           unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+        |    FROM gk)
+        |  WHERE token <> ''),
+        |vocab AS (
+        |  SELECT token, COUNT(*) AS tf_raw,
+        |         SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS tf_target
+        |  FROM toks GROUP BY token),
+        |tot AS (
+        |  SELECT SUM(tf_raw) AS total_raw, SUM(tf_target) AS total_target,
+        |         COUNT(*) AS v
+        |  FROM vocab),
+        |lm AS (
+        |  SELECT token,
+        |         ROUND(LN(CAST(tf_target + 1 AS DOUBLE)
+        |                  / CAST(total_target + v AS DOUBLE)), 9)
+        |       - ROUND(LN(CAST(tf_raw + 1 AS DOUBLE)
+        |                  / CAST(total_raw + v AS DOUBLE)), 9) AS logratio
+        |  FROM vocab, tot),
+        |scored AS (
+        |  SELECT doc_id,
+        |         ROUND(CAST(SUM(CAST(logratio AS DECIMAL(30,9))) AS DOUBLE)
+        |               / CAST(COUNT(*) AS DOUBLE), 6) AS dsir_score,
+        |         COUNT(*) AS n_tokens
+        |  FROM toks JOIN lm USING (token)
+        |  GROUP BY doc_id),
+        |dk AS (
+        |  SELECT s.doc_id, g.lang, s.dsir_score, s.n_tokens
+        |  FROM scored s JOIN gk g USING (doc_id)
+        |  WHERE s.dsir_score >= 0.0),
+        |cnt AS (SELECT lang, count(*) AS n FROM dk GROUP BY 1),
+        |q AS (SELECT lang, n,
+        |             round(pow(CAST(n AS DOUBLE), 0.5), 6) AS q
+        |      FROM cnt),
+        |tot2 AS (SELECT CAST(SUM(CAST(q AS DECIMAL(38,12))) AS DOUBLE) AS qsum FROM q),
+        |rates AS (
+        |  SELECT lang,
+        |         least(100, CAST(floor(round(100.0 * 200 * q
+        |                  / (qsum * CAST(n AS DOUBLE)), 6)) AS BIGINT)) AS pct
+        |  FROM q, tot2),
+        |samp AS (
+        |  SELECT dk.* FROM dk JOIN rates USING (lang)
+        |  WHERE CAST(concat('0x', substr(md5(CAST(dk.doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 100
+        |        < rates.pct)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+        |       round(CAST(SUM(CAST(dsir_score AS DECIMAL(30,6))) AS DOUBLE)
+        |             / CAST(COUNT(*) AS DOUBLE), 6) AS avg_dsir
+        |FROM samp GROUP BY lang""".stripMargin),
+
     "llm_corpus_pipeline" -> QueryDef.sql(
       (s, dir) => {
         val scored = TextAnalysis.withQualityFeatures(docs(s, dir), "text")
@@ -1477,6 +1575,57 @@ object LlmQueries {
          |  SELECT DISTINCT b.vid
          |  FROM cells a
          |  JOIN cells b ON a.centroid_id = b.centroid_id AND a.vid < b.vid
+         |  JOIN vecs va ON va.vid = a.vid
+         |  JOIN vecs vb ON vb.vid = b.vid
+         |  WHERE round(${cosineSql("va.v", "vb.v")}, 6) >= 0.5)
+         |SELECT c.vid AS vec_id, c.centroid_id AS cell_id,
+         |       (d.vid IS NULL) AS keep
+         |FROM cells c LEFT JOIN dup d ON c.vid = d.vid""".stripMargin),
+
+    // ───── the scale path of dd_semdedup: pairs only within
+    // (cell, 4-plane LSH bucket) — exact copies always collide (the
+    // 500 planted twins must all still prune), near-dups may split
+    // (the LSH recall trade). The 30× sweep measured the exact form
+    // at ratio 2.06 with k pinned by its oracle; sub-blocking
+    // restores headroom without growing k.
+    "dd_semdedup_bucketed" -> QueryDef.sql(
+      (s, dir) => {
+        val e = emb(s, dir).select("vec_id", "embedding")
+        val corpus = e.unionByName(
+          e.select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+        Similarity.semDedupBucketed(corpus, "vec_id", "embedding",
+          dim = 64, k = 8, iters = 2, threshold = 0.5, numPlanes = 4)
+      },
+      s"""WITH vecs AS (
+         |  SELECT vec_id AS vid,
+         |         [CAST(x AS DOUBLE) for x in embedding] AS v
+         |  FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 10000,
+         |         [CAST(x AS DOUBLE) for x in embedding]
+         |  FROM embeddings),
+         |${kmeansCellsSql(k = 8, iters = 2, samplePct = 100)},
+         |plane AS (
+         |  SELECT j, i,
+         |    CASE WHEN (CAST(concat('0x', substr(md5(concat(j, '|', i)), 1, 2)) AS INTEGER) & 1) = 0
+         |         THEN 1.0 ELSE -1.0 END AS s
+         |  FROM generate_series(0, 3) t(j), generate_series(0, 63) u(i)),
+         |expl AS (
+         |  SELECT vid, i.i AS i, v[i.i + 1] AS x
+         |  FROM vecs, generate_series(0, 63) i(i)),
+         |dots AS (
+         |  SELECT vid, j, sum(x * s) AS d
+         |  FROM expl JOIN plane USING (i) GROUP BY vid, j),
+         |bkt AS (
+         |  SELECT vid,
+         |    CAST(sum(CASE WHEN d >= 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM dots GROUP BY vid),
+         |dup AS (
+         |  SELECT DISTINCT b.vid
+         |  FROM cells a
+         |  JOIN cells b ON a.centroid_id = b.centroid_id AND a.vid < b.vid
+         |  JOIN bkt ba ON ba.vid = a.vid
+         |  JOIN bkt bb ON bb.vid = b.vid AND ba.bucket = bb.bucket
          |  JOIN vecs va ON va.vid = a.vid
          |  JOIN vecs vb ON vb.vid = b.vid
          |  WHERE round(${cosineSql("va.v", "vb.v")}, 6) >= 0.5)

@@ -576,6 +576,23 @@ class LlmOpsSpec extends SparkSpec {
     assert(again === rows.toSet)
   }
 
+  test("semDedupBucketed: exact copies always prune; prunes only what semDedup prunes") {
+    val c1 = (0 until 10).map(i => (i.toLong, Array(10f + i % 3, 1f, 0f, 0f)))
+    val c2 = (0 until 10).map(i => (100L + i, Array(0f, 1f, 10f + i % 3, 0f)))
+    val twins = c1.map { case (id, v) => (1000L + id, v) }
+    val corpus = (c1 ++ c2 ++ twins).toDF("vec_id", "embedding")
+    def prunedOf(df: org.apache.spark.sql.DataFrame) =
+      df.filter(!$"keep").select("vec_id").as[Long].collect().toSet
+    val exact = prunedOf(Similarity.semDedup(corpus, "vec_id", "embedding",
+      k = 2, iters = 3, threshold = 0.999))
+    val bucketed = prunedOf(Similarity.semDedupBucketed(corpus, "vec_id",
+      "embedding", dim = 4, k = 2, iters = 3, threshold = 0.999))
+    // identical vectors share every LSH bucket: no planted twin escapes
+    assert(twins.map(_._1).toSet.subsetOf(bucketed))
+    // sub-blocking can only LOSE pairs, never invent them
+    assert(bucketed.subsetOf(exact))
+  }
+
   test("prototypePrune drops exactly floor(pct) most-prototypical per cell") {
     val c1 = (0 until 13).map(i => (i.toLong, Array(10f, 1f + i * 0.5f, 0f, 0f)))
     val c2 = (0 until 7).map(i => (100L + i, Array(0f, 1f + i * 0.5f, 10f, 0f)))

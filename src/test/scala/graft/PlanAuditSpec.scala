@@ -20,7 +20,9 @@ class PlanAuditSpec extends SparkSpec {
     "corpus_mixture_temperature" ->
       "1-row decimal weight-sum frame broadcast into the strata rate table",
     "corpus_dsir_select" ->
-      "1-row LM-totals frame broadcast into the vocab-bounded log-ratio table")
+      "1-row LM-totals frame broadcast into the vocab-bounded log-ratio table",
+    "llm_curation_pipeline" ->
+      "composes corpus_dsir_select + corpus_mixture_temperature: both 1-row totals frames broadcast")
 
   test("no registered query hides an unlisted cartesian or nested-loop join") {
     GraftExtensions.register(spark)
