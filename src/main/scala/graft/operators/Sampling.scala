@@ -135,6 +135,38 @@ object Sampling {
       .drop("_stratum", "_pct")
   }
 
+  /** Data-constrained epoch plan (Muennighoff et al. 2023, "Scaling
+    * Data-Constrained Language Models", arXiv:2305.16264): when the
+    * token budget exceeds the unique corpus, REPEAT data — up to ~4
+    * epochs is worth nearly as much as fresh tokens, beyond that
+    * returns decay fast. The planner allocates a uniform epoch count
+    * e = min(maxEpochs, budget/Σ tokens) across strata (uniform
+    * repetition preserves the natural mixture; compose with the
+    * temperature sampler to reshape it first) and reports the
+    * per-stratum plan plus the budget actually used. Engine-exact:
+    * token totals are exact longs, e is floored to 6 dp before the
+    * per-stratum multiply, planned tokens floored to longs.
+    *
+    * Scale shape: one strata-bounded aggregate + a broadcast 1-row
+    * total — a pure planning query, no corpus rewrite.
+    */
+  def epochPlan(df: DataFrame, strataCol: String, tokenCol: Column,
+                budgetTokens: Long, maxEpochs: Double = 4.0): DataFrame = {
+    require(budgetTokens >= 0, s"budgetTokens must be >= 0, got $budgetTokens")
+    require(maxEpochs > 0, s"maxEpochs must be > 0, got $maxEpochs")
+    val perStratum = df.groupBy(col(strataCol).as("stratum"))
+      .agg(sum(tokenCol).cast("long").as("unique_tokens"))
+    val total = perStratum.agg(sum(col("unique_tokens")).as("_total"))
+    perStratum.crossJoin(broadcast(total))
+      .withColumn("epochs",
+        round(least(lit(maxEpochs),
+          lit(budgetTokens.toDouble) / col("_total").cast("double")), 6))
+      .withColumn("planned_tokens",
+        floor(col("unique_tokens").cast("double") * col("epochs")).cast("long"))
+      .select(col("stratum"), col("unique_tokens"), col("epochs"),
+        col("planned_tokens"))
+  }
+
   /** Deterministic train/val/test assignment — the split every
     * training pipeline needs before ablations. Each row gets exactly
     * one of `train`/`val`/`test` as a pure function of (seed, key):

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.functions.Functions.normalizeText
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for LLM training-data pipelines: language
@@ -346,6 +347,51 @@ object TextAnalysis {
             p => p.getField("_seg")),
           " ").as("clean_text"),
         (first(col("_nseg")) - count(lit(1))).cast("long").as("n_removed"))
+  }
+
+  /** CCNet perplexity buckets (Wenzek et al. 2019, arXiv:1911.00359
+    * §4.3): per-language head/middle/tail terciles by language-model
+    * score — CCNet keeps "head" (lowest-perplexity) slices per
+    * language rather than one global cut, because a global cut would
+    * drain low-resource languages. LM here is the per-language
+    * unigram model (the engine's deterministic stand-in for CCNet's
+    * Wikipedia KenLM); higher mean log-prob = lower perplexity =
+    * head. Terciles are rank-exact, not quantile-interpolated:
+    * rn·3 ≤ n → head, rn·3 ≤ 2n → middle, else tail, with the
+    * (score desc, id) tiebreak — engine-exact by construction.
+    *
+    * Scale shape: one (lang, token) vocab aggregate, per-lang totals
+    * joined back vocab-side, the vocab-bounded LM broadcast onto the
+    * token stream, one per-doc aggregate, one per-lang window.
+    */
+  def ccnetBuckets(df: DataFrame, idCol: String, textCol: String,
+                   langCol: String): DataFrame = {
+    val toks = df
+      .select(col(idCol), col(langCol),
+        explode(wordTokens(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+    val vocab = toks.groupBy(col(langCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val totals = vocab.groupBy(col(langCol)).agg(sum(col("tf")).as("total_tf"))
+    val lm = vocab.join(broadcast(totals), Seq(langCol))
+      .select(col(langCol), col("token"),
+        round(log(col("tf").cast("double") / col("total_tf").cast("double")), 9)
+          .as("logp"))
+    val scored = toks.join(broadcast(lm), Seq(langCol, "token"))
+      .groupBy(col(idCol), col(langCol))
+      .agg(round(sum(col("logp").cast("decimal(30,9)")).cast("double") /
+        count(lit(1)).cast("double"), 6).as("mean_logp"))
+    val w = Window.partitionBy(col(langCol))
+      .orderBy(col("mean_logp").desc, col(idCol).asc)
+    val cw = Window.partitionBy(col(langCol))
+    scored
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("_n", count(lit(1)).over(cw))
+      .withColumn("ppl_bucket",
+        when(col("_rn") * 3 <= col("_n"), "head")
+          .when(col("_rn") * 3 <= col("_n") * 2, "middle")
+          .otherwise("tail"))
+      .select(col(idCol), col(langCol), col("mean_logp"), col("ppl_bucket"))
   }
 
   /** DSIR-style importance scoring (Xie et al. 2023, "Data Selection

@@ -838,6 +838,33 @@ object TextDedup {
       .filter(col("n_common") >= minCommon)
   }
 
+  /** Per-document decontamination GATE — the doc-level form of
+    * [[contaminationPairs]] (GPT-3, Brown et al. 2020 arXiv:2005.14165
+    * C: drop training docs sharing long n-grams with any benchmark
+    * doc; the pair listing is the audit view, this is the decision).
+    * Every corpus doc gets its maximum shingle overlap against ANY
+    * eval doc (0 when it collides with none) and
+    * `contaminated = max ≥ minCommon`. Same scale shape as the pair
+    * view: eval set broadcast (benchmarks are small by definition),
+    * corpus never shuffles before the semi-aggregation; the doc-max
+    * is one bounded aggregate over the collision stream plus a
+    * broadcast-joinable flag merge back onto corpus ids.
+    */
+  def decontaminate(corpus: DataFrame, evalSet: DataFrame,
+                    idCol: String, textCol: String,
+                    shingleSize: Int = 8,
+                    minCommon: Int = 20): DataFrame = {
+    val pairs = contaminationPairs(corpus, evalSet, idCol, textCol,
+      shingleSize, minCommon = 1)
+    val perDoc = pairs.groupBy(col("doc_id"))
+      .agg(max(col("n_common")).as("max_common"))
+    corpus.select(col(idCol).as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("max_common"), lit(0L)).as("max_common"))
+      .withColumn("contaminated", col("max_common") >= minCommon)
+  }
+
   /** Blocks rejected by [[ngramJaccardPairs]]'s size cap, with their
     * sizes — the observability companion to [[lshOversizedBuckets]]:
     * the pair join silently excludes blocks larger than

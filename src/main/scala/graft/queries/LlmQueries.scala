@@ -643,6 +643,90 @@ object LlmQueries {
          |WHERE c.doc_id <> e.eval_id
          |  AND len(list_intersect(c.sh, e.sh)) >= 20""".stripMargin),
 
+    // ───── per-document decontamination GATE (GPT-3 C, arXiv:
+    // 2005.14165): doc-level max shingle overlap vs ANY eval doc +
+    // the drop decision — the decision view over dd_contamination's
+    // audit pairs.
+    "dd_decontaminate" -> QueryDef.sql(
+      (s, dir) => {
+        val d = docs(s, dir)
+        TextDedup.decontaminate(d, d.filter(col("doc_id") < 10),
+          "doc_id", "text")
+      },
+      s"""WITH n AS (SELECT doc_id, ${normSql("text")} AS t FROM documents),
+         |shl AS (
+         |  SELECT doc_id,
+         |         list_distinct([substring(t, i, 8)
+         |           for i in generate_series(1, greatest(length(t) - 7, 1))]) AS sh
+         |  FROM n),
+         |ev AS (SELECT doc_id AS eval_id, sh FROM shl WHERE doc_id < 10),
+         |mx AS (
+         |  SELECT c.doc_id,
+         |         CAST(MAX(len(list_intersect(c.sh, e.sh))) AS BIGINT) AS m
+         |  FROM shl c, ev e WHERE c.doc_id <> e.eval_id GROUP BY 1)
+         |SELECT s.doc_id, COALESCE(mx.m, 0) AS max_common,
+         |       COALESCE(mx.m, 0) >= 20 AS contaminated
+         |FROM shl s LEFT JOIN mx USING (doc_id)""".stripMargin),
+
+    // ───── CCNet head/middle/tail perplexity buckets (arXiv:
+    // 1911.00359 §4.3): per-language unigram-LM score terciles —
+    // rank-exact cuts with (score desc, id) tiebreak, never
+    // interpolated quantiles.
+    "ta_ccnet_buckets" -> QueryDef.sql(
+      (s, dir) =>
+        TextAnalysis.ccnetBuckets(docs(s, dir), "doc_id", "text", "lang"),
+      """WITH toks AS (
+        |  SELECT doc_id, lang, token FROM (
+        |    SELECT doc_id, lang,
+        |           unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+        |    FROM documents)
+        |  WHERE token <> ''),
+        |vocab AS (SELECT lang, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        |tot AS (SELECT lang, SUM(tf) AS total_tf FROM vocab GROUP BY 1),
+        |lm AS (
+        |  SELECT v.lang, v.token,
+        |         ROUND(LN(CAST(tf AS DOUBLE) / CAST(total_tf AS DOUBLE)), 9) AS logp
+        |  FROM vocab v JOIN tot USING (lang)),
+        |scored AS (
+        |  SELECT t.doc_id, t.lang,
+        |         ROUND(CAST(SUM(CAST(logp AS DECIMAL(30,9))) AS DOUBLE)
+        |               / CAST(COUNT(*) AS DOUBLE), 6) AS mean_logp
+        |  FROM toks t JOIN lm ON t.lang = lm.lang AND t.token = lm.token
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT doc_id, lang, mean_logp,
+        |         row_number() OVER (PARTITION BY lang
+        |                            ORDER BY mean_logp DESC, doc_id) AS rn,
+        |         count(*) OVER (PARTITION BY lang) AS n
+        |  FROM scored)
+        |SELECT doc_id, lang, mean_logp,
+        |       CASE WHEN rn * 3 <= n THEN 'head'
+        |            WHEN rn * 3 <= 2 * n THEN 'middle'
+        |            ELSE 'tail' END AS ppl_bucket
+        |FROM r""".stripMargin),
+
+    // ───── data-constrained epoch plan (arXiv:2305.16264): uniform
+    // repetition up to 4 epochs against a token budget — a pure
+    // planning aggregate over per-source token totals.
+    "corpus_epoch_plan" -> QueryDef.sql(
+      (s, dir) =>
+        Sampling.epochPlan(
+          docs(s, dir).withColumn("tokens",
+            TextAnalysis.regexTokenCount(col("text"))),
+          "source", col("tokens"), budgetTokens = 50000L),
+      """WITH ps AS (
+        |  SELECT source AS stratum,
+        |    CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT)
+        |      AS unique_tokens
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT SUM(unique_tokens) AS t FROM ps)
+        |SELECT stratum, unique_tokens,
+        |  round(least(4.0, 50000.0 / CAST(t AS DOUBLE)), 6) AS epochs,
+        |  CAST(floor(CAST(unique_tokens AS DOUBLE)
+        |             * round(least(4.0, 50000.0 / CAST(t AS DOUBLE)), 6)) AS BIGINT)
+        |    AS planned_tokens
+        |FROM ps, tot""".stripMargin),
+
     // ───── deterministic stratified sampling (corpus mixing): per-
     // language keep-rates as a pure function of md5(doc_id) — the same
     // rows survive in any engine, run, or partitioning.

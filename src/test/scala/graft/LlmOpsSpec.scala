@@ -737,6 +737,69 @@ class LlmOpsSpec extends SparkSpec {
     assert(again === rows.map(r => (r._1, r._2)).toSet)
   }
 
+  test("ccnetBuckets: per-language rank-exact terciles, common-token docs head") {
+    // per lang: 6 docs — 3 made of the lang's common tokens, 3 with
+    // one rare token each (lower mean log-prob under the lang LM)
+    val rows = for {
+      lang <- Seq("aa", "bb")
+      i <- 0 until 6
+    } yield {
+      val id = (if (lang == "aa") 0 else 100) + i.toLong
+      val text = if (i < 3) s"common$lang common$lang common$lang"
+                 else s"common$lang common$lang rare$lang$i"
+      (id, text, lang)
+    }
+    val res = TextAnalysis.ccnetBuckets(rows.toDF("doc_id", "text", "lang"),
+      "doc_id", "text", "lang")
+    val out = res.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(3)))
+    // each lang splits 2/2/2 — terciles are per-language, not global
+    Seq("aa", "bb").foreach { l =>
+      val buckets = out.filter(_._2 == l).map(_._3)
+      assert(buckets.count(_ == "head") === 2)
+      assert(buckets.count(_ == "middle") === 2)
+      assert(buckets.count(_ == "tail") === 2)
+    }
+    // the common-token docs outrank the rare-token docs: no rare doc
+    // in head, no common doc in tail
+    val byId = out.map(r => r._1 -> r._3).toMap
+    Seq(0L, 100L).foreach { base =>
+      assert(byId(base) === "head") // first common doc, id tiebreak
+      assert((3 until 6).forall(i => byId(base + i) !== "head"))
+    }
+  }
+
+  test("decontaminate flags exactly the docs sharing long runs with the eval set") {
+    val evalText = "the secret benchmark answer sequence is forty two exactly"
+    val d = Seq(
+      (1L, evalText),                                   // the eval doc itself
+      (2L, "prefix words then " + evalText + " and a suffix"), // contaminated
+      (3L, "entirely unrelated training document content here")) // clean
+      .toDF("doc_id", "text")
+    val res = TextDedup.decontaminate(d, d.filter($"doc_id" === 1L),
+      "doc_id", "text", minCommon = 20)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(res.size === 3)
+    assert(res(2L)._2 && res(2L)._1 >= 20) // shares the full eval run
+    assert(!res(3L)._2)                     // clean doc: below threshold
+    assert(!res(1L)._2 && res(1L)._1 === 0L) // self-pair excluded → 0
+  }
+
+  test("epochPlan caps at maxEpochs and floors planned tokens") {
+    val d = Seq(("a", 100L), ("a", 50L), ("b", 30L)).toDF("src", "tokens")
+    // budget 10× the corpus: capped at 4 epochs per stratum
+    val capped = Sampling.epochPlan(d, "src", $"tokens", budgetTokens = 1800L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(capped.toSet === Set(("a", 150L, 4.0, 600L), ("b", 30L, 4.0, 120L)))
+    // budget half the corpus: fractional epoch, floored tokens
+    val fracRows = Sampling.epochPlan(d, "src", $"tokens", budgetTokens = 90L)
+      .collect().map(r => (r.getString(0), r.getDouble(2), r.getLong(3)))
+    assert(fracRows.forall(_._2 === 0.5))
+    assert(fracRows.map(_._1).toSet === Set("a", "b"))
+    assert(fracRows.find(_._1 == "a").get._3 === 75L)
+    assert(fracRows.find(_._1 == "b").get._3 === 15L)
+  }
+
   test("multimodal plumbing: features are deterministic and partition-invariant") {
     val media = Multimodal.fromText(docs, "doc_id", "text", "image")
     val a = Multimodal.extractFeatures(media).orderBy("media_id").collect()

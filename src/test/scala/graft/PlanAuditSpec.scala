@@ -22,7 +22,9 @@ class PlanAuditSpec extends SparkSpec {
     "corpus_dsir_select" ->
       "1-row LM-totals frame broadcast into the vocab-bounded log-ratio table",
     "llm_curation_pipeline" ->
-      "composes corpus_dsir_select + corpus_mixture_temperature: both 1-row totals frames broadcast")
+      "composes corpus_dsir_select + corpus_mixture_temperature: both 1-row totals frames broadcast",
+    "corpus_epoch_plan" ->
+      "1-row corpus-token-total frame broadcast into the strata-bounded plan table")
 
   test("no registered query hides an unlisted cartesian or nested-loop join") {
     GraftExtensions.register(spark)
