@@ -207,4 +207,25 @@ object Sampling {
     }
     df.filter(bucketOf(col(keyCol)) < rateExpr)
   }
+
+  /** Per-stratum quota cap — at most `cap` documents per source/domain,
+    * chosen by deterministic hash order (the per-domain document cap of
+    * RefinedWeb, Penedo et al. 2023, arXiv:2306.01116 §3.2, and the
+    * per-dump balancing of FineWeb): an over-represented template site
+    * must not dominate the mixture, and the survivors must be a stable
+    * pseudo-random subset, not "whatever arrived first".
+    *
+    * Rank within stratum is [[Skew.saltedRank]] — the bucket-rank +
+    * broadcast-offset decomposition — NOT a plain per-stratum window:
+    * a hot domain holding 40% of a 100 TB crawl would otherwise land
+    * on a single window reducer (the one shuffle shape AQE cannot
+    * split). Emits (idCol, stratumCol, pos) for survivors, pos being
+    * the 1-based hash-order rank within the stratum.
+    */
+  def stratumCap(df: DataFrame, idCol: String, stratumCol: String,
+                 cap: Int, seed: String): DataFrame = {
+    require(cap >= 1, s"cap must be >= 1, got $cap")
+    Skew.saltedRank(df, Seq(stratumCol), idCol, seed)
+      .filter(col("pos") <= cap)
+  }
 }

@@ -488,4 +488,47 @@ object TextAnalysis {
           col("rule_symbol_ratio") && col("rule_alpha_words") &&
           col("rule_stopwords"))
   }
+
+  /** C4 line-level cleaning (Raffel et al. 2020, arXiv:1910.10683
+    * §2.2) — the published web-page scrub applied line-by-line, then
+    * page-by-page:
+    *  - keep only lines ending in a terminal punctuation mark
+    *    (`.`, `!`, `?`, `"`)
+    *  - keep only lines with ≥ `minLineWords` words (paper: 5)
+    *  - drop any line containing the word "javascript"
+    *  - drop the whole page if it contains a curly brace, the phrase
+    *    "lorem ipsum", or fewer than `minLines` retained lines
+    *    (the paper's 3-sentence floor)
+    * The line scrub is pure array algebra over `split(text, '\n')` —
+    * filter + reassemble inside the row, no explode, ZERO exchanges
+    * at any corpus size (the whole operator is a scan-side
+    * projection + filter; compare [[boilerplateScrub]], whose
+    * cross-document dictionary genuinely needs a shuffle — C4's line
+    * rules are deliberately local so the first web-scale pass is
+    * embarrassingly parallel).
+    *
+    * Emits surviving pages as (idCol, clean_text, n_lines,
+    * n_lines_kept); dropped pages vanish from the result.
+    */
+  def c4Clean(df: DataFrame, idCol: String, textCol: String,
+              minLineWords: Int = 5, minLines: Int = 3): DataFrame = {
+    require(minLineWords >= 1, s"minLineWords must be >= 1, got $minLineWords")
+    require(minLines >= 1, s"minLines must be >= 1, got $minLines")
+    val lines = split(col(textCol), "\n")
+    val lineOk = (l: Column) =>
+      regexp_count(trim(l), lit("[.!?\"]$")) > 0 &&
+        size(split(trim(l), "\\s+")) >= minLineWords &&
+        regexp_count(lower(l), lit("\\bjavascript\\b")) === 0
+    df.withColumn("_lines", lines)
+      .withColumn("_kept", filter(lines, lineOk))
+      .filter(
+        !col(textCol).contains("{") &&
+          !lower(col(textCol)).contains("lorem ipsum") &&
+          size(col("_kept")) >= minLines)
+      .select(
+        col(idCol),
+        array_join(col("_kept"), "\n").as("clean_text"),
+        size(col("_lines")).as("n_lines"),
+        size(col("_kept")).as("n_lines_kept"))
+  }
 }

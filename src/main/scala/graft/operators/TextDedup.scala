@@ -106,6 +106,69 @@ object TextDedup {
           col("n_windows").cast("double"), 4))
   }
 
+  /** Exact-substring REMOVAL dedup (the scrub form of "Deduplicating
+    * Training Data Makes Language Models Better", Lee et al. 2021,
+    * arXiv:2107.06499 — their ExactSubstr keeps ONE occurrence of
+    * each duplicated span and deletes the rest, unlike
+    * [[duplicatePassages]] which only reports ratios): documents are
+    * cut into position-aligned non-overlapping `segTokens`-token
+    * segments of normalized text; a segment occurring more than once
+    * in the corpus survives only at its canonical first occurrence —
+    * the lexicographically smallest (doc, pos) — and is removed
+    * everywhere else; each document is reassembled in order.
+    * Documents that lose every segment (pure duplicates) drop out.
+    *
+    * Scale shape: segmentation is a scan-side array projection staged
+    * once pre-explode (array-per-doc cache footprint, as
+    * [[graft.operators.TextAnalysis.boilerplateScrub]]); the
+    * canonical table is ONE (segment)-keyed aggregate — count +
+    * min(struct(doc, pos)), both with map-side partials, so a
+    * boilerplate segment recurring a billion times combines locally
+    * instead of flooding one window reducer — joined back
+    * shuffled-hash BY CONTRACT (the duplicated-segment table of a
+    * crawl is corpus-sized, never broadcastable); then one per-doc
+    * reassembly aggregate. Order is recovered by `array_sort` over
+    * (pos, seg) structs, never collect_list arrival order.
+    */
+  def substringScrub(df: DataFrame, idCol: String, textCol: String,
+                     segTokens: Int = 8): DataFrame = {
+    require(segTokens >= 1, s"segTokens must be >= 1, got $segTokens")
+    val toks = split(normalizeText(col(textCol)), " ")
+    val nseg = ceil(size(col("_toks")).cast("double") / segTokens).cast("int")
+    val segged = df
+      .select(col(idCol), col(textCol))
+      .withColumn("_toks", toks)
+      .withColumn("_segs",
+        transform(sequence(lit(0), greatest(nseg - 1, lit(0))),
+          i => array_join(slice(col("_toks"), i * segTokens + 1, lit(segTokens)), " ")))
+      .select(col(idCol), col("_segs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val ex = segged
+      .withColumn("_nseg", size(col("_segs")).cast("long"))
+      .select(col(idCol), col("_nseg"),
+        posexplode(col("_segs")).as(Seq("_pos", "_seg")))
+    // canonical-occurrence table: empty segments (empty docs) are
+    // excluded here and therefore always kept by the left join below
+    val canon = ex.filter(col("_seg") =!= "")
+      .groupBy("_seg")
+      .agg(
+        count(lit(1)).as("_n"),
+        min(struct(col(idCol).as("_cd"), col("_pos").as("_cp"))).as("_c"))
+      .filter(col("_n") > 1)
+      .select(col("_seg"), col("_c"))
+    ex.join(canon.hint("shuffle_hash"), Seq("_seg"), "left")
+      .filter(col("_c").isNull ||
+        (col("_c").getField("_cd") === col(idCol) &&
+          col("_c").getField("_cp") === col("_pos")))
+      .groupBy(col(idCol))
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("_pos"), col("_seg")))),
+            p => p.getField("_seg")),
+          " ").as("clean_text"),
+        (first(col("_nseg")) - count(lit(1))).cast("long").as("n_removed"))
+  }
+
   /** Incremental ingest dedup: drop from `batch` every document whose
     * fingerprint already exists in `corpus`, then dedup the batch
     * against itself (min-id survivor). This is the snapshot-over-

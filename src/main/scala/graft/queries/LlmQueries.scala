@@ -1929,6 +1929,151 @@ object LlmQueries {
         |       CAST(CASE WHEN raw >= CAST(power(2, 63) AS HUGEINT)
         |                 THEN raw - CAST(power(2, 64) AS HUGEINT)
         |                 ELSE raw END AS BIGINT) AS audio_hash
-        |FROM h""".stripMargin)
+        |FROM h""".stripMargin),
+
+    // ───── C4 line-level cleaning (arXiv:1910.10683 §2.2): the
+    // documents corpus has no line structure, so BOTH engines first
+    // synthesize it deterministically — 8-token lines, every (doc+i)
+    // ≡ 0 (mod 4) line truncated to 3 words (fails the ≥5-word rule),
+    // every (doc+i) ≡ 2 (mod 3) line left unpunctuated (fails the
+    // terminal-punct rule), doc%43 docs get "javascript" in line 0
+    // (line dropped), doc%37 docs a "lorem ipsum" line and doc%41
+    // docs a curly-brace line (page dropped) — then the operator
+    // applies the published rules. Zero-exchange scan-side plan.
+    "ta_c4_line_rules" -> QueryDef.sql(
+      (s, dir) => {
+        val toks = split(col("text"), " ")
+        val nline = ceil(size(toks).cast("double") / 8).cast("int")
+        val baseLines = transform(
+          sequence(lit(0), greatest(nline - 1, lit(0))), i =>
+            concat(
+              array_join(
+                slice(toks, i * 8 + 1,
+                  when((col("doc_id") + i) % 4 === 0, lit(3)).otherwise(lit(8))),
+                " "),
+              when(i === 0 && col("doc_id") % 43 === 0, lit(" javascript"))
+                .otherwise(lit("")),
+              when((col("doc_id") + i) % 3 < 2, lit(".")).otherwise(lit(""))))
+        val allLines = concat(
+          baseLines,
+          filter(array(lit("lorem ipsum dolor sit amet consectetur.")),
+            _ => col("doc_id") % 37 === 0),
+          filter(array(lit("function foo { bar baz qux quux }.")),
+            _ => col("doc_id") % 41 === 0))
+        val lined = docs(s, dir)
+          .select(col("doc_id"), array_join(allLines, "\n").as("text2"))
+        TextAnalysis.c4Clean(lined, "doc_id", "text2",
+          minLineWords = 5, minLines = 3)
+      },
+      """WITH tk AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |lns AS (
+        |  SELECT doc_id,
+        |    [array_to_string(
+        |       toks[(i*8+1):(i*8 + (CASE WHEN (doc_id+i)%4=0 THEN 3 ELSE 8 END))], ' ')
+        |     || (CASE WHEN i=0 AND doc_id%43=0 THEN ' javascript' ELSE '' END)
+        |     || (CASE WHEN (doc_id+i)%3<2 THEN '.' ELSE '' END)
+        |     for i in generate_series(0,
+        |       greatest(CAST(ceil(len(toks)/8.0) AS INTEGER)-1, 0))] AS ls
+        |  FROM tk),
+        |txt AS (
+        |  SELECT doc_id, array_to_string(
+        |    ls || (CASE WHEN doc_id%37=0
+        |                THEN ['lorem ipsum dolor sit amet consectetur.']
+        |                ELSE CAST([] AS VARCHAR[]) END)
+        |       || (CASE WHEN doc_id%41=0
+        |                THEN ['function foo { bar baz qux quux }.']
+        |                ELSE CAST([] AS VARCHAR[]) END),
+        |    chr(10)) AS text2
+        |  FROM lns),
+        |k AS (
+        |  SELECT doc_id, text2,
+        |    string_split(text2, chr(10)) AS lines,
+        |    list_filter(string_split(text2, chr(10)), l ->
+        |      regexp_matches(trim(l), '[.!?"]$')
+        |      AND len(string_split_regex(trim(l), '\s+')) >= 5
+        |      AND NOT regexp_matches(lower(l), '\bjavascript\b')) AS kept
+        |  FROM txt)
+        |SELECT doc_id,
+        |       array_to_string(kept, chr(10)) AS clean_text,
+        |       CAST(len(lines) AS INTEGER) AS n_lines,
+        |       CAST(len(kept) AS INTEGER) AS n_lines_kept
+        |FROM k
+        |WHERE NOT contains(text2, '{')
+        |  AND NOT contains(lower(text2), 'lorem ipsum')
+        |  AND len(kept) >= 3""".stripMargin),
+
+    // ───── exact-substring REMOVAL dedup (Lee et al. 2021,
+    // arXiv:2107.06499 ExactSubstr): corpus = documents ∪ (+10000)
+    // copies carrying the 8-token planted prefix. Position alignment
+    // makes every copy segment a duplicate of its original's (the
+    // original is the canonical min-(doc,pos) occurrence), so the
+    // scrub must return every original INTACT (n_removed=0), drop
+    // every copy as pure duplicate — except the single min-id copy,
+    // which survives holding ONLY the planted prefix (its canonical
+    // occurrence). The oracle re-derives segmentation, canonical
+    // choice, and reassembly.
+    "dd_substring_scrub" -> QueryDef.sql(
+      (s, dir) => {
+        val d = docs(s, dir).select("doc_id", "text")
+        val corpus = d.unionByName(d.select(
+          (col("doc_id") + 10000).as("doc_id"),
+          concat(lit("Subscribe to our newsletter for daily updates now "),
+            col("text")).as("text")))
+        TextDedup.substringScrub(corpus, "doc_id", "text", segTokens = 8)
+      },
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 10000,
+         |         'Subscribe to our newsletter for daily updates now ' || text
+         |  FROM documents),
+         |n AS (SELECT doc_id, ${normSql("text")} AS t FROM corpus),
+         |tk AS (SELECT doc_id, string_split(t, ' ') AS toks FROM n),
+         |sg AS (SELECT doc_id,
+         |  [array_to_string(toks[(i*8+1):(i*8+8)], ' ')
+         |   for i in generate_series(0,
+         |     greatest(CAST(ceil(len(toks) / 8.0) AS INTEGER) - 1, 0))] AS segs
+         |  FROM tk),
+         |ex AS (
+         |  SELECT doc_id, len(segs) AS nseg,
+         |         unnest([{'pos': i, 'seg': segs[i]}
+         |                 for i in generate_series(1, len(segs))],
+         |                recursive := true)
+         |  FROM sg),
+         |marked AS (
+         |  SELECT doc_id, nseg, pos, seg,
+         |         count(*) OVER (PARTITION BY seg) AS n,
+         |         row_number() OVER (PARTITION BY seg
+         |                            ORDER BY doc_id, pos) AS rn
+         |  FROM ex WHERE seg <> ''),
+         |kept AS (
+         |  SELECT doc_id, nseg, pos, seg FROM marked WHERE n = 1 OR rn = 1
+         |  UNION ALL
+         |  SELECT doc_id, nseg, pos, seg FROM ex WHERE seg = '')
+         |SELECT doc_id,
+         |       array_to_string(list(seg ORDER BY pos), ' ') AS clean_text,
+         |       CAST(any_value(nseg) - count(*) AS BIGINT) AS n_removed
+         |FROM kept GROUP BY doc_id""".stripMargin),
+
+    // ───── per-source quota cap (RefinedWeb arXiv:2306.01116 §3.2
+    // per-domain caps / FineWeb per-dump balancing): at most 15 docs
+    // per source in deterministic md5-hash order. Rank is the salted
+    // bucket-rank decomposition (Skew.saltedRank) — no per-source
+    // single-reducer window — and the oracle's ONE plain window
+    // proves the decomposition exactly equals the global per-source
+    // ordering.
+    "corpus_source_cap" -> QueryDef.sql(
+      (s, dir) =>
+        Sampling.stratumCap(
+          docs(s, dir).select("doc_id", "source"),
+          "doc_id", "source", cap = 15, seed = "capv1"),
+      """SELECT source, doc_id, pos FROM (
+        |  SELECT source, doc_id,
+        |         row_number() OVER (
+        |           PARTITION BY source
+        |           ORDER BY md5('capv1' || CAST(doc_id AS VARCHAR)), doc_id) AS pos
+        |  FROM documents)
+        |WHERE pos <= 15""".stripMargin)
   )
 }

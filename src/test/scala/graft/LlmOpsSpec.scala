@@ -668,6 +668,68 @@ class LlmOpsSpec extends SparkSpec {
     assert(none.values.forall(_ === 0L) && none.size === 3)
   }
 
+  test("c4Clean: each line rule and page rule trips on its own violation") {
+    val d = Seq(
+      (1L, "the cat sat on the mat.\nthe dog ran far away!\nbirds fly very high today?"),
+      // line rules: unpunctuated / short / javascript lines removed in place
+      (2L, "the cat sat on the mat.\nno terminal punct here at all\ntoo short.\n" +
+        "uses javascript for the menu bar.\nthe dog ran far away!\nbirds fly very high today?"),
+      // page rules: each of these kills the whole page
+      (3L, "the cat sat on the mat.\nthe dog ran far away!\nvar x = { a }."),
+      (4L, "the cat sat on the mat.\nLorem Ipsum dolor sit amet friend.\nthe dog ran far away!"),
+      (5L, "only one good line survives here.\nnope\nnah")) // < 3 kept lines
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.c4Clean(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet === Set(1L, 2L))
+    assert(out(1L).getAs[String]("clean_text") === d.collect()
+      .find(_.getLong(0) == 1L).get.getString(1))
+    // doc 2: exactly the three rule-violating lines removed, order kept
+    assert(out(2L).getAs[String]("clean_text") ===
+      "the cat sat on the mat.\nthe dog ran far away!\nbirds fly very high today?")
+    assert(out(2L).getAs[Int]("n_lines") === 6)
+    assert(out(2L).getAs[Int]("n_lines_kept") === 3)
+  }
+
+  test("substringScrub keeps canonical first occurrences, drops pure duplicates") {
+    val d = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"), // exact duplicate → drops out
+      (3L, "omega alpha beta gamma delta"), // shares no ALIGNED segment → intact
+      (4L, "zeta eta theta iota alpha beta gamma delta")) // aligned dup tail
+      .toDF("doc_id", "text")
+    val out = TextDedup.substringScrub(d, "doc_id", "text", segTokens = 4)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    // doc 1 is canonical for "alpha beta gamma delta"
+    assert(out(1L) === ("alpha beta gamma delta", 0L))
+    // doc 2 loses its only segment → vanishes
+    assert(!out.contains(2L))
+    // doc 3's segments are ["omega alpha beta gamma", "delta"] —
+    // position alignment means neither matches doc 1's segment
+    assert(out(3L) === ("omega alpha beta gamma delta", 0L))
+    // doc 4's second aligned segment duplicates doc 1's first → scrubbed
+    assert(out(4L) === ("zeta eta theta iota", 1L))
+  }
+
+  test("stratumCap caps each stratum at the quota with salted-rank order") {
+    val rows = (1L to 200L).map(i => (i, s"s${i % 4}")).toDF("id", "stratum")
+    val out = Sampling.stratumCap(rows, "id", "stratum", cap = 10, seed = "t1")
+    val byStratum = out.groupBy("stratum").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byStratum.values.forall(_ === 10L) && byStratum.size === 4)
+    // positions within each stratum are exactly 1..cap and match the
+    // plain-window rank (the decomposition is exact)
+    import org.apache.spark.sql.expressions.Window
+    val expect = rows
+      .withColumn("skey", md5(concat(lit("t1"), $"id".cast("string"))))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy($"stratum").orderBy($"skey", $"id")))
+      .filter($"pos" <= 10)
+      .select($"id", $"pos".cast("long"))
+    assert(out.select("id", "pos").except(expect).count() === 0)
+    assert(expect.except(out.select("id", "pos")).count() === 0)
+  }
+
   test("gopherRules: each published rule trips on its own violation") {
     val d = Seq(
       (1L, "the cat and dog is here today for fun now"), // passes all
