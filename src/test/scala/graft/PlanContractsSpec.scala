@@ -333,4 +333,36 @@ class PlanContractsSpec extends SparkSpec {
     assert(countLines(p, "Join") === 0, p)
     assert(countLines(p, "Window") === 1, p)
   }
+
+  test("ta_c4_line_rules: pure scan-side array algebra — zero exchanges") {
+    val p = plan("ta_c4_line_rules")
+    // C4's line rules are deliberately local: filter + reassemble
+    // inside the row, no explode, nothing crosses a partition
+    assert(countLines(p, "Exchange") === 0, p)
+    assert(countLines(p, "Join") === 0, p)
+    assert(countLines(p, "Generate") === 0, p)
+  }
+
+  test("dd_substring_scrub: canonical table aggregates map-side, joins shuffled-hash") {
+    val p = plan("dd_substring_scrub")
+    // the duplicated-segment table of a crawl is corpus-sized — the
+    // join back must not depend on broadcasting it
+    assert(countLines(p, "ShuffledHashJoin") >= 1, p)
+    assert(countLines(p, "BroadcastHashJoin") === 0, p)
+    assert(countLines(p, "SortMergeJoin") === 0, p)
+    // canonical choice is an aggregate (count + min(struct)) with
+    // map-side partials — never a segment-keyed window, whose hot
+    // segments would all land on one reducer
+    assert(countLines(p, "Window") === 0, p)
+    assert(p.contains("partial_"), p)
+  }
+
+  test("corpus_source_cap: offsets broadcast back, no stratum-global window") {
+    val p = plan("corpus_source_cap")
+    // ranks come from per-(stratum, bucket) windows + a broadcast
+    // offset merge — the only join is that broadcast
+    assert(countLines(p, "BroadcastHashJoin") === 1, p)
+    assert(countLines(p, "SortMergeJoin") === 0, p)
+    assert(countLines(p, "ShuffledHashJoin") === 0, p)
+  }
 }
