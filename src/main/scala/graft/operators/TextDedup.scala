@@ -169,6 +169,45 @@ object TextDedup {
         (first(col("_nseg")) - count(lit(1))).cast("long").as("n_removed"))
   }
 
+  /** Cross-source duplication matrix — the corpus-level report of
+    * WHERE duplication comes from (the between-corpora overlap
+    * analysis of WIMBD, Elazar et al. 2023, arXiv:2310.20707, and
+    * the dump-overlap measurements behind RedPajama/FineWeb dedup
+    * decisions): for every unordered pair of distinct sources, the
+    * number of normalized-text fingerprints present in BOTH. A
+    * curation pipeline reads this to decide which source pairs need
+    * cross-dedup at all — two sources with zero overlap can be
+    * deduped independently, an embarrassingly parallel win.
+    *
+    * Scale shape: one distinct over (fingerprint, source) — narrow,
+    * map-side combined — then ONE fingerprint-keyed aggregate
+    * collecting the distinct-source set (bounded by |sources|, a
+    * catalog-sized number, NEVER corpus-sized), pair expansion as
+    * array algebra inside the row (≤ |sources|²/2 pairs per
+    * fingerprint), one final count aggregate over |sources|²/2 keys.
+    * No self-join of the corpus against itself anywhere — the oracle
+    * uses the naive (fingerprint ⋈ fingerprint) formulation and must
+    * agree exactly.
+    */
+  def sourceOverlapMatrix(df: DataFrame, textCol: String,
+                          sourceCol: String): DataFrame = {
+    val ds = df
+      .select(md5(normalizeText(col(textCol))).as("_fp"),
+        col(sourceCol).as("_src"))
+      .distinct()
+    val grouped = ds.groupBy("_fp")
+      .agg(sort_array(collect_set(col("_src"))).as("_srcs"))
+      .filter(size(col("_srcs")) > 1)
+    grouped
+      .select(explode(flatten(transform(col("_srcs"), (a, i) =>
+        transform(slice(col("_srcs"), i + 2, size(col("_srcs"))),
+          b => struct(a.as("source_a"), b.as("source_b")))))).as("_p"))
+      .groupBy(
+        col("_p").getField("source_a").as("source_a"),
+        col("_p").getField("source_b").as("source_b"))
+      .agg(count(lit(1)).as("n_shared_fingerprints"))
+  }
+
   /** Incremental ingest dedup: drop from `batch` every document whose
     * fingerprint already exists in `corpus`, then dedup the batch
     * against itself (min-id survivor). This is the snapshot-over-

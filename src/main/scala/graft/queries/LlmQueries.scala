@@ -2056,6 +2056,100 @@ object LlmQueries {
          |       CAST(any_value(nseg) - count(*) AS BIGINT) AS n_removed
          |FROM kept GROUP BY doc_id""".stripMargin),
 
+    // ───── one-row corpus datasheet (the "Datasheets for Datasets"
+    // summary, Gebru et al. 2018 arXiv:1803.09010, with WIMBD-style
+    // measured stats): docs, langs, sources, total words, Gopher pass
+    // rate, exact-dup count — every number derived from operators that
+    // are individually oracle-proven above; this gates the one-scan
+    // COMPOSITION. Scale shape: one aggregate over scan-side
+    // projections; the three count-distincts expand the narrow row
+    // stream ×4 before the single shuffle — the standard price of a
+    // multi-distinct report, linear at any corpus size.
+    "corpus_datasheet" -> QueryDef.sql(
+      (s, dir) => {
+        val g = TextAnalysis.gopherRules(
+          docs(s, dir).select("doc_id", "lang", "source", "text"),
+          "text", minWords = 30)
+          .withColumn("_fp",
+            md5(graft.functions.Functions.normalizeText(col("text"))))
+        g.agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("lang")).as("n_langs"),
+          countDistinct(col("source")).as("n_sources"),
+          sum(col("word_count").cast("long")).as("total_words"),
+          sum(when(col("gopher_pass"), 1L).otherwise(0L)).as("n_gopher_pass"),
+          countDistinct(col("_fp")).as("n_distinct_fingerprints"))
+          .withColumn("pct_gopher_pass",
+            round(col("n_gopher_pass").cast("double") * 100.0 /
+              col("n_docs").cast("double"), 4))
+          .withColumn("n_exact_dup_docs",
+            (col("n_docs") - col("n_distinct_fingerprints")).cast("long"))
+      },
+      s"""WITH base AS (
+         |  SELECT doc_id, lang, source, text,
+         |    string_split_regex(trim(text), '\\s+') AS words,
+         |    len(string_split_regex(trim(text), '\\s+')) AS wc,
+         |    md5(${normSql("text")}) AS fp
+         |  FROM documents),
+         |m AS (
+         |  SELECT lang, source, wc, fp,
+         |    round(CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS DOUBLE)
+         |          / greatest(wc, 1), 4) AS mwl,
+         |    round(CAST(len(regexp_extract_all(text, '#'))
+         |             + len(regexp_extract_all(text, '\\.\\.\\.')) AS DOUBLE)
+         |          / greatest(wc, 1), 4) AS sym,
+         |    round(CAST(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+         |          / greatest(wc, 1), 4) AS alpha,
+         |    len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|is|for)\\b')) AS stop
+         |  FROM base)
+         |SELECT count(*) AS n_docs,
+         |  count(DISTINCT lang) AS n_langs,
+         |  count(DISTINCT source) AS n_sources,
+         |  CAST(sum(wc) AS BIGINT) AS total_words,
+         |  CAST(sum(CASE WHEN wc BETWEEN 30 AND 100000
+         |                 AND mwl BETWEEN 3.0 AND 10.0
+         |                 AND sym <= 0.1 AND alpha >= 0.8 AND stop >= 2
+         |            THEN 1 ELSE 0 END) AS BIGINT) AS n_gopher_pass,
+         |  CAST(count(DISTINCT fp) AS BIGINT) AS n_distinct_fingerprints,
+         |  round(CAST(sum(CASE WHEN wc BETWEEN 30 AND 100000
+         |                 AND mwl BETWEEN 3.0 AND 10.0
+         |                 AND sym <= 0.1 AND alpha >= 0.8 AND stop >= 2
+         |            THEN 1 ELSE 0 END) AS DOUBLE) * 100.0
+         |        / CAST(count(*) AS DOUBLE), 4) AS pct_gopher_pass,
+         |  CAST(count(*) - count(DISTINCT fp) AS BIGINT) AS n_exact_dup_docs
+         |FROM m""".stripMargin),
+
+    // ───── cross-source duplication matrix (WIMBD arXiv:2310.20707):
+    // fingerprints shared between source pairs. The raw corpus has no
+    // cross-source duplicates, so copies are planted with a ROTATED
+    // source label — each original's text reappears under the next
+    // source mod 20 — giving a deterministic 20-pair band the oracle
+    // re-derives with the naive fingerprint self-join the engine's
+    // array-algebra formulation must match exactly.
+    "dd_source_overlap" -> QueryDef.sql(
+      (s, dir) => {
+        val d = docs(s, dir).select("doc_id", "text", "source")
+        val corpus = d.unionByName(d.select(
+          (col("doc_id") + 10000).as("doc_id"),
+          col("text"),
+          concat(lit("src"), ((col("doc_id") % 20 + 1) % 20).cast("string"))
+            .as("source")))
+        TextDedup.sourceOverlapMatrix(corpus, "text", "source")
+      },
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text, source FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 10000, text,
+         |         'src' || CAST((doc_id % 20 + 1) % 20 AS VARCHAR)
+         |  FROM documents),
+         |fp AS (
+         |  SELECT DISTINCT md5(${normSql("text")}) AS fp, source FROM corpus),
+         |p AS (
+         |  SELECT a.source AS source_a, b.source AS source_b
+         |  FROM fp a JOIN fp b ON a.fp = b.fp AND a.source < b.source)
+         |SELECT source_a, source_b, count(*) AS n_shared_fingerprints
+         |FROM p GROUP BY 1, 2""".stripMargin),
+
     // ───── per-source quota cap (RefinedWeb arXiv:2306.01116 §3.2
     // per-domain caps / FineWeb per-dump balancing): at most 15 docs
     // per source in deterministic md5-hash order. Rank is the salted

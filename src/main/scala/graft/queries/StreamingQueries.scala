@@ -236,7 +236,41 @@ object StreamingQueries {
             count(lit(1)).as("n_events"))
           .select("user_id", "session_start", "session_end", "n_events")
       },
-      sessionsOracleSql)
+      sessionsOracleSql),
+
+    // ───── STREAMING curation gate (ingest-time quality filtering):
+    // readStream(documents) → Gopher rules → pass filter → Append →
+    // memory sink, AvailableNow. Stateless, so the emitted set equals
+    // the batch-filtered set regardless of micro-batch boundaries —
+    // the oracle is ta_gopher_rules' metric derivation WHERE pass.
+    "corpus_stream_gate" -> QueryDef.sql(
+      (s, dir) =>
+        graft.streaming.CorpusStream.gopherGateAvailableNow(
+          s, s"$dir/documents.parquet", minWords = 30),
+      """WITH base AS (
+        |  SELECT doc_id, lang, text,
+        |    string_split_regex(trim(text), '\s+') AS words,
+        |    len(string_split_regex(trim(text), '\s+')) AS wc
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, lang, wc AS word_count,
+        |    round(CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE)
+        |          / greatest(wc, 1), 4) AS mean_word_len,
+        |    round(CAST(len(regexp_extract_all(text, '#'))
+        |             + len(regexp_extract_all(text, '\.\.\.')) AS DOUBLE)
+        |          / greatest(wc, 1), 4) AS symbol_ratio,
+        |    round(CAST(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+        |          / greatest(wc, 1), 4) AS alpha_word_ratio,
+        |    len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|for)\b')) AS stopword_hits
+        |  FROM base)
+        |SELECT doc_id, lang, word_count, mean_word_len, symbol_ratio,
+        |       alpha_word_ratio, stopword_hits
+        |FROM m
+        |WHERE word_count BETWEEN 30 AND 100000
+        |  AND mean_word_len BETWEEN 3.0 AND 10.0
+        |  AND symbol_ratio <= 0.1
+        |  AND alpha_word_ratio >= 0.8
+        |  AND stopword_hits >= 2""".stripMargin)
   )
 
   /** Shared by the batch (`ev_sessions`) and streaming

@@ -711,6 +711,32 @@ class LlmOpsSpec extends SparkSpec {
     assert(out(4L) === ("zeta eta theta iota", 1L))
   }
 
+  test("sourceOverlapMatrix counts shared fingerprints per unordered source pair") {
+    val d = Seq(
+      (1L, "alpha beta gamma", "s1"),
+      (2L, "Alpha beta GAMMA", "s2"), // same fingerprint, different source
+      (3L, "alpha beta gamma", "s3"), // third source, same fingerprint
+      (4L, "delta epsilon", "s1"),
+      (5L, "delta epsilon", "s2"),
+      (6L, "delta epsilon", "s1"),    // same-source dup: no pair contribution
+      (7L, "unique text here", "s3")) // unshared: absent
+      .toDF("doc_id", "text", "source")
+    val out = TextDedup.sourceOverlapMatrix(d, "text", "source")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // fingerprint A spans {s1,s2,s3} → 3 pairs; fingerprint B spans
+    // {s1,s2} → 1 pair (the s1 dup collapses in the distinct)
+    assert(out === Map(
+      ("s1", "s2") -> 2L, // A and B both span s1-s2
+      ("s1", "s3") -> 1L,
+      ("s2", "s3") -> 1L))
+    // no cross-source duplication at all → empty matrix
+    val none = TextDedup.sourceOverlapMatrix(
+      Seq((1L, "a b", "s1"), (2L, "c d", "s2")).toDF("doc_id", "text", "source"),
+      "text", "source")
+    assert(none.count() === 0L)
+  }
+
   test("stratumCap caps each stratum at the quota with salted-rank order") {
     val rows = (1L to 200L).map(i => (i, s"s${i % 4}")).toDF("id", "stratum")
     val out = Sampling.stratumCap(rows, "id", "stratum", cap = 10, seed = "t1")

@@ -357,6 +357,16 @@ class PlanContractsSpec extends SparkSpec {
     assert(p.contains("partial_"), p)
   }
 
+  test("dd_source_overlap: no self-join anywhere — pair expansion is array algebra") {
+    val p = plan("dd_source_overlap")
+    // the oracle's formulation self-joins the fingerprint table; the
+    // engine's must not join at all — the distinct-source set per
+    // fingerprint is |sources|-bounded and pairs expand inside the row
+    assert(countLines(p, "Join") === 0, p)
+    assert(countLines(p, "Generate") === 1, p) // the one pair explode
+    assert(countLines(p, "Window") === 0, p)
+  }
+
   test("corpus_source_cap: offsets broadcast back, no stratum-global window") {
     val p = plan("corpus_source_cap")
     // ranks come from per-(stratum, bucket) windows + a broadcast

@@ -325,4 +325,33 @@ class StreamingSpec extends SparkSpec {
       Seq("user_id", "click_id", "c_ts", "purchase_id", "p_ts", "p_value"))
     assert(out.stateRowsTotal === 0L)
   }
+
+  test("gopherGateAvailableNow equals the batch gate across micro-batch splits") {
+    // write documents as 3 separate files → 3 micro-batches; the gate
+    // is stateless, so the emitted set must equal the batch-filtered
+    // set regardless of how rows split across batches
+    val dir = java.nio.file.Files.createTempDirectory("docstream").toString
+    val d = Tables.table(spark, sfDir, "documents")
+      .select("doc_id", "lang", "text").cache()
+    val rows = d.collect()
+    val chunk = rows.length / 3 + 1
+    rows.grouped(chunk).zipWithIndex.foreach { case (batch, i) =>
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(batch.toSeq), d.schema)
+        .coalesce(1).write.parquet(s"$dir/b_$i")
+      val src = new java.io.File(s"$dir/b_$i").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(src.toPath,
+        java.nio.file.Paths.get(s"$dir/part_$i.parquet"))
+    }
+    new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .foreach(sub => { sub.listFiles().foreach(_.delete()); sub.delete() })
+    val streamed = graft.streaming.CorpusStream.gopherGateAvailableNow(
+      spark, dir, minWords = 30, queryName = "spec_corpus_gate")
+    val batch = graft.operators.TextAnalysis.gopherRules(d, "text", minWords = 30)
+      .filter(col("gopher_pass"))
+    assert(streamed.count() === batch.count())
+    assert(streamed.select("doc_id").as[Long].collect().toSet ===
+      batch.select("doc_id").as[Long].collect().toSet)
+  }
 }
