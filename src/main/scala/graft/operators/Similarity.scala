@@ -510,4 +510,47 @@ object Similarity {
       .select(col("vec_id"), col("cell_id"), col("centroid_cos"),
         (col("_rn") > floor(col("_cnt") * lit(prunePct) / lit(100))).as("keep"))
   }
+
+  /** Deterministic ±1 entry of the random-projection matrix:
+    * reproducible in any engine with md5 (first byte parity).
+    */
+  private def mdSign(key: String): Double = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8"))
+    if ((h(0) & 1) == 0) 1.0 else -1.0
+  }
+
+  /** Johnson–Lindenstrauss random projection with a database-friendly
+    * ±1 matrix (Achlioptas 2003, "Database-friendly random
+    * projections"): `proj_j = ⟨x, r_j⟩ / √outDim` with
+    * `r_j ∈ {±1}^inDim` derived deterministically from md5 — the
+    * standard cheap dimensionality reduction in front of ANN /
+    * clustering when 64-d (or 768-d) embeddings are 4× more than the
+    * recall target needs. E‖Rx/√k‖² = ‖x‖², so distances are
+    * preserved in expectation and every downstream cosine stage works
+    * unchanged on the narrower vectors.
+    *
+    * Scale shape: a pure scan-side projection — outDim codegen'd
+    * `vec_dot`s per row against plan-literal sign vectors, ZERO
+    * shuffles, and the output rows are outDim/inDim the width of the
+    * input: the 100 TB win is every later shuffle/cache/index stage
+    * moving 4× fewer bytes. Components are 6 dp-rounded so any
+    * engine re-deriving the fixed-order fold agrees bit-for-bit;
+    * emitted as flat `proj_j` columns (parquet-friendly and directly
+    * indexable by downstream ANN stages).
+    */
+  def randomProjection(df: DataFrame, idCol: String, vecCol: String,
+                       inDim: Int = 64, outDim: Int = 16,
+                       seed: String = "rp"): DataFrame = {
+    require(outDim >= 1 && outDim <= inDim,
+      s"outDim must be in 1..$inDim, got $outDim")
+    ensureRegistered(df)
+    val scale = math.sqrt(outDim.toDouble)
+    val comps = (0 until outDim).map { j =>
+      val rLit = array((0 until inDim).map(i =>
+        lit(mdSign(s"$seed|$j|$i"))): _*)
+      round(dot(col(vecCol), rLit) / scale, 6).as(s"proj_$j")
+    }
+    df.select(col(idCol) +: comps: _*)
+  }
 }

@@ -2056,6 +2056,40 @@ object LlmQueries {
          |       CAST(any_value(nseg) - count(*) AS BIGINT) AS n_removed
          |FROM kept GROUP BY doc_id""".stripMargin),
 
+    // ───── JL ±1 random projection (Achlioptas 2003) 64 → 16 dims:
+    // scan-side vec_dot against md5-derived sign vectors, zero
+    // shuffles; the oracle re-derives every sign and the fixed-order
+    // double fold, so all 16 components match bit-for-bit at 6 dp.
+    "emb_random_projection" -> QueryDef.sql(
+      (s, dir) =>
+        Similarity.randomProjection(emb(s, dir), "vec_id", "embedding",
+          inDim = 64, outDim = 16, seed = "rp"),
+      "SELECT vec_id,\n" + (0 until 16).map(j =>
+        s"""  round(list_aggregate(
+           |     [CAST(embedding[i + 1] AS DOUBLE) *
+           |      (CASE WHEN (CAST(concat('0x',
+           |              substr(md5('rp|$j|' || i), 1, 2)) AS INTEGER) & 1) = 0
+           |            THEN 1.0 ELSE -1.0 END)
+           |      for i in generate_series(0, 63)], 'sum') / 4.0, 6) AS proj_$j""".stripMargin)
+        .mkString(",\n") + "\nFROM embeddings"),
+
+    // ───── ORC sink/source round-trip gate (the other splittable
+    // columnar format): write documents as ORC, read back, aggregate
+    // — the oracle aggregates the parquet original, so any loss or
+    // type drift in the ORC round-trip breaks the hash.
+    "corpus_orc_roundtrip" -> QueryDef.sql(
+      (s, dir) => {
+        val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_orc_rt_" +
+          Integer.toHexString(dir.hashCode)
+        Tables.writeOrc(docs(s, dir), tmp)
+        Tables.readOrc(s, tmp)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      },
+      """SELECT lang, COUNT(*) AS n_docs,
+        |       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY lang""".stripMargin),
+
     // ───── one-row corpus datasheet (the "Datasheets for Datasets"
     // summary, Gebru et al. 2018 arXiv:1803.09010, with WIMBD-style
     // measured stats): docs, langs, sources, total words, Gopher pass

@@ -711,6 +711,26 @@ class LlmOpsSpec extends SparkSpec {
     assert(out(4L) === ("zeta eta theta iota", 1L))
   }
 
+  test("randomProjection: partition-invariant and norm-preserving in JL expectation") {
+    import graft.operators.Similarity
+    val p = Similarity.randomProjection(emb, "vec_id", "embedding")
+    assert(p.columns.length === 17)
+    // pure function of the row → partitioning can't change anything
+    val again = Similarity.randomProjection(
+      emb.repartition(7), "vec_id", "embedding")
+    assert(p.collect().toSet === again.collect().toSet)
+    // Achlioptas: E‖Rx/√k‖² = ‖x‖² — the corpus-mean ratio of
+    // projected to original squared norm concentrates near 1
+    val projNormSq = (0 until 16)
+      .map(j => col(s"proj_$j") * col(s"proj_$j"))
+      .reduce(_ + _)
+    val ratio = p.join(emb, "vec_id")
+      .select((projNormSq /
+        call_function("vec_dot", col("embedding"), col("embedding"))).as("r"))
+      .agg(avg(col("r"))).head.getDouble(0)
+    assert(ratio > 0.7 && ratio < 1.3, s"norm ratio $ratio")
+  }
+
   test("sourceOverlapMatrix counts shared fingerprints per unordered source pair") {
     val d = Seq(
       (1L, "alpha beta gamma", "s1"),
