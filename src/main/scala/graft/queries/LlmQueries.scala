@@ -350,6 +350,56 @@ object LlmQueries {
         |       CAST(SUM(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY lang""".stripMargin),
 
+    // ───── dynamic-partition-overwrite gate (S10): land the corpus
+    // partitioned by lang, then dynamically overwrite ONLY the 'en'
+    // partition with modified rows (+1000 n_chars). If the overwrite
+    // were static, every other partition would vanish and the oracle
+    // hash breaks; if the modified rows leaked into other partitions,
+    // the sums break. The read-back aggregate must equal the oracle's
+    // re-derivation of the final lake state from the original table.
+    "corpus_dynamic_overwrite" -> QueryDef.sql(
+      (s, dir) => {
+        val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_dyn_ow_" +
+          Integer.toHexString(dir.hashCode)
+        val d = docs(s, dir).select("doc_id", "lang", "n_chars")
+        Tables.writePartitioned(d, tmp, Seq("lang"))
+        Tables.withDynamicPartitionOverwrite(s) {
+          Tables.writePartitioned(
+            d.filter(col("lang") === "en")
+              .withColumn("n_chars", col("n_chars") + 1000),
+            tmp, Seq("lang"))
+        }
+        Tables.parquet(s, tmp)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).cast("long").as("total_chars"))
+      },
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN lang = 'en' THEN n_chars + 1000
+        |                ELSE n_chars END) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY lang""".stripMargin),
+
+    // ───── latest-partition incremental read gate (S2): the corpus
+    // partitioned by lang, `latestPartition` picks the max partition
+    // value and prunes to that one directory — the oracle re-derives
+    // "the max-lang slice" from the original table.
+    "corpus_latest_partition" -> QueryDef.sql(
+      (s, dir) => {
+        val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_latest_" +
+          Integer.toHexString(dir.hashCode)
+        val d = docs(s, dir).select("doc_id", "lang", "source", "n_chars")
+        Tables.writePartitioned(d, tmp, Seq("lang"))
+        Tables.latestPartition(s, tmp, "lang")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).cast("long").as("total_chars"))
+      },
+      """SELECT source, COUNT(*) AS n_docs,
+        |       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM documents
+        |WHERE lang = (SELECT max(lang) FROM documents)
+        |GROUP BY source""".stripMargin),
+
     // ───── sequence packing: per-language greedy packs of ~512
     // tokens (window cumsum — deterministic, engine-reproducible).
     "ta_pack_sequences" -> QueryDef.sql(

@@ -118,6 +118,24 @@ object Tables {
   def enableDynamicPartitionOverwrite(spark: SparkSession): Unit =
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
+  /** Run `body` with dynamic partition-overwrite ON, then restore the
+    * previous mode — the scoped form of
+    * [[enableDynamicPartitionOverwrite]], so one incremental-landing
+    * call site can't silently flip every later `overwrite` write in
+    * the session from static to dynamic (writes are EAGER, unlike
+    * reads, so save/restore is safe here).
+    */
+  def withDynamicPartitionOverwrite[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   /** S11: single-file JSON metrics sink
     * (`nyc_raw_to_validated_etl.py:115-119`). coalesce(1) is correct
     * here ONLY because metrics frames are tiny (1-row audit records);

@@ -24,16 +24,20 @@ class TablesSpec extends SparkSpec {
 
   test("dynamic partition overwrite only replaces touched partitions") {
     val dir = tmp() + "/t"
-    Tables.enableDynamicPartitionOverwrite(spark)
     Tables.writePartitioned(
       Seq((1, "a"), (2, "b")).toDF("id", "p"), dir, Seq("p"))
-    // overwrite only partition b
-    Seq((99, "b")).toDF("id", "p").write.mode("overwrite")
-      .partitionBy("p").parquet(dir)
+    // overwrite only partition b — scoped, so the session mode is
+    // restored afterwards (a later plain overwrite stays STATIC)
+    Tables.withDynamicPartitionOverwrite(spark) {
+      Seq((99, "b")).toDF("id", "p").write.mode("overwrite")
+        .partitionBy("p").parquet(dir)
+    }
     val out = spark.read.parquet(dir)
     assert(out.count() === 2)
     assert(out.filter($"p" === "a").select("id").as[Int].collect() === Array(1))
     assert(out.filter($"p" === "b").select("id").as[Int].collect() === Array(99))
+    assert(spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      .forall(_ != "dynamic"))
   }
 
   test("append sink accumulates rows") {
