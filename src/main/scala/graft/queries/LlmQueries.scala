@@ -2123,6 +2123,48 @@ object LlmQueries {
            |      for i in generate_series(0, 63)], 'sum') / 4.0, 6) AS proj_$j""".stripMargin)
         .mkString(",\n") + "\nFROM embeddings"),
 
+    // ───── ANN over the 16-d projection — the composition X44
+    // exists for: brute-force top-k in the REDUCED space (per-pair
+    // work 4× cheaper, candidate lists feed a full-dim rerank in a
+    // real pipeline). The oracle re-derives the projection AND the
+    // reduced-space cosine ranking end to end.
+    "ann_projected_topk" -> QueryDef.sql(
+      (s, dir) => {
+        val p = Similarity.randomProjection(emb(s, dir), "vec_id", "embedding")
+        val pv = p.select(col("vec_id"),
+          array((0 until 16).map(j => col(s"proj_$j")): _*).as("pvec"))
+        Similarity.bruteForceTopK(pv, pv.filter(col("vec_id") < 5),
+          "vec_id", "pvec", k = 10)
+          .withColumn("rank", col("rank").cast("int"))
+      },
+      """WITH pv AS (
+        |  SELECT vec_id,
+        |    [round(list_aggregate(
+        |       [CAST(embedding[i + 1] AS DOUBLE) *
+        |        (CASE WHEN (CAST(concat('0x',
+        |                substr(md5('rp|' || (j - 1) || '|' || i), 1, 2)) AS INTEGER) & 1) = 0
+        |              THEN 1.0 ELSE -1.0 END)
+        |        for i in generate_series(0, 63)], 'sum') / 4.0, 6)
+        |     for j in generate_series(1, 16)] AS v
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM pv WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS cand_id, v AS cv FROM pv),
+        |sc AS (
+        |  SELECT query_id, cand_id,
+        |    round(list_aggregate([qv[i] * cv[i]
+        |                          for i in generate_series(1, 16)], 'sum')
+        |      / (sqrt(list_aggregate([qv[i] * qv[i]
+        |                              for i in generate_series(1, 16)], 'sum'))
+        |       * sqrt(list_aggregate([cv[i] * cv[i]
+        |                              for i in generate_series(1, 16)], 'sum'))), 6)
+        |      AS cos_sim
+        |  FROM c, q WHERE query_id <> cand_id)
+        |SELECT query_id, cand_id, cos_sim, rank FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        |              ORDER BY cos_sim DESC, cand_id) AS INTEGER) AS rank
+        |  FROM sc)
+        |WHERE rank <= 10""".stripMargin),
+
     // ───── ORC sink/source round-trip gate (the other splittable
     // columnar format): write documents as ORC, read back, aggregate
     // — the oracle aggregates the parquet original, so any loss or

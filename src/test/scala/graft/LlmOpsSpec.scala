@@ -731,6 +731,38 @@ class LlmOpsSpec extends SparkSpec {
     assert(ratio > 0.7 && ratio < 1.3, s"norm ratio $ratio")
   }
 
+  test("projected ANN: exact duplicates stay rank 1; cosine error inside the JL noise band") {
+    import graft.operators.Similarity
+    val planted = emb.select("vec_id", "embedding")
+      .unionByName(emb.filter($"vec_id" === 3L)
+        .select(($"vec_id" + 10000).as("vec_id"), $"embedding"))
+    val p = Similarity.randomProjection(planted, "vec_id", "embedding")
+    val pv = p.select($"vec_id",
+      array((0 until 16).map(j => col(s"proj_$j")): _*).as("pvec"))
+    val top = Similarity.bruteForceTopK(pv, pv.filter($"vec_id" === 3L),
+      "vec_id", "pvec", k = 10)
+    val first = top.filter($"rank" === 1).head()
+    // the duplicate projects identically → cosine exactly 1 at rank 1
+    assert(first.getAs[Long]("cand_id") === 10003L)
+    assert(first.getAs[Double]("cos_sim") === 1.0)
+    // the JL guarantee is cosine PRESERVATION (sd ≈ 1/√16 per pair),
+    // not neighbor-identity recall on near-random synthetic vectors —
+    // assert the mean absolute cosine estimation error over every
+    // (query < 5) × candidate pair is inside the JL noise band
+    val full = Similarity.bruteForceTopK(
+      emb.select("vec_id", "embedding"),
+      emb.filter($"vec_id" < 5).select("vec_id", "embedding"),
+      "vec_id", "embedding", k = 600)
+      .select($"query_id", $"cand_id", $"cos_sim".as("cos_full"))
+    val reduced = Similarity.bruteForceTopK(
+      pv.filter($"vec_id" < 10000), pv.filter($"vec_id" < 5),
+      "vec_id", "pvec", k = 600)
+      .select($"query_id", $"cand_id", $"cos_sim".as("cos_proj"))
+    val mae = full.join(reduced, Seq("query_id", "cand_id"))
+      .agg(avg(abs($"cos_full" - $"cos_proj"))).head.getDouble(0)
+    assert(mae < 0.3, s"mean |cos error| $mae")
+  }
+
   test("sourceOverlapMatrix counts shared fingerprints per unordered source pair") {
     val d = Seq(
       (1L, "alpha beta gamma", "s1"),
