@@ -24,7 +24,9 @@ class PlanAuditSpec extends SparkSpec {
     "llm_curation_pipeline" ->
       "composes corpus_dsir_select + corpus_mixture_temperature: both 1-row totals frames broadcast",
     "corpus_epoch_plan" ->
-      "1-row corpus-token-total frame broadcast into the strata-bounded plan table")
+      "1-row corpus-token-total frame broadcast into the strata-bounded plan table",
+    "ann_projected_topk" ->
+      "same exhaustive ANN baseline shape in the 16-d projected space; queries broadcast")
 
   test("no registered query hides an unlisted cartesian or nested-loop join") {
     GraftExtensions.register(spark)
