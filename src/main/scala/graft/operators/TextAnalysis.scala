@@ -101,6 +101,41 @@ object TextAnalysis {
           PhonePattern, "[PHONE]"))
   }
 
+  /** Luhn-validated payment-card detection + scrub (the
+    * checksum-gated PII class [[scrubPii]]'s regexes can't express —
+    * a 16-digit run is only a card number if ISO/IEC 7812's Luhn mod
+    * 10 holds, and compliance scrubbing wants BOTH counts: candidates
+    * for audit, validated hits for the actual exposure number).
+    * Candidates are 13–19 digit runs; the checksum is the standard
+    * right-to-left double-every-second fold. `clean_text` scrubs ALL
+    * candidates (conservative PCI posture — a mistyped card is still
+    * not trainable text); `n_cc_valid` counts checksum hits.
+    *
+    * Shape: pure scan-side projection, zero exchanges. The Luhn fold
+    * is a higher-order `aggregate` per candidate — CodegenFallback,
+    * but O(19 digits) per candidate on a stream that is empty for
+    * almost every row; the regex prefilter is the hot path and that
+    * is codegen'd.
+    */
+  def luhnCcDetect(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val cands = regexp_extract_all(col(textCol), lit("\\d{13,19}"), lit(0))
+    val luhnOk = (c: Column) =>
+      aggregate(
+        sequence(lit(1), length(c)),
+        lit(0),
+        (acc, i) => {
+          val d = c.substr(length(c) - i + 1, lit(1)).cast("int")
+          val dd = when(i % 2 === 0,
+            when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
+          acc + dd
+        }) % 10 === 0
+    df.select(
+      col(idCol),
+      size(cands).as("n_cc_candidates"),
+      size(filter(cands, luhnOk)).as("n_cc_valid"),
+      regexp_replace(col(textCol), "\\d{13,19}", "[CC]").as("clean_text"))
+  }
+
   // ─────────────────────── repetition scoring ───────────────────────
 
   // ─────────────────── corpus-level statistics ───────────────────

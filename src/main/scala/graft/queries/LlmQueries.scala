@@ -2106,6 +2106,42 @@ object LlmQueries {
          |       CAST(any_value(nseg) - count(*) AS BIGINT) AS n_removed
          |FROM kept GROUP BY doc_id""".stripMargin),
 
+    // ───── Luhn-validated card-number detection (ISO/IEC 7812 mod-10
+    // checksum — the PII class regexes can't express): docs get a
+    // planted VALID card (doc%11) and a planted checksum-INVALID
+    // 16-digit run (doc%13); the oracle re-derives candidates, the
+    // right-to-left double-every-second fold, and the scrub.
+    "ta_pii_luhn" -> QueryDef.sql(
+      (s, dir) => {
+        val planted = docs(s, dir).select(
+          col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 11 === 0, lit(" 4539148803436467"))
+              .otherwise(lit("")),
+            when(col("doc_id") % 13 === 0, lit(" 4539148803436468"))
+              .otherwise(lit(""))).as("text"))
+        TextAnalysis.luhnCcDetect(planted, "doc_id", "text")
+      },
+      """WITH planted AS (
+        |  SELECT doc_id,
+        |    text || (CASE WHEN doc_id % 11 = 0 THEN ' 4539148803436467' ELSE '' END)
+        |         || (CASE WHEN doc_id % 13 = 0 THEN ' 4539148803436468' ELSE '' END) AS t
+        |  FROM documents),
+        |c AS (SELECT doc_id, t, regexp_extract_all(t, '\d{13,19}') AS cands
+        |      FROM planted)
+        |SELECT doc_id,
+        |  CAST(len(cands) AS INTEGER) AS n_cc_candidates,
+        |  CAST(len(list_filter(cands, x ->
+        |    list_sum([CASE WHEN i % 2 = 0 THEN
+        |        (CASE WHEN CAST(x[length(x)-i+1] AS INTEGER) * 2 > 9
+        |              THEN CAST(x[length(x)-i+1] AS INTEGER) * 2 - 9
+        |              ELSE CAST(x[length(x)-i+1] AS INTEGER) * 2 END)
+        |      ELSE CAST(x[length(x)-i+1] AS INTEGER) END
+        |      for i in generate_series(1, length(x))]) % 10 = 0)) AS INTEGER)
+        |    AS n_cc_valid,
+        |  regexp_replace(t, '\d{13,19}', '[CC]', 'g') AS clean_text
+        |FROM c""".stripMargin),
+
     // ───── JL ±1 random projection (Achlioptas 2003) 64 → 16 dims:
     // scan-side vec_dot against md5-derived sign vectors, zero
     // shuffles; the oracle re-derives every sign and the fixed-order

@@ -668,6 +668,27 @@ class LlmOpsSpec extends SparkSpec {
     assert(none.values.forall(_ === 0L) && none.size === 3)
   }
 
+  test("luhnCcDetect: checksum separates real cards from 16-digit noise") {
+    val d = Seq(
+      (1L, "pay with 4539148803436467 now"),          // Luhn-valid
+      (2L, "random run 4539148803436468 here"),       // checksum fails
+      (3L, "order 12345 and 370000000000002 thanks"), // 15-digit Amex test, valid
+      (4L, "no digits at all")).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.luhnCcDetect(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Int]("n_cc_candidates") === 1)
+    assert(out(1L).getAs[Int]("n_cc_valid") === 1)
+    assert(out(1L).getAs[String]("clean_text") === "pay with [CC] now")
+    assert(out(2L).getAs[Int]("n_cc_candidates") === 1)
+    assert(out(2L).getAs[Int]("n_cc_valid") === 0)
+    // the short 12345 run is below the 13-digit floor; the Amex test
+    // number passes Luhn
+    assert(out(3L).getAs[Int]("n_cc_candidates") === 1)
+    assert(out(3L).getAs[Int]("n_cc_valid") === 1)
+    assert(out(4L).getAs[Int]("n_cc_candidates") === 0)
+    assert(out(4L).getAs[String]("clean_text") === "no digits at all")
+  }
+
   test("c4Clean: each line rule and page rule trips on its own violation") {
     val d = Seq(
       (1L, "the cat sat on the mat.\nthe dog ran far away!\nbirds fly very high today?"),
