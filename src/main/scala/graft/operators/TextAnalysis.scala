@@ -136,6 +136,53 @@ object TextAnalysis {
       regexp_replace(col(textCol), "\\d{13,19}", "[CC]").as("clean_text"))
   }
 
+  /** Per-document word-unigram entropy (the `rps_doc_unigram_entropy`
+    * quality signal of RedPajama-Data-v2, TogetherAI 2023 — low
+    * entropy means a repetitive/templated page, the scalar cousin of
+    * [[repetitionRatio]]'s n-gram signal): H = −Σ p_w ln p_w over the
+    * document's own word distribution, plus the token counts the
+    * ratio needs. Engine-exact by construction: the fold runs over
+    * the SORTED distinct-token array (fixed order, so IEEE double
+    * accumulation is identical in any engine re-deriving it) and the
+    * result is 6 dp-rounded.
+    *
+    * Shape: pure scan-side array algebra, zero exchanges. Counts come
+    * from ONE run-length fold over the sorted token array (equal-run
+    * end indices → count = gap between ends), O(len) per row — the
+    * naive per-distinct-token `filter` is O(distinct × len) and
+    * measured 7× slower at sf0.1 with the same bit-exact result
+    * (terms and their order are identical, only the counting walk
+    * changes).
+    */
+  def unigramEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    graft.plans.GraftExtensions.register(spark)
+    // the sorted array MUST materialize once per row: without the
+    // no_inline fence, project-collapse substitutes array_sort into
+    // every element_at inside the lambdas below — O(n² log n) per row
+    // (measured 29.8s vs 0.8s at sf0.1 for the same output)
+    val prepped = df.select(col(idCol),
+      graft.plans.NoInline(spark,
+        array_sort(wordTokens(col(textCol)))).as("_sorted"))
+    val sorted = col("_sorted")
+    val n = size(sorted)
+    // 1-based indices where a sorted equal-run ends
+    val ends = filter(sequence(lit(1), n), i =>
+      (i === n) || (element_at(sorted, i) =!= element_at(sorted, i + 1)))
+    val h = aggregate(
+      ends,
+      struct(lit(0).as("prev"), lit(0.0).as("acc")),
+      (st, e) => {
+        val p = (e - st.getField("prev")).cast("double") / n.cast("double")
+        struct(e.as("prev"), (st.getField("acc") + p * log(p)).as("acc"))
+      }).getField("acc")
+    prepped.select(
+      col(idCol),
+      n.as("n_tokens"),
+      size(ends).as("n_distinct_tokens"),
+      when(n === 0, 0.0).otherwise(round(-h, 6)).as("unigram_entropy"))
+  }
+
   // ─────────────────────── repetition scoring ───────────────────────
 
   // ─────────────────── corpus-level statistics ───────────────────

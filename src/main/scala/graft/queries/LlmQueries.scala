@@ -2106,6 +2106,30 @@ object LlmQueries {
          |       CAST(any_value(nseg) - count(*) AS BIGINT) AS n_removed
          |FROM kept GROUP BY doc_id""".stripMargin),
 
+    // ───── per-doc word-unigram entropy (RedPajama-Data-v2's
+    // rps_doc_unigram_entropy signal): −Σ p ln p over the doc's own
+    // word distribution, folded over the SORTED distinct tokens so
+    // the IEEE accumulation is engine-identical; 6 dp-rounded.
+    "ta_unigram_entropy" -> QueryDef.sql(
+      (s, dir) =>
+        TextAnalysis.unigramEntropy(docs(s, dir), "doc_id", "text"),
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |         string_split_regex(trim(lower(text)), '\s+') AS toks
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, toks, list_sort(list_distinct(toks)) AS dt,
+        |         CAST(len(toks) AS DOUBLE) AS n
+        |  FROM tk)
+        |SELECT doc_id,
+        |  CAST(len(toks) AS INTEGER) AS n_tokens,
+        |  CAST(len(dt) AS INTEGER) AS n_distinct_tokens,
+        |  round(-list_aggregate(
+        |    [(CAST(len(list_filter(toks, x -> x = w)) AS DOUBLE) / n)
+        |     * ln(CAST(len(list_filter(toks, x -> x = w)) AS DOUBLE) / n)
+        |     for w in dt], 'sum'), 6) AS unigram_entropy
+        |FROM m""".stripMargin),
+
     // ───── Luhn-validated card-number detection (ISO/IEC 7812 mod-10
     // checksum — the PII class regexes can't express): docs get a
     // planted VALID card (doc%11) and a planted checksum-INVALID

@@ -668,6 +668,19 @@ class LlmOpsSpec extends SparkSpec {
     assert(none.values.forall(_ === 0L) && none.size === 3)
   }
 
+  test("unigramEntropy: uniform text maxes, repeated text zeroes, ln(k) exact") {
+    val d = Seq(
+      (1L, "a b c d"),        // uniform over 4 → ln 4
+      (2L, "a a a a"),        // single token → 0
+      (3L, "a a b b"))        // uniform over 2 → ln 2
+      .toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.unigramEntropy(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out(1L) === math.rint(math.log(4) * 1e6) / 1e6)
+    assert(out(2L) === 0.0)
+    assert(out(3L) === math.rint(math.log(2) * 1e6) / 1e6)
+  }
+
   test("luhnCcDetect: checksum separates real cards from 16-digit noise") {
     val d = Seq(
       (1L, "pay with 4539148803436467 now"),          // Luhn-valid
