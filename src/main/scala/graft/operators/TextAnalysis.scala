@@ -613,4 +613,119 @@ object TextAnalysis {
         size(col("_lines")).as("n_lines"),
         size(col("_kept")).as("n_lines_kept"))
   }
+
+  /** RedPajama-Data-v2 doc-level fraction signals (Together 2023,
+    * arXiv:2411.12372 appendix; the quality-signal battery CCNet/
+    * Gopher-style pipelines cut on) not already covered by
+    * [[gopherRules]]/[[withQualityFeatures]]:
+    *
+    *  - `frac_all_caps_words` — words that are entirely A–Z
+    *    (rps_doc_frac_all_caps_words; shouting/headline text)
+    *  - `frac_no_alph_words` — words with no alphabetic character
+    *    (rps_doc_frac_no_alph_words; tables, code dumps)
+    *  - `frac_unique_words` — distinct(case-folded words)/words
+    *    (rps_doc_frac_unique_words; low ⇒ template/spam)
+    *  - `mean_word_length` (rps_doc_mean_word_length)
+    *  - `lorem_ipsum_count` — occurrences of "lorem ipsum"
+    *    (rps_doc_lorem_ipsum)
+    *  - `frac_curly_bracket` — `{`/`}` chars over all chars
+    *    (rps_doc_curly_bracket; leaked markup/code)
+    *
+    * All ratios rounded 4 dp so downstream threshold comparisons are
+    * engine-exact. Shape: pure scan-side projection — zero exchanges,
+    * codegen'd regex counting, linear in corpus bytes; the signal
+    * battery a 100 TB curation pass computes in the same scan that
+    * already tokenizes.
+    */
+  def rpv2Signals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    // raw-case whitespace tokens (all-caps detection needs case);
+    // frac_unique_words case-folds per the RPv2 definition
+    val words = split(trim(t), "\\s+")
+    val nWords = greatest(size(words), lit(1)).cast("double")
+    val nChars = greatest(length(t), lit(1)).cast("double")
+    df.select(
+      col(idCol),
+      size(words).as("n_words"),
+      round(size(filter(words, w => w.rlike("^[A-Z]+$"))).cast("double")
+        / nWords, 4).as("frac_all_caps_words"),
+      round(size(filter(words, w => !w.rlike("[A-Za-z]"))).cast("double")
+        / nWords, 4).as("frac_no_alph_words"),
+      round(size(array_distinct(transform(words, w => lower(w)))).cast("double")
+        / nWords, 4).as("frac_unique_words"),
+      // mean over words of char length (separator chars excluded)
+      round(aggregate(words, lit(0L), (acc, w) => acc + length(w))
+        .cast("double") / nWords, 4).as("mean_word_length"),
+      regexp_count(lower(t), lit("lorem ipsum")).as("lorem_ipsum_count"),
+      round(regexp_count(t, lit("[{}]")).cast("double") / nChars, 4)
+        .as("frac_curly_bracket"))
+  }
+
+  /** Gopher repetition signals (Rae et al. 2021, arXiv:2112.11446
+    * A1.1; RedPajama-v2 `rps_doc_frac_chars_top_{2,3,4}gram`): the
+    * fraction of characters accounted for by the single most frequent
+    * word n-gram, for n = 2, 3, 4. High values mark template/spam
+    * pages a plain unique-word ratio misses (the repeated unit is a
+    * PHRASE, not a word).
+    *
+    * Definition (engine-exact): tokens = case-folded whitespace
+    * words; n-grams joined by single spaces; the top gram is the
+    * max-count one with ties broken lexicographically-smallest;
+    * `frac_top_ngram = count·len(gram) / len(join(tokens,' '))`,
+    * rounded 4 dp; docs with fewer than n tokens score 0.
+    *
+    * Shape: per-row array algebra — the n-gram array is sorted ONCE
+    * behind a [[graft.plans.NoInline]] fence (same project-collapse
+    * trap [[unigramEntropy]] documents: without the fence every
+    * lambda `element_at` re-inlines the sort) and a linear run-length
+    * fold extracts the (count, gram) maximum. Zero exchanges; the
+    * whole battery is one scan.
+    */
+  def topNgramFracs(df: DataFrame, idCol: String, textCol: String,
+                    ns: Seq[Int] = Seq(2, 3, 4)): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 2), s"ns must all be >= 2, got $ns")
+    val spark = df.sparkSession
+    graft.plans.GraftExtensions.register(spark)
+    val toks = wordTokens(col(textCol))
+    val sortedGrams = ns.map { n =>
+      // sequence(1, stop) DESCENDS when stop < 1 — docs shorter than
+      // n tokens must short-circuit to an empty gram array
+      val cnt = size(toks) - (n - 1)
+      val grams = when(cnt >= 1,
+        transform(sequence(lit(1), cnt),
+          i => array_join(slice(toks, i, lit(n)), " ")))
+        .otherwise(array().cast("array<string>"))
+      s"_g$n" -> graft.plans.NoInline(spark, array_sort(grams))
+    }
+    val prepped = df.select(
+      col(idCol) +: length(array_join(toks, " ")).as("_total") +:
+        sortedGrams.map { case (nm, c) => c.as(nm) }: _*)
+    val fracCols = ns.map { n =>
+      val sorted = col(s"_g$n")
+      val sz = size(sorted)
+      // 1-based indices where a sorted equal-run ends
+      val ends = filter(sequence(lit(1), sz), i =>
+        (i === sz) || (element_at(sorted, i) =!= element_at(sorted, i + 1)))
+      // fold: longest run wins; sorted ascending ⇒ first max is the
+      // lexicographically smallest gram among ties
+      val best = aggregate(
+        ends,
+        struct(lit(0).as("prev"), lit(0).as("cnt"), lit("").as("gram")),
+        (st, e) => {
+          val run = e - st.getField("prev")
+          struct(
+            e.as("prev"),
+            when(run > st.getField("cnt"), run)
+              .otherwise(st.getField("cnt")).as("cnt"),
+            when(run > st.getField("cnt"), element_at(sorted, e))
+              .otherwise(st.getField("gram")).as("gram"))
+        })
+      when(sz === 0, 0.0).otherwise(
+        round(best.getField("cnt").cast("double") *
+          length(best.getField("gram")).cast("double") /
+          greatest(col("_total"), lit(1)).cast("double"), 4))
+        .as(s"frac_top_${n}gram")
+    }
+    prepped.select(col(idCol) +: fracCols: _*)
+  }
 }

@@ -2354,6 +2354,96 @@ object LlmQueries {
         |           PARTITION BY source
         |           ORDER BY md5('capv1' || CAST(doc_id AS VARCHAR)), doc_id) AS pos
         |  FROM documents)
-        |WHERE pos <= 15""".stripMargin)
+        |WHERE pos <= 15""".stripMargin),
+
+    // ───── RedPajama-Data-v2 doc-level fraction signals (the battery
+    // CCNet/Gopher-style curation cuts on) not covered by
+    // ta_gopher_rules/ta_quality_scores: all-caps-word, no-alpha-word,
+    // unique-word fractions, mean word length, lorem-ipsum count,
+    // curly-bracket char fraction. Pure scan-side projection — zero
+    // exchanges; every ratio 4 dp-rounded so the oracle is exact.
+    "ta_rpv2_fracs" -> QueryDef.sql(
+      (s, dir) =>
+        TextAnalysis.rpv2Signals(docs(s, dir), "doc_id", "text"),
+      """WITH w AS (
+        |  SELECT doc_id, text,
+        |         string_split_regex(trim(text), '\s+') AS words
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, text, words,
+        |         CAST(greatest(len(words), 1) AS DOUBLE) AS nw,
+        |         CAST(greatest(length(text), 1) AS DOUBLE) AS nc
+        |  FROM w)
+        |SELECT doc_id,
+        |  CAST(len(words) AS INTEGER) AS n_words,
+        |  round(CAST(len(list_filter(words,
+        |        x -> regexp_matches(x, '^[A-Z]+$'))) AS DOUBLE) / nw, 4)
+        |    AS frac_all_caps_words,
+        |  round(CAST(len(list_filter(words,
+        |        x -> NOT regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / nw, 4)
+        |    AS frac_no_alph_words,
+        |  round(CAST(len(list_distinct(list_transform(words,
+        |        x -> lower(x)))) AS DOUBLE) / nw, 4) AS frac_unique_words,
+        |  round(CAST(list_sum(list_transform(words,
+        |        x -> length(x))) AS DOUBLE) / nw, 4) AS mean_word_length,
+        |  CAST(len(regexp_extract_all(lower(text), 'lorem ipsum')) AS INTEGER)
+        |    AS lorem_ipsum_count,
+        |  round(CAST(len(regexp_extract_all(text, '[{}]')) AS DOUBLE) / nc, 4)
+        |    AS frac_curly_bracket
+        |FROM m""".stripMargin),
+
+    // ───── Gopher repetition signals (arXiv:2112.11446 A1.1 /
+    // RPv2 rps_doc_frac_chars_top_{2,3,4}gram): fraction of chars in
+    // the most frequent word n-gram, tie → lexicographically
+    // smallest. Engine side is a per-row sorted-array run-length fold
+    // behind a no_inline fence; the oracle re-derives via the naive
+    // unnest + window formulation and must agree exactly.
+    "ta_top_ngram_frac" -> QueryDef.sql(
+      (s, dir) =>
+        TextAnalysis.topNgramFracs(docs(s, dir), "doc_id", "text"),
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |         string_split_regex(trim(lower(text)), '\s+') AS toks
+        |  FROM documents),
+        |tot AS (
+        |  SELECT doc_id, toks,
+        |    CAST(greatest(length(array_to_string(toks, ' ')), 1) AS DOUBLE)
+        |      AS total
+        |  FROM tk),
+        |g2 AS (SELECT doc_id, unnest([array_to_string(toks[i:i+1], ' ')
+        |         for i in generate_series(1, greatest(len(toks)-1, 0))]) AS gram
+        |       FROM tk),
+        |g3 AS (SELECT doc_id, unnest([array_to_string(toks[i:i+2], ' ')
+        |         for i in generate_series(1, greatest(len(toks)-2, 0))]) AS gram
+        |       FROM tk),
+        |g4 AS (SELECT doc_id, unnest([array_to_string(toks[i:i+3], ' ')
+        |         for i in generate_series(1, greatest(len(toks)-3, 0))]) AS gram
+        |       FROM tk),
+        |t2 AS (SELECT doc_id, cnt, gram FROM (
+        |         SELECT doc_id, gram, count(*) AS cnt,
+        |           row_number() OVER (PARTITION BY doc_id
+        |             ORDER BY count(*) DESC, gram) AS rn
+        |         FROM g2 GROUP BY doc_id, gram) WHERE rn = 1),
+        |t3 AS (SELECT doc_id, cnt, gram FROM (
+        |         SELECT doc_id, gram, count(*) AS cnt,
+        |           row_number() OVER (PARTITION BY doc_id
+        |             ORDER BY count(*) DESC, gram) AS rn
+        |         FROM g3 GROUP BY doc_id, gram) WHERE rn = 1),
+        |t4 AS (SELECT doc_id, cnt, gram FROM (
+        |         SELECT doc_id, gram, count(*) AS cnt,
+        |           row_number() OVER (PARTITION BY doc_id
+        |             ORDER BY count(*) DESC, gram) AS rn
+        |         FROM g4 GROUP BY doc_id, gram) WHERE rn = 1)
+        |SELECT tot.doc_id,
+        |  round(COALESCE(CAST(t2.cnt * length(t2.gram) AS DOUBLE), 0.0)
+        |        / tot.total, 4) AS frac_top_2gram,
+        |  round(COALESCE(CAST(t3.cnt * length(t3.gram) AS DOUBLE), 0.0)
+        |        / tot.total, 4) AS frac_top_3gram,
+        |  round(COALESCE(CAST(t4.cnt * length(t4.gram) AS DOUBLE), 0.0)
+        |        / tot.total, 4) AS frac_top_4gram
+        |FROM tot
+        |LEFT JOIN t2 ON tot.doc_id = t2.doc_id
+        |LEFT JOIN t3 ON tot.doc_id = t3.doc_id
+        |LEFT JOIN t4 ON tot.doc_id = t4.doc_id""".stripMargin)
   )
 }

@@ -22,6 +22,7 @@ object Scd2Queries {
 
   private val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
   private val t1 = java.sql.Timestamp.valueOf("2024-02-01 00:00:00")
+  private val t2 = java.sql.Timestamp.valueOf("2024-03-01 00:00:00")
 
   val conf: Config = Config(
     keyCols = Seq("s_suppkey"),
@@ -51,6 +52,37 @@ object Scd2Queries {
   def merged(s: SparkSession, dir: String): DataFrame = {
     val target = Scd2.initialLoad(base(s, dir), conf, t0)
     Scd2.merge(target, incoming(s, dir), conf, t1)
+  }
+
+  /** Streaming CDC scenario: two change-feed files applied in order
+    * by [[graft.streaming.DimensionStream.scd2MergeAvailableNow]] —
+    * batch 0 (t1): keys %10 get bal+100; batch 1 (t2): keys %3 get
+    * bal+50 (computed off the BASE value, so for keys divisible by
+    * both, batch 1 changes the then-current v2 row again → v3).
+    * Stable temp paths keyed on the sf dir; state is fully reset per
+    * run so replay is deterministic.
+    */
+  def streamMerged(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.DimensionStream
+    val b = base(s, dir)
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_scd2_stream_" +
+      Integer.toHexString(dir.hashCode)
+    val feedDir = s"$root/feed"
+    val dimPath = s"$root/dim"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    val batchA = b.filter(col("s_suppkey") % 10 === 0)
+      .withColumn("bal", (col("bal") + 100).cast("decimal(18,2)"))
+      .withColumn("change_ts", lit(t1))
+    val batchB = b.filter(col("s_suppkey") % 3 === 0)
+      .withColumn("bal", (col("bal") + 50).cast("decimal(18,2)"))
+      .withColumn("change_ts", lit(t2))
+    // fixed ascending modTimes → deterministic file-source ordering
+    DimensionStream.writeFeedFile(batchA, feedDir, "batch_0", 1700000000000L)
+    DimensionStream.writeFeedFile(batchB, feedDir, "batch_1", 1700000060000L)
+    Scd2.writeAtomic(Scd2.initialLoad(b, conf, t0), dimPath)
+    DimensionStream.scd2MergeAvailableNow(s, feedDir, dimPath, conf)
   }
 
   private val hashedBaseSql =
@@ -107,6 +139,72 @@ object Scd2Queries {
          |           coalesce(CAST(s_nationkey AS VARCHAR), ''),
          |           coalesce(CAST(bal AS VARCHAR), '')))
          |  FROM b WHERE s_suppkey < 5
+         |)""".stripMargin),
+
+    // ───── STREAMING SCD2 dimension maintenance (the lakehouse CDC
+    // pattern): two change-feed files merged in order inside
+    // foreachBatch (maxFilesPerTrigger=1, atomic staging swap per
+    // batch). The oracle derives the full three-version timeline from
+    // first principles — wrong batch ORDER, a torn write, or a missed
+    // hash short-circuit all shift version numbers or timestamps and
+    // break the hash.
+    "scd2_stream_merge" -> QueryDef.sql(
+      (s, dir) =>
+        streamMerged(s, dir).select(
+          col("s_suppkey"), col("s_name"), col("version_no"), col("is_current"),
+          col("effective_start_ts"), col("effective_end_ts"), col("record_hash")),
+      s"""WITH b AS (
+         |  SELECT s_suppkey, s_name, s_nationkey,
+         |         CAST(s_acctbal AS DECIMAL(18,2)) AS bal
+         |  FROM supplier),
+         |h AS (
+         |  SELECT *,
+         |    sha256(concat_ws('||',
+         |      coalesce(CAST(s_name AS VARCHAR), ''),
+         |      coalesce(CAST(s_nationkey AS VARCHAR), ''),
+         |      coalesce(CAST(bal AS VARCHAR), ''))) AS h0,
+         |    sha256(concat_ws('||',
+         |      coalesce(CAST(s_name AS VARCHAR), ''),
+         |      coalesce(CAST(s_nationkey AS VARCHAR), ''),
+         |      coalesce(CAST(CAST(bal + 100 AS DECIMAL(18,2)) AS VARCHAR), ''))) AS h100,
+         |    sha256(concat_ws('||',
+         |      coalesce(CAST(s_name AS VARCHAR), ''),
+         |      coalesce(CAST(s_nationkey AS VARCHAR), ''),
+         |      coalesce(CAST(CAST(bal + 50 AS DECIMAL(18,2)) AS VARCHAR), ''))) AS h50
+         |  FROM b)
+         |SELECT s_suppkey, s_name, version_no, is_current,
+         |       effective_start_ts, effective_end_ts, record_hash
+         |FROM (
+         |  -- v1 for every key; expired by whichever batch touches it first
+         |  SELECT s_suppkey, s_name, CAST(1 AS INTEGER) AS version_no,
+         |         (s_suppkey % 10 <> 0 AND s_suppkey % 3 <> 0) AS is_current,
+         |         TIMESTAMP '2024-01-01 00:00:00' AS effective_start_ts,
+         |         CASE WHEN s_suppkey % 10 = 0 THEN TIMESTAMP '2024-02-01 00:00:00'
+         |              WHEN s_suppkey % 3 = 0 THEN TIMESTAMP '2024-03-01 00:00:00'
+         |              ELSE TIMESTAMP '9999-12-31 00:00:00' END AS effective_end_ts,
+         |         h0 AS record_hash
+         |  FROM h
+         |  UNION ALL
+         |  -- batch-0 keys: v2 at t1 (bal+100); re-expired at t2 if
+         |  -- batch 1 also touches the key
+         |  SELECT s_suppkey, s_name, CAST(2 AS INTEGER), (s_suppkey % 30 <> 0),
+         |         TIMESTAMP '2024-02-01 00:00:00',
+         |         CASE WHEN s_suppkey % 30 = 0 THEN TIMESTAMP '2024-03-01 00:00:00'
+         |              ELSE TIMESTAMP '9999-12-31 00:00:00' END,
+         |         h100
+         |  FROM h WHERE s_suppkey % 10 = 0
+         |  UNION ALL
+         |  -- batch-1-only keys: v2 at t2 (bal+50)
+         |  SELECT s_suppkey, s_name, CAST(2 AS INTEGER), TRUE,
+         |         TIMESTAMP '2024-03-01 00:00:00',
+         |         TIMESTAMP '9999-12-31 00:00:00', h50
+         |  FROM h WHERE s_suppkey % 3 = 0 AND s_suppkey % 10 <> 0
+         |  UNION ALL
+         |  -- keys hit by BOTH batches: v3 at t2 (bal+50 over the v2 row)
+         |  SELECT s_suppkey, s_name, CAST(3 AS INTEGER), TRUE,
+         |         TIMESTAMP '2024-03-01 00:00:00',
+         |         TIMESTAMP '9999-12-31 00:00:00', h50
+         |  FROM h WHERE s_suppkey % 30 = 0
          |)""".stripMargin),
 
     // ───── S5 time travel: table state between t0 and t1 — every

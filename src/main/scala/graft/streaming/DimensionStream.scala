@@ -1,0 +1,94 @@
+package graft.streaming
+
+import graft.operators.Scd2
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Streaming SCD2 dimension maintenance — the lakehouse CDC pattern
+  * (reference semantics: `scd2_delta_vendors.py`'s merge, applied
+  * continuously instead of nightly): a change feed lands as files,
+  * each micro-batch is MERGEd into the dimension with
+  * [[graft.operators.Scd2.merge]] inside `foreachBatch`, and the
+  * dimension is persisted with the atomic staging swap
+  * ([[graft.operators.Scd2.writeAtomic]]) so a crash mid-batch
+  * leaves either the old or the new complete state — never a torn
+  * table.
+  *
+  * Spark-first shape: the stream side only sequences batches;
+  * everything data-sized runs through the SAME batch merge plan
+  * (hash short-circuit, broadcast changed-key expiry) the nightly
+  * job uses, so streaming and batch cannot drift. The per-batch
+  * `asOf` is taken from the feed's own `change_ts` column (1-row
+  * aggregate — control-plane, not data-plane), so replaying the
+  * same files always reproduces the same version timeline.
+  *
+  * At scale: each micro-batch shuffles only the incoming changes
+  * against the current slice of the dimension (narrow projection,
+  * AQE-broadcast expiry keys); the full-history table is rewritten
+  * per batch — the parquet-lake equivalent of a Delta MERGE, which
+  * at 100 TB dimension scale would swap `writeAtomic` for a format
+  * with file-level merge. The dimension is a DIMENSION (suppliers,
+  * vendors), orders of magnitude smaller than fact/corpus tables,
+  * so the rewrite is bounded.
+  */
+object DimensionStream {
+
+  /** Apply a change feed to an SCD2 dimension, one merge per
+    * micro-batch, in file order (`maxFilesPerTrigger=1` — each feed
+    * file IS a CDC batch; files carry ascending modification times).
+    * Returns the final dimension state read back from `dimPath`.
+    *
+    * @param feedDir   directory of parquet change-batch files, each
+    *                  with the dimension's business columns plus a
+    *                  `change_ts` timestamp column
+    * @param dimPath   dimension table path; must hold the initial
+    *                  SCD2 state (see [[Scd2.initialLoad]] +
+    *                  [[Scd2.writeAtomic]]) before the stream starts
+    */
+  def scd2MergeAvailableNow(spark: SparkSession, feedDir: String,
+                            dimPath: String, conf: Scd2.Config,
+                            queryName: String = "scd2_stream_merge"): DataFrame = {
+    val schema = spark.read.parquet(feedDir).schema
+    val feed = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(feedDir)
+    val q = feed.writeStream
+      .outputMode("update")
+      .queryName(queryName)
+      .option("checkpointLocation", s"$dimPath.checkpoint")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          // asOf from the batch's own data: 1-row control-plane agg
+          val asOf = batch.agg(max(col("change_ts"))).head.getTimestamp(0)
+          val target = spark.read.parquet(dimPath)
+          val merged = Scd2.merge(target, batch.drop("change_ts"), conf, asOf)
+          Scd2.writeAtomic(merged, dimPath)
+        }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(dimPath)
+  }
+
+  /** Write one CDC feed file (single parquet file, explicit
+    * modification time so the file source's modTime ordering replays
+    * batches deterministically).
+    */
+  def writeFeedFile(df: DataFrame, feedDir: String, name: String,
+                    modTimeMs: Long): Unit = {
+    val spark = df.sparkSession
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(feedDir).getFileSystem(hconf)
+    val tmp = new org.apache.hadoop.fs.Path(s"$feedDir/.tmp_$name")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = fs.globStatus(new org.apache.hadoop.fs.Path(s"$tmp/part-*.parquet"))
+      .head.getPath
+    val dest = new org.apache.hadoop.fs.Path(s"$feedDir/$name.parquet")
+    if (fs.exists(dest)) fs.delete(dest, false)
+    org.apache.hadoop.fs.FileUtil.copy(fs, part, fs, dest, false, hconf)
+    fs.delete(tmp, true)
+    fs.setTimes(dest, modTimeMs, -1)
+  }
+}

@@ -1242,4 +1242,61 @@ class LlmOpsSpec extends SparkSpec {
     assert((withMeta(1).get(0), withMeta(1).get(1)) === (1920, 1080))
     assert(withMeta(2).isNullAt(0) && withMeta(2).isNullAt(1))
   }
+
+  test("rpv2Signals: each fraction trips on its own planted pattern") {
+    val d = Seq(
+      (1L, "THE CAT sat on the mat"),      // 2/6 all-caps
+      (2L, "123 456 cat"),                 // 2/3 no-alpha
+      (3L, "spam spam spam spam"),         // 1/4 unique
+      (4L, "Lorem ipsum lorem ipsum x"),   // 2 lorem-ipsum hits
+      (5L, "code { x } end"),              // 2/14 curly chars
+      (6L, "ab cdef"))                     // mean word length 3.0
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.rpv2Signals(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Double]("frac_all_caps_words") === 0.3333)
+    assert(out(2L).getAs[Double]("frac_no_alph_words") === 0.6667)
+    assert(out(3L).getAs[Double]("frac_unique_words") === 0.25)
+    assert(out(4L).getAs[Int]("lorem_ipsum_count") === 2)
+    assert(out(5L).getAs[Double]("frac_curly_bracket") === 0.1429)
+    assert(out(6L).getAs[Double]("mean_word_length") === 3.0)
+    // sanity on the corpus: fractions live in [0, 1]
+    val c = TextAnalysis.rpv2Signals(docs, "doc_id", "text")
+    val bad = c.filter(
+      $"frac_all_caps_words" < 0 || $"frac_all_caps_words" > 1 ||
+        $"frac_no_alph_words" < 0 || $"frac_no_alph_words" > 1 ||
+        $"frac_unique_words" < 0 || $"frac_unique_words" > 1 ||
+        $"frac_curly_bracket" < 0 || $"frac_curly_bracket" > 1).count()
+    assert(bad === 0)
+  }
+
+  test("topNgramFracs: repeated phrase dominates, ties break smallest, short docs zero") {
+    val d = Seq(
+      // "b c" occurs 3×, len 3, total chars 15 → 9/15
+      (1L, "a b c b c b c d"),
+      // all bigrams distinct, each count 1: tie → smallest gram "a b"
+      (2L, "a b c d"),
+      // 1 token: no bigram at all
+      (3L, "solo"),
+      (4L, ""))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.topNgramFracs(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Double]("frac_top_2gram") ===
+      math.rint(9.0 / 15.0 * 1e4) / 1e4)
+    // doc 2: count 1 × len 3 / total 7
+    assert(out(2L).getAs[Double]("frac_top_2gram") ===
+      math.rint(3.0 / 7.0 * 1e4) / 1e4)
+    assert(out(3L).getAs[Double]("frac_top_2gram") === 0.0)
+    assert(out(4L).getAs[Double]("frac_top_2gram") === 0.0)
+    // trigram of doc 1: "b c b" and "c b c" both 2× → tie picks
+    // "b c b"; len 5, count 2, total 15
+    assert(out(1L).getAs[Double]("frac_top_3gram") ===
+      math.rint(10.0 / 15.0 * 1e4) / 1e4)
+    // pure cycle: "x y" 4× × 3 chars over 15 total = 0.8 exactly
+    val rep = Seq((9L, "x y x y x y x y")).toDF("doc_id", "text")
+    val r = TextAnalysis.topNgramFracs(rep, "doc_id", "text")
+      .collect().head
+    assert(r.getAs[Double]("frac_top_2gram") === 0.8)
+  }
 }

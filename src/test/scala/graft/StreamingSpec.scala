@@ -354,4 +354,45 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.select("doc_id").as[Long].collect().toSet ===
       batch.select("doc_id").as[Long].collect().toSet)
   }
+
+  test("streaming SCD2 CDC merge equals the sequential batch merge chain") {
+    import graft.operators.Scd2
+    import graft.streaming.DimensionStream
+    val conf = graft.queries.Scd2Queries.conf
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2024-02-01 00:00:00")
+    val t2 = java.sql.Timestamp.valueOf("2024-03-01 00:00:00")
+    val b = Tables.table(spark, sfDir, "supplier").select(
+      col("s_suppkey"), col("s_name"), col("s_nationkey"),
+      col("s_acctbal").cast("decimal(18,2)").as("bal"))
+    val batchA = b.filter(col("s_suppkey") % 10 === 0)
+      .withColumn("bal", (col("bal") + 100).cast("decimal(18,2)"))
+    val batchB = b.filter(col("s_suppkey") % 3 === 0)
+      .withColumn("bal", (col("bal") + 50).cast("decimal(18,2)"))
+
+    val root = java.nio.file.Files.createTempDirectory("scd2cdc").toString
+    DimensionStream.writeFeedFile(
+      batchA.withColumn("change_ts", lit(t1)), s"$root/feed", "b0", 1700000000000L)
+    DimensionStream.writeFeedFile(
+      batchB.withColumn("change_ts", lit(t2)), s"$root/feed", "b1", 1700000060000L)
+    Scd2.writeAtomic(Scd2.initialLoad(b, conf, t0), s"$root/dim")
+    val streamed = DimensionStream.scd2MergeAvailableNow(
+      spark, s"$root/feed", s"$root/dim", conf, queryName = "spec_scd2_cdc")
+
+    val expected = Scd2.merge(
+      Scd2.merge(Scd2.initialLoad(b, conf, t0), batchA, conf, t1),
+      batchB, conf, t2)
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getInt(r.fieldIndex("version_no")))
+    val got = streamed.collect().map(r => key(r) ->
+      (r.getAs[Boolean]("is_current"), r.getAs[java.sql.Timestamp]("effective_end_ts"),
+        r.getAs[String]("record_hash"))).toMap
+    val exp = expected.collect().map(r => key(r) ->
+      (r.getAs[Boolean]("is_current"), r.getAs[java.sql.Timestamp]("effective_end_ts"),
+        r.getAs[String]("record_hash"))).toMap
+    assert(got === exp)
+    // both-batch keys really reached version 3
+    assert(streamed.filter(col("version_no") === 3).count() ===
+      b.filter(col("s_suppkey") % 30 === 0).count())
+  }
 }
