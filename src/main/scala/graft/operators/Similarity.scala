@@ -553,4 +553,158 @@ object Similarity {
     }
     df.select(col(idCol) +: comps: _*)
   }
+
+  // ─────────────── product quantization (PQ) ANN ───────────────
+
+  /** Exact replication of the plan-side left-to-right squared-norm
+    * fold for a driver-side vector (sibling of [[normOf]], without
+    * the sqrt) — PQ's reduced-distance constant ‖c‖² must be the
+    * same double the oracle's `list_aggregate('sum')` produces.
+    */
+  private def sqNormOf(v: Array[Double]): Double =
+    v.foldLeft(0.0)((a, x) => a + x * x)
+
+  /** Add `_code_j` = the id of the subspace-`j` codeword nearest (in
+    * L2) to the vector's j-th subvector. Distance is REDUCED —
+    * `round(‖c‖² − 2·x·c, 6)` — because ‖x‖² is constant across the
+    * argmin; `array_position(ds, array_min(ds))` takes the FIRST
+    * minimum, so ties resolve (dist ASC, codeword ASC), engine-exact.
+    * The distance array sits behind a [[graft.plans.NoInline]] fence:
+    * [[assignNearest]]'s nested when-fold duplicates the whole prior
+    * tree at each level — fine at k=8, a 2^16 expression blow-up
+    * (measured 62 MB task binaries) at PQ's k=16. Map-only:
+    * codewords are plan literals, the corpus never shuffles to get
+    * encoded.
+    */
+  private def assignSubCode(df: DataFrame, vecCol: String, j: Int, dsub: Int,
+                            book: Seq[Array[Double]]): DataFrame = {
+    val spark = df.sparkSession
+    graft.plans.GraftExtensions.register(spark)
+    val sub = slice(col(vecCol), j * dsub + 1, dsub)
+    val ds = array(book.map(cv =>
+      round(lit(sqNormOf(cv)) - lit(2.0) * dot(sub, lit(cv)), 6)): _*)
+    df.withColumn(s"_pqds_$j", graft.plans.NoInline(spark, ds))
+      .withColumn(s"_code_$j",
+        (array_position(col(s"_pqds_$j"), array_min(col(s"_pqds_$j"))) - 1)
+          .cast("int"))
+      .drop(s"_pqds_$j")
+  }
+
+  /** Deterministic per-subspace L2 k-means codebooks for product
+    * quantization (Jégou et al. 2011, "Product Quantization for
+    * Nearest Neighbor Search"): the vector is split into `m`
+    * subvectors of `dim/m` dims; each subspace gets its own
+    * `codebookK`-codeword Lloyd codebook. Same determinism recipe as
+    * [[kmeansCentroids]]: init = first-k vectors' subvectors by id,
+    * fixed iteration count, 6 dp-rounded reduced-L2 argmin with
+    * codeword-id tiebreak, cell means through exact decimal sums —
+    * so an engine unrolling the same recipe sequentially (the DuckDB
+    * oracle) reproduces every codeword bit-for-bit.
+    *
+    * Scale shape: per iteration, ONE map-only pass assigns all `m`
+    * subspaces (literal argmin — no shuffle of the corpus) and one
+    * (subspace, codeword, dim) mean agg shuffles m×corpus narrow
+    * rows; the m×k×dsub codebook matrix on the driver is index-build
+    * control plane (a few KB).
+    */
+  def pqCodebooks(df: DataFrame, idCol: String, vecCol: String,
+                  dim: Int = 64, m: Int = 4, codebookK: Int = 16,
+                  iters: Int = 2): Seq[Seq[Array[Double]]] = {
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    ensureRegistered(df)
+    val dsub = dim / m
+    val vecs = df.select(col(idCol).as("vid"),
+      col(vecCol).cast("array<double>").as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val seed = vecs.orderBy(col("vid")).limit(codebookK).collect()
+      .map(_.getSeq[Double](1).toArray)
+    var books: Seq[Seq[Array[Double]]] = (0 until m).map(j =>
+      seed.toSeq.map(v => v.slice(j * dsub, (j + 1) * dsub)))
+    try for (_ <- 1 to iters) {
+      val coded = (0 until m).foldLeft(vecs) { (acc, j) =>
+        assignSubCode(acc, "v", j, dsub, books(j))
+      }
+      val perSub = (0 until m).map(j =>
+        coded.select(lit(j).as("sub"), col(s"_code_$j").as("cell"),
+          posexplode(slice(col("v"), j * dsub + 1, dsub)).as(Seq("pos", "x"))))
+      val means = perSub.reduce(_ unionAll _)
+        .groupBy("sub", "cell", "pos")
+        .agg((sum(col("x").cast("decimal(38,12)")).cast("double") /
+          count(lit(1))).as("m"))
+        .collect()
+      val byKey = means.groupBy(r => (r.getInt(0), r.getInt(1)))
+        .map { case (k2, rows) =>
+          k2 -> rows.sortBy(_.getInt(2)).map(_.getDouble(3)).toArray
+        }
+      books = (0 until m).map(j => books(j).zipWithIndex.map {
+        case (old, cid) => byKey.getOrElse((j, cid), old)
+      })
+    } finally vecs.unpersist(blocking = false)
+    books
+  }
+
+  /** PQ-encode: `m` byte-sized code columns per vector, one map-only
+    * projection. THE memory lever at 100 TB: a 64-dim float vector is
+    * 256 bytes; its PQ code is `m` bytes — a 64× compression of the
+    * candidate side, so a billion-vector index fits in a few GB of
+    * executor memory where raw vectors would spill.
+    */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+               books: Seq[Seq[Array[Double]]], dim: Int = 64): DataFrame = {
+    val m = books.size
+    val dsub = dim / m
+    val prepped = df.select(col(idCol),
+      col(vecCol).cast("array<double>").as("_pv"))
+    val coded = (0 until m).foldLeft(prepped) { (acc, j) =>
+      assignSubCode(acc, "_pv", j, dsub, books(j))
+    }
+    coded.drop("_pv")
+  }
+
+  /** PQ ANN with asymmetric distance computation (ADC): codebooks are
+    * trained on the candidate corpus, candidates are PQ-encoded
+    * (map-only), and each query precomputes its m×k distance table
+    * against the codebooks — per-pair work is then `m` table lookups
+    * + a fixed-order sum of m doubles instead of a dim-length dot
+    * product (16× less arithmetic at dim=64/m=4, on 64× smaller
+    * operands). Approximate by construction: the reduced distance
+    * `Σ_j (‖c_j‖² − 2·q_j·c_j)` ranks exactly like true L2 against
+    * the RECONSTRUCTED (quantized) candidates — quantization error is
+    * the recall trade, tunable via m/codebookK without touching the
+    * plan shape.
+    *
+    * Shape: queries (few) broadcast with their distance-table arrays;
+    * candidates never shuffle (codes are a scan-side projection); the
+    * per-query top-k window runs over q×N narrow rows.
+    */
+  def pqTopK(candidates: DataFrame, queries: DataFrame,
+             idCol: String, vecCol: String, k: Int,
+             dim: Int = 64, m: Int = 4, codebookK: Int = 16,
+             iters: Int = 2): DataFrame = {
+    val dsub = dim / m
+    val books = pqCodebooks(candidates, idCol, vecCol, dim, m, codebookK, iters)
+    val coded = pqEncode(candidates, idCol, vecCol, books, dim)
+      .withColumnRenamed(idCol, "cand_id")
+    // per-query distance table: one m×codebookK literal-dot projection
+    val qPrep0 = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("_qv"))
+    val qPrep = (0 until m).foldLeft(qPrep0) { (acc, j) =>
+      val sub = slice(col("_qv"), j * dsub + 1, dsub)
+      acc.withColumn(s"_dt_$j", array(books(j).zipWithIndex.map {
+        case (cv, _) => round(lit(sqNormOf(cv)) - lit(2.0) * dot(sub, lit(cv)), 6)
+      }: _*))
+    }.drop("_qv")
+    val approx = (1 until m).foldLeft(
+      element_at(col("_dt_0"), col("_code_0") + 1)) { (acc, j) =>
+      acc + element_at(col(s"_dt_$j"), col(s"_code_$j") + 1)
+    }
+    val scored = coded.crossJoin(broadcast(qPrep))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("approx_dist", round(approx, 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_dist").asc, col("cand_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "cand_id", "approx_dist", "rank")
+  }
 }

@@ -90,6 +90,72 @@ object LlmQueries {
     * SemDeDup / prototype-pruning oracles; the `ann_ivf_kmeans_
     * sampled` oracle predates it and keeps its inline copy.
     */
+  /** Reduced squared-L2 between a `dsub`-dim subvector expression and
+    * a codeword expression: ‖c‖² − 2·s·c, each fold a fixed-order
+    * list_aggregate — matches `Similarity.assignSubCode`'s plan-side
+    * arithmetic bit-for-bit.
+    */
+  private def pqDistSql(s: String, c: String, dsub: Int) =
+    s"""(list_aggregate([CAST($c[x] AS DOUBLE) * CAST($c[x] AS DOUBLE)
+       |                 for x in generate_series(1, $dsub)], 'sum')
+       | - 2 * list_aggregate([CAST($s[x] AS DOUBLE) * CAST($c[x] AS DOUBLE)
+       |                 for x in generate_series(1, $dsub)], 'sum'))""".stripMargin
+
+  /** Unrolled per-subspace PQ recipe over a `vecs(vid, v)` CTE:
+    * for each subspace j emits `sub$j` (subvector slices), the Lloyd
+    * chain `pc${j}_0..pc${j}_$iters` (reduced-L2 argmin assignment,
+    * decimal cell means, empty cells keep their codeword), the final
+    * corpus encoding `pcode$j(vid, code)`, and the query distance
+    * table `qd$j(query_id, cid, d)` for `vid < $nQueries` — the exact
+    * twin of `Similarity.pqCodebooks`/`pqEncode`/`pqTopK`'s tables.
+    */
+  private def pqSql(m: Int, dsub: Int, k: Int, iters: Int,
+                    nQueries: Int): String =
+    (0 until m).map { j =>
+      val a = j * dsub + 1
+      val b = (j + 1) * dsub
+      val itSql = (1 to iters).map { i =>
+        s"""pa${j}_$i AS (
+           |  SELECT s.vid, s.sv, c.cid,
+           |         round(${pqDistSql("s.sv", "c.cv", dsub)}, 6) AS d
+           |  FROM sub$j s, pc${j}_${i - 1} c),
+           |pcell${j}_$i AS (
+           |  SELECT vid, sv, cid FROM (
+           |    SELECT vid, sv, cid,
+           |           row_number() OVER (PARTITION BY vid
+           |                              ORDER BY d ASC, cid ASC) AS rn
+           |    FROM pa${j}_$i) WHERE rn = 1),
+           |pm${j}_$i AS (
+           |  SELECT cid, dd.x AS pos,
+           |         CAST(SUM(CAST(sv[dd.x] AS DECIMAL(38,12))) AS DOUBLE)
+           |           / COUNT(*) AS mu
+           |  FROM pcell${j}_$i, generate_series(1, $dsub) AS dd(x)
+           |  GROUP BY 1, 2),
+           |pc${j}_$i AS (
+           |  SELECT p.cid, COALESCE(n.nv, p.cv) AS cv
+           |  FROM pc${j}_${i - 1} p LEFT JOIN (
+           |    SELECT cid, list(mu ORDER BY pos) AS nv
+           |    FROM pm${j}_$i GROUP BY 1) n USING (cid))""".stripMargin
+      }.mkString(",\n")
+      s"""sub$j AS (SELECT vid, v[$a:$b] AS sv FROM vecs),
+         |pc${j}_0 AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vid) - 1 AS INTEGER) AS cid,
+         |         sv AS cv
+         |  FROM (SELECT vid, sv FROM sub$j ORDER BY vid LIMIT $k)),
+         |$itSql,
+         |pcode$j AS (
+         |  SELECT vid, cid AS code FROM (
+         |    SELECT s.vid, c.cid,
+         |           row_number() OVER (PARTITION BY s.vid
+         |             ORDER BY round(${pqDistSql("s.sv", "c.cv", dsub)}, 6) ASC,
+         |                      c.cid ASC) AS rn
+         |    FROM sub$j s, pc${j}_$iters c) WHERE rn = 1),
+         |qd$j AS (
+         |  SELECT s.vid AS query_id, c.cid,
+         |         round(${pqDistSql("s.sv", "c.cv", dsub)}, 6) AS d
+         |  FROM sub$j s, pc${j}_$iters c WHERE s.vid < $nQueries)""".stripMargin
+    }.mkString(",\n")
+
   private def kmeansCellsSql(k: Int, iters: Int, samplePct: Int): String = {
     val samp =
       if (samplePct >= 100) "samp AS (SELECT vid, v FROM vecs)"
@@ -2444,6 +2510,43 @@ object LlmQueries {
         |FROM tot
         |LEFT JOIN t2 ON tot.doc_id = t2.doc_id
         |LEFT JOIN t3 ON tot.doc_id = t3.doc_id
-        |LEFT JOIN t4 ON tot.doc_id = t4.doc_id""".stripMargin)
+        |LEFT JOIN t4 ON tot.doc_id = t4.doc_id""".stripMargin),
+
+    // ───── product-quantization ANN with asymmetric distance
+    // computation (Jégou et al. 2011): per-subspace L2 codebooks
+    // (m=4 × 16 dims, k=16, 2 Lloyd rounds), corpus PQ-encoded
+    // map-side to 4 byte codes (64× smaller than raw floats — the
+    // memory lever that fits a billion-vector index in executor
+    // RAM), queries rank by table-lookup ADC. The oracle unrolls all
+    // four codebooks, the encoding, and the ADC sum bit-for-bit.
+    "ann_pq_adc_topk" -> QueryDef.sql(
+      (s, dir) => {
+        val e = emb(s, dir)
+        Similarity.pqTopK(e, e.filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 10)
+      },
+      s"""WITH vecs AS (
+         |  SELECT vec_id AS vid,
+         |         [CAST(x AS DOUBLE) for x in embedding] AS v
+         |  FROM embeddings),
+         |${pqSql(m = 4, dsub = 16, k = 16, iters = 2, nQueries = 5)},
+         |adc AS (
+         |  SELECT q0.query_id, e0.vid AS cand_id,
+         |         round(q0.d + q1.d + q2.d + q3.d, 6) AS approx_dist
+         |  FROM pcode0 e0
+         |  JOIN pcode1 e1 USING (vid)
+         |  JOIN pcode2 e2 USING (vid)
+         |  JOIN pcode3 e3 USING (vid)
+         |  JOIN qd0 q0 ON q0.cid = e0.code
+         |  JOIN qd1 q1 ON q1.query_id = q0.query_id AND q1.cid = e1.code
+         |  JOIN qd2 q2 ON q2.query_id = q0.query_id AND q2.cid = e2.code
+         |  JOIN qd3 q3 ON q3.query_id = q0.query_id AND q3.cid = e3.code
+         |  WHERE q0.query_id <> e0.vid)
+         |SELECT query_id, cand_id, approx_dist, rank FROM (
+         |  SELECT query_id, cand_id, approx_dist,
+         |         CAST(row_number() OVER (PARTITION BY query_id
+         |           ORDER BY approx_dist ASC, cand_id ASC) AS INTEGER) AS rank
+         |  FROM adc)
+         |WHERE rank <= 10""".stripMargin)
   )
 }

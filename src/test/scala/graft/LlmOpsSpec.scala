@@ -1243,6 +1243,33 @@ class LlmOpsSpec extends SparkSpec {
     assert(withMeta(2).isNullAt(0) && withMeta(2).isNullAt(1))
   }
 
+  test("pqTopK: planted duplicate attains the minimum ADC distance; codes partition-invariant") {
+    val dup = emb.filter($"vec_id" === 3L)
+      .select(($"vec_id" + 10000).as("vec_id"), $"embedding", $"label")
+    val corpus = emb.unionByName(dup)
+    val out = Similarity.pqTopK(corpus, corpus.filter($"vec_id" === 3L),
+      "vec_id", "embedding", k = 10)
+    val rows = out.collect()
+    assert(rows.length === 10)
+    // the exact copy shares every subspace code with the query, so its
+    // ADC distance is the reconstructed-self distance — the global min
+    val minDist = rows.map(_.getAs[Double]("approx_dist")).min
+    val dupRow = rows.find(_.getAs[Long]("cand_id") === 10003L).get
+    assert(dupRow.getAs[Double]("approx_dist") === minDist)
+
+    // codebooks + codes are deterministic and partition-invariant
+    val books1 = Similarity.pqCodebooks(emb, "vec_id", "embedding")
+    val books2 = Similarity.pqCodebooks(emb.repartition(13), "vec_id", "embedding")
+    assert(books1.flatten.map(_.toSeq) === books2.flatten.map(_.toSeq))
+    val c1 = Similarity.pqEncode(emb, "vec_id", "embedding", books1)
+      .orderBy("vec_id").collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+    val c2 = Similarity.pqEncode(emb.repartition(7), "vec_id", "embedding", books1)
+      .orderBy("vec_id").collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+    assert(c1 === c2)
+    // codes are within the codebook range
+    assert(c1.forall(t => Seq(t._2, t._3, t._4, t._5).forall(c => c >= 0 && c < 16)))
+  }
+
   test("rpv2Signals: each fraction trips on its own planted pattern") {
     val d = Seq(
       (1L, "THE CAT sat on the mat"),      // 2/6 all-caps
