@@ -653,12 +653,11 @@ object Similarity {
                books: Seq[Seq[Array[Double]]], dim: Int = 64): DataFrame = {
     val m = books.size
     val dsub = dim / m
-    val prepped = df.select(col(idCol),
-      col(vecCol).cast("array<double>").as("_pv"))
+    val prepped = df.withColumn("_pv", col(vecCol).cast("array<double>"))
     val coded = (0 until m).foldLeft(prepped) { (acc, j) =>
       assignSubCode(acc, "_pv", j, dsub, books(j))
     }
-    coded.drop("_pv")
+    coded.drop("_pv", vecCol)
   }
 
   /** PQ ANN with asymmetric distance computation (ADC): codebooks are
@@ -706,5 +705,73 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "cand_id", "approx_dist", "rank")
+  }
+
+  /** IVF-PQ — the industry-standard billion-vector index shape
+    * (Jégou et al. 2011 §IV; the FAISS `IVFx,PQy` default): a coarse
+    * quantizer routes every vector to a cell, PQ codebooks are
+    * trained on the RESIDUALS (vector − its cell centroid — residual
+    * energy is far lower than raw, so the same 4-byte code carries
+    * more precision), and a query does ADC against only its own
+    * cell's candidates (nprobe=1 here; probing more cells re-runs the
+    * same plan per cell).
+    *
+    * Why this is THE 100 TB ANN shape: the coarse route is map-only
+    * (literal argmin), codes are 4 bytes (64× compression), and the
+    * per-query candidate set shrinks by the cell fan-out — memory,
+    * shuffle, and per-pair arithmetic all drop together, each factor
+    * tunable (coarseK, m, codebookK) without changing the plan.
+    *
+    * Coarse centroids are the deterministic first-`coarseK` candidate
+    * vectors by id (oracle-expressible; swap in [[kmeansCentroids]]
+    * output for data-adaptive cells — the plan shape is identical).
+    */
+  def ivfPqTopK(candidates: DataFrame, queries: DataFrame,
+                idCol: String, vecCol: String, k: Int,
+                coarseK: Int = 8, dim: Int = 64, m: Int = 4,
+                codebookK: Int = 16, iters: Int = 2): DataFrame = {
+    ensureRegistered(candidates)
+    val dsub = dim / m
+    val cands = candidates.select(col(idCol).as("cand_id"),
+      col(vecCol).cast("array<double>").as("_v"))
+    val coarse: Seq[Array[Double]] = cands.orderBy(col("cand_id"))
+      .limit(coarseK).collect().map(_.getSeq[Double](1).toArray).toSeq
+    val centArr = array(coarse.map(cv => lit(cv)): _*)
+    // coarse route + residual: one map-only projection (the whole
+    // vector is "subspace 0" of width dim for the argmin)
+    def withCellAndResidual(df: DataFrame): DataFrame =
+      assignSubCode(df, "_v", 0, dim, coarse)
+        .withColumnRenamed("_code_0", "cell")
+        .withColumn("_rv",
+          zip_with(col("_v"), element_at(centArr, col("cell") + 1),
+            (a, b) => a - b))
+
+    val candRes = withCellAndResidual(cands).select("cand_id", "cell", "_rv")
+    val books = pqCodebooks(candRes, "cand_id", "_rv", dim, m, codebookK, iters)
+    val coded = pqEncode(candRes, "cand_id", "_rv", books, dim)
+
+    val qRes = withCellAndResidual(
+      queries.select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("_v")))
+      .select(col("query_id"), col("cell").as("q_cell"), col("_rv"))
+    val qPrep = (0 until m).foldLeft(qRes) { (acc, j) =>
+      val sub = slice(col("_rv"), j * dsub + 1, dsub)
+      acc.withColumn(s"_dt_$j", array(books(j).map(cv =>
+        round(lit(sqNormOf(cv)) - lit(2.0) * dot(sub, lit(cv)), 6)): _*))
+    }.drop("_rv")
+    val approx = (1 until m).foldLeft(
+      element_at(col("_dt_0"), col("_code_0") + 1)) { (acc, j) =>
+      acc + element_at(col(s"_dt_$j"), col(s"_code_$j") + 1)
+    }
+    // equi-join on the cell: candidates outside the probed cell are
+    // never scored (the fan-out cut IVF exists for)
+    val scored = coded.join(broadcast(qPrep), col("cell") === col("q_cell"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("approx_dist", round(approx, 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_dist").asc, col("cand_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "cand_id", "cell", "approx_dist", "rank")
   }
 }

@@ -110,7 +110,7 @@ object LlmQueries {
     * twin of `Similarity.pqCodebooks`/`pqEncode`/`pqTopK`'s tables.
     */
   private def pqSql(m: Int, dsub: Int, k: Int, iters: Int,
-                    nQueries: Int): String =
+                    nQueries: Int, src: String = "vecs"): String =
     (0 until m).map { j =>
       val a = j * dsub + 1
       val b = (j + 1) * dsub
@@ -137,7 +137,7 @@ object LlmQueries {
            |    SELECT cid, list(mu ORDER BY pos) AS nv
            |    FROM pm${j}_$i GROUP BY 1) n USING (cid))""".stripMargin
       }.mkString(",\n")
-      s"""sub$j AS (SELECT vid, v[$a:$b] AS sv FROM vecs),
+      s"""sub$j AS (SELECT vid, v[$a:$b] AS sv FROM $src),
          |pc${j}_0 AS (
          |  SELECT CAST(row_number() OVER (ORDER BY vid) - 1 AS INTEGER) AS cid,
          |         sv AS cv
@@ -2544,6 +2544,64 @@ object LlmQueries {
          |  WHERE q0.query_id <> e0.vid)
          |SELECT query_id, cand_id, approx_dist, rank FROM (
          |  SELECT query_id, cand_id, approx_dist,
+         |         CAST(row_number() OVER (PARTITION BY query_id
+         |           ORDER BY approx_dist ASC, cand_id ASC) AS INTEGER) AS rank
+         |  FROM adc)
+         |WHERE rank <= 10""".stripMargin),
+
+    // ───── IVF-PQ (the FAISS-default billion-vector shape): coarse
+    // first-8 cells route map-side, PQ codebooks train on RESIDUALS
+    // (vector − cell centroid), queries ADC only against their own
+    // cell (nprobe=1). The oracle re-derives the coarse route, every
+    // residual, all four residual codebooks, the encoding, and the
+    // cell-restricted ADC ranking end to end.
+    "ann_ivfpq_topk" -> QueryDef.sql(
+      (s, dir) => {
+        val e = emb(s, dir)
+        Similarity.ivfPqTopK(e, e.filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 10)
+      },
+      s"""WITH vecs AS (
+         |  SELECT vec_id AS vid,
+         |         [CAST(x AS DOUBLE) for x in embedding] AS v
+         |  FROM embeddings),
+         |cc AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vid) - 1 AS INTEGER) AS ccid,
+         |         v AS cv
+         |  FROM (SELECT vid, v FROM vecs ORDER BY vid LIMIT 8)),
+         |casg AS (
+         |  SELECT v.vid, c.ccid,
+         |         round(${pqDistSql("v.v", "c.cv", 64)}, 6) AS d
+         |  FROM vecs v, cc c),
+         |ccell AS (
+         |  SELECT vid, ccid AS cell FROM (
+         |    SELECT vid, ccid,
+         |           row_number() OVER (PARTITION BY vid
+         |                              ORDER BY d ASC, ccid ASC) AS rn
+         |    FROM casg) WHERE rn = 1),
+         |rvecs AS (
+         |  SELECT v.vid,
+         |         [v.v[i] - c.cv[i] for i in generate_series(1, 64)] AS v
+         |  FROM vecs v
+         |  JOIN ccell ce USING (vid)
+         |  JOIN cc c ON c.ccid = ce.cell),
+         |${pqSql(m = 4, dsub = 16, k = 16, iters = 2, nQueries = 5, src = "rvecs")},
+         |adc AS (
+         |  SELECT q0.query_id, e0.vid AS cand_id, ce.cell,
+         |         round(q0.d + q1.d + q2.d + q3.d, 6) AS approx_dist
+         |  FROM pcode0 e0
+         |  JOIN pcode1 e1 USING (vid)
+         |  JOIN pcode2 e2 USING (vid)
+         |  JOIN pcode3 e3 USING (vid)
+         |  JOIN ccell ce USING (vid)
+         |  JOIN qd0 q0 ON q0.cid = e0.code
+         |  JOIN qd1 q1 ON q1.query_id = q0.query_id AND q1.cid = e1.code
+         |  JOIN qd2 q2 ON q2.query_id = q0.query_id AND q2.cid = e2.code
+         |  JOIN qd3 q3 ON q3.query_id = q0.query_id AND q3.cid = e3.code
+         |  JOIN ccell qc ON qc.vid = q0.query_id AND qc.cell = ce.cell
+         |  WHERE q0.query_id <> e0.vid)
+         |SELECT query_id, cand_id, cell, approx_dist, rank FROM (
+         |  SELECT query_id, cand_id, cell, approx_dist,
          |         CAST(row_number() OVER (PARTITION BY query_id
          |           ORDER BY approx_dist ASC, cand_id ASC) AS INTEGER) AS rank
          |  FROM adc)

@@ -1270,6 +1270,22 @@ class LlmOpsSpec extends SparkSpec {
     assert(c1.forall(t => Seq(t._2, t._3, t._4, t._5).forall(c => c >= 0 && c < 16)))
   }
 
+  test("ivfPqTopK: results stay inside the probed cell; duplicate attains min ADC") {
+    val dup = emb.filter($"vec_id" === 7L)
+      .select(($"vec_id" + 10000).as("vec_id"), $"embedding", $"label")
+    val corpus = emb.unionByName(dup)
+    val out = Similarity.ivfPqTopK(corpus, corpus.filter($"vec_id" === 7L),
+      "vec_id", "embedding", k = 10).collect()
+    assert(out.nonEmpty && out.length <= 10)
+    // an exact copy routes to the same coarse cell, has identical
+    // residual → identical codes → the minimum ADC distance
+    val minDist = out.map(_.getAs[Double]("approx_dist")).min
+    val dupRow = out.find(_.getAs[Long]("cand_id") === 10007L).get
+    assert(dupRow.getAs[Double]("approx_dist") === minDist)
+    // nprobe=1: every scored candidate shares the query's cell
+    assert(out.map(_.getAs[Int]("cell")).distinct.length === 1)
+  }
+
   test("rpv2Signals: each fraction trips on its own planted pattern") {
     val d = Seq(
       (1L, "THE CAT sat on the mat"),      // 2/6 all-caps
