@@ -526,6 +526,71 @@ object RelationalQueries {
         |      FROM orders)
         |WHERE rn = 1""".stripMargin),
 
+    // ───── W2: framed window — 7-row trailing moving average of
+    // per-supplier daily revenue (ROWS BETWEEN 6 PRECEDING AND
+    // CURRENT ROW). The frame sum rides the exact DECIMAL through the
+    // window (FP window accumulation order is engine-internal; the
+    // decimal sum is order-free), cast double only at the division.
+    // One shuffle on the partition key; the frame walk is per-task.
+    "w02_moving_avg" -> QueryDef.sql(
+      (s, dir) => {
+        val daily = t(s, dir, "lineitem")
+          .filter(col("l_extendedprice") > 0)
+          .groupBy(col("l_suppkey"), to_date(col("l_shipdate")).as("ship_date"))
+          .agg(sum(col("l_extendedprice").cast("decimal(30,2)")).as("_rev_dec"))
+        val w = Window.partitionBy(col("l_suppkey")).orderBy(col("ship_date"))
+          .rowsBetween(-6, 0)
+        daily.select(
+          col("l_suppkey"), col("ship_date"),
+          col("_rev_dec").cast("double").as("total_revenue"),
+          round(sum(col("_rev_dec")).over(w).cast("double") /
+            count(lit(1)).over(w).cast("double"), 4).as("moving_avg_7"))
+      },
+      """WITH daily AS (
+        |  SELECT l_suppkey, CAST(l_shipdate AS DATE) AS ship_date,
+        |         SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS rev_dec
+        |  FROM lineitem WHERE l_extendedprice > 0 GROUP BY 1, 2)
+        |SELECT l_suppkey, ship_date,
+        |       CAST(rev_dec AS DOUBLE) AS total_revenue,
+        |       round(CAST(SUM(rev_dec) OVER w AS DOUBLE)
+        |             / CAST(COUNT(*) OVER w AS DOUBLE), 4) AS moving_avg_7
+        |FROM daily
+        |WINDOW w AS (PARTITION BY l_suppkey ORDER BY ship_date
+        |             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin),
+
+    // ───── A12: ROLLUP subtotal hierarchy over (nation, segment)
+    // revenue — grouping-set aggregation in one pass (Spark expands
+    // the sets below one shuffle; no N-pass union). GROUPING() flags
+    // distinguish subtotal rows from genuine values.
+    "a12_rollup_revenue" -> QueryDef.sql(
+      (s, dir) =>
+        t(s, dir, "orders")
+          .join(t(s, dir, "customer"),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(t(s, dir, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+          .rollup(col("n_name"), col("c_mktsegment"))
+          .agg(
+            exactSum(col("o_totalprice")).as("total_sales"),
+            count(lit(1)).as("n_orders"),
+            grouping(col("n_name")).as("_g_nation"),
+            grouping(col("c_mktsegment")).as("_g_segment"))
+          .select(
+            when(col("_g_nation") === 1, "ALL")
+              .otherwise(col("n_name")).as("nation"),
+            when(col("_g_segment") === 1, "ALL")
+              .otherwise(col("c_mktsegment")).as("segment"),
+            col("total_sales"), col("n_orders")),
+      """SELECT CASE WHEN GROUPING(n_name) = 1 THEN 'ALL' ELSE n_name END AS nation,
+        |       CASE WHEN GROUPING(c_mktsegment) = 1 THEN 'ALL'
+        |            ELSE c_mktsegment END AS segment,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS total_sales,
+        |       COUNT(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY ROLLUP (n_name, c_mktsegment)""".stripMargin),
+
     // ───── O4: deterministic top-k (ref dq-governance-gate lambda :30-34)
     "o04_topk_orders" -> QueryDef.sql(
       (s, dir) =>
