@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.QueryDef
-import graft.operators.{Bpe, Multimodal, Sampling, Similarity, TextAnalysis, TextDedup}
+import graft.operators.{Bpe, Multimodal, Sampling, Similarity, Sketches, TextAnalysis, TextDedup}
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -2658,6 +2658,45 @@ object LlmQueries {
          |SELECT doc_id, count(*) AS n_terms,
          |  round(CAST(sum(CAST(logp AS DECIMAL(30,9))) AS DOUBLE)
          |        / count(*), 6) AS mean_chain_logp
-         |FROM terms GROUP BY doc_id""".stripMargin)
+         |FROM terms GROUP BY doc_id""".stripMargin),
+
+    // ───── HLL mergeable distinct-count gate: per-language distinct
+    // tokens + the sketch-UNION rollup to the global distinct (the
+    // O(sketch) cross-partition rollup exact distinct can't do).
+    // Sketch internals aren't oracle-reproducible, so the gate
+    // outputs EXACT counts plus a boolean the estimate must satisfy
+    // (±5% at lgK=12 ≈ 3σ) — a red bound breaks the row hash.
+    "a13_hll_distinct_gate" -> QueryDef.sql(
+      (s, dir) => {
+        val toks = docs(s, dir).select(col("lang"),
+          explode(TextAnalysis.wordTokens(col("text"))).as("token"))
+          .filter(col("token") =!= "")
+        Sketches.hllDistinctGate(toks, "lang", "token")
+      },
+      """WITH tk AS (
+        |  SELECT lang,
+        |         unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |  FROM documents),
+        |t2 AS (SELECT lang, token FROM tk WHERE token <> '')
+        |SELECT lang, COUNT(DISTINCT token) AS n_exact,
+        |       TRUE AS hll_within_tol
+        |FROM t2 GROUP BY lang
+        |UNION ALL
+        |SELECT '__ALL__', COUNT(DISTINCT token), TRUE FROM t2""".stripMargin),
+
+    // ───── count-min-sketch heavy-hitter gate: exact top-20 terms
+    // cross-checked against the mergeable CMS — `cms_ge_exact` rides
+    // the DETERMINISTIC one-sided guarantee (CMS never undercounts),
+    // so the gate has zero flake risk; the probabilistic overestimate
+    // bound is spec-checked.
+    "a14_cms_top_terms" -> QueryDef.sql(
+      (s, dir) =>
+        Sketches.cmsTopTermsGate(docs(s, dir), "text", k = 20),
+      """SELECT token, n AS n_exact, TRUE AS cms_ge_exact FROM (
+        |  SELECT token, count(*) AS n FROM (
+        |    SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |    FROM documents) t
+        |  WHERE token <> ''
+        |  GROUP BY token ORDER BY n DESC, token LIMIT 20)""".stripMargin)
   )
 }

@@ -1312,6 +1312,37 @@ class LlmOpsSpec extends SparkSpec {
     assert(terms === Map(1L -> 2L, 2L -> 1L))
   }
 
+  test("sketches: HLL union rollup within tolerance; CMS one-sided + eps bounds hold") {
+    import graft.operators.Sketches
+    val toks = docs.select($"lang",
+      explode(TextAnalysis.wordTokens($"text")).as("token"))
+      .filter($"token" =!= "")
+    val gate = Sketches.hllDistinctGate(toks, "lang", "token").collect()
+    assert(gate.forall(_.getAs[Boolean]("hll_within_tol")))
+    assert(gate.exists(_.getAs[String]("lang") == "__ALL__"))
+    // the union row gates the SKETCH rollup, not a sum of strata —
+    // overlapping vocabularies make sum(strata) > global distinct
+    val exactPerLang = gate.filter(_.getAs[String]("lang") != "__ALL__")
+      .map(_.getAs[Long]("n_exact")).sum
+    val exactGlobal = gate.find(_.getAs[String]("lang") == "__ALL__").get
+      .getAs[Long]("n_exact")
+    assert(exactPerLang > exactGlobal)
+
+    // CMS: never undercounts (deterministic), overestimate within
+    // eps*N at the chosen confidence
+    val top = TextAnalysis.topTerms(docs, "text", 10).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val n = docs.select(explode(TextAnalysis.wordTokens($"text")).as("t"))
+      .filter($"t" =!= "").count()
+    val est = Sketches.cmsEstimates(docs, "text", top.map(_._1).toSeq,
+      eps = 0.0005, confidence = 0.999, seed = 42)
+    top.foreach { case (t, exact) =>
+      assert(est(t) >= exact, s"CMS undercounted $t")
+      assert(est(t) <= exact + math.ceil(0.0005 * n).toLong,
+        s"CMS overshoot on $t: ${est(t)} vs $exact (N=$n)")
+    }
+  }
+
   test("rpv2Signals: each fraction trips on its own planted pattern") {
     val d = Seq(
       (1L, "THE CAT sat on the mat"),      // 2/6 all-caps
