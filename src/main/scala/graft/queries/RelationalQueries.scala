@@ -526,6 +526,65 @@ object RelationalQueries {
         |      FROM orders)
         |WHERE rn = 1""".stripMargin),
 
+    // ───── materialized-view maintenance gate: the daily-revenue
+    // aggregate rebuilt INCREMENTALLY — two arrival batches each
+    // produce algebraic (decimal-sum, count) state, the states merge,
+    // and the result must equal the one-shot aggregate (the oracle is
+    // the same SQL daily_revenue uses). Decimal state is what makes
+    // the merge batch-boundary-exact; double state would drift.
+    "mv_incremental_revenue" -> QueryDef.sql(
+      (s, dir) => {
+        import graft.operators.Incremental
+        val li = t(s, dir, "lineitem")
+          .filter(col("l_extendedprice") > 0)
+          .withColumn("ship_date", to_date(col("l_shipdate")))
+        val keys = Seq("l_suppkey", "ship_date")
+        val merged = Incremental.mergeAggStates(
+          Incremental.aggState(
+            li.filter(col("l_orderkey") % 2 === 0), keys, col("l_extendedprice")),
+          Incremental.aggState(
+            li.filter(col("l_orderkey") % 2 =!= 0), keys, col("l_extendedprice")),
+          keys)
+        Incremental.finalizeAggState(merged, "total_revenue", "trip_count")
+      },
+      """SELECT l_suppkey,
+        |       CAST(l_shipdate AS DATE) AS ship_date,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) AS total_revenue,
+        |       COUNT(*) AS trip_count
+        |FROM lineitem
+        |WHERE l_extendedprice > 0
+        |GROUP BY 1, 2""".stripMargin),
+
+    // ───── snapshot-diff change feed (the offline Delta CDF): two
+    // supplier snapshots with planted deletes (%13), updates (%7,
+    // acctbal+5), and inserts (+10M keys) → one full-outer
+    // shuffled-hash join over scan-side (key, hash) rows emits
+    // exactly the |changes|-sized feed the oracle derives directly
+    // from the plant rules.
+    "cdc_snapshot_diff" -> QueryDef.sql(
+      (s, dir) => {
+        import graft.operators.Incremental
+        val sup = t(s, dir, "supplier")
+        val newSnap = sup
+          .filter(col("s_suppkey") % 13 =!= 0)
+          .withColumn("s_acctbal",
+            when(col("s_suppkey") % 7 === 0, col("s_acctbal") + 5.0)
+              .otherwise(col("s_acctbal")))
+          .unionByName(sup.filter(col("s_suppkey") < 3).select(
+            (col("s_suppkey") + 10000000L).as("s_suppkey"),
+            col("s_name"), col("s_nationkey"), col("s_acctbal")))
+        Incremental.snapshotDiff(sup, newSnap, Seq("s_suppkey"),
+          Seq("s_name", "s_nationkey", "s_acctbal"))
+      },
+      """SELECT s_suppkey, 'delete' AS change_type
+        |FROM supplier WHERE s_suppkey % 13 = 0
+        |UNION ALL
+        |SELECT s_suppkey, 'update'
+        |FROM supplier WHERE s_suppkey % 7 = 0 AND s_suppkey % 13 <> 0
+        |UNION ALL
+        |SELECT s_suppkey + 10000000, 'insert'
+        |FROM supplier WHERE s_suppkey < 3""".stripMargin),
+
     // ───── W2: framed window — 7-row trailing moving average of
     // per-supplier daily revenue (ROWS BETWEEN 6 PRECEDING AND
     // CURRENT ROW). The frame sum rides the exact DECIMAL through the
