@@ -30,7 +30,9 @@ class PlanAuditSpec extends SparkSpec {
     "ann_pq_adc_topk" ->
       "ADC scores every candidate's 4-byte code against the broadcast query distance tables — exhaustive over codes by design (the cell-restricted variant is ann_ivfpq_topk)",
     "ta_bigram_logprob" ->
-      "1-row corpus-total/vocab-size frame broadcast into the vocab-bounded LM tables")
+      "1-row corpus-total/vocab-size frame broadcast into the vocab-bounded LM tables",
+    "a13_hll_distinct_gate" ->
+      "1-row global-exact frame joined with the 1-row sketch-union estimate for the rollup gate row")
 
   test("no registered query hides an unlisted cartesian or nested-loop join") {
     GraftExtensions.register(spark)
