@@ -693,6 +693,61 @@ object RelationalQueries {
         |UNION ALL
         |SELECT c_name AS name, 'customer' AS src FROM customer""".stripMargin),
 
+    // ───── T3: UNPIVOT/melt — wide per-supplier metrics to long
+    // (metric, value) rows via the stack() generator (one pass, no
+    // join; the inverse of a09_status_pivot's PIVOT).
+    "t03_unpivot_metrics" -> QueryDef.sql(
+      (s, dir) =>
+        t(s, dir, "supplier")
+          .select(col("s_suppkey"),
+            expr("stack(2, 'acctbal', s_acctbal, " +
+              "'nationkey', CAST(s_nationkey AS DOUBLE)) AS (metric, value)")),
+      """SELECT s_suppkey, 'acctbal' AS metric, s_acctbal AS value FROM supplier
+        |UNION ALL
+        |SELECT s_suppkey, 'nationkey', CAST(s_nationkey AS DOUBLE) FROM supplier""".stripMargin),
+
+    // ───── J15: null-aware anti join — NOT IN against a subquery
+    // that CONTAINS a NULL must return ZERO rows (three-valued logic:
+    // `x NOT IN (..., NULL)` is never true), where NOT EXISTS / anti
+    // join returns the plain complement. Spark plans the NOT IN as a
+    // BroadcastNestedLoopJoin with a null-aware condition — this
+    // gates the semantic, and the companion rows prove the engine
+    // did not silently rewrite it to a plain anti join.
+    "j15_not_in_nulls" -> QueryDef.sql(
+      (s, dir) => {
+        s.sql("DROP VIEW IF EXISTS _j15_supp")
+        s.sql("DROP VIEW IF EXISTS _j15_keys")
+        t(s, dir, "supplier").createOrReplaceTempView("_j15_supp")
+        // key set with an injected NULL: every 5th key, plus NULL
+        t(s, dir, "supplier")
+          .select(when(col("s_suppkey") % 5 === 0, col("s_suppkey"))
+            .otherwise(lit(null)).as("k"))
+          .createOrReplaceTempView("_j15_keys")
+        s.sql(
+          """SELECT 'not_in_with_null' AS variant, COUNT(*) AS n
+            |FROM _j15_supp WHERE s_suppkey NOT IN (SELECT k FROM _j15_keys)
+            |UNION ALL
+            |SELECT 'not_in_no_null', COUNT(*)
+            |FROM _j15_supp
+            |WHERE s_suppkey NOT IN (SELECT k FROM _j15_keys WHERE k IS NOT NULL)
+            |UNION ALL
+            |SELECT 'not_exists', COUNT(*)
+            |FROM _j15_supp s
+            |WHERE NOT EXISTS (SELECT 1 FROM _j15_keys n WHERE n.k = s.s_suppkey)""".stripMargin)
+      },
+      """WITH keys AS (
+        |  SELECT CASE WHEN s_suppkey % 5 = 0 THEN s_suppkey END AS k
+        |  FROM supplier)
+        |SELECT 'not_in_with_null' AS variant, COUNT(*) AS n
+        |FROM supplier WHERE s_suppkey NOT IN (SELECT k FROM keys)
+        |UNION ALL
+        |SELECT 'not_in_no_null', COUNT(*)
+        |FROM supplier WHERE s_suppkey NOT IN (SELECT k FROM keys WHERE k IS NOT NULL)
+        |UNION ALL
+        |SELECT 'not_exists', COUNT(*)
+        |FROM supplier s
+        |WHERE NOT EXISTS (SELECT 1 FROM keys n WHERE n.k = s.s_suppkey)""".stripMargin),
+
     // ───── skew lever: two-phase salted aggregation — must equal the
     // plain grouped aggregation exactly (decimal partials merge
     // losslessly), which is precisely what the oracle asserts

@@ -32,7 +32,9 @@ class PlanAuditSpec extends SparkSpec {
     "ta_bigram_logprob" ->
       "1-row corpus-total/vocab-size frame broadcast into the vocab-bounded LM tables",
     "a13_hll_distinct_gate" ->
-      "1-row global-exact frame joined with the 1-row sketch-union estimate for the rollup gate row")
+      "1-row global-exact frame joined with the 1-row sketch-union estimate for the rollup gate row",
+    "j15_not_in_nulls" ->
+      "NOT IN with a nullable subquery REQUIRES the null-aware join (three-valued logic) — the query exists to gate exactly that plan")
 
   test("no registered query hides an unlisted cartesian or nested-loop join") {
     GraftExtensions.register(spark)
