@@ -585,6 +585,44 @@ object RelationalQueries {
         |SELECT s_suppkey + 10000000, 'insert'
         |FROM supplier WHERE s_suppkey < 3""".stripMargin),
 
+    // ───── W3: gap-filled daily resample — each supplier's revenue
+    // series completed over its own [min, max] date span (sequence +
+    // explode builds the per-key spine IN-ROW from the 2-column
+    // bounds aggregate — the corpus never joins a global calendar),
+    // missing days filled with 0. The left join back to daily revenue
+    // shuffles spine rows (keys × days), not lineitem.
+    "w03_resample_daily" -> QueryDef.sql(
+      (s, dir) => {
+        val daily = t(s, dir, "lineitem")
+          .filter(col("l_extendedprice") > 0)
+          .groupBy(col("l_suppkey"), to_date(col("l_shipdate")).as("ship_date"))
+          .agg(exactSum(col("l_extendedprice")).as("total_revenue"))
+        val spine = daily.groupBy(col("l_suppkey"))
+          .agg(min(col("ship_date")).as("_lo"), max(col("ship_date")).as("_hi"))
+          .select(col("l_suppkey"),
+            explode(sequence(col("_lo"), col("_hi"))).as("ship_date"))
+        spine.join(daily, Seq("l_suppkey", "ship_date"), "left")
+          .select(col("l_suppkey"), col("ship_date"),
+            coalesce(col("total_revenue"), lit(0.0)).as("total_revenue"),
+            col("total_revenue").isNotNull.as("had_sales"))
+      },
+      """WITH daily AS (
+        |  SELECT l_suppkey, CAST(l_shipdate AS DATE) AS ship_date,
+        |         CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) AS total_revenue
+        |  FROM lineitem WHERE l_extendedprice > 0 GROUP BY 1, 2),
+        |bounds AS (
+        |  SELECT l_suppkey, MIN(ship_date) AS lo, MAX(ship_date) AS hi
+        |  FROM daily GROUP BY 1),
+        |spine AS (
+        |  SELECT l_suppkey, CAST(unnest(generate_series(lo, hi,
+        |         INTERVAL 1 DAY)) AS DATE) AS ship_date
+        |  FROM bounds)
+        |SELECT s.l_suppkey, s.ship_date,
+        |       COALESCE(d.total_revenue, 0.0) AS total_revenue,
+        |       d.total_revenue IS NOT NULL AS had_sales
+        |FROM spine s LEFT JOIN daily d
+        |  ON s.l_suppkey = d.l_suppkey AND s.ship_date = d.ship_date""".stripMargin),
+
     // ───── W2: framed window — 7-row trailing moving average of
     // per-supplier daily revenue (ROWS BETWEEN 6 PRECEDING AND
     // CURRENT ROW). The frame sum rides the exact DECIMAL through the
