@@ -16,6 +16,78 @@ object StreamingQueries {
 
   val defs: Map[String, QueryDef] = Map(
 
+    // ───── ordered conversion funnel view → click → purchase: each
+    // stage's FIRST event must fall strictly after the previous
+    // stage's first event. ONE shuffle: events group to a per-user
+    // ts-sorted array and an in-row fold walks the funnel (the
+    // correlated-min-join formulation the oracle uses would shuffle
+    // the event stream once PER STAGE at 100 TB). avg_secs_from_view
+    // rides exact decimal micros.
+    "ev_funnel" -> QueryDef.sql(
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        val perUser = ev.groupBy(col("user_id"))
+          .agg(array_sort(collect_list(
+            struct(col("ts"), col("event_id"), col("event_type")))).as("_evs"))
+        val nullTs = lit(null).cast("timestamp")
+        val walked = perUser.select(col("user_id"),
+          aggregate(col("_evs"),
+            struct(nullTs.as("t_v"), nullTs.as("t_c"), nullTs.as("t_p")),
+            (st, e) => struct(
+              when(st.getField("t_v").isNull && e.getField("event_type") === "view",
+                e.getField("ts")).otherwise(st.getField("t_v")).as("t_v"),
+              when(st.getField("t_c").isNull && st.getField("t_v").isNotNull &&
+                e.getField("event_type") === "click" &&
+                e.getField("ts") > st.getField("t_v"),
+                e.getField("ts")).otherwise(st.getField("t_c")).as("t_c"),
+              when(st.getField("t_p").isNull && st.getField("t_c").isNotNull &&
+                e.getField("event_type") === "purchase" &&
+                e.getField("ts") > st.getField("t_c"),
+                e.getField("ts")).otherwise(st.getField("t_p")).as("t_p"))).as("f"))
+          .select(col("user_id"), col("f.t_v").as("t_v"),
+            col("f.t_c").as("t_c"), col("f.t_p").as("t_p"))
+        def stageRow(stage: String, t: String) = walked
+          .filter(col(t).isNotNull)
+          .agg(
+            count(lit(1)).as("n_users"),
+            round(sum((unix_micros(col(t)) - unix_micros(col("t_v")))
+              .cast("decimal(30,0)")).cast("double") /
+              count(lit(1)).cast("double") / lit(1000000.0), 4)
+              .as("avg_secs_from_view"))
+          .select(lit(stage).as("stage"), col("n_users"), col("avg_secs_from_view"))
+        stageRow("view", "t_v")
+          .unionByName(stageRow("click", "t_c"))
+          .unionByName(stageRow("purchase", "t_p"))
+      },
+      """WITH v AS (
+        |  SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t_v
+        |  FROM events WHERE event_type = 'view' GROUP BY 1),
+        |c AS (
+        |  SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t_c
+        |  FROM events e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > v.t_v
+        |  GROUP BY 1),
+        |p AS (
+        |  SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t_p
+        |  FROM events e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > c.t_c
+        |  GROUP BY 1)
+        |SELECT 'view' AS stage, count(*) AS n_users,
+        |       round(CAST(SUM(CAST(0 AS DECIMAL(30,0))) AS DOUBLE)
+        |             / count(*) / 1000000.0, 4) AS avg_secs_from_view
+        |FROM v
+        |UNION ALL
+        |SELECT 'click', count(*),
+        |       round(CAST(SUM(CAST(epoch_us(t_c) - epoch_us(t_v) AS DECIMAL(30,0))) AS DOUBLE)
+        |             / count(*) / 1000000.0, 4)
+        |FROM c JOIN v USING (user_id)
+        |UNION ALL
+        |SELECT 'purchase', count(*),
+        |       round(CAST(SUM(CAST(epoch_us(t_p) - epoch_us(t_v) AS DECIMAL(30,0))) AS DOUBLE)
+        |             / count(*) / 1000000.0, 4)
+        |FROM p JOIN v USING (user_id)""".stripMargin),
+
     // ───── tumbling 1h window aggregation (streaming twin: windowedAgg)
     "ev_window_agg" -> QueryDef.sql(
       (s, dir) =>
