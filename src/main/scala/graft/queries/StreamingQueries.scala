@@ -47,18 +47,27 @@ object StreamingQueries {
                 e.getField("ts")).otherwise(st.getField("t_p")).as("t_p"))).as("f"))
           .select(col("user_id"), col("f.t_v").as("t_v"),
             col("f.t_c").as("t_c"), col("f.t_p").as("t_p"))
-        def stageRow(stage: String, t: String) = walked
-          .filter(col(t).isNotNull)
-          .agg(
-            count(lit(1)).as("n_users"),
-            round(sum((unix_micros(col(t)) - unix_micros(col("t_v")))
-              .cast("decimal(30,0)")).cast("double") /
-              count(lit(1)).cast("double") / lit(1000000.0), 4)
-              .as("avg_secs_from_view"))
-          .select(lit(stage).as("stage"), col("n_users"), col("avg_secs_from_view"))
-        stageRow("view", "t_v")
-          .unionByName(stageRow("click", "t_c"))
-          .unionByName(stageRow("purchase", "t_p"))
+        // ONE aggregate computes every stage's count + exact-decimal
+        // micros sum (three filtered aggregates would recompute the
+        // per-user fold once per stage), then stack() emits the rows
+        def stageCols(t: String, suffix: String) = Seq(
+          count(when(col(t).isNotNull, 1)).cast("long").as(s"n_$suffix"),
+          sum(when(col(t).isNotNull,
+            (unix_micros(col(t)) - unix_micros(col("t_v"))).cast("decimal(30,0)")))
+            .as(s"d_$suffix"))
+        val one = walked.agg(
+          (stageCols("t_v", "v") ++ stageCols("t_c", "c") ++
+            stageCols("t_p", "p")).head,
+          (stageCols("t_v", "v") ++ stageCols("t_c", "c") ++
+            stageCols("t_p", "p")).tail: _*)
+        def avgOf(suffix: String) =
+          when(col(s"n_$suffix") > 0,
+            round(col(s"d_$suffix").cast("double") /
+              col(s"n_$suffix").cast("double") / lit(1000000.0), 4))
+        one.select(col("n_v"), col("n_c"), col("n_p"),
+          avgOf("v").as("_a_v"), avgOf("c").as("_a_c"), avgOf("p").as("_a_p"))
+          .select(expr("stack(3, 'view', n_v, _a_v, 'click', n_c, _a_c, " +
+            "'purchase', n_p, _a_p) AS (stage, n_users, avg_secs_from_view)"))
       },
       """WITH v AS (
         |  SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t_v
