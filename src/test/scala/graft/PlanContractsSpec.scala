@@ -367,6 +367,47 @@ class PlanContractsSpec extends SparkSpec {
     assert(countLines(p, "Window") === 0, p)
   }
 
+  test("ann_ivfpq_topk: cell-restricted ADC is an equi-join, codes never sort-merge") {
+    val p = plan("ann_ivfpq_topk")
+    // the probed-cell restriction is a hash equi-join on the cell key
+    // (queries broadcast), NOT a nested-loop over all candidates
+    assert(countLines(p, "BroadcastNestedLoopJoin") === 0, p)
+    assert(countLines(p, "CartesianProduct") === 0, p)
+    assert(countLines(p, "BroadcastHashJoin") >= 1, p)
+    assert(countLines(p, "SortMergeJoin") === 0, p)
+  }
+
+  test("ev_funnel: one shuffle total — the per-user group; no per-stage re-shuffle") {
+    val p = plan("ev_funnel")
+    val shuffles = p.linesIterator
+      .filter(_.contains("Exchange")).filterNot(_.contains("BroadcastExchange"))
+      .filterNot(_.contains("SinglePartition")).toSeq
+    assert(shuffles.size === 1, p) // only the user_id hash shuffle
+    assert(countLines(p, "SortMergeJoin") === 0, p)
+  }
+
+  test("mv_incremental_revenue: both batch states partial-aggregate before their shuffles") {
+    val p = plan("mv_incremental_revenue")
+    assert(p.contains("partial_"), p)
+    assert(countLines(p, "SortMergeJoin") === 0, p)
+  }
+
+  test("cdc_snapshot_diff: sides reduce to (key, hash) at the scan; join is shuffled-hash") {
+    val p = plan("cdc_snapshot_diff")
+    assert(countLines(p, "ShuffledHashJoin") >= 1, p)
+    assert(countLines(p, "SortMergeJoin") === 0, p)
+    // the wide supplier payload must not survive to the join
+    val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!p.contains("CartesianProduct"), p)
+    assert(readSchema.nonEmpty, p)
+  }
+
+  test("ta_bigram_logprob: corpus joins the LM tables shuffled-hash, scalars broadcast") {
+    val p = plan("ta_bigram_logprob")
+    assert(countLines(p, "ShuffledHashJoin") >= 2, p)
+    assert(countLines(p, "SortMergeJoin") === 0, p)
+  }
+
   test("corpus_source_cap: offsets broadcast back, no stratum-global window") {
     val p = plan("corpus_source_cap")
     // ranks come from per-(stratum, bucket) windows + a broadcast
