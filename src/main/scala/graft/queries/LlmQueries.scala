@@ -2697,6 +2697,77 @@ object LlmQueries {
         |    SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
         |    FROM documents) t
         |  WHERE token <> ''
-        |  GROUP BY token ORDER BY n DESC, token LIMIT 20)""".stripMargin)
+        |  GROUP BY token ORDER BY n DESC, token LIMIT 20)""".stripMargin),
+
+    // ───── hybrid retrieval via reciprocal-rank fusion (Cormack et
+    // al. 2009, SIGIR — the standard lexical+vector combiner): the
+    // TF-IDF top-20 and the cosine-ANN top-20 fuse by
+    // Σ 1/(60+rank), missing-from-a-list contributes 0. Both source
+    // rankings are individually oracle-proven (ta_tfidf_search,
+    // ann_topk); this gates the COMPOSITION end to end. The top-k
+    // windows run over k-bounded frames (control-plane rows, not the
+    // corpus).
+    "ret_hybrid_rrf" -> QueryDef.sql(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val text = TextAnalysis.tfidfRetrieve(docs(s, dir), "doc_id", "text",
+          Seq("join", "merge", "window", "scan"), k = 20)
+          .withColumn("r_text", row_number().over(
+            Window.orderBy(col("score").desc, col("doc_id"))))
+          .select(col("doc_id"), col("r_text"))
+        val e = emb(s, dir)
+        val vec = Similarity.bruteForceTopK(e, e.filter(col("vec_id") === 0),
+          "vec_id", "embedding", k = 20)
+          .select(col("cand_id").as("doc_id"), col("rank").as("r_vec"))
+        text.join(vec, Seq("doc_id"), "full_outer")
+          .withColumn("rrf", round(
+            coalesce(lit(1.0) / (lit(60.0) + col("r_text").cast("double")), lit(0.0)) +
+              coalesce(lit(1.0) / (lit(60.0) + col("r_vec").cast("double")), lit(0.0)),
+            9))
+          .withColumn("rank", row_number().over(
+            Window.orderBy(col("rrf").desc, col("doc_id"))))
+          .filter(col("rank") <= 10)
+          .select("doc_id", "rrf", "rank")
+      },
+      s"""WITH toks AS (
+         |  SELECT doc_id, token FROM (
+         |    SELECT doc_id,
+         |           unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+         |    FROM documents)
+         |  WHERE token IN ('join', 'merge', 'window', 'scan')),
+         |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+         |nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+         |idf AS (
+         |  SELECT token,
+         |         round(ln(CAST(n_docs AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)), 9) AS idf
+         |  FROM tf, nd GROUP BY token, n_docs),
+         |w AS (
+         |  SELECT doc_id, round(CAST(tf AS DOUBLE) * idf, 9) AS w
+         |  FROM tf JOIN idf USING (token)),
+         |ts AS (
+         |  SELECT doc_id,
+         |         round(CAST(SUM(CAST(w AS DECIMAL(30,9))) AS DOUBLE), 6) AS score
+         |  FROM w GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 20),
+         |t AS (SELECT doc_id,
+         |             row_number() OVER (ORDER BY score DESC, doc_id) AS r_text
+         |      FROM ts),
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |sc AS (SELECT vec_id AS cand_id,
+         |              round(${cosineSql("qv", "embedding")}, 6) AS cs
+         |       FROM embeddings, q WHERE vec_id <> 0),
+         |v AS (SELECT cand_id AS doc_id, r_vec FROM (
+         |        SELECT cand_id,
+         |               row_number() OVER (ORDER BY cs DESC, cand_id) AS r_vec
+         |        FROM sc) WHERE r_vec <= 20),
+         |f AS (
+         |  SELECT COALESCE(t.doc_id, v.doc_id) AS doc_id,
+         |         round(COALESCE(1.0 / (60.0 + CAST(r_text AS DOUBLE)), 0.0)
+         |             + COALESCE(1.0 / (60.0 + CAST(r_vec AS DOUBLE)), 0.0), 9) AS rrf
+         |  FROM t FULL JOIN v ON t.doc_id = v.doc_id)
+         |SELECT doc_id, rrf, rank FROM (
+         |  SELECT doc_id, rrf,
+         |         CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS INTEGER) AS rank
+         |  FROM f)
+         |WHERE rank <= 10""".stripMargin)
   )
 }

@@ -34,7 +34,9 @@ class PlanAuditSpec extends SparkSpec {
     "a13_hll_distinct_gate" ->
       "1-row global-exact frame joined with the 1-row sketch-union estimate for the rollup gate row",
     "j15_not_in_nulls" ->
-      "NOT IN with a nullable subquery REQUIRES the null-aware join (three-valued logic) — the query exists to gate exactly that plan")
+      "NOT IN with a nullable subquery REQUIRES the null-aware join (three-valued logic) — the query exists to gate exactly that plan",
+    "ret_hybrid_rrf" ->
+      "composes the allowlisted exhaustive ANN baseline (1-query broadcast) as its vector arm")
 
   test("no registered query hides an unlisted cartesian or nested-loop join") {
     GraftExtensions.register(spark)
