@@ -368,6 +368,36 @@ object ValidationQueries {
          |FROM lineitem l
          |LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
          |LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey
-         |WHERE $isValidRuleSql""".stripMargin)
+         |WHERE $isValidRuleSql""".stripMargin),
+
+    // ───── ANALYZE-style one-pass table statistics: every numeric
+    // column's min/max/null-count/exact-NDV from a SINGLE scan with
+    // map-side partials (the stats CBO join-reordering and min/max
+    // file pruning run on; at 100 TB you compute them all in the one
+    // pass, never per-column). Exact NDV here; the sketch tier for
+    // unbounded-cardinality columns is a13_hll_distinct_gate.
+    "gov_table_stats" -> QueryDef.sql(
+      (s, dir) => {
+        val li = Tables.table(s, dir, "lineitem")
+        val statCols = Seq("l_orderkey", "l_suppkey", "l_quantity",
+          "l_extendedprice", "l_discount")
+        li.agg(
+          count(lit(1)).as("n_rows"),
+          statCols.flatMap(c => Seq(
+            min(col(c)).cast("double").as(s"min_$c"),
+            max(col(c)).cast("double").as(s"max_$c"),
+            sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c"),
+            countDistinct(col(c)).as(s"ndv_$c"))): _*)
+      },
+      {
+        val statCols = Seq("l_orderkey", "l_suppkey", "l_quantity",
+          "l_extendedprice", "l_discount")
+        "SELECT COUNT(*) AS n_rows,\n" + statCols.map(c =>
+          s"""  CAST(MIN($c) AS DOUBLE) AS min_$c,
+             |  CAST(MAX($c) AS DOUBLE) AS max_$c,
+             |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_$c,
+             |  COUNT(DISTINCT $c) AS ndv_$c""".stripMargin)
+          .mkString(",\n") + "\nFROM lineitem"
+      })
   )
 }
