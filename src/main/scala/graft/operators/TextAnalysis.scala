@@ -336,6 +336,53 @@ object TextAnalysis {
           count(lit(1)).cast("double"), 6).as("mean_chain_logp"))
   }
 
+  /** BM25 retrieval (Robertson & Zaragoza 2009, "The Probabilistic
+    * Relevance Framework: BM25 and Beyond" — the production lexical
+    * ranker [[tfidfRetrieve]] approximates): per query term,
+    * `idf · tf·(k1+1) / (tf + k1·(1−b+b·len/avglen))` with the
+    * Robertson-Sparck-Jones idf `ln((N−df+0.5)/(df+0.5)+1)`.
+    * Engine-exact: idf and per-term scores rounded 9 dp, decimal
+    * per-doc sum rounded 6; k1/b enter as fixed literals so both
+    * engines evaluate the identical double tree.
+    *
+    * Scale shape: identical to TF-IDF's — the only additions are the
+    * per-doc length (a scan-side count) and the 1-row (N, avg-len)
+    * frame broadcast into the scoring join; the corpus still shuffles
+    * once, on the per-doc score key.
+    */
+  def bm25Retrieve(df: DataFrame, idCol: String, textCol: String,
+                   queryTerms: Seq[String], k: Int,
+                   k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val terms = queryTerms.map(_.toLowerCase)
+    val docLen = df.select(col(idCol),
+      wsTokenCount(lower(col(textCol))).cast("double").as("_len"))
+    val toks = df
+      .select(col(idCol), explode(wordTokens(col(textCol))).as("token"))
+      .filter(col("token").isin(terms: _*))
+    val tf = toks.groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    val corpus = docLen.agg(
+      count(lit(1)).as("n_docs"),
+      // exact decimal mean length so avglen is partitioning-invariant
+      (sum(col("_len").cast("decimal(30,2)")).cast("double") /
+        count(lit(1)).cast("double")).as("avg_len"))
+    val idf = tf.groupBy("token").agg(countDistinct(col(idCol)).as("df"))
+      .crossJoin(broadcast(corpus))
+      .select(col("token"), col("avg_len"),
+        round(log((col("n_docs").cast("double") - col("df").cast("double") + 0.5) /
+          (col("df").cast("double") + 0.5) + 1.0), 9).as("idf"))
+    tf.join(broadcast(idf), Seq("token"))
+      .join(docLen.hint("shuffle_hash"), Seq(idCol))
+      .withColumn("w", round(
+        col("idf") * (col("tf").cast("double") * lit(k1 + 1.0)) /
+          (col("tf").cast("double") +
+            lit(k1) * (lit(1.0 - b) + lit(b) * col("_len") / col("avg_len"))),
+        9))
+      .groupBy(col(idCol))
+      .agg(round(sum(col("w").cast("decimal(30,9)")).cast("double"), 6).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   def tfidfRetrieve(df: DataFrame, idCol: String, textCol: String,
                     queryTerms: Seq[String], k: Int): DataFrame = {
     val terms = queryTerms.map(_.toLowerCase)

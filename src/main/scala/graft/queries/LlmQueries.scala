@@ -2699,6 +2699,50 @@ object LlmQueries {
         |  WHERE token <> ''
         |  GROUP BY token ORDER BY n DESC, token LIMIT 20)""".stripMargin),
 
+    // ───── BM25 top-k retrieval (Robertson-Zaragoza 2009 — the
+    // production lexical ranker): RSJ idf + length-normalized tf
+    // saturation, k1/b and every derived literal interpolated as the
+    // EXACT doubles Spark computes; 9 dp term scores, decimal doc
+    // sums. Same one-shuffle shape as TF-IDF plus the broadcast
+    // (N, avg-len) frame.
+    "ret_bm25_topk" -> QueryDef.sql(
+      (s, dir) =>
+        TextAnalysis.bm25Retrieve(docs(s, dir), "doc_id", "text",
+          Seq("join", "merge", "window", "scan"), k = 10),
+      s"""WITH dl AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS DOUBLE) AS l
+         |  FROM documents),
+         |corpus AS (
+         |  SELECT COUNT(*) AS n_docs,
+         |    CAST(SUM(CAST(l AS DECIMAL(30,2))) AS DOUBLE)
+         |      / CAST(COUNT(*) AS DOUBLE) AS avg_len
+         |  FROM dl),
+         |toks AS (
+         |  SELECT doc_id, token FROM (
+         |    SELECT doc_id,
+         |           unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+         |    FROM documents)
+         |  WHERE token IN ('join', 'merge', 'window', 'scan')),
+         |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+         |idf AS (
+         |  SELECT token,
+         |    round(ln((CAST(n_docs AS DOUBLE) - CAST(COUNT(DISTINCT doc_id) AS DOUBLE) + 0.5)
+         |           / (CAST(COUNT(DISTINCT doc_id) AS DOUBLE) + 0.5) + 1.0), 9) AS idf,
+         |    avg_len
+         |  FROM tf, corpus GROUP BY token, n_docs, avg_len),
+         |w AS (
+         |  SELECT tf.doc_id,
+         |    round((idf.idf * (CAST(tf.tf AS DOUBLE) * ${1.2 + 1.0}))
+         |        / (CAST(tf.tf AS DOUBLE)
+         |           + ${1.2} * (${1.0 - 0.75} + ${0.75} * dl.l / idf.avg_len)), 9) AS w
+         |  FROM tf JOIN idf USING (token) JOIN dl ON dl.doc_id = tf.doc_id)
+         |SELECT doc_id,
+         |       round(CAST(SUM(CAST(w AS DECIMAL(30,9))) AS DOUBLE), 6) AS score
+         |FROM w GROUP BY doc_id
+         |ORDER BY score DESC, doc_id ASC
+         |LIMIT 10""".stripMargin),
+
     // ───── hybrid retrieval via reciprocal-rank fusion (Cormack et
     // al. 2009, SIGIR — the standard lexical+vector combiner): the
     // TF-IDF top-20 and the cosine-ANN top-20 fuse by

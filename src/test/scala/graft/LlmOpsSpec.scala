@@ -1343,6 +1343,24 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("bm25Retrieve: tf saturation and length normalization behave") {
+    val d = Seq(
+      (1L, "alpha beta gamma delta"),                    // 1 hit, len 4
+      (2L, "alpha alpha alpha beta gamma delta"),        // 3 hits, len 6
+      (3L, "alpha " + ("pad " * 40).trim),               // 1 hit, len 41
+      (4L, "no match here at all"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bm25Retrieve(d, "doc_id", "text",
+      Seq("alpha"), k = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // more occurrences → higher score; longer doc → penalized
+    assert(out(2L) > out(1L))
+    assert(out(1L) > out(3L))
+    assert(!out.contains(4L))
+    // saturation: tripling tf must NOT triple the score (k1 bounds it)
+    assert(out(2L) < out(1L) * 3.0)
+  }
+
   test("rpv2Signals: each fraction trips on its own planted pattern") {
     val d = Seq(
       (1L, "THE CAT sat on the mat"),      // 2/6 all-caps

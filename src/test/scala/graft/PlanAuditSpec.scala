@@ -36,7 +36,9 @@ class PlanAuditSpec extends SparkSpec {
     "j15_not_in_nulls" ->
       "NOT IN with a nullable subquery REQUIRES the null-aware join (three-valued logic) — the query exists to gate exactly that plan",
     "ret_hybrid_rrf" ->
-      "composes the allowlisted exhaustive ANN baseline (1-query broadcast) as its vector arm")
+      "composes the allowlisted exhaustive ANN baseline (1-query broadcast) as its vector arm",
+    "ret_bm25_topk" ->
+      "1-row (N, avg-len) corpus frame broadcast into the vocab-bounded idf table")
 
   test("no registered query hides an unlisted cartesian or nested-loop join") {
     GraftExtensions.register(spark)
