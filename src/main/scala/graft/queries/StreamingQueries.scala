@@ -97,6 +97,37 @@ object StreamingQueries {
         |             / count(*) / 1000000.0, 4)
         |FROM p JOIN v USING (user_id)""".stripMargin),
 
+    // ───── semi-structured JSON extraction: the events `props`
+    // payload parsed BOTH ways Spark offers — schema-first
+    // `from_json` (the codegen'd scale path: one parse per row into a
+    // struct) and path-probing `get_json_object` — with the query
+    // asserting they agree row-for-row (n_agree = n_with_k) before
+    // aggregating. At 100 TB you declare the schema once and let the
+    // vectorized parser run; the path-probe is for exploration.
+    "ev_json_props" -> QueryDef.sql(
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .withColumn("k", from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k INT")).getField("k"))
+          .withColumn("k2", get_json_object(col("props"), "$.k").cast("int"))
+        ev.groupBy(col("event_type"))
+          .agg(
+            count(lit(1)).as("n_events"),
+            count(col("k")).as("n_with_k"),
+            sum(when(col("k") === col("k2"), 1L).otherwise(0L)).as("n_agree"),
+            sum(col("k")).as("sum_k"),
+            min(col("k")).as("min_k"),
+            max(col("k")).as("max_k"))
+      },
+      """SELECT event_type,
+        |  COUNT(*) AS n_events,
+        |  COUNT(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS n_with_k,
+        |  COUNT(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS n_agree,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+        |  MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+        |  MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+        |FROM events GROUP BY event_type""".stripMargin),
+
     // ───── tumbling 1h window aggregation (streaming twin: windowedAgg)
     "ev_window_agg" -> QueryDef.sql(
       (s, dir) =>
