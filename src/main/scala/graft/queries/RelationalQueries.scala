@@ -526,6 +526,45 @@ object RelationalQueries {
         |      FROM orders)
         |WHERE rn = 1""".stripMargin),
 
+    // ───── P23: datetime-function battery — the calendar surface a
+    // migrating SQL workload leans on (component extraction, date
+    // arithmetic, truncation, week numbering), each mapped to its
+    // exact DuckDB twin (dayofweek numbering differs by 1 and is
+    // aligned explicitly; fractional months_between is deliberately
+    // excluded — its day-fraction semantics are engine-specific).
+    "p23_datetime_battery" -> QueryDef.sql(
+      (s, dir) =>
+        t(s, dir, "orders").select(
+          col("o_orderkey"),
+          to_date(col("o_orderdate")).as("d"),
+          year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"),
+          dayofmonth(col("o_orderdate")).as("dom"),
+          hour(col("o_orderdate")).as("hr"),
+          dayofweek(col("o_orderdate")).as("dow"),
+          weekofyear(col("o_orderdate")).as("iso_week"),
+          quarter(col("o_orderdate")).as("q"),
+          date_add(to_date(col("o_orderdate")), 7).as("plus7"),
+          last_day(col("o_orderdate")).as("month_end"),
+          trunc(col("o_orderdate"), "MM").as("month_start"),
+          datediff(to_date(col("o_orderdate")), lit("2024-01-01").cast("date"))
+            .as("days_since_2024")),
+      """SELECT o_orderkey,
+        |  CAST(o_orderdate AS DATE) AS d,
+        |  CAST(year(o_orderdate) AS INTEGER) AS y,
+        |  CAST(month(o_orderdate) AS INTEGER) AS m,
+        |  CAST(day(o_orderdate) AS INTEGER) AS dom,
+        |  CAST(hour(o_orderdate) AS INTEGER) AS hr,
+        |  CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+        |  CAST(weekofyear(o_orderdate) AS INTEGER) AS iso_week,
+        |  CAST(quarter(o_orderdate) AS INTEGER) AS q,
+        |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 7 DAY AS DATE) AS plus7,
+        |  CAST(last_day(o_orderdate) AS DATE) AS month_end,
+        |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+        |  CAST(date_diff('day', DATE '2024-01-01', CAST(o_orderdate AS DATE))
+        |       AS INTEGER) AS days_since_2024
+        |FROM orders""".stripMargin),
+
     // ───── materialized-view maintenance gate: the daily-revenue
     // aggregate rebuilt INCREMENTALLY — two arrival batches each
     // produce algebraic (decimal-sum, count) state, the states merge,
