@@ -565,6 +565,39 @@ object RelationalQueries {
         |       AS INTEGER) AS days_since_2024
         |FROM orders""".stripMargin),
 
+    // ───── P24: string-function battery — the text-manipulation
+    // surface (positioning, padding, splitting, translation) mapped
+    // to exact DuckDB twins. Locale-sensitive functions (initcap) and
+    // engine-specific collations are deliberately excluded.
+    "p24_string_battery" -> QueryDef.sql(
+      (s, dir) =>
+        t(s, dir, "supplier").select(
+          col("s_suppkey"),
+          upper(col("s_name")).as("up"),
+          substring(col("s_name"), 2, 5).as("sub25"),
+          instr(col("s_name"), "e").as("pos_e"),
+          lpad(col("s_name"), 15, "*").as("lp"),
+          rpad(col("s_name"), 15, "-").as("rp"),
+          translate(col("s_name"), "aeiou", "AEIOU").as("tr"),
+          reverse(col("s_name")).as("rev"),
+          element_at(split(col("s_name"), "#"), 1).as("first_part"),
+          regexp_extract(col("s_name"), "([0-9]+)", 1).as("digits"),
+          ascii(col("s_name")).as("first_code"),
+          repeat(substring(col("s_name"), 1, 2), 3).as("rep3")),
+      """SELECT s_suppkey,
+        |  upper(s_name) AS up,
+        |  substr(s_name, 2, 5) AS sub25,
+        |  CAST(strpos(s_name, 'e') AS INTEGER) AS pos_e,
+        |  lpad(s_name, 15, '*') AS lp,
+        |  rpad(s_name, 15, '-') AS rp,
+        |  translate(s_name, 'aeiou', 'AEIOU') AS tr,
+        |  reverse(s_name) AS rev,
+        |  split_part(s_name, '#', 1) AS first_part,
+        |  COALESCE(regexp_extract(s_name, '([0-9]+)', 1), '') AS digits,
+        |  CAST(ascii(s_name) AS INTEGER) AS first_code,
+        |  repeat(substr(s_name, 1, 2), 3) AS rep3
+        |FROM supplier""".stripMargin),
+
     // ───── materialized-view maintenance gate: the daily-revenue
     // aggregate rebuilt INCREMENTALLY — two arrival batches each
     // produce algebraic (decimal-sum, count) state, the states merge,
