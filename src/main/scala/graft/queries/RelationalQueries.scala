@@ -598,6 +598,42 @@ object RelationalQueries {
         |  repeat(substr(s_name, 1, 2), 3) AS rep3
         |FROM supplier""".stripMargin),
 
+    // ───── P25: math-function battery — restricted to functions with
+    // cross-engine-exact semantics: sqrt is IEEE-correctly-rounded,
+    // ln has matched bit-for-bit across every LM oracle, %'s
+    // dividend-sign rule agrees, round-half-up on 2 dp decimals
+    // agrees. exp/pow/log10 are deliberately excluded (libm
+    // last-ulp variance).
+    "p25_math_battery" -> QueryDef.sql(
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .select(
+            col("l_orderkey"), col("l_linenumber"),
+            abs(col("l_discount") - lit(0.05)).as("abs_d"),
+            signum(col("l_discount") - lit(0.05)).as("sign_d"),
+            floor(col("l_extendedprice")).cast("long").as("floor_p"),
+            ceil(col("l_extendedprice")).cast("long").as("ceil_p"),
+            round(col("l_extendedprice") / 3.0, 2).as("third_2dp"),
+            sqrt(col("l_quantity")).as("sqrt_q"),
+            (col("l_orderkey") % 7).as("mod7"),
+            ((lit(0L) - col("l_orderkey")) % 7).as("negmod7"),
+            greatest(col("l_tax"), col("l_discount")).as("hi"),
+            least(col("l_tax"), col("l_discount")).as("lo"),
+            round(log(col("l_extendedprice")), 9).as("ln_p")),
+      """SELECT l_orderkey, l_linenumber,
+        |  abs(l_discount - 0.05) AS abs_d,
+        |  CAST(sign(l_discount - 0.05) AS DOUBLE) AS sign_d,
+        |  CAST(floor(l_extendedprice) AS BIGINT) AS floor_p,
+        |  CAST(ceil(l_extendedprice) AS BIGINT) AS ceil_p,
+        |  round(l_extendedprice / 3.0, 2) AS third_2dp,
+        |  sqrt(l_quantity) AS sqrt_q,
+        |  l_orderkey % 7 AS mod7,
+        |  (0 - l_orderkey) % 7 AS negmod7,
+        |  greatest(l_tax, l_discount) AS hi,
+        |  least(l_tax, l_discount) AS lo,
+        |  round(ln(l_extendedprice), 9) AS ln_p
+        |FROM lineitem""".stripMargin),
+
     // ───── materialized-view maintenance gate: the daily-revenue
     // aggregate rebuilt INCREMENTALLY — two arrival batches each
     // produce algebraic (decimal-sum, count) state, the states merge,
