@@ -634,6 +634,92 @@ object RelationalQueries {
         |  round(ln(l_extendedprice), 9) AS ln_p
         |FROM lineitem""".stripMargin),
 
+    // ───── A15: fixed-width histogram of extended price — the
+    // distribution-profiling aggregate (floor((x−lo)/width) buckets,
+    // one map-side-combined shuffle on the bucket id).
+    "a15_value_histogram" -> QueryDef.sql(
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .select((floor(col("l_extendedprice") / lit(5000.0)).cast("int") * 5000)
+            .as("bucket_lo"))
+          .groupBy("bucket_lo")
+          .agg(count(lit(1)).as("n")),
+      """SELECT CAST(floor(l_extendedprice / 5000.0) AS INTEGER) * 5000 AS bucket_lo,
+        |       COUNT(*) AS n
+        |FROM lineitem GROUP BY 1""".stripMargin),
+
+    // ───── A16: EXACT distributed Pearson correlation — built-in
+    // corr() accumulates doubles in partition order (two engines, two
+    // answers in the last ulps); this derives r from exact DECIMAL
+    // moments (Σx, Σy, Σxy, Σx², Σy², n) so the result is
+    // partitioning- and engine-invariant: the standard second-moment
+    // identity evaluated in ONE fixed double expression after the
+    // exact sums. Same one-shuffle shape as any grouped agg.
+    "a16_exact_corr" -> QueryDef.sql(
+      (s, dir) => {
+        // data is exact 2-dp; narrow decimals keep every product
+        // exact (no >38-precision reduction) in BOTH engines
+        val x = col("l_quantity").cast("decimal(12,2)")
+        val y = col("l_extendedprice").cast("decimal(14,2)")
+        t(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(x).as("_sx"), sum(y).as("_sy"),
+            sum(x * y).as("_sxy"),
+            sum(x * x).as("_sxx"),
+            sum(y * y).as("_syy"))
+          .select(col("l_returnflag"), col("n"),
+            round(
+              (col("n").cast("double") * col("_sxy").cast("double") -
+                col("_sx").cast("double") * col("_sy").cast("double")) /
+                (sqrt(col("n").cast("double") * col("_sxx").cast("double") -
+                  col("_sx").cast("double") * col("_sx").cast("double")) *
+                  sqrt(col("n").cast("double") * col("_syy").cast("double") -
+                    col("_sy").cast("double") * col("_sy").cast("double"))), 6)
+              .as("corr_qty_price"))
+      },
+      """WITH m AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |    SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sx,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS sy,
+        |    SUM(CAST(l_quantity AS DECIMAL(12,2))
+        |      * CAST(l_extendedprice AS DECIMAL(14,2))) AS sxy,
+        |    SUM(CAST(l_quantity AS DECIMAL(12,2))
+        |      * CAST(l_quantity AS DECIMAL(12,2))) AS sxx,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(14,2))
+        |      * CAST(l_extendedprice AS DECIMAL(14,2))) AS syy
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, n,
+        |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |       * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+        |    AS corr_qty_price
+        |FROM m""".stripMargin),
+
+    // ───── O6: top-N per group — each customer's 3 largest orders
+    // (per-key window over the group shuffle; the per-key variant of
+    // o04's global TakeOrderedAndProject).
+    "o06_topn_per_group" -> QueryDef.sql(
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        t(s, dir, "orders")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+            col("rn").cast("int").as("rn"))
+      },
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         CAST(row_number() OVER (PARTITION BY o_custkey
+        |           ORDER BY o_totalprice DESC, o_orderkey ASC) AS INTEGER) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3""".stripMargin),
+
     // ───── materialized-view maintenance gate: the daily-revenue
     // aggregate rebuilt INCREMENTALLY — two arrival batches each
     // produce algebraic (decimal-sum, count) state, the states merge,
