@@ -749,6 +749,43 @@ object RelationalQueries {
         |WHERE l_extendedprice > 0
         |GROUP BY 1, 2""".stripMargin),
 
+    // ───── STREAMING materialized-view maintenance: the daily-revenue
+    // view maintained by the REAL streaming engine — three arrival
+    // files, each micro-batch's exact-decimal aggregate state merged
+    // into the persisted view (foreachBatch + atomic swap). Decimal
+    // algebra makes the result independent of micro-batch boundaries,
+    // so the oracle is the same one-shot aggregate SQL.
+    "mv_stream_revenue" -> QueryDef.sql(
+      (s, dir) => {
+        import graft.operators.Incremental
+        import graft.streaming.DimensionStream
+        val root = s"${System.getProperty("java.io.tmpdir")}/graft_mv_stream_" +
+          Integer.toHexString(dir.hashCode)
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(root), true)
+        val li = t(s, dir, "lineitem")
+          .filter(col("l_extendedprice") > 0)
+          .withColumn("ship_date", to_date(col("l_shipdate")))
+          .select("l_orderkey", "l_suppkey", "ship_date", "l_extendedprice")
+        (0 until 3).foreach(i =>
+          DimensionStream.writeFeedFile(
+            li.filter(col("l_orderkey") % 3 === i), s"$root/feed",
+            s"batch_$i", 1700000000000L + i * 60000L))
+        val state = DimensionStream.aggMergeAvailableNow(
+          s, s"$root/feed", s"$root/state",
+          Seq("l_suppkey", "ship_date"), "l_extendedprice",
+          queryName = "mv_stream_revenue")
+        Incremental.finalizeAggState(state, "total_revenue", "trip_count")
+      },
+      """SELECT l_suppkey,
+        |       CAST(l_shipdate AS DATE) AS ship_date,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) AS total_revenue,
+        |       COUNT(*) AS trip_count
+        |FROM lineitem
+        |WHERE l_extendedprice > 0
+        |GROUP BY 1, 2""".stripMargin),
+
     // ───── snapshot-diff change feed (the offline Delta CDF): two
     // supplier snapshots with planted deletes (%13), updates (%7,
     // acctbal+5), and inserts (+10M keys) → one full-outer

@@ -72,6 +72,50 @@ object DimensionStream {
     spark.read.parquet(dimPath)
   }
 
+  /** Streaming materialized-view maintenance: each micro-batch's
+    * algebraic aggregate state ([[graft.operators.Incremental]]'s
+    * exact-decimal (sum, count) rows) merges into the persisted view
+    * state — the streaming form of "never re-scan history for a new
+    * arrival". The merge is batch-boundary-exact (decimal algebra),
+    * so ANY micro-batch partitioning of the feed produces the same
+    * view as the one-shot aggregate; replay after a crash overwrites
+    * with the same merged state (the atomic staging swap keeps the
+    * view whole mid-write).
+    */
+  def aggMergeAvailableNow(spark: SparkSession, feedDir: String,
+                           statePath: String, keys: Seq[String],
+                           valueCol: String,
+                           queryName: String = "mv_stream"): DataFrame = {
+    import graft.operators.Incremental
+    val schema = spark.read.parquet(feedDir).schema
+    val feed = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(feedDir)
+    val q = feed.writeStream
+      .outputMode("update")
+      .queryName(queryName)
+      .option("checkpointLocation", s"$statePath.checkpoint")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val delta = Incremental.aggState(batch, keys,
+            org.apache.spark.sql.functions.col(valueCol))
+          val fs = new org.apache.hadoop.fs.Path(statePath)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val merged =
+            if (fs.exists(new org.apache.hadoop.fs.Path(statePath)))
+              Incremental.mergeAggStates(
+                spark.read.parquet(statePath), delta, keys)
+            else delta
+          graft.operators.Scd2.writeAtomic(merged, statePath)
+        }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(statePath)
+  }
+
   /** Write one CDC feed file (single parquet file, explicit
     * modification time so the file source's modTime ordering replays
     * batches deterministically).
