@@ -355,6 +355,40 @@ class StreamingSpec extends SparkSpec {
       batch.select("doc_id").as[Long].collect().toSet)
   }
 
+  test("streaming MV: checkpoint resume across restarts yields the one-shot aggregate") {
+    import graft.operators.Incremental
+    import graft.streaming.DimensionStream
+    val li = Tables.table(spark, sfDir, "lineitem")
+      .filter($"l_extendedprice" > 0)
+      .withColumn("ship_date", to_date($"l_shipdate"))
+      .select("l_orderkey", "l_suppkey", "ship_date", "l_extendedprice")
+    val root = java.nio.file.Files.createTempDirectory("mvresume").toString
+    val keys = Seq("l_suppkey", "ship_date")
+    // phase 1: only batch 0 exists; run to completion (simulates a
+    // stop/crash after the first arrival)
+    DimensionStream.writeFeedFile(
+      li.filter($"l_orderkey" % 3 === 0), s"$root/feed", "b0", 1700000000000L)
+    DimensionStream.aggMergeAvailableNow(spark, s"$root/feed", s"$root/state",
+      keys, "l_extendedprice", queryName = "spec_mv_resume_1")
+    // phase 2: two more arrivals land; RESTART with the same
+    // checkpoint — already-processed b0 must not be re-merged
+    DimensionStream.writeFeedFile(
+      li.filter($"l_orderkey" % 3 === 1), s"$root/feed", "b1", 1700000060000L)
+    DimensionStream.writeFeedFile(
+      li.filter($"l_orderkey" % 3 === 2), s"$root/feed", "b2", 1700000120000L)
+    val resumed = DimensionStream.aggMergeAvailableNow(spark, s"$root/feed",
+      s"$root/state", keys, "l_extendedprice", queryName = "spec_mv_resume_2")
+    val got = Incremental.finalizeAggState(resumed, "total_revenue", "trip_count")
+      .collect().map(r => (r.getLong(0), r.getDate(1).toString) ->
+        (r.getDouble(2), r.getLong(3))).toMap
+    val expected = Incremental.finalizeAggState(
+      Incremental.aggState(li, keys, $"l_extendedprice"),
+      "total_revenue", "trip_count")
+      .collect().map(r => (r.getLong(0), r.getDate(1).toString) ->
+        (r.getDouble(2), r.getLong(3))).toMap
+    assert(got === expected)
+  }
+
   test("streaming SCD2 CDC merge equals the sequential batch merge chain") {
     import graft.operators.Scd2
     import graft.streaming.DimensionStream
