@@ -816,6 +816,36 @@ object RelationalQueries {
         |SELECT s_suppkey + 10000000, 'insert'
         |FROM supplier WHERE s_suppkey < 3""".stripMargin),
 
+    // ───── W4: the rank-function family — rank / dense_rank (tie
+    // behavior), percent_rank / cume_dist (standard (rank−1)/(n−1)
+    // and ≤-fraction definitions, deterministic under ties), and
+    // ntile deciles over a TOTALLY ordered window (ntile depends on
+    // row order, so ties are broken by key).
+    "w04_rank_battery" -> QueryDef.sql(
+      (s, dir) => {
+        val byPrice = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice").desc)
+        val total = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        t(s, dir, "orders").select(
+          col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+          rank().over(byPrice).cast("int").as("rnk"),
+          dense_rank().over(byPrice).cast("int").as("drnk"),
+          round(percent_rank().over(byPrice), 9).as("pct_rank"),
+          round(cume_dist().over(byPrice), 9).as("cume"),
+          ntile(10).over(total).cast("int").as("decile"))
+      },
+      """SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |  CAST(rank() OVER wp AS INTEGER) AS rnk,
+        |  CAST(dense_rank() OVER wp AS INTEGER) AS drnk,
+        |  round(percent_rank() OVER wp, 9) AS pct_rank,
+        |  round(cume_dist() OVER wp, 9) AS cume,
+        |  CAST(ntile(10) OVER wt AS INTEGER) AS decile
+        |FROM orders
+        |WINDOW wp AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC),
+        |       wt AS (PARTITION BY o_orderpriority
+        |              ORDER BY o_totalprice DESC, o_orderkey)""".stripMargin),
+
     // ───── W3: gap-filled daily resample — each supplier's revenue
     // series completed over its own [min, max] date span (sequence +
     // explode builds the per-key spine IN-ROW from the 2-column

@@ -128,6 +128,50 @@ object StreamingQueries {
         |  MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
         |FROM events GROUP BY event_type""".stripMargin),
 
+    // ───── native session_window aggregation — Spark's built-in
+    // gap-session operator (the declarative form of the
+    // flatMapGroupsWithState sessionization): sessions close when the
+    // next event is ≥ gap after the last; window.end = last event +
+    // gap. NOTE the boundary differs from the gaps-and-islands twin
+    // by design: islands keeps an event at EXACTLY prev+gap in the
+    // same session (strict >), session_window starts a new one (the
+    // window interval is half-open) — the oracle encodes >=.
+    "ev_session_window_agg" -> QueryDef.sql(
+      (s, dir) =>
+        Tables.events(s, dir)
+          .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+          .agg(
+            count(lit(1)).as("n_events"),
+            exactSum(col("value"), scale = 6).as("total_value"))
+          .select(col("user_id"),
+            col("session_window.start").as("session_start"),
+            col("session_window.end").as("session_end"),
+            col("n_events"), col("total_value")),
+      """WITH e AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value
+        |  FROM events),
+        |l AS (
+        |  SELECT user_id, event_id, ts, value,
+        |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM e),
+        |f AS (
+        |  SELECT user_id, ts, value,
+        |         CASE WHEN prev_ts IS NULL OR ts >= prev_ts + INTERVAL 30 MINUTE
+        |              THEN 1 ELSE 0 END AS ns,
+        |         event_id
+        |  FROM l),
+        |g AS (
+        |  SELECT user_id, ts, value,
+        |         SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                       ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM f)
+        |SELECT user_id,
+        |       min(ts) AS session_start,
+        |       max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |       COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value
+        |FROM g GROUP BY user_id, sid""".stripMargin),
+
     // ───── tumbling 1h window aggregation (streaming twin: windowedAgg)
     "ev_window_agg" -> QueryDef.sql(
       (s, dir) =>
