@@ -816,6 +816,86 @@ object RelationalQueries {
         |SELECT s_suppkey + 10000000, 'insert'
         |FROM supplier WHERE s_suppkey < 3""".stripMargin),
 
+    // ───── P26: collection-function battery — set algebra over
+    // arrays (intersect/union/except return IMPLEMENTATION-DEFINED
+    // order in both engines, so every set result is array_sort'ed
+    // before comparison), plus flatten/slice/contains/position.
+    "p26_array_battery" -> QueryDef.sql(
+      (s, dir) => {
+        val a = split(lower(col("s_name")), "")
+        val b = split(lit("supplier"), "")
+        t(s, dir, "supplier").select(
+          col("s_suppkey"),
+          array_join(array_sort(array_distinct(a)), "|").as("chars"),
+          array_join(array_sort(array_intersect(array_distinct(a),
+            array_distinct(b))), "|").as("inter"),
+          array_join(array_sort(array_union(array_distinct(a),
+            array_distinct(b))), "|").as("uni"),
+          array_join(array_sort(array_except(array_distinct(a),
+            array_distinct(b))), "|").as("exc"),
+          array_contains(a, "e").as("has_e"),
+          array_position(a, "e").cast("int").as("pos_e"),
+          array_join(slice(array_sort(array_distinct(a)), 1, 3), "|")
+            .as("first3"),
+          array_join(flatten(array(slice(a, 1, 2), slice(a, 3, 2))), "|")
+            .as("flat4"))
+      },
+      """WITH base AS (
+        |  SELECT s_suppkey,
+        |    string_split_regex(lower(s_name), '') AS a,
+        |    string_split_regex('supplier', '') AS b
+        |  FROM supplier)
+        |SELECT s_suppkey,
+        |  array_to_string(list_sort(list_distinct(a)), '|') AS chars,
+        |  array_to_string(list_sort(list_intersect(list_distinct(a),
+        |      list_distinct(b))), '|') AS inter,
+        |  array_to_string(list_sort(list_distinct(a || b)), '|') AS uni,
+        |  array_to_string(list_sort(list_filter(list_distinct(a),
+        |      x -> NOT list_contains(list_distinct(b), x))), '|') AS exc,
+        |  list_contains(a, 'e') AS has_e,
+        |  CAST(COALESCE(list_position(a, 'e'), 0) AS INTEGER) AS pos_e,
+        |  array_to_string(list_sort(list_distinct(a))[1:3], '|') AS first3,
+        |  array_to_string(flatten([a[1:2], a[3:4]]), '|') AS flat4
+        |FROM base""".stripMargin),
+
+    // ───── P27: null-semantics battery — the cross-engine trip
+    // wires: null-safe equality (Spark `<=>` ≡ SQL IS NOT DISTINCT
+    // FROM), null propagation through arithmetic, coalesce/nullif,
+    // and EXPLICIT null placement in window ordering (Spark defaults
+    // nulls FIRST ascending, DuckDB defaults nulls LAST — the battery
+    // pins asc_nulls_last against an explicit NULLS LAST so the
+    // default divergence can never leak into a query silently).
+    "p27_null_semantics" -> QueryDef.sql(
+      (s, dir) => {
+        val w = Window.orderBy(
+          col("bal_n").asc_nulls_last, col("s_suppkey").asc)
+        t(s, dir, "supplier")
+          .withColumn("bal_n",
+            when(col("s_suppkey") % 5 === 0, lit(null).cast("double"))
+              .otherwise(col("s_acctbal")))
+          .select(
+            col("s_suppkey"), col("bal_n"),
+            coalesce(col("bal_n"), lit(-1.0)).as("coal"),
+            nullif(col("s_suppkey") % 3, lit(0)).as("nif"),
+            (col("bal_n") <=> lit(null).cast("double")).as("is_null_safe"),
+            (col("bal_n") + 1.0).as("plus1"),
+            (col("bal_n") > 0).as("gt0"),
+            row_number().over(w).cast("int").as("rn_nulls_last"))
+      },
+      """WITH base AS (
+        |  SELECT s_suppkey,
+        |    CASE WHEN s_suppkey % 5 = 0 THEN NULL ELSE s_acctbal END AS bal_n
+        |  FROM supplier)
+        |SELECT s_suppkey, bal_n,
+        |  coalesce(bal_n, -1.0) AS coal,
+        |  nullif(s_suppkey % 3, 0) AS nif,
+        |  (bal_n IS NOT DISTINCT FROM NULL) AS is_null_safe,
+        |  bal_n + 1.0 AS plus1,
+        |  bal_n > 0 AS gt0,
+        |  CAST(row_number() OVER (ORDER BY bal_n ASC NULLS LAST, s_suppkey ASC)
+        |       AS INTEGER) AS rn_nulls_last
+        |FROM base""".stripMargin),
+
     // ───── W4: the rank-function family — rank / dense_rank (tie
     // behavior), percent_rank / cume_dist (standard (rank−1)/(n−1)
     // and ≤-fraction definitions, deterministic under ties), and
