@@ -2308,6 +2308,33 @@ object LlmQueries {
         |       CAST(SUM(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY lang""".stripMargin),
 
+    // ───── CSV sink/source round-trip gate (S3/S15 promoted from
+    // spec-only): documents written as quoted CSV and read back with
+    // an explicit schema; the oracle aggregates the PARQUET original,
+    // so any quote/escape/type-drift loss in the round trip breaks
+    // the hash (the text column carries punctuation that exercises
+    // quoting).
+    "corpus_csv_roundtrip" -> QueryDef.sql(
+      (s, dir) => {
+        val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_csv_rt_" +
+          Integer.toHexString(dir.hashCode)
+        val d = docs(s, dir)
+        d.write.mode("overwrite")
+          .option("header", "true").option("quoteAll", "true")
+          .csv(tmp)
+        s.read.schema(d.schema)
+          .option("header", "true").csv(tmp)
+          .groupBy("lang")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(length(col("text")).cast("long")).as("total_text_chars"),
+            sum(col("n_chars")).as("sum_n_chars"))
+      },
+      """SELECT lang, COUNT(*) AS n_docs,
+        |       CAST(SUM(length(text)) AS BIGINT) AS total_text_chars,
+        |       CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars
+        |FROM documents GROUP BY lang""".stripMargin),
+
     // ───── one-row corpus datasheet (the "Datasheets for Datasets"
     // summary, Gebru et al. 2018 arXiv:1803.09010, with WIMBD-style
     // measured stats): docs, langs, sources, total words, Gopher pass
