@@ -816,6 +816,64 @@ object RelationalQueries {
         |SELECT s_suppkey + 10000000, 'insert'
         |FROM supplier WHERE s_suppkey < 3""".stripMargin),
 
+    // ───── V6: statistical anomaly detection — days whose revenue
+    // sits ≥ 3σ from the supplier's own mean, with mean/σ derived
+    // from EXACT decimal moments (same recipe as a16: population
+    // variance via n·Σx²−(Σx)² over exact sums, evaluated in one
+    // fixed double expression — engine- and partitioning-invariant,
+    // where a built-in stddev would drift in the last ulps). Two
+    // aggregates over the daily frame; suppliers with <2 days or
+    // zero variance are excluded (z undefined).
+    "v06_outlier_days" -> QueryDef.sql(
+      (s, dir) => {
+        val daily = t(s, dir, "lineitem")
+          .filter(col("l_extendedprice") > 0)
+          .groupBy(col("l_suppkey"), to_date(col("l_shipdate")).as("ship_date"))
+          .agg(sum(col("l_extendedprice").cast("decimal(30,2)"))
+            .cast("decimal(18,2)").as("_rev"))
+        val moments = daily.groupBy(col("l_suppkey"))
+          .agg(
+            count(lit(1)).as("n_days"),
+            sum(col("_rev")).as("_s1"),
+            sum(col("_rev") * col("_rev")).as("_s2"))
+          .filter(col("n_days") >= 2)
+          .select(col("l_suppkey"), col("n_days"),
+            (col("_s1").cast("double") / col("n_days").cast("double")).as("_mean"),
+            sqrt((col("n_days").cast("double") * col("_s2").cast("double") -
+              col("_s1").cast("double") * col("_s1").cast("double")) /
+              (col("n_days").cast("double") * col("n_days").cast("double")))
+              .as("_sd"))
+          .filter(col("_sd") > 0)
+        daily.join(moments.hint("shuffle_hash"), Seq("l_suppkey"))
+          .withColumn("z", round(
+            (col("_rev").cast("double") - col("_mean")) / col("_sd"), 6))
+          .filter(abs(col("z")) >= 3.0)
+          .select(col("l_suppkey"), col("ship_date"),
+            col("_rev").cast("double").as("total_revenue"), col("z"))
+      },
+      """WITH daily AS (
+        |  SELECT l_suppkey, CAST(l_shipdate AS DATE) AS ship_date,
+        |         CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2)))
+        |              AS DECIMAL(18,2)) AS rev
+        |  FROM lineitem WHERE l_extendedprice > 0 GROUP BY 1, 2),
+        |m AS (
+        |  SELECT l_suppkey, COUNT(*) AS n_days,
+        |         SUM(rev) AS s1, SUM(rev * rev) AS s2
+        |  FROM daily GROUP BY 1 HAVING COUNT(*) >= 2),
+        |mm AS (
+        |  SELECT l_suppkey,
+        |    CAST(s1 AS DOUBLE) / CAST(n_days AS DOUBLE) AS mean,
+        |    sqrt((CAST(n_days AS DOUBLE) * CAST(s2 AS DOUBLE)
+        |          - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+        |         / (CAST(n_days AS DOUBLE) * CAST(n_days AS DOUBLE))) AS sd
+        |  FROM m)
+        |SELECT d.l_suppkey, d.ship_date,
+        |       CAST(d.rev AS DOUBLE) AS total_revenue,
+        |       round((CAST(d.rev AS DOUBLE) - mm.mean) / mm.sd, 6) AS z
+        |FROM daily d JOIN mm ON d.l_suppkey = mm.l_suppkey
+        |WHERE mm.sd > 0
+        |  AND abs(round((CAST(d.rev AS DOUBLE) - mm.mean) / mm.sd, 6)) >= 3.0""".stripMargin),
+
     // ───── P26: collection-function battery — set algebra over
     // arrays (intersect/union/except return IMPLEMENTATION-DEFINED
     // order in both engines, so every set result is array_sort'ed
