@@ -874,6 +874,55 @@ object RelationalQueries {
         |WHERE mm.sd > 0
         |  AND abs(round((CAST(d.rev AS DOUBLE) - mm.mean) / mm.sd, 6)) >= 3.0""".stripMargin),
 
+    // ───── V7: winsorization at exact P1/P99 — robust-statistics
+    // clipping for feature pipelines. Cutoffs are RANK-EXACT k-th
+    // smallest values (deterministic on multisets regardless of tie
+    // order) with ranks from INTEGER arithmetic — ceil(p·n) through
+    // doubles drifts (0.01·60000 ≠ 600 in IEEE); (n+99)/100 does
+    // not. The k-th-value scans run as TakeOrderedAndProject
+    // (per-partition heap, no global sort); the two cutoff scalars
+    // are control-plane. Clipped sums ride exact decimals.
+    "v07_winsorized_revenue" -> QueryDef.sql(
+      (s, dir) => {
+        val li = t(s, dir, "lineitem").filter(col("l_extendedprice") > 0)
+        val n = li.count() // control-plane scalar: the limit() bound
+        val k1 = ((n + 99) / 100).toInt
+        val k99 = ((99 * n + 99) / 100).toInt
+        def kthSmallest(k: Int): Double = li
+          .orderBy(col("l_extendedprice").asc)
+          .limit(k).agg(max(col("l_extendedprice"))).head.getDouble(0)
+        val p01 = kthSmallest(k1)
+        val p99 = kthSmallest(k99)
+        val clipped = greatest(lit(p01), least(lit(p99), col("l_extendedprice")))
+        li.groupBy(col("l_returnflag"))
+          .agg(
+            count(lit(1)).as("n_rows"),
+            exactSum(clipped).as("winsorized_sum"),
+            sum(when(col("l_extendedprice") < p01, 1L)
+              .when(col("l_extendedprice") > p99, 1L)
+              .otherwise(0L)).as("n_clipped"))
+      },
+      """WITH f AS (
+        |  SELECT l_returnflag, l_extendedprice
+        |  FROM lineitem WHERE l_extendedprice > 0),
+        |s AS (
+        |  SELECT l_extendedprice,
+        |         row_number() OVER (ORDER BY l_extendedprice) AS rn,
+        |         COUNT(*) OVER () AS n
+        |  FROM f),
+        |c AS (
+        |  SELECT
+        |    max(CASE WHEN rn <= (n + 99) // 100 THEN l_extendedprice END) AS p01,
+        |    max(CASE WHEN rn <= (99 * n + 99) // 100 THEN l_extendedprice END) AS p99
+        |  FROM s)
+        |SELECT l_returnflag, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(greatest(c.p01, least(c.p99, l_extendedprice))
+        |       AS DECIMAL(30,2))) AS DOUBLE) AS winsorized_sum,
+        |  CAST(SUM(CASE WHEN l_extendedprice < c.p01 THEN 1
+        |                WHEN l_extendedprice > c.p99 THEN 1
+        |                ELSE 0 END) AS BIGINT) AS n_clipped
+        |FROM f, c GROUP BY l_returnflag""".stripMargin),
+
     // ───── P26: collection-function battery — set algebra over
     // arrays (intersect/union/except return IMPLEMENTATION-DEFINED
     // order in both engines, so every set result is array_sort'ed
