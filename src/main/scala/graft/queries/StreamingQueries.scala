@@ -128,6 +128,34 @@ object StreamingQueries {
         |  MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
         |FROM events GROUP BY event_type""".stripMargin),
 
+    // ───── cohort retention matrix — users cohorted by first-active
+    // day, each later active day counted at its day offset (the
+    // product-analytics staple next to ev_funnel). Two shuffles:
+    // the per-user first-day aggregate, then the (cohort, offset)
+    // count over per-user-day distinct activity; the first-day frame
+    // joins back shuffled-hash on user_id.
+    "ev_retention_cohorts" -> QueryDef.sql(
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(col("user_id"), to_date(col("ts")).as("d"))
+          .distinct()
+        val first = ev.groupBy(col("user_id"))
+          .agg(min(col("d")).as("cohort_day"))
+        ev.join(first.hint("shuffle_hash"), Seq("user_id"))
+          .withColumn("day_offset", datediff(col("d"), col("cohort_day")))
+          .groupBy(col("cohort_day"), col("day_offset"))
+          .agg(countDistinct(col("user_id")).as("n_active"))
+      },
+      """WITH a AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |f AS (
+        |  SELECT user_id, MIN(d) AS cohort_day FROM a GROUP BY 1)
+        |SELECT f.cohort_day,
+        |       CAST(date_diff('day', f.cohort_day, a.d) AS INTEGER) AS day_offset,
+        |       COUNT(DISTINCT a.user_id) AS n_active
+        |FROM a JOIN f ON a.user_id = f.user_id
+        |GROUP BY 1, 2""".stripMargin),
+
     // ───── native session_window aggregation — Spark's built-in
     // gap-session operator (the declarative form of the
     // flatMapGroupsWithState sessionization): sessions close when the
