@@ -128,6 +128,27 @@ object StreamingQueries {
         |  MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
         |FROM events GROUP BY event_type""".stripMargin),
 
+    // ───── daily-active-users summary — DAU, event volume, and
+    // per-user intensity per calendar day (the dashboard row the
+    // streaming MV keeps fresh); one map-side-combined shuffle.
+    "ev_dau_summary" -> QueryDef.sql(
+      (s, dir) =>
+        Tables.events(s, dir)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(
+            countDistinct(col("user_id")).as("dau"),
+            count(lit(1)).as("n_events"),
+            round(count(lit(1)).cast("double") /
+              countDistinct(col("user_id")).cast("double"), 4)
+              .as("events_per_user")),
+      """SELECT CAST(ts AS DATE) AS day,
+        |       COUNT(DISTINCT user_id) AS dau,
+        |       COUNT(*) AS n_events,
+        |       round(CAST(COUNT(*) AS DOUBLE)
+        |             / CAST(COUNT(DISTINCT user_id) AS DOUBLE), 4)
+        |         AS events_per_user
+        |FROM events GROUP BY 1""".stripMargin),
+
     // ───── cohort retention matrix — users cohorted by first-active
     // day, each later active day counted at its day offset (the
     // product-analytics staple next to ev_funnel). Two shuffles:
