@@ -176,8 +176,16 @@ object Bench {
       // cheapest-first by the best predictor available: a PRIOR sweep's
       // measured times when present (the 10× sweep predicts 30× far
       // better than 1× — at 1× the output-quadratic pair queries look
-      // cheap, sort early, and eat the whole budget), else scaled 1×
+      // cheap, sort early, and eat the whole budget), else scaled 1×.
+      // `_coarse` evidence twins are excluded BY NAME: they are
+      // output-quadratic BY SEMANTICS (the unsuffixed adaptive
+      // defaults are the scaling shape; the twins pin the
+      // recall-maximal pair set at correctness SFs), so a derived-
+      // scale cliff flag on them would re-report the null model every
+      // round. The exclusion is reported in the top-level
+      // `excluded_twins` field, never silent.
       val order = results.filter(_._2 > 0)
+        .filterNot(_._1.endsWith("_coarse"))
         .sortBy { case (n, t1) => prior.getOrElse(n, t1 * copies) }
         .map(_._1)
       val sweepStart = System.nanoTime()
@@ -290,8 +298,11 @@ object Bench {
     // Key order = truncation priority: full dicts first, then the
     // headline per-query times, then the summary scalars — the last
     // ~1KB of the line is self-contained.
+    val excludedTwins = results.collect {
+      case (n, _) if n.endsWith("_coarse") => n
+    }
     val line =
-      f"""{"queries":${jsonDict(results)},"gc_ms":${jsonDict(gcMs)},"scale":$scaleJson,"scale30":$scale30Json,"headline_queries":${jsonDict(headlineResults)},"cliffs_10x":${names(cliffs10)},"cliffs_30x":${names(cliffs30)},"failed":${names(failed)},"total_all":$totalAll%.3f,"sf":"$sfDir","metric":"total","unit":"sec","value":$headlineTotal%.3f}"""
+      f"""{"queries":${jsonDict(results)},"gc_ms":${jsonDict(gcMs)},"scale":$scaleJson,"scale30":$scale30Json,"headline_queries":${jsonDict(headlineResults)},"cliffs_10x":${names(cliffs10)},"cliffs_30x":${names(cliffs30)},"excluded_twins":${names(excludedTwins)},"failed":${names(failed)},"total_all":$totalAll%.3f,"sf":"$sfDir","metric":"total","unit":"sec","value":$headlineTotal%.3f}"""
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
     java.nio.file.Files.writeString(java.nio.file.Paths.get("target/bench.json"), line)
     println(line)

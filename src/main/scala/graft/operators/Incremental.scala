@@ -63,11 +63,20 @@ object Incremental {
   def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, keys: Seq[String],
                    compareCols: Seq[String]): DataFrame = {
     require(compareCols.nonEmpty, "compareCols must be non-empty")
+    // Unambiguous record digest: hash each column SEPARATELY (NULL →
+    // the 1-char token "n", value → "v"-prefixed string — disjoint
+    // domains, so NULL ≠ '' and no value can impersonate NULL), then
+    // hash the concatenation of the fixed-width per-column digests.
+    // Fixed-width inner digests make field boundaries unambiguous — a
+    // separator scheme would let values containing the separator shift
+    // boundaries (('a||b','c') vs ('a','b||c')) and silently drop such
+    // updates from the feed.
+    def colDigest(c: String): Column = sha2(
+      when(col(c).isNull, lit("n"))
+        .otherwise(concat(lit("v"), col(c).cast("string"))), 256)
     def hashed(df: DataFrame, h: String) = df.select(
       keys.map(col) :+
-        sha2(concat_ws("||",
-          compareCols.map(c => coalesce(col(c).cast("string"), lit(""))): _*), 256)
-          .as(h): _*)
+        sha2(concat_ws("", compareCols.map(colDigest): _*), 256).as(h): _*)
     val joined = hashed(oldDf, "_h_old").hint("shuffle_hash")
       .join(hashed(newDf, "_h_new").hint("shuffle_hash"), keys, "full_outer")
     joined

@@ -217,8 +217,18 @@ object Scd2 {
   /** Atomic table persist: write to a staging dir, then rename over
     * the live dir (S12 replacement for Delta's transactional write;
     * SURVEY.md §7.5.1 overwrite-while-reading discipline).
+    *
+    * `sidecar` entries are written as small files INTO the staging
+    * dir before the swap, so data and metadata commit in the same
+    * rename — a marker written after the swap would leave a window
+    * where a crash decouples them. Names must start with `_` or `.`
+    * (Spark's parquet reader skips such files).
     */
-  def writeAtomic(df: DataFrame, path: String): Unit = {
+  def writeAtomic(df: DataFrame, path: String,
+                  sidecar: Map[String, String] = Map.empty): Unit = {
+    require(sidecar.keys.forall(n => n.startsWith("_") || n.startsWith(".")),
+      s"sidecar names must be _/.-prefixed (parquet-reader-invisible): " +
+        sidecar.keys.mkString(","))
     val spark = df.sparkSession
     val hconf = spark.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(hconf)
@@ -226,10 +236,32 @@ object Scd2 {
     val live = new org.apache.hadoop.fs.Path(path)
     val backup = new org.apache.hadoop.fs.Path(path + ".backup")
     df.write.mode("overwrite").parquet(staging.toString)
+    sidecar.foreach { case (name, content) =>
+      val out = fs.create(new org.apache.hadoop.fs.Path(staging, name), true)
+      try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
     if (fs.exists(backup)) fs.delete(backup, true)
     if (fs.exists(live)) fs.rename(live, backup)
     fs.rename(staging, live)
     if (fs.exists(backup)) fs.delete(backup, true)
+  }
+
+  /** Read back a [[writeAtomic]] sidecar file, or None if absent. */
+  def readSidecar(spark: org.apache.spark.sql.SparkSession, path: String,
+                  name: String): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(path, name)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+        Some(new String(buf.toByteArray,
+          java.nio.charset.StandardCharsets.UTF_8))
+      } finally in.close()
+    }
   }
 
   /** S6: audit-log record for each table write — replaces

@@ -36,22 +36,31 @@ object Sketches {
         countDistinct(col(keyCol)).as("n_exact"),
         hll_sketch_agg(col(keyCol).cast("string"), lit(lgK)).as("_sk"))
       .withColumn("_est", hll_sketch_estimate(col("_sk")))
+    // n_exact = 0 (a stratum whose keyCol is entirely NULL) would make
+    // the relative-error ratio NULL — the gate must stay a genuine
+    // boolean, so that case passes iff the estimate is also 0
+    def withinTol = when(col("n_exact") === 0, col("_est") === 0.0)
+      .otherwise(abs(col("_est") - col("n_exact")).cast("double") /
+        col("n_exact").cast("double") <= relTol)
     val strat = perStratum.select(
       col(strataCol),
       col("n_exact"),
-      (abs(col("_est") - col("n_exact")).cast("double") /
-        col("n_exact").cast("double") <= relTol).as("hll_within_tol"))
+      withinTol.as("hll_within_tol"),
+      lit(false).as("is_global"))
     // merge path: union the stratum sketches → global estimate; gate
     // against the exact global distinct (cross-stratum overlap would
-    // break a naive sum — the union handles it sketch-side)
+    // break a naive sum — the union handles it sketch-side). The
+    // rollup row is identified by the `is_global` BOOLEAN — the
+    // "__ALL__" label is display-only and a genuine stratum of the
+    // same name cannot be mistaken for it.
     val globalExact = df.agg(countDistinct(col(keyCol)).as("n_exact"))
     val globalEst = perStratum.agg(
       hll_sketch_estimate(hll_union_agg(col("_sk"), lit(true))).as("_est"))
     val global = globalExact.crossJoin(globalEst).select(
       lit("__ALL__").as(strataCol),
       col("n_exact"),
-      (abs(col("_est") - col("n_exact")).cast("double") /
-        col("n_exact").cast("double") <= relTol).as("hll_within_tol"))
+      withinTol.as("hll_within_tol"),
+      lit(true).as("is_global"))
     strat.unionByName(global)
   }
 

@@ -106,10 +106,16 @@ object TextAnalysis {
     * a 16-digit run is only a card number if ISO/IEC 7812's Luhn mod
     * 10 holds, and compliance scrubbing wants BOTH counts: candidates
     * for audit, validated hits for the actual exposure number).
-    * Candidates are 13–19 digit runs; the checksum is the standard
-    * right-to-left double-every-second fold. `clean_text` scrubs ALL
-    * candidates (conservative PCI posture — a mistyped card is still
-    * not trainable text); `n_cc_valid` counts checksum hits.
+    * Candidates are MAXIMAL digit runs of 13–19 digits (extract `\d+`
+    * then length-filter — equivalent to anchoring with
+    * `(?<!\d)\d{13,19}(?!\d)` but expressible in RE2 for the oracle):
+    * a 26-digit run is NOT a card candidate, and a greedy
+    * `\d{13,19}` would both count it and leave a <13-digit raw tail
+    * after scrubbing. The checksum is the standard right-to-left
+    * double-every-second fold. `clean_text` scrubs EVERY run of ≥13
+    * digits completely (conservative PCI posture — a mistyped or
+    * over-long card is still not trainable text); `n_cc_valid` counts
+    * checksum hits among the candidates.
     *
     * Shape: pure scan-side projection, zero exchanges. The Luhn fold
     * is a higher-order `aggregate` per candidate — CodegenFallback,
@@ -118,7 +124,9 @@ object TextAnalysis {
     * is codegen'd.
     */
   def luhnCcDetect(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val cands = regexp_extract_all(col(textCol), lit("\\d{13,19}"), lit(0))
+    val cands = filter(
+      regexp_extract_all(col(textCol), lit("\\d+"), lit(0)),
+      c => length(c) >= 13 && length(c) <= 19)
     val luhnOk = (c: Column) =>
       aggregate(
         sequence(lit(1), length(c)),
@@ -133,7 +141,7 @@ object TextAnalysis {
       col(idCol),
       size(cands).as("n_cc_candidates"),
       size(filter(cands, luhnOk)).as("n_cc_valid"),
-      regexp_replace(col(textCol), "\\d{13,19}", "[CC]").as("clean_text"))
+      regexp_replace(col(textCol), "\\d{13,}", "[CC]").as("clean_text"))
   }
 
   /** Per-document word-unigram entropy (the `rps_doc_unigram_entropy`
@@ -536,6 +544,35 @@ object TextAnalysis {
           i => array_join(slice(col("_toks"), i * segTokens + 1, lit(segTokens)), " ")))
       .select(col(idCol), col("_segs"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    // Self-releasing cache: the result is returned LAZILY, so the
+    // operator can't try/finally around the caller's action — instead
+    // a one-shot listener unpersists the segment cache as soon as the
+    // first query that consumed it completes (success OR failure).
+    // persist() is itself lazy, so if the caller never materializes,
+    // no blocks were ever cached and the pending listener holds only
+    // an object — a long-lived session never accumulates cached
+    // corpora across calls (kmeansCentroids/pqCodebooks collect
+    // eagerly and release in `finally`; this is the lazy-path twin).
+    val session = df.sparkSession
+    val seggedPlan = segged.queryExecution.analyzed
+    val listener: org.apache.spark.sql.util.QueryExecutionListener =
+      new org.apache.spark.sql.util.QueryExecutionListener {
+        private val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+        private def maybeRelease(
+            qe: org.apache.spark.sql.execution.QueryExecution): Unit =
+          if (qe.analyzed.exists(_.sameResult(seggedPlan)) &&
+              done.compareAndSet(false, true)) {
+            segged.unpersist(false)
+            session.listenerManager.unregister(this)
+          }
+        override def onSuccess(name: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            durationNs: Long): Unit = maybeRelease(qe)
+        override def onFailure(name: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            error: Exception): Unit = maybeRelease(qe)
+      }
+    session.listenerManager.register(listener)
     val ex = segged
       .withColumn("_nseg", size(col("_segs")).cast("long"))
       .select(col(idCol), col("_nseg"),

@@ -2217,7 +2217,9 @@ object LlmQueries {
         |    text || (CASE WHEN doc_id % 11 = 0 THEN ' 4539148803436467' ELSE '' END)
         |         || (CASE WHEN doc_id % 13 = 0 THEN ' 4539148803436468' ELSE '' END) AS t
         |  FROM documents),
-        |c AS (SELECT doc_id, t, regexp_extract_all(t, '\d{13,19}') AS cands
+        |c AS (SELECT doc_id, t,
+        |        list_filter(regexp_extract_all(t, '\d+'),
+        |                    x -> length(x) BETWEEN 13 AND 19) AS cands
         |      FROM planted)
         |SELECT doc_id,
         |  CAST(len(cands) AS INTEGER) AS n_cc_candidates,
@@ -2229,7 +2231,7 @@ object LlmQueries {
         |      ELSE CAST(x[length(x)-i+1] AS INTEGER) END
         |      for i in generate_series(1, length(x))]) % 10 = 0)) AS INTEGER)
         |    AS n_cc_valid,
-        |  regexp_replace(t, '\d{13,19}', '[CC]', 'g') AS clean_text
+        |  regexp_replace(t, '\d{13,}', '[CC]', 'g') AS clean_text
         |FROM c""".stripMargin),
 
     // ───── JL ±1 random projection (Achlioptas 2003) 64 → 16 dims:
@@ -2706,10 +2708,10 @@ object LlmQueries {
         |  FROM documents),
         |t2 AS (SELECT lang, token FROM tk WHERE token <> '')
         |SELECT lang, COUNT(DISTINCT token) AS n_exact,
-        |       TRUE AS hll_within_tol
+        |       TRUE AS hll_within_tol, FALSE AS is_global
         |FROM t2 GROUP BY lang
         |UNION ALL
-        |SELECT '__ALL__', COUNT(DISTINCT token), TRUE FROM t2""".stripMargin),
+        |SELECT '__ALL__', COUNT(DISTINCT token), TRUE, TRUE FROM t2""".stripMargin),
 
     // ───── count-min-sketch heavy-hitter gate: exact top-20 terms
     // cross-checked against the mergeable CMS — `cms_ge_exact` rides

@@ -14,14 +14,17 @@ import org.apache.spark.sql.functions._
   * (levenshtein over sorted normalized tokens — SURVEY.md §2.8).
   *
   * Every downstream query (steward queue, golden records, activity,
-  * scorecard) is registered TWICE: on the coarse (nation, segment)
-  * block and on the fine (nation, segment, name-suffix) block. The
-  * block schema is a semantic parameter — cross-block pairs are never
-  * considered — so the fine variants carry their own oracles rather
-  * than being an optimization of the coarse ones. The fine block's
-  * pair space is ~10× smaller (measured 4.7s vs 21.1s at 10× for the
-  * pair query), which is the scale-safe default for a 100-TB corpus;
-  * the coarse variants remain registered as the recall-maximal shape.
+  * scorecard) is registered THREE times: the unsuffixed default on
+  * ADAPTIVE blocking (coarse block, hot blocks re-blocked on the fine
+  * suffix key — bounded compute per block at any scale), a `_coarse`
+  * evidence twin on the plain (nation, segment) block (recall-maximal,
+  * output-quadratic by semantics), and a `_fine` twin on the
+  * (nation, segment, name-suffix) block. The block schema is a
+  * semantic parameter — cross-block pairs are never considered — so
+  * the fine variants carry their own oracles rather than being an
+  * optimization of the coarse ones. The fine block's pair space is
+  * ~10× smaller (measured 4.7s vs 21.1s at 10× for the pair query);
+  * the adaptive default degrades to it only inside oversized blocks.
   */
 object MdmQueries {
 
@@ -218,7 +221,20 @@ object MdmQueries {
          |FROM agg, tot""".stripMargin)
   )
 
+  /** Registry (VERDICT r8 #2): ADAPTIVE blocking is the default pair
+    * stream for the WHOLE coarse family — pair-listing queries
+    * included. The adaptive stream equals the plain coarse stream
+    * wherever the block cap doesn't bind (all correctness SFs — see
+    * [[scoredAdaptive]]), so the coarse oracles are unchanged; at 10×+
+    * hot blocks pay the fine suffix key instead of a compute-quadratic
+    * pair space. The plain coarse forms stay registered as `_coarse`
+    * evidence twins — the recall-maximal shape, output-quadratic BY
+    * SEMANTICS (their scale cost is the answer's size, not an
+    * implementation cliff; Bench excludes `_coarse` twins from the
+    * derived-scale sweeps by name and reports the exclusion).
+    */
   val defs: Map[String, QueryDef] =
-    familyDefs("", scored, scoredAdaptive, scoredSql) ++
+    familyDefs("", scoredAdaptive, scoredAdaptive, scoredSql) ++
+      familyDefs("_coarse", scored, scored, scoredSql) ++
       familyDefs("_fine", scoredFine, scoredFine, scoredFineSql)
 }

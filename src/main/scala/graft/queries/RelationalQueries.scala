@@ -670,13 +670,8 @@ object RelationalQueries {
             sum(x * x).as("_sxx"),
             sum(y * y).as("_syy"))
           .select(col("l_returnflag"), col("n"),
-            round(
-              (col("n").cast("double") * col("_sxy").cast("double") -
-                col("_sx").cast("double") * col("_sy").cast("double")) /
-                (sqrt(col("n").cast("double") * col("_sxx").cast("double") -
-                  col("_sx").cast("double") * col("_sx").cast("double")) *
-                  sqrt(col("n").cast("double") * col("_syy").cast("double") -
-                    col("_sy").cast("double") * col("_sy").cast("double"))), 6)
+            round(momentsPearson(col("n"), col("_sx"), col("_sy"),
+              col("_sxy"), col("_sxx"), col("_syy")), 6)
               .as("corr_qty_price"))
       },
       """WITH m AS (
@@ -838,11 +833,8 @@ object RelationalQueries {
             sum(col("_rev") * col("_rev")).as("_s2"))
           .filter(col("n_days") >= 2)
           .select(col("l_suppkey"), col("n_days"),
-            (col("_s1").cast("double") / col("n_days").cast("double")).as("_mean"),
-            sqrt((col("n_days").cast("double") * col("_s2").cast("double") -
-              col("_s1").cast("double") * col("_s1").cast("double")) /
-              (col("n_days").cast("double") * col("n_days").cast("double")))
-              .as("_sd"))
+            momentsMean(col("n_days"), col("_s1")).as("_mean"),
+            momentsStddevPop(col("n_days"), col("_s1"), col("_s2")).as("_sd"))
           .filter(col("_sd") > 0)
         daily.join(moments.hint("shuffle_hash"), Seq("l_suppkey"))
           .withColumn("z", round(
@@ -879,20 +871,25 @@ object RelationalQueries {
     // smallest values (deterministic on multisets regardless of tie
     // order) with ranks from INTEGER arithmetic — ceil(p·n) through
     // doubles drifts (0.01·60000 ≠ 600 in IEEE); (n+99)/100 does
-    // not. The k-th-value scans run as TakeOrderedAndProject
-    // (per-partition heap, no global sort); the two cutoff scalars
-    // are control-plane. Clipped sums ride exact decimals.
+    // not. BOTH cutoff scans run as TakeOrderedAndProject with heaps
+    // of ≤ ⌈n/100⌉+1 rows: P1 is the k1-th smallest taken from the
+    // ASCENDING side, P99 the (n−k99+1)-th LARGEST taken from the
+    // DESCENDING side (the k-th smallest = the (n−k+1)-th largest on
+    // any multiset) — never a 0.99·n heap pulled into one task
+    // (VERDICT r8 #1). The three driver actions (count + two cutoffs)
+    // are O(n/100)-bounded control-plane scalars. Clipped sums ride
+    // exact decimals.
     "v07_winsorized_revenue" -> QueryDef.sql(
       (s, dir) => {
         val li = t(s, dir, "lineitem").filter(col("l_extendedprice") > 0)
-        val n = li.count() // control-plane scalar: the limit() bound
-        val k1 = ((n + 99) / 100).toInt
-        val k99 = ((99 * n + 99) / 100).toInt
-        def kthSmallest(k: Int): Double = li
-          .orderBy(col("l_extendedprice").asc)
-          .limit(k).agg(max(col("l_extendedprice"))).head.getDouble(0)
-        val p01 = kthSmallest(k1)
-        val p99 = kthSmallest(k99)
+        val n = li.count() // control-plane scalar: the limit() bounds
+        val k1 = ((n + 99) / 100).toInt         // ceil(n/100)
+        val k99 = (99 * n + 99) / 100           // ceil(0.99·n)
+        val kTop = (n - k99 + 1).toInt          // ≤ floor(n/100)+1
+        val p01 = kthSmallestPlan(li, col("l_extendedprice"), k1)
+          .head.getDouble(0)
+        val p99 = kthLargestPlan(li, col("l_extendedprice"), kTop)
+          .head.getDouble(0)
         val clipped = greatest(lit(p01), least(lit(p99), col("l_extendedprice")))
         li.groupBy(col("l_returnflag"))
           .agg(

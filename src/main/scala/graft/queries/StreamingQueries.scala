@@ -151,18 +151,19 @@ object StreamingQueries {
 
     // ───── cohort retention matrix — users cohorted by first-active
     // day, each later active day counted at its day offset (the
-    // product-analytics staple next to ev_funnel). Two shuffles:
-    // the per-user first-day aggregate, then the (cohort, offset)
-    // count over per-user-day distinct activity; the first-day frame
-    // joins back shuffled-hash on user_id.
+    // product-analytics staple next to ev_funnel). SINGLE-SCAN shape:
+    // the per-user cohort day is a whole-partition window MIN over the
+    // distinct (user, day) frame — no self-join, no second scan of
+    // events (the r8 join-back form read events twice; at 100 TB the
+    // second scan costs more than every shuffle here). Window
+    // partitions are bounded by #days-per-user, so no skew risk.
     "ev_retention_cohorts" -> QueryDef.sql(
       (s, dir) => {
         val ev = Tables.events(s, dir)
           .select(col("user_id"), to_date(col("ts")).as("d"))
           .distinct()
-        val first = ev.groupBy(col("user_id"))
-          .agg(min(col("d")).as("cohort_day"))
-        ev.join(first.hint("shuffle_hash"), Seq("user_id"))
+        val w = Window.partitionBy(col("user_id"))
+        ev.withColumn("cohort_day", min(col("d")).over(w))
           .withColumn("day_offset", datediff(col("d"), col("cohort_day")))
           .groupBy(col("cohort_day"), col("day_offset"))
           .agg(countDistinct(col("user_id")).as("n_active"))

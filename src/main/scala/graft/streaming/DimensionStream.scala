@@ -78,9 +78,12 @@ object DimensionStream {
     * state — the streaming form of "never re-scan history for a new
     * arrival". The merge is batch-boundary-exact (decimal algebra),
     * so ANY micro-batch partitioning of the feed produces the same
-    * view as the one-shot aggregate; replay after a crash overwrites
-    * with the same merged state (the atomic staging swap keeps the
-    * view whole mid-write).
+    * view as the one-shot aggregate. Crash safety is two-layered: the
+    * atomic staging swap keeps the view whole mid-write, and the
+    * last-applied batchId rides the SAME swap as a sidecar file so an
+    * at-least-once REPLAY of an already-merged batch (crash between
+    * the state commit and the streaming checkpoint's) is detected and
+    * skipped — a bare re-merge would double-count the delta.
     */
   def aggMergeAvailableNow(spark: SparkSession, feedDir: String,
                            statePath: String, keys: Seq[String],
@@ -96,8 +99,18 @@ object DimensionStream {
       .queryName(queryName)
       .option("checkpointLocation", s"$statePath.checkpoint")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // At-least-once replay guard: foreachBatch can re-run a batch
+        // whose state merge already committed (crash after writeAtomic
+        // but before the streaming checkpoint commits) — merging a
+        // delta is NOT idempotent, so the last-applied batchId is
+        // persisted INSIDE the state dir via writeAtomic's sidecar
+        // (data + marker commit in the same rename) and replayed
+        // batches with id <= lastApplied are skipped.
+        val lastApplied = graft.operators.Scd2
+          .readSidecar(spark, statePath, "_last_batch_id")
+          .map(_.trim.toLong).getOrElse(-1L)
+        if (batchId > lastApplied && !batch.isEmpty) {
           val delta = Incremental.aggState(batch, keys,
             org.apache.spark.sql.functions.col(valueCol))
           val fs = new org.apache.hadoop.fs.Path(statePath)
@@ -107,7 +120,8 @@ object DimensionStream {
               Incremental.mergeAggStates(
                 spark.read.parquet(statePath), delta, keys)
             else delta
-          graft.operators.Scd2.writeAtomic(merged, statePath)
+          graft.operators.Scd2.writeAtomic(merged, statePath,
+            sidecar = Map("_last_batch_id" -> batchId.toString))
         }
         ()
       }

@@ -45,4 +45,24 @@ class IncrementalSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(diff === Map(1L -> "delete", 2L -> "update", 999999L -> "insert"))
   }
+
+  test("snapshotDiff digest: NULL ≠ '' and separator-looking values can't shift boundaries") {
+    val cols = Seq("a", "b")
+    // NULL → '' flips must surface as updates (a separator+coalesce
+    // digest would see the same bytes on both sides)
+    val oldNull = Seq((1L, Option.empty[String], Option("x")))
+      .toDF("k", "a", "b")
+    val newEmpty = Seq((1L, Option(""), Option("x"))).toDF("k", "a", "b")
+    val d1 = Incremental.snapshotDiff(oldNull, newEmpty, Seq("k"), cols)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(d1 === Map(1L -> "update"))
+    // field-boundary shift: ('a||b','c') vs ('a','b||c') concatenate
+    // identically under any separator scheme — the fixed-width
+    // per-column digests must still see the update
+    val oldShift = Seq((1L, "a||b", "c")).toDF("k", "a", "b")
+    val newShift = Seq((1L, "a", "b||c")).toDF("k", "a", "b")
+    val d2 = Incremental.snapshotDiff(oldShift, newShift, Seq("k"), cols)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(d2 === Map(1L -> "update"))
+  }
 }

@@ -686,7 +686,8 @@ class LlmOpsSpec extends SparkSpec {
       (1L, "pay with 4539148803436467 now"),          // Luhn-valid
       (2L, "random run 4539148803436468 here"),       // checksum fails
       (3L, "order 12345 and 370000000000002 thanks"), // 15-digit Amex test, valid
-      (4L, "no digits at all")).toDF("doc_id", "text")
+      (4L, "no digits at all"),
+      (5L, "junk 12345678901234567890123456 x")).toDF("doc_id", "text") // 26-digit run
     val out = graft.operators.TextAnalysis.luhnCcDetect(d, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r).toMap
     assert(out(1L).getAs[Int]("n_cc_candidates") === 1)
@@ -700,6 +701,11 @@ class LlmOpsSpec extends SparkSpec {
     assert(out(3L).getAs[Int]("n_cc_valid") === 1)
     assert(out(4L).getAs[Int]("n_cc_candidates") === 0)
     assert(out(4L).getAs[String]("clean_text") === "no digits at all")
+    // an over-long (26-digit) run is NOT a card candidate — a greedy
+    // \d{13,19} would count it AND leave a 7-digit raw tail — but the
+    // scrub still removes the whole run
+    assert(out(5L).getAs[Int]("n_cc_candidates") === 0)
+    assert(out(5L).getAs[String]("clean_text") === "junk [CC] x")
   }
 
   test("c4Clean: each line rule and page rule trips on its own violation") {
@@ -1327,6 +1333,16 @@ class LlmOpsSpec extends SparkSpec {
     val exactGlobal = gate.find(_.getAs[String]("lang") == "__ALL__").get
       .getAs[Long]("n_exact")
     assert(exactPerLang > exactGlobal)
+    // the rollup row is identified by the BOOLEAN, not the label —
+    // and a stratum whose key is entirely NULL gates as a genuine
+    // boolean (estimate 0 == exact 0), never NULL
+    assert(gate.count(_.getAs[Boolean]("is_global")) === 1)
+    val withNulls = toks.unionByName(spark.range(3).select(
+      lit("nullonly").as("lang"), lit(null).cast("string").as("token")))
+    val g2 = Sketches.hllDistinctGate(withNulls, "lang", "token").collect()
+    val nl = g2.find(_.getAs[String]("lang") == "nullonly").get
+    assert(nl.getAs[Long]("n_exact") === 0L)
+    assert(nl.getAs[Boolean]("hll_within_tol"))
 
     // CMS: never undercounts (deterministic), overestimate within
     // eps*N at the chosen confidence

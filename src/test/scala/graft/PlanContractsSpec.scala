@@ -416,4 +416,81 @@ class PlanContractsSpec extends SparkSpec {
     assert(countLines(p, "SortMergeJoin") === 0, p)
     assert(countLines(p, "ShuffledHashJoin") === 0, p)
   }
+
+  private def hashShuffles(p: String): Seq[String] =
+    p.linesIterator.filter(_.contains("Exchange"))
+      .filterNot(_.contains("BroadcastExchange"))
+      .filterNot(_.contains("ReusedExchange")).toSeq
+
+  test("v07 cutoffs: both k-th-value scans are O(n/100) TakeOrdered heaps") {
+    // the winsorization cutoffs must NEVER plan as a 0.99·n heap
+    // (VERDICT r8 #1): P1 comes from the ascending side, P99 from the
+    // DESCENDING side with the complementary rank, so each
+    // TakeOrderedAndProject limit is ≤ ⌈n/100⌉+1
+    import org.apache.spark.sql.functions.col
+    val li = graft.sources.Tables.table(spark, sfDir, "lineitem")
+      .filter(col("l_extendedprice") > 0)
+    val n = li.count()
+    val k1 = ((n + 99) / 100).toInt
+    val kTop = (n - (99 * n + 99) / 100 + 1).toInt
+    val maxHeap = (n / 100).toInt + 1
+    assert(k1 <= maxHeap && kTop <= maxHeap, s"n=$n k1=$k1 kTop=$kTop")
+    val pAsc = graft.functions.Functions
+      .kthSmallestPlan(li, col("l_extendedprice"), k1)
+      .queryExecution.executedPlan.toString
+    val pDesc = graft.functions.Functions
+      .kthLargestPlan(li, col("l_extendedprice"), kTop)
+      .queryExecution.executedPlan.toString
+    assert(pAsc.contains(s"TakeOrderedAndProject(limit=$k1"), pAsc)
+    assert(pDesc.contains(s"TakeOrderedAndProject(limit=$kTop"), pDesc)
+  }
+
+  test("v06_outlier_days: scan-side partial daily aggs, moments join back shuffled-hash") {
+    val p = plan("v06_outlier_days")
+    assert(countLines(p, "ShuffledHashJoin") === 1, p)
+    assert(countLines(p, "SortMergeJoin") === 0, p)
+    assert(p.contains("partial_"), p)
+    // pushdown: the price>0 filter reaches both parquet scans
+    assert(countLines(p, "GreaterThan(l_extendedprice,0.0)") === 2, p)
+  }
+
+  test("a15_value_histogram: one map-side-combined shuffle, nothing else") {
+    val p = plan("a15_value_histogram")
+    assert(p.contains("partial_"), p)
+    assert(hashShuffles(p).size === 1, p)
+  }
+
+  test("a16_exact_corr: exact moments in one pass — single shuffle, no joins") {
+    val p = plan("a16_exact_corr")
+    assert(p.contains("partial_"), p)
+    assert(hashShuffles(p).size === 1, p)
+    assert(countLines(p, "Join") === 0, p)
+  }
+
+  test("w04_rank_battery: both windows share one partition-key shuffle") {
+    val p = plan("w04_rank_battery")
+    assert(hashShuffles(p).size === 1, p)
+    assert(countLines(p, "Window") === 2, p)
+  }
+
+  test("ev_dau_summary: two-phase distinct agg, zero joins") {
+    val p = plan("ev_dau_summary")
+    assert(p.contains("partial_"), p)
+    assert(hashShuffles(p).size <= 2, p) // countDistinct's two phases
+    assert(countLines(p, "Join") === 0, p)
+  }
+
+  test("ev_retention_cohorts: single scan, window cohort — no self-join") {
+    val p = plan("ev_retention_cohorts")
+    assert(countLines(p, "Scan parquet") === 1, p) // events read ONCE
+    assert(countLines(p, "Join") === 0, p)
+    assert(countLines(p, "Window") === 1, p)
+    assert(hashShuffles(p).size <= 3, p) // distinct, user window, final agg
+  }
+
+  test("ev_session_window_agg: native session windows over one user shuffle") {
+    val p = plan("ev_session_window_agg")
+    assert(hashShuffles(p).size === 1, p) // the user_id shuffle
+    assert(countLines(p, "Join") === 0, p)
+  }
 }

@@ -389,6 +389,40 @@ class StreamingSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("streaming MV: replayed batch (state committed, checkpoint lost) is not double-merged") {
+    import graft.operators.Incremental
+    import graft.streaming.DimensionStream
+    val li = Tables.table(spark, sfDir, "lineitem")
+      .filter($"l_extendedprice" > 0)
+      .withColumn("ship_date", to_date($"l_shipdate"))
+      .select("l_orderkey", "l_suppkey", "ship_date", "l_extendedprice")
+    val root = java.nio.file.Files.createTempDirectory("mvreplay").toString
+    val keys = Seq("l_suppkey", "ship_date")
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      Incremental.finalizeAggState(df, "total_revenue", "trip_count")
+        .collect().map(r => (r.getLong(0), r.getDate(1).toString) ->
+          (r.getDouble(2), r.getLong(3))).toMap
+    DimensionStream.writeFeedFile(
+      li.filter($"l_orderkey" % 3 === 0), s"$root/feed", "b0", 1700000000000L)
+    val s1 = snap(DimensionStream.aggMergeAvailableNow(spark, s"$root/feed",
+      s"$root/state", keys, "l_extendedprice", queryName = "spec_mv_replay_1"))
+    // the worst-case at-least-once window: the state commit survived
+    // but the streaming checkpoint didn't — the restarted stream
+    // REPLAYS b0 as batchId 0, which the sidecar marker must skip
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(s"$root/state.checkpoint"))
+    val s2 = snap(DimensionStream.aggMergeAvailableNow(spark, s"$root/feed",
+      s"$root/state", keys, "l_extendedprice", queryName = "spec_mv_replay_2"))
+    assert(s2 === s1) // replay did NOT double-count the delta
+    // and the stream still makes progress past the replayed batch
+    DimensionStream.writeFeedFile(
+      li.filter($"l_orderkey" % 3 =!= 0), s"$root/feed", "b1", 1700000060000L)
+    val s3 = snap(DimensionStream.aggMergeAvailableNow(spark, s"$root/feed",
+      s"$root/state", keys, "l_extendedprice", queryName = "spec_mv_replay_3"))
+    val expected = snap(Incremental.aggState(li, keys, $"l_extendedprice"))
+    assert(s3 === expected)
+  }
+
   test("streaming SCD2 CDC merge equals the sequential batch merge chain") {
     import graft.operators.Scd2
     import graft.streaming.DimensionStream
