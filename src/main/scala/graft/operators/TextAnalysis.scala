@@ -834,19 +834,28 @@ object TextAnalysis {
     * `frac_top_ngram = count·len(gram) / len(join(tokens,' '))`,
     * rounded 4 dp; docs with fewer than n tokens score 0.
     *
-    * Shape: per-row array algebra — the n-gram array is sorted ONCE
-    * behind a [[graft.plans.NoInline]] fence (same project-collapse
-    * trap [[unigramEntropy]] documents: without the fence every
-    * lambda `element_at` re-inlines the sort) and a linear run-length
-    * fold extracts the (count, gram) maximum. Zero exchanges; the
-    * whole battery is one scan.
+    * Shape: per-row array algebra in TWO fenced projections. Stage 1
+    * tokenizes ONCE per row behind a [[graft.plans.NoInline]] fence:
+    * the gram builders below reference the token array inside
+    * interpreted higher-order lambdas (CodegenFallback — no
+    * subexpression elimination), so an unfenced `wordTokens` is
+    * re-evaluated on EVERY lambda element — the whole battery then
+    * pays O(tokens²) regex splits per row (measured 9.4s → 2.2s at
+    * sf0.1 from this fence alone). Stage 2 builds all gram widths
+    * from that one materialized array, each sorted ONCE behind its
+    * own fence (same project-collapse trap [[unigramEntropy]]
+    * documents), and a linear run-length fold extracts the
+    * (count, gram) maximum. Zero exchanges; the whole battery is one
+    * scan.
     */
   def topNgramFracs(df: DataFrame, idCol: String, textCol: String,
                     ns: Seq[Int] = Seq(2, 3, 4)): DataFrame = {
     require(ns.nonEmpty && ns.forall(_ >= 2), s"ns must all be >= 2, got $ns")
     val spark = df.sparkSession
     graft.plans.GraftExtensions.register(spark)
-    val toks = wordTokens(col(textCol))
+    val tokd = df.select(col(idCol),
+      graft.plans.NoInline(spark, wordTokens(col(textCol))).as("_toks"))
+    val toks = col("_toks")
     val sortedGrams = ns.map { n =>
       // sequence(1, stop) DESCENDS when stop < 1 — docs shorter than
       // n tokens must short-circuit to an empty gram array
@@ -857,7 +866,7 @@ object TextAnalysis {
         .otherwise(array().cast("array<string>"))
       s"_g$n" -> graft.plans.NoInline(spark, array_sort(grams))
     }
-    val prepped = df.select(
+    val prepped = tokd.select(
       col(idCol) +: length(array_join(toks, " ")).as("_total") +:
         sortedGrams.map { case (nm, c) => c.as(nm) }: _*)
     val fracCols = ns.map { n =>

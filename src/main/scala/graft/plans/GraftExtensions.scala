@@ -20,6 +20,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MinHashSigs].getName, "minhash_sigs"),
       GraftExtensions.buildMinHashSigs))
     ext.injectFunction((
+      new FunctionIdentifier("minhash_sigs_xx64"),
+      new ExpressionInfo(classOf[MinHashSigsXx64].getName, "minhash_sigs_xx64"),
+      GraftExtensions.buildMinHashSigsXx64))
+    ext.injectFunction((
       new FunctionIdentifier("packed_shingles"),
       new ExpressionInfo(classOf[PackedShingles].getName, "packed_shingles"),
       GraftExtensions.buildPackedShingles))
@@ -88,6 +92,17 @@ object GraftExtensions {
       MinHashSigs(children.head, lit(1, "numHashes", 6), lit(2, "shingleSize", 5))
     }
 
+  /** minhash_sigs_xx64(text[, numHashes[, shingleSize]]) — the
+    * long-signature production twin; same literal-arg contract.
+    */
+  private[plans] val buildMinHashSigsXx64: Seq[Expression] => Expression =
+    (children: Seq[Expression]) => {
+      def lit(i: Int, name: String, default: Int): Int = children.lift(i)
+        .map(e => foldableInt("minhash_sigs_xx64", name, e)).getOrElse(default)
+      MinHashSigsXx64(children.head,
+        lit(1, "numHashes", 6), lit(2, "shingleSize", 5))
+    }
+
   /** packed_shingles(text[, shingleSize]) — size must be a literal. */
   private[plans] val buildPackedShingles: Seq[Expression] => Expression =
     (children: Seq[Expression]) => PackedShingles(children.head,
@@ -128,6 +143,7 @@ object GraftExtensions {
         reg.createOrReplaceTempFunction(name, builder, "scala_udf")
     add("poly_hash64", children => PolyHash64(children.head))
     add("minhash_sigs", buildMinHashSigs)
+    add("minhash_sigs_xx64", buildMinHashSigsXx64)
     add("packed_shingles", buildPackedShingles)
     add("jaccard_sorted", children => JaccardSorted(children(0), children(1)))
     add("overlap_sorted", children => OverlapSorted(children(0), children(1)))

@@ -1330,6 +1330,23 @@ object LlmQueries {
          |  ON a.band_id = b.band_id AND a.band_hash = b.band_hash
          | AND a.doc_id < b.doc_id""".stripMargin),
 
+    // ───── the PRODUCTION-KEY twin of dd_minhash_pairs: xxhash64
+    // LONG signatures + LONG band keys (8-byte shuffle keys, no
+    // crypto digest on the hot path) through the identical
+    // band-self-join plan. DuckDB has no xxhash64, so this is
+    // rows-only at the driver; the REAL gate is MinHashSigsSpec's
+    // pair-set check against the md5 path on the same fixture (the
+    // two hash families bucket near-dups probabilistically, so the
+    // spec asserts the planted-duplicate recall and the exact-dup
+    // pairs match — the properties the operator exists for).
+    "dd_minhash_pairs_xx64" -> QueryDef.rowsOnly(
+      (s, dir) => {
+        val sigs =
+          TextDedup.minhashSignaturesXx64(nearDupCorpus(s, dir), "doc_id", "text")
+        TextDedup.lshCandidatePairs(
+          TextDedup.lshBandsXx64(sigs, "doc_id"), "doc_id")
+      }),
+
     // ───── pairs → clusters: connected components over the LSH pair
     // list (min-label propagation to fixpoint). The oracle proves the
     // fixpoint IS the transitive closure: a recursive CTE walks

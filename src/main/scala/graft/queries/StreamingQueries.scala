@@ -149,6 +149,50 @@ object StreamingQueries {
         |         AS events_per_user
         |FROM events GROUP BY 1""".stripMargin),
 
+    // ───── the DAU summary maintained INCREMENTALLY by the real
+    // streaming engine (X63's foreachBatch MV loop): COUNT DISTINCT is
+    // not algebraic — per-day (sum, count) state can't merge it — so
+    // the streaming view keeps the (day, user_id) DISTINCT LAYER as
+    // its state (events-per-user-day counts, exactly mergeable across
+    // arrival batches) and the dashboard row is a stateless aggregate
+    // OVER the state: dau = rows per day, n_events = Σ counts. State
+    // size is bounded by active (day, user) combinations — the same
+    // cardinality a big-engine incremental MV materializes for any
+    // distinct-count view. Oracle = the batch ev_dau_summary SQL,
+    // so the streaming path must reproduce the one-shot answer.
+    "mv_stream_dau" -> QueryDef.sql(
+      (s, dir) => {
+        import graft.streaming.DimensionStream
+        val root = s"${System.getProperty("java.io.tmpdir")}/graft_mv_dau_" +
+          Integer.toHexString(dir.hashCode)
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(root), true)
+        val ev = Tables.events(s, dir)
+          .select(col("event_id"), to_date(col("ts")).as("day"),
+            col("user_id"), col("value"))
+        (0 until 3).foreach(i =>
+          DimensionStream.writeFeedFile(
+            ev.filter(col("event_id") % 3 === i), s"$root/feed",
+            s"batch_$i", 1700000000000L + i * 60000L))
+        val state = DimensionStream.aggMergeAvailableNow(
+          s, s"$root/feed", s"$root/state",
+          Seq("day", "user_id"), "value", queryName = "mv_stream_dau")
+        state.groupBy(col("day"))
+          .agg(
+            count(lit(1)).as("dau"),
+            sum(col("_cnt")).as("n_events"),
+            round(sum(col("_cnt")).cast("double") /
+              count(lit(1)).cast("double"), 4).as("events_per_user"))
+      },
+      """SELECT CAST(ts AS DATE) AS day,
+        |       COUNT(DISTINCT user_id) AS dau,
+        |       COUNT(*) AS n_events,
+        |       round(CAST(COUNT(*) AS DOUBLE)
+        |             / CAST(COUNT(DISTINCT user_id) AS DOUBLE), 4)
+        |         AS events_per_user
+        |FROM events GROUP BY 1""".stripMargin),
+
     // ───── cohort retention matrix — users cohorted by first-active
     // day, each later active day counted at its day offset (the
     // product-analytics staple next to ev_funnel). SINGLE-SCAN shape:

@@ -73,6 +73,82 @@ class MinHashSigsSpec extends SparkSpec {
     assert(nullLit.getMessage.contains("packed_shingles"))
   }
 
+  test("xx64 twin: seed-i xxhash64 minima, unsigned order, null/shingle parity") {
+    GraftExtensions.register(spark)
+    // value contract: element i = unsigned-min over distinct shingles
+    // of XXH64(shingle, seed = i) — re-derive with Spark's builtin
+    // xxhash64 impossible (fixed seed 42), so re-derive in-process
+    val d = Seq((1L, "the quick brown fox"), (2L, "ab"), (3L, "aaaaaaaa"))
+      .toDF("doc_id", "text")
+    val got = TextDedup.minhashSignaturesXx64(d, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> (0 until 6).map(i => r.getLong(i + 1))).toMap
+    def expected(text: String): Seq[Long] = {
+      val norm = text.toLowerCase.replaceAll("[^a-z0-9 ]", "")
+        .replaceAll("\\s+", " ").trim
+      val count = math.max(norm.length - 4, 1)
+      val shingles = (0 until count)
+        .map(i => norm.substring(i, math.min(i + 5, norm.length))).distinct
+      (0 until 6).map { k =>
+        shingles.map(sh => org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUTF8String(
+            org.apache.spark.unsafe.types.UTF8String.fromString(sh), k.toLong))
+          .reduce((a, b) => if (java.lang.Long.compareUnsigned(a, b) < 0) a else b)
+      }
+    }
+    assert(got(1L) === expected("the quick brown fox"))
+    assert(got(2L) === expected("ab"))
+    assert(got(3L) === expected("aaaaaaaa"))
+    // null rows drop, like the md5 path
+    val withNull = Seq((1L, Some("hello world")), (2L, None)).toDF("doc_id", "text")
+    assert(TextDedup.minhashSignaturesXx64(withNull, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSeq === Seq(1L))
+  }
+
+  test("xx64 pair pipeline: exact-dup pairs identical to md5 path; near-dup recall holds") {
+    val d0 = Tables.table(spark, sfDir, "documents").select(col("doc_id"), col("text"))
+    val n = d0.count()
+    def pairSet(df: org.apache.spark.sql.DataFrame, xx: Boolean): Set[(Long, Long)] = {
+      val pairs =
+        if (xx) TextDedup.lshCandidatePairs(
+          TextDedup.lshBandsXx64(
+            TextDedup.minhashSignaturesXx64(df, "doc_id", "text"), "doc_id"), "doc_id")
+        else TextDedup.lshCandidatePairs(
+          TextDedup.lshBands(
+            TextDedup.minhashSignatures(df, "doc_id", "text"), "doc_id"), "doc_id")
+      pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    // exact duplicates: identical text → identical signatures in ANY
+    // hash family → the (d, d+20000) pair set must be COMPLETE and
+    // equal between the families
+    val exact = d0.unionByName(
+      d0.select((col("doc_id") + 20000).as("doc_id"), col("text")))
+    val exactWanted = d0.select("doc_id").as[Long].collect()
+      .map(id => (id, id + 20000)).toSet
+    assert((pairSet(exact, xx = false) & exactWanted) === exactWanted)
+    assert((pairSet(exact, xx = true) & exactWanted) === exactWanted)
+    // planted near-dups (text + " copy"): banding is probabilistic and
+    // hash-family-dependent — candidate SETS legitimately differ (the
+    // verification jaccard decides truth) — but recall of the planted
+    // high-jaccard pairs must hold in both families
+    val near = d0.unionByName(d0.select(
+      (col("doc_id") + 10000).as("doc_id"),
+      concat(col("text"), lit(" copy")).as("text")))
+    def recall(s: Set[(Long, Long)]): Long =
+      s.count { case (a, b) => b == a + 10000 }
+    assert(recall(pairSet(near, xx = false)) >= (n * 95) / 100)
+    assert(recall(pairSet(near, xx = true)) >= (n * 95) / 100)
+  }
+
+  test("xx64 signature stage: scan-side, no shuffle, single expression instance") {
+    val docs = Tables.table(spark, sfDir, "documents")
+    val plan = TextDedup.minhashSignaturesXx64(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+    assert(plan.sliding("minhash_sigs_xx64".length)
+      .count(_ == "minhash_sigs_xx64") === 1, plan)
+  }
+
   test("signature stage explains with no shuffle below it") {
     val docs = Tables.table(spark, sfDir, "documents")
     val plan = TextDedup.minhashSignatures(docs, "doc_id", "text")

@@ -389,6 +389,36 @@ class StreamingSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("streaming MV (distinct layer): DAU resumes across restarts to the one-shot answer") {
+    import graft.streaming.DimensionStream
+    val ev = Tables.events(spark, sfDir)
+      .select($"event_id", to_date($"ts").as("day"), $"user_id", $"value")
+    val root = java.nio.file.Files.createTempDirectory("mvdau").toString
+    val keys = Seq("day", "user_id")
+    def dau(state: org.apache.spark.sql.DataFrame) =
+      state.groupBy($"day")
+        .agg(count(lit(1)).as("dau"), sum($"_cnt").as("n_events"))
+        .collect().map(r => r.getDate(0).toString ->
+          (r.getLong(1), r.getLong(2))).toMap
+    // phase 1: first arrival only, run to completion
+    DimensionStream.writeFeedFile(
+      ev.filter($"event_id" % 2 === 0), s"$root/feed", "b0", 1700000000000L)
+    DimensionStream.aggMergeAvailableNow(spark, s"$root/feed", s"$root/state",
+      keys, "value", queryName = "spec_mv_dau_1")
+    // phase 2: second arrival, RESTART on the same checkpoint — the
+    // (day, user) distinct layer must merge, not re-count
+    DimensionStream.writeFeedFile(
+      ev.filter($"event_id" % 2 =!= 0), s"$root/feed", "b1", 1700000060000L)
+    val got = dau(DimensionStream.aggMergeAvailableNow(spark, s"$root/feed",
+      s"$root/state", keys, "value", queryName = "spec_mv_dau_2"))
+    val expected = Tables.events(spark, sfDir)
+      .groupBy(to_date($"ts").as("day"))
+      .agg(countDistinct($"user_id").as("dau"), count(lit(1)).as("n_events"))
+      .collect().map(r => r.getDate(0).toString ->
+        (r.getLong(1), r.getLong(2))).toMap
+    assert(got === expected)
+  }
+
   test("streaming MV: replayed batch (state committed, checkpoint lost) is not double-merged") {
     import graft.operators.Incremental
     import graft.streaming.DimensionStream
