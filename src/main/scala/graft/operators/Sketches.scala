@@ -64,6 +64,41 @@ object Sketches {
     strat.unionByName(global)
   }
 
+  /** Mergeable HLL sketch STATE for incremental distinct-count
+    * maintenance: one row per group holding the serialized sketch.
+    * This is the distinct-count analogue of
+    * [[graft.operators.Incremental.aggState]] — COUNT DISTINCT is not
+    * algebraic (per-group counts don't merge), and the exact
+    * alternative (materializing the full distinct layer, see
+    * `mv_stream_dau`) carries state proportional to the number of
+    * distinct keys. The sketch state is O(2^lgK) bytes per group
+    * REGARDLESS of cardinality, and [[mergeSketchStates]] over any
+    * batch partitioning of the input converges to the same estimate
+    * as a one-shot sketch because HLL union is idempotent,
+    * commutative, and associative (a register-wise max). At 100 TB:
+    * a year of daily-unique rollups merges in O(days × sketch bytes)
+    * without rescanning a single historical row.
+    */
+  def hllSketchState(df: DataFrame, keys: Seq[String], keyCol: String,
+                     lgK: Int = 12): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(hll_sketch_agg(col(keyCol).cast("string"), lit(lgK)).as("_sk"))
+
+  /** Merge two HLL sketch states (same schema): register-wise union
+    * per group — the same combine `hll_sketch_agg` runs map-side,
+    * applied across ARRIVAL batches instead of partitions.
+    */
+  def mergeSketchStates(a: DataFrame, b: DataFrame, keys: Seq[String]): DataFrame =
+    a.unionByName(b)
+      .groupBy(keys.map(col): _*)
+      .agg(hll_union_agg(col("_sk"), lit(true)).as("_sk"))
+
+  /** Finalize sketch state to (keys, estimate) rows. */
+  def finalizeSketchState(state: DataFrame, estName: String): DataFrame =
+    state.select(
+      state.columns.filterNot(_ == "_sk").map(col) :+
+        hll_sketch_estimate(col("_sk")).as(estName): _*)
+
   /** Exact top-k corpus terms with a count-min-sketch cross-check:
     * CMS NEVER undercounts (the deterministic one-sided guarantee —
     * estimate = min over rows of a hashed counter that every

@@ -391,6 +391,52 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Inverted-index materialization — the posting-list build behind
+    * [[tfidfRetrieve]]/[[bm25Retrieve]], surfaced as a table: one row
+    * per term with its document frequency, total occurrences, and the
+    * top-`maxPostings` postings ("docId:tf", tf-descending, docId
+    * tiebreak) serialized to a string (the driver compare can't
+    * schema-match LIST columns). This is how a lexical search index
+    * ships at 100 TB: the index is ITSELF a table build, not a
+    * service call.
+    *
+    * Scale shape: explode → one (term, doc) shuffle for tf, then
+    * everything rides the term partitioning — the per-term window and
+    * BOTH aggregates reuse the same exchange. The posting list is
+    * capped BEFORE collect_list (row_number ≤ maxPostings), so no
+    * task ever materializes an unbounded list — a stopword's million
+    * postings never leave the heap-safe window stream; only its
+    * (df, total) scalars and k survivors do.
+    */
+  def invertedIndex(df: DataFrame, idCol: String, textCol: String,
+                    maxPostings: Int = 5, minDf: Long = 2): DataFrame = {
+    require(maxPostings >= 1, s"maxPostings must be >= 1, got $maxPostings")
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol), explode(wordTokens(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+    val tf = toks.groupBy(col("term"), col(idCol)).agg(count(lit(1)).as("tf"))
+    val stats = tf.groupBy(col("term")).agg(
+      count(lit(1)).as("df"),
+      sum(col("tf")).as("n_occurrences"))
+    val w = Window.partitionBy(col("term"))
+      .orderBy(col("tf").desc, col(idCol).asc)
+    // rank is the sort key for the serialized list: collect_list order
+    // is partition-arrival nondeterministic, array_sort on the (rn, _)
+    // struct restores the windowed order deterministically
+    val postings = tf.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= maxPostings)
+      .groupBy(col("term"))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("_rn"),
+            concat(col(idCol).cast("string"), lit(":"),
+              col("tf").cast("string")).as("_p")))),
+          x => x.getField("_p")), ",").as("postings"))
+    stats.filter(col("df") >= minDf)
+      .join(postings.hint("shuffle_hash"), Seq("term"))
+      .select(col("term"), col("df"), col("n_occurrences"), col("postings"))
+  }
+
   def tfidfRetrieve(df: DataFrame, idCol: String, textCol: String,
                     queryTerms: Seq[String], k: Int): DataFrame = {
     val terms = queryTerms.map(_.toLowerCase)

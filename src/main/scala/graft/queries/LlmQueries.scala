@@ -2789,6 +2789,41 @@ object LlmQueries {
          |ORDER BY score DESC, doc_id ASC
          |LIMIT 10""".stripMargin),
 
+    // ───── inverted-index build: the posting-list table behind the
+    // lexical retrievers, materialized as data (term → df, total
+    // occurrences, top-5 "docId:tf" postings). One (term, doc)
+    // shuffle; the window, both aggregates, and the final join all
+    // reuse the term partitioning, and the posting list is capped
+    // BEFORE collect_list so no task holds a stopword's full docs
+    // list. Postings serialize via array_join (LIST columns can't
+    // cross the driver compare).
+    "ret_inverted_index" -> QueryDef.sql(
+      (s, dir) =>
+        TextAnalysis.invertedIndex(docs(s, dir), "doc_id", "text",
+          maxPostings = 5, minDf = 2),
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |         unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |t2 AS (SELECT doc_id, term FROM tk WHERE term <> ''),
+        |tf AS (SELECT term, doc_id, COUNT(*) AS tf FROM t2 GROUP BY 1, 2),
+        |stats AS (
+        |  SELECT term, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS n_occurrences
+        |  FROM tf GROUP BY 1),
+        |top AS (
+        |  SELECT term, doc_id, tf,
+        |         row_number() OVER (PARTITION BY term
+        |           ORDER BY tf DESC, doc_id ASC) AS rn
+        |  FROM tf),
+        |p AS (
+        |  SELECT term,
+        |         string_agg(CAST(doc_id AS VARCHAR) || ':' || CAST(tf AS VARCHAR),
+        |                    ',' ORDER BY rn) AS postings
+        |  FROM top WHERE rn <= 5 GROUP BY 1)
+        |SELECT s.term, s.df, s.n_occurrences, p.postings
+        |FROM stats s JOIN p USING (term)
+        |WHERE s.df >= 2""".stripMargin),
+
     // ───── hybrid retrieval via reciprocal-rank fusion (Cormack et
     // al. 2009, SIGIR — the standard lexical+vector combiner): the
     // TF-IDF top-20 and the cosine-ANN top-20 fuse by

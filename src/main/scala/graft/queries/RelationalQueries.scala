@@ -466,6 +466,47 @@ object RelationalQueries {
         |  max(l_extendedprice) AS max_price
         |FROM lineitem GROUP BY 1""".stripMargin),
 
+    // ───── the SKETCH tier of a11: approx_percentile (Greenwald-
+    // Khanna) is the single-pass mergeable quantile the 100 TB path
+    // runs — a11's exact percentile materializes every group's values;
+    // the GK sketch is O(1/err · log(err·n)) per group and combines
+    // map-side like any agg. Sketch output isn't oracle-reproducible
+    // (DuckDB's approx_quantile is t-digest), so the gate pattern
+    // applies: the approx value's EXACT rank span (cnt_lt, cnt_le —
+    // one broadcast of the per-group values back over the fact) must
+    // sit inside GK's deterministic guarantee rank ∈ (p ± 1/acc)·n,
+    // ±1 row for the floor/ceil boundary. A violated bound breaks the
+    // row hash — and unlike HLL's probabilistic ±3σ gate, GK's bound
+    // is DETERMINISTIC: zero flake risk by construction.
+    "a17_approx_quantile_gate" -> QueryDef.sql(
+      (s, dir) => {
+        val acc = 1000 // rank error ≤ n/1000 — binding at every test SF
+        val err = 1.0 / acc
+        val li = t(s, dir, "lineitem")
+        val appx = li.groupBy(col("l_returnflag"))
+          .agg(expr(s"approx_percentile(l_extendedprice, array(0.5D, 0.95D), $acc)")
+            .as("_ap"))
+          .select(col("l_returnflag"),
+            col("_ap").getItem(0).as("_v50"), col("_ap").getItem(1).as("_v95"))
+        def gate(p: Double, lt: String, le: String): org.apache.spark.sql.Column =
+          (col(le).cast("double") >= (lit(p - err) * col("n").cast("double")) - 1.0) &&
+            (col(lt).cast("double") < (lit(p + err) * col("n").cast("double")) + 1.0)
+        li.join(broadcast(appx), Seq("l_returnflag"))
+          .groupBy(col("l_returnflag"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(when(col("l_extendedprice") < col("_v50"), 1L).otherwise(0L)).as("_lt50"),
+            sum(when(col("l_extendedprice") <= col("_v50"), 1L).otherwise(0L)).as("_le50"),
+            sum(when(col("l_extendedprice") < col("_v95"), 1L).otherwise(0L)).as("_lt95"),
+            sum(when(col("l_extendedprice") <= col("_v95"), 1L).otherwise(0L)).as("_le95"))
+          .select(col("l_returnflag"), col("n"),
+            gate(0.5, "_lt50", "_le50").as("p50_within_bound"),
+            gate(0.95, "_lt95", "_le95").as("p95_within_bound"))
+      },
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |       TRUE AS p50_within_bound, TRUE AS p95_within_bound
+        |FROM lineitem GROUP BY 1""".stripMargin),
+
     // ───── A5: distinct (ref scd2_delta_vendors.py:135-140)
     "a05_distinct" -> QueryDef.sql(
       (s, dir) =>

@@ -193,6 +193,49 @@ object StreamingQueries {
         |         AS events_per_user
         |FROM events GROUP BY 1""".stripMargin),
 
+    // ───── the SKETCH-STATE twin of mv_stream_dau: per-day uniques
+    // maintained incrementally with mergeable HLL sketch state
+    // (Sketches.hllSketchState through the same foreachBatch MV loop,
+    // batchId replay guard included). Where the exact distinct LAYER
+    // carries one state row per (day, user), the sketch carries
+    // O(2^lgK) bytes per DAY regardless of user cardinality — the
+    // state shape that still fits when the grain is (day, url) over a
+    // 100 TB crawl. Sketch estimates aren't oracle-reproducible, so
+    // the output follows a13's gate pattern: EXACT counts (one-shot
+    // batch aggregate) plus a boolean the streamed estimate must
+    // satisfy (±5% at lgK=12 ≈ 3σ) — a drifted estimate breaks the
+    // row hash.
+    "mv_hll_uniques" -> QueryDef.sql(
+      (s, dir) => {
+        import graft.streaming.DimensionStream
+        val root = s"${System.getProperty("java.io.tmpdir")}/graft_mv_hll_" +
+          Integer.toHexString(dir.hashCode)
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(root), true)
+        val ev = Tables.events(s, dir)
+          .select(col("event_id"), to_date(col("ts")).as("day"), col("user_id"))
+        (0 until 3).foreach(i =>
+          DimensionStream.writeFeedFile(
+            ev.filter(col("event_id") % 3 === i), s"$root/feed",
+            s"batch_$i", 1700000000000L + i * 60000L))
+        val state = DimensionStream.sketchMergeAvailableNow(
+          s, s"$root/feed", s"$root/state",
+          Seq("day"), "user_id", queryName = "mv_hll_uniques")
+        val est = graft.operators.Sketches
+          .finalizeSketchState(state, "_est")
+        val exact = ev.groupBy(col("day"))
+          .agg(countDistinct(col("user_id")).as("n_exact"))
+        exact.join(broadcast(est), Seq("day"))
+          .select(col("day"), col("n_exact"),
+            (abs(col("_est") - col("n_exact")).cast("double") /
+              col("n_exact").cast("double") <= 0.05).as("hll_within_tol"))
+      },
+      """SELECT CAST(ts AS DATE) AS day,
+        |       COUNT(DISTINCT user_id) AS n_exact,
+        |       TRUE AS hll_within_tol
+        |FROM events GROUP BY 1""".stripMargin),
+
     // ───── cohort retention matrix — users cohorted by first-active
     // day, each later active day counted at its day offset (the
     // product-analytics staple next to ev_funnel). SINGLE-SCAN shape:

@@ -130,6 +130,57 @@ object DimensionStream {
     spark.read.parquet(statePath)
   }
 
+  /** Streaming DISTINCT-COUNT materialized view via mergeable HLL
+    * sketch state ([[graft.operators.Sketches.hllSketchState]]): each
+    * micro-batch's per-group sketch unions into the persisted state —
+    * O(2^lgK) bytes per group regardless of key cardinality, where
+    * the exact distinct LAYER (`aggMergeAvailableNow` feeding
+    * `mv_stream_dau`) grows with distinct keys. Batch-boundary
+    * independence holds because HLL union is register-wise max —
+    * idempotent, commutative, associative — so ANY partitioning of
+    * the feed converges to the one-shot sketch. The same
+    * batchId-sidecar replay guard as the exact MV applies: union IS
+    * idempotent for a bit-identical replay, but the guard keeps the
+    * two MV loops contract-identical (and protects a replay that
+    * re-reads a REWRITTEN feed file).
+    */
+  def sketchMergeAvailableNow(spark: SparkSession, feedDir: String,
+                              statePath: String, keys: Seq[String],
+                              keyCol: String, lgK: Int = 12,
+                              queryName: String = "mv_sketch"): DataFrame = {
+    import graft.operators.Sketches
+    val schema = spark.read.parquet(feedDir).schema
+    val feed = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(feedDir)
+    val q = feed.writeStream
+      .outputMode("update")
+      .queryName(queryName)
+      .option("checkpointLocation", s"$statePath.checkpoint")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val lastApplied = graft.operators.Scd2
+          .readSidecar(spark, statePath, "_last_batch_id")
+          .map(_.trim.toLong).getOrElse(-1L)
+        if (batchId > lastApplied && !batch.isEmpty) {
+          val delta = Sketches.hllSketchState(batch, keys, keyCol, lgK)
+          val fs = new org.apache.hadoop.fs.Path(statePath)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val merged =
+            if (fs.exists(new org.apache.hadoop.fs.Path(statePath)))
+              Sketches.mergeSketchStates(
+                spark.read.parquet(statePath), delta, keys)
+            else delta
+          graft.operators.Scd2.writeAtomic(merged, statePath,
+            sidecar = Map("_last_batch_id" -> batchId.toString))
+        }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(statePath)
+  }
+
   /** Write one CDC feed file (single parquet file, explicit
     * modification time so the file source's modTime ordering replays
     * batches deterministically).

@@ -1433,4 +1433,53 @@ class LlmOpsSpec extends SparkSpec {
       .collect().head
     assert(r.getAs[Double]("frac_top_2gram") === 0.8)
   }
+
+  test("invertedIndex: caps postings, windowed order, minDf filter, tf exact") {
+    val d = Seq(
+      (1L, "alpha beta alpha"),          // alpha tf=2
+      (2L, "alpha gamma"),
+      (3L, "alpha alpha alpha beta"),    // alpha tf=3
+      (4L, "alpha delta"),
+      (5L, "rare")                       // df=1 term, filtered at minDf=2
+    ).toDF("doc_id", "text")
+    val idx = TextAnalysis.invertedIndex(d, "doc_id", "text",
+      maxPostings = 3, minDf = 2)
+      .collect().map(r => r.getString(0) -> r).toMap
+    // alpha: df 4, occurrences 2+1+3+1 = 7, postings capped to 3 and
+    // ordered tf desc then doc asc: 3:3, 1:2, then doc 2 before doc 4
+    val a = idx("alpha")
+    assert(a.getAs[Long]("df") === 4L)
+    assert(a.getAs[Long]("n_occurrences") === 7L)
+    assert(a.getAs[String]("postings") === "3:3,1:2,2:1")
+    // beta: df 2, both tf=1 → doc order tiebreak
+    assert(idx("beta").getAs[String]("postings") === "1:1,3:1")
+    // df=1 terms are filtered out
+    assert(!idx.contains("rare") && !idx.contains("gamma"))
+  }
+
+  test("hllSketchState: union merge is batch-boundary invariant") {
+    import graft.operators.Sketches
+    val ev = Tables.events(spark, sfDir)
+      .select(to_date($"ts").as("day"), $"user_id", $"event_id")
+    val whole = Sketches.finalizeSketchState(
+      Sketches.hllSketchState(ev, Seq("day"), "user_id"), "est")
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    // split on an arbitrary predicate and merge: HLL union is
+    // register-wise max, so the merged estimate must equal the
+    // one-shot estimate EXACTLY — not approximately
+    val merged = Sketches.finalizeSketchState(
+      Sketches.mergeSketchStates(
+        Sketches.hllSketchState(ev.filter($"event_id" % 2 === 0), Seq("day"), "user_id"),
+        Sketches.hllSketchState(ev.filter($"event_id" % 2 =!= 0), Seq("day"), "user_id"),
+        Seq("day")), "est")
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    assert(merged === whole)
+    // and the estimate gates against the exact distinct at lgK=12
+    val exact = ev.groupBy($"day").agg(countDistinct($"user_id").as("n"))
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    exact.foreach { case (day, n) =>
+      assert(math.abs(whole(day) - n) / n.toDouble <= 0.05,
+        s"estimate off >5% on $day: ${whole(day)} vs $n")
+    }
+  }
 }

@@ -493,4 +493,27 @@ class PlanContractsSpec extends SparkSpec {
     assert(hashShuffles(p).size === 1, p) // the user_id shuffle
     assert(countLines(p, "Join") === 0, p)
   }
+
+  test("a17_approx_quantile_gate: sketch agg partial+final, gate join broadcast") {
+    val p = plan("a17_approx_quantile_gate")
+    // the GK sketch combines map-side like any agg; the tiny per-group
+    // approx values ride a broadcast back over the fact — the fact is
+    // never repartitioned for the gate
+    assert(p.contains("partial_approx_percentile"), p)
+    assert(countLines(p, "BroadcastHashJoin") === 1, p)
+    assert(countLines(p, "SortMergeJoin") === 0, p)
+    assert(countLines(p, "ShuffledHashJoin") === 0, p)
+  }
+
+  test("ret_inverted_index: one (term,doc) shuffle, everything downstream reuses the term partitioning") {
+    val p = plan("ret_inverted_index")
+    assert(countLines(p, "SortMergeJoin") === 0, p)
+    assert(countLines(p, "ShuffledHashJoin") === 1, p)
+    // postings are capped by the window BEFORE collect_list — the
+    // filter on _rn must sit under the list aggregation
+    assert(p.contains("TakeOrderedAndProject") === false, p)
+    // shuffles: (term,doc) tf + term stats + term window ≤ 4 total —
+    // never one per stage
+    assert(hashShuffles(p).size <= 4, p)
+  }
 }

@@ -419,6 +419,32 @@ class StreamingSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("streaming MV (sketch state): HLL uniques resume across restarts to the one-shot sketch") {
+    import graft.operators.Sketches
+    import graft.streaming.DimensionStream
+    val ev = Tables.events(spark, sfDir)
+      .select($"event_id", to_date($"ts").as("day"), $"user_id")
+    val root = java.nio.file.Files.createTempDirectory("mvhll").toString
+    // phase 1: first arrival, run to completion
+    DimensionStream.writeFeedFile(
+      ev.filter($"event_id" % 2 === 0), s"$root/feed", "b0", 1700000000000L)
+    DimensionStream.sketchMergeAvailableNow(spark, s"$root/feed",
+      s"$root/state", Seq("day"), "user_id", queryName = "spec_mv_hll_1")
+    // phase 2: second arrival, RESTART on the same checkpoint — the
+    // sketch union must converge to the one-shot sketch EXACTLY
+    // (register-wise max is batch-boundary invariant)
+    DimensionStream.writeFeedFile(
+      ev.filter($"event_id" % 2 =!= 0), s"$root/feed", "b1", 1700000060000L)
+    val streamed = Sketches.finalizeSketchState(
+      DimensionStream.sketchMergeAvailableNow(spark, s"$root/feed",
+        s"$root/state", Seq("day"), "user_id", queryName = "spec_mv_hll_2"),
+      "est").collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    val oneShot = Sketches.finalizeSketchState(
+      Sketches.hllSketchState(ev, Seq("day"), "user_id"), "est")
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    assert(streamed === oneShot)
+  }
+
   test("streaming MV: replayed batch (state committed, checkpoint lost) is not double-merged") {
     import graft.operators.Incremental
     import graft.streaming.DimensionStream
