@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.QueryDef
-import graft.operators.{Bpe, Multimodal, Sampling, Similarity, Sketches, TextAnalysis, TextDedup}
+import graft.operators.{Bpe, Graph, Multimodal, Sampling, Similarity, Sketches, TextAnalysis, TextDedup}
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -1415,6 +1415,68 @@ object LlmQueries {
          |WHERE c.doc_id NOT IN (
          |  SELECT id FROM reach GROUP BY id HAVING MIN(r) <> id)""".stripMargin),
 
+    // ───── PageRank over the near-dup candidate graph (Page et al.
+    // 1999): the iterative-graph tier next to dd_dup_clusters' CC —
+    // ranking the pair graph surfaces template hubs (docs banded with
+    // many others) for curation triage. THREE fixed power iterations,
+    // each one shuffled-hash join + one map-side-combined sum;
+    // engine-invariant by FIXED-POINT construction (1e-12 BIGINT
+    // units, floor division — a round(·,9) formulation measured
+    // 2/1000 rows one ulp off between engines); the degree-annotated
+    // edge list checkpoints once so the LSH pipeline doesn't
+    // re-execute per iteration. The oracle unrolls the same three
+    // integer steps as a CTE chain.
+    "graph_pagerank" -> QueryDef.sql(
+      (s, dir) => {
+        val sigs = TextDedup.minhashSignatures(nearDupCorpus(s, dir), "doc_id", "text")
+        Graph.pageRank(
+          TextDedup.lshCandidatePairs(
+            TextDedup.lshBands(sigs, "doc_id"), "doc_id"),
+          "id_1", "id_2", iters = 3)
+          .select(col("node").as("doc_id"), col("rank"))
+      },
+      s"""WITH $minhashBandsCtes,
+         |prs AS (
+         |  SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2
+         |  FROM bands a JOIN bands b
+         |    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+         |   AND a.doc_id < b.doc_id),
+         |edges AS (
+         |  SELECT id_1 AS src, id_2 AS dst FROM prs
+         |  UNION
+         |  SELECT id_2, id_1 FROM prs),
+         |deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY 1),
+         |edeg AS (SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d USING (src)),
+         |nn AS (SELECT COUNT(DISTINCT src) AS n FROM edges),
+         |r0 AS (
+         |  SELECT DISTINCT src AS node,
+         |         CAST(1000000000000 AS BIGINT) // nn.n AS r
+         |  FROM edges, nn),
+         |c1 AS (
+         |  SELECT e.dst AS node, r.r // e.deg AS c
+         |  FROM edeg e JOIN r0 r ON r.node = e.src),
+         |r1 AS (
+         |  SELECT node, (CAST(15000000000000 AS BIGINT) // (100 * nn.n))
+         |    + ((85 * SUM(c)) // 100) AS r
+         |  FROM c1, nn GROUP BY node, nn.n),
+         |c2 AS (
+         |  SELECT e.dst AS node, r.r // e.deg AS c
+         |  FROM edeg e JOIN r1 r ON r.node = e.src),
+         |r2 AS (
+         |  SELECT node, (CAST(15000000000000 AS BIGINT) // (100 * nn.n))
+         |    + ((85 * SUM(c)) // 100) AS r
+         |  FROM c2, nn GROUP BY node, nn.n),
+         |c3 AS (
+         |  SELECT e.dst AS node, r.r // e.deg AS c
+         |  FROM edeg e JOIN r2 r ON r.node = e.src),
+         |r3 AS (
+         |  SELECT node, (CAST(15000000000000 AS BIGINT) // (100 * nn.n))
+         |    + ((85 * SUM(c)) // 100) AS r
+         |  FROM c3, nn GROUP BY node, nn.n)
+         |SELECT node AS doc_id,
+         |       CAST(r AS DOUBLE) / 1000000000000.0 AS rank
+         |FROM r3""".stripMargin),
+
     "dd_simhash" -> QueryDef.sql(
       (s, dir) => TextDedup.simhash16(docs(s, dir), "doc_id", "text"),
       {
@@ -1764,14 +1826,21 @@ object LlmQueries {
            |WHERE rank <= 10""".stripMargin
       }),
 
-    // ───── SemDeDup (arXiv:2303.09540): k-means cells bound the pair
-    // space (Σ|cell|², never |corpus|²); within-cell cosine ≥ t with
-    // lowest-id-wins pruning. Corpus = embeddings ∪ identical copies
-    // at +10000, so every copy is guaranteed a same-cell exact twin
-    // (identical vectors score identically against every centroid) —
-    // the oracle re-runs the unrolled Lloyd recipe and the same
-    // exists-lower-id rule.
-    "dd_semdedup" -> QueryDef.sql(
+    // ───── SemDeDup (arXiv:2303.09540), EXACT-within-cell evidence
+    // twin: k-means cells bound the pair space (Σ|cell|², never
+    // |corpus|²); within-cell cosine ≥ t with lowest-id-wins pruning.
+    // Corpus = embeddings ∪ identical copies at +10000, so every copy
+    // is guaranteed a same-cell exact twin (identical vectors score
+    // identically against every centroid) — the oracle re-runs the
+    // unrolled Lloyd recipe and the same exists-lower-id rule.
+    // `_coarse` because per-cell density (with k pinned by the
+    // oracle) grows linearly with the corpus, so within-cell pair
+    // work is output-quadratic by SEMANTICS — the 30× sweep measured
+    // ratio 3.39; the registered default `dd_semdedup` sub-blocks the
+    // cell. Same treatment as the MDM coarse family: oracle-gated at
+    // correctness SFs, excluded from derived-scale sweeps BY NAME and
+    // reported in `excluded_twins`.
+    "dd_semdedup_coarse" -> QueryDef.sql(
       (s, dir) => {
         val e = emb(s, dir).select("vec_id", "embedding")
         val corpus = e.unionByName(
@@ -1799,13 +1868,14 @@ object LlmQueries {
          |       (d.vid IS NULL) AS keep
          |FROM cells c LEFT JOIN dup d ON c.vid = d.vid""".stripMargin),
 
-    // ───── the scale path of dd_semdedup: pairs only within
-    // (cell, 4-plane LSH bucket) — exact copies always collide (the
-    // 500 planted twins must all still prune), near-dups may split
-    // (the LSH recall trade). The 30× sweep measured the exact form
-    // at ratio 2.06 with k pinned by its oracle; sub-blocking
-    // restores headroom without growing k.
-    "dd_semdedup_bucketed" -> QueryDef.sql(
+    // ───── SemDeDup, registered DEFAULT (the scale path): pairs only
+    // within (cell, 4-plane LSH bucket) — exact copies always collide
+    // (the 500 planted twins must all still prune), near-dups may
+    // split (the LSH recall trade). The 30× sweep measured the exact
+    // form at ratio 3.39 with k pinned by its oracle; sub-blocking
+    // restores headroom without growing k. The exact-within-cell form
+    // is kept as the `dd_semdedup_coarse` evidence twin.
+    "dd_semdedup" -> QueryDef.sql(
       (s, dir) => {
         val e = emb(s, dir).select("vec_id", "embedding")
         val corpus = e.unionByName(

@@ -1,0 +1,55 @@
+package graft
+
+import graft.operators.Graph
+import org.apache.spark.sql.functions._
+
+/** PageRank contract: the rank update is the textbook power
+  * iteration, deterministic under repartitioning (the decimal-sum
+  * recipe), and structure-sensitive in the directions that matter
+  * (hubs above leaves, symmetric vertices equal).
+  */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pageRank: star hub outranks leaves; symmetric leaves tie; mass ≈ 1") {
+    // star: 0 — {1,2,3,4}
+    val pairs = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L)).toDF("id_1", "id_2")
+    val r = Graph.pageRank(pairs, "id_1", "id_2", iters = 3)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r.keySet === Set(0L, 1L, 2L, 3L, 4L))
+    assert(r(1L) === r(2L) && r(2L) === r(3L) && r(3L) === r(4L))
+    assert(r(0L) > r(1L))
+    // no dangling mass in a symmetrized graph: Σrank stays ~1 up to
+    // the 9 dp per-step rounding
+    assert(math.abs(r.values.sum - 1.0) < 1e-6)
+  }
+
+  test("pageRank: path endpoints tie below the middle; repartition-invariant") {
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_1", "id_2")
+    val base = Graph.pageRank(pairs, "id_1", "id_2", iters = 3)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(base(1L) === base(3L))
+    assert(base(2L) > base(1L))
+    // decimal sums make the result independent of the input layout
+    val shuffled = Graph.pageRank(pairs.repartition(7), "id_1", "id_2", iters = 3)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(shuffled === base)
+  }
+
+  test("pageRank: first iteration matches the hand-derived fixed-point update") {
+    // edge 1—2 plus 2—3: deg(1)=1, deg(2)=2, deg(3)=1, n=3,
+    // fixed-point r0 = 1e12 div 3 = 333333333333
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_1", "id_2")
+    val r = Graph.pageRank(pairs, "id_1", "id_2", iters = 1)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    val u = Graph.FpUnit
+    val r0 = u / 3                  // 333333333333
+    val cFromDeg1 = r0 / 1          // from 1 or 3
+    val cFromDeg2 = r0 / 2          // 166666666666, floor
+    def step(s: Long): Double =
+      ((15 * u / (100 * 3)) + (85 * s / 100)).toDouble / u.toDouble
+    assert(r(1L) === step(cFromDeg2))
+    assert(r(3L) === step(cFromDeg2))
+    assert(r(2L) === step(2 * cFromDeg1))
+  }
+}

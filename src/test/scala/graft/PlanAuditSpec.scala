@@ -38,7 +38,9 @@ class PlanAuditSpec extends SparkSpec {
     "ret_hybrid_rrf" ->
       "composes the allowlisted exhaustive ANN baseline (1-query broadcast) as its vector arm",
     "ret_bm25_topk" ->
-      "1-row (N, avg-len) corpus frame broadcast into the vocab-bounded idf table")
+      "1-row (N, avg-len) corpus frame broadcast into the vocab-bounded idf table",
+    "graph_pagerank" ->
+      "1-row vertex-count frame broadcast into each power iteration's rank update")
 
   test("no registered query hides an unlisted cartesian or nested-loop join") {
     GraftExtensions.register(spark)

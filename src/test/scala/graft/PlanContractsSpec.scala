@@ -516,4 +516,16 @@ class PlanContractsSpec extends SparkSpec {
     // never one per stage
     assert(hashShuffles(p).size <= 4, p)
   }
+
+  test("graph_pagerank: 3 iterations = 3 shuffled-hash joins over the one edge checkpoint") {
+    val p = plan("graph_pagerank")
+    // each power iteration joins the CHECKPOINTED edges against the
+    // rank frame — the LSH band pipeline must appear zero times (it
+    // ran once, eagerly, into the checkpoint)
+    assert(countLines(p, "ShuffledHashJoin") === 3, p)
+    assert(countLines(p, "SortMergeJoin") === 0, p)
+    assert(!p.contains("minhash_sigs"), p)
+    // the only non-equi joins are the 1-row vertex-count broadcasts
+    assert(countLines(p, "BroadcastNestedLoopJoin") <= 4, p)
+  }
 }
