@@ -1174,6 +1174,119 @@ object RelationalQueries {
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY ROLLUP (n_name, c_mktsegment)""".stripMargin),
 
+    // ───── A18: GROUPING SETS — the general form a12's ROLLUP is a
+    // special case of: per-nation totals, per-segment totals, and the
+    // grand total WITHOUT the (nation, segment) cross rows a rollup
+    // would add. One shuffle — Spark expands the sets below a single
+    // exchange exactly as with ROLLUP. SQL-only surface (the
+    // DataFrame API exposes rollup/cube but not arbitrary sets).
+    "a18_grouping_sets" -> QueryDef.sql(
+      (s, dir) => {
+        t(s, dir, "orders").createOrReplaceTempView("orders_v")
+        t(s, dir, "customer").createOrReplaceTempView("customer_v")
+        t(s, dir, "nation").createOrReplaceTempView("nation_v")
+        s.sql(
+          """SELECT
+            |  CASE WHEN GROUPING(n_name) = 1 THEN 'ALL' ELSE n_name END AS nation,
+            |  CASE WHEN GROUPING(c_mktsegment) = 1 THEN 'ALL'
+            |       ELSE c_mktsegment END AS segment,
+            |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS total_sales,
+            |  COUNT(*) AS n_orders
+            |FROM orders_v
+            |JOIN customer_v ON o_custkey = c_custkey
+            |JOIN nation_v ON c_nationkey = n_nationkey
+            |GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())""".stripMargin)
+      },
+      """SELECT
+        |  CASE WHEN GROUPING(n_name) = 1 THEN 'ALL' ELSE n_name END AS nation,
+        |  CASE WHEN GROUPING(c_mktsegment) = 1 THEN 'ALL'
+        |       ELSE c_mktsegment END AS segment,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS total_sales,
+        |  COUNT(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())""".stripMargin),
+
+    // ───── A19: native pivot — a09's boolean-sum pivot through
+    // Spark's relational pivot operator, with the value list EXPLICIT
+    // (the discovery variant runs an extra distinct pass over the
+    // pivot column at plan time — fine for a bounded domain, a scan
+    // you don't want at 100 TB, so the explicit form is the
+    // registered shape). Two-phase plan: (key, status) aggregate,
+    // then pivotfirst regrouped on the key — both map-side combined,
+    // the second exchange over the domain-bounded frame.
+    "a19_pivot_status" -> QueryDef.sql(
+      (s, dir) =>
+        t(s, dir, "orders")
+          .groupBy(col("o_orderpriority"))
+          .pivot("o_orderstatus", Seq("F", "O", "P"))
+          .agg(exactSum(col("o_totalprice")))
+          .select(col("o_orderpriority"),
+            coalesce(col("F"), lit(0.0)).as("sales_f"),
+            coalesce(col("O"), lit(0.0)).as("sales_o"),
+            coalesce(col("P"), lit(0.0)).as("sales_p")),
+      """SELECT o_orderpriority,
+        |  CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'F'
+        |    THEN CAST(o_totalprice AS DECIMAL(30,2)) END), 0) AS DOUBLE) AS sales_f,
+        |  CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'O'
+        |    THEN CAST(o_totalprice AS DECIMAL(30,2)) END), 0) AS DOUBLE) AS sales_o,
+        |  CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'P'
+        |    THEN CAST(o_totalprice AS DECIMAL(30,2)) END), 0) AS DOUBLE) AS sales_p
+        |FROM orders GROUP BY 1""".stripMargin),
+
+    // ───── J16: correlated scalar subquery — the SQL-surface form
+    // every migrating workload carries. Catalyst de-correlates it to
+    // a left outer join against the pre-aggregated subquery (plan-
+    // checked: no per-row re-execution), which is exactly the shape
+    // you'd hand-write — the point is that the DECLARATIVE form plans
+    // correctly.
+    "j16_correlated_scalar" -> QueryDef.sql(
+      (s, dir) => {
+        t(s, dir, "customer").createOrReplaceTempView("customer_v")
+        t(s, dir, "orders").createOrReplaceTempView("orders_v")
+        s.sql(
+          """SELECT c_custkey,
+            |  (SELECT MAX(o_totalprice) FROM orders_v
+            |   WHERE o_custkey = c_custkey) AS max_order_price
+            |FROM customer_v""".stripMargin)
+      },
+      """SELECT c_custkey,
+        |  (SELECT MAX(o_totalprice) FROM orders
+        |   WHERE o_custkey = c_custkey) AS max_order_price
+        |FROM customer""".stripMargin),
+
+    // ───── W5: RANGE frame over a VALUE distance — the calendar
+    // twin of w02's ROWS frame: the trailing-7-day revenue sum per
+    // supplier ranges over day-number DISTANCE, so gap days shrink
+    // the window (a ROWS frame would silently reach back across
+    // gaps) and tied days aggregate together. Day numbers (epoch-day
+    // ints) on BOTH sides keep the frame semantics engine-identical
+    // without interval-type quirks.
+    "w05_range_day_frame" -> QueryDef.sql(
+      (s, dir) => {
+        val daily = t(s, dir, "lineitem")
+          .filter(col("l_extendedprice") > 0)
+          .groupBy(col("l_suppkey"), to_date(col("l_shipdate")).as("ship_date"))
+          .agg(sum(col("l_extendedprice").cast("decimal(30,2)")).as("_rev"))
+          .withColumn("_day", datediff(col("ship_date"), lit("1970-01-01")))
+        val w = Window.partitionBy(col("l_suppkey")).orderBy(col("_day"))
+          .rangeBetween(-6, 0)
+        daily.select(col("l_suppkey"), col("ship_date"),
+          sum(col("_rev")).over(w).cast("double").as("trailing_7d_revenue"))
+      },
+      """WITH daily AS (
+        |  SELECT l_suppkey, CAST(l_shipdate AS DATE) AS ship_date,
+        |         SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS rev,
+        |         date_diff('day', DATE '1970-01-01',
+        |                   CAST(l_shipdate AS DATE)) AS day_num
+        |  FROM lineitem WHERE l_extendedprice > 0 GROUP BY 1, 2, 4)
+        |SELECT l_suppkey, ship_date,
+        |       CAST(SUM(rev) OVER (PARTITION BY l_suppkey ORDER BY day_num
+        |         RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |         AS trailing_7d_revenue
+        |FROM daily""".stripMargin),
+
     // ───── O4: deterministic top-k (ref dq-governance-gate lambda :30-34)
     "o04_topk_orders" -> QueryDef.sql(
       (s, dir) =>

@@ -528,4 +528,31 @@ class PlanContractsSpec extends SparkSpec {
     // the only non-equi joins are the 1-row vertex-count broadcasts
     assert(countLines(p, "BroadcastNestedLoopJoin") <= 4, p)
   }
+
+  test("j16_correlated_scalar: de-correlated to ONE aggregate + ONE join — no per-row subquery") {
+    val p = plan("j16_correlated_scalar")
+    // Catalyst must rewrite the correlated scalar subquery into a
+    // pre-aggregated outer join; a per-row re-execution shape would
+    // show a subquery node repeated under the row loop
+    assert(countLines(p, "HashAggregate") >= 1, p)
+    assert(countLines(p, "Join") <= 2, p) // the one rewritten join (both sides listed once each)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("a18/a19/w05: grouping sets, pivot, and range frame each stay one-shuffle shapes") {
+    val gs = plan("a18_grouping_sets")
+    // the three grouping sets expand BELOW one exchange (the expand
+    // operator), never as a 3-pass union of aggregates
+    assert(countLines(gs, "Expand") >= 1, gs)
+    // pivot is a two-phase aggregate: (key, pivot-col) partial+final,
+    // then pivotfirst regrouped on the key alone — 2 exchanges, both
+    // map-side combined, the second over the domain-bounded frame
+    val pv = plan("a19_pivot_status")
+    assert(pv.contains("partial_"), pv)
+    assert(pv.contains("pivotfirst"), pv)
+    assert(hashShuffles(pv).size === 2, pv)
+    val rf = plan("w05_range_day_frame")
+    assert(countLines(rf, "Window") === 1, rf)
+    assert(hashShuffles(rf).size <= 2, rf) // daily agg + supplier window
+  }
 }
