@@ -1343,6 +1343,63 @@ object RelationalQueries {
         |UNION ALL
         |SELECT s_suppkey, 'nationkey', CAST(s_nationkey AS DOUBLE) FROM supplier""".stripMargin),
 
+    // ───── T4: INTERSECT — the set-op family's last member (t01
+    // EXCEPT, t02 UNION): customers with both a >100k order AND a
+    // finished order. Plans as a left-semi aggregate join, one
+    // shuffle per side.
+    "t04_intersect" -> QueryDef.sql(
+      (s, dir) => {
+        val orders = t(s, dir, "orders")
+        orders.filter(col("o_totalprice") > 100000)
+          .select(col("o_custkey").as("custkey"))
+          .intersect(orders.filter(col("o_orderstatus") === "F")
+            .select(col("o_custkey").as("custkey")))
+      },
+      """SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 100000
+        |INTERSECT
+        |SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'""".stripMargin),
+
+    // ───── W6: offset/value window battery — lag/lead deltas and
+    // first/last/nth frame values per supplier-day revenue series
+    // (lag is proven inside the sessionization queries; this gates
+    // the full offset-function surface in one window). One daily
+    // aggregate shuffle + one supplier window shuffle; last_value
+    // rides the explicit full frame (the default frame ends at
+    // CURRENT ROW — a classic silent-migration bug, pinned here).
+    "w06_offset_battery" -> QueryDef.sql(
+      (s, dir) => {
+        val daily = t(s, dir, "lineitem")
+          .filter(col("l_extendedprice") > 0)
+          .groupBy(col("l_suppkey"), to_date(col("l_shipdate")).as("ship_date"))
+          .agg(sum(col("l_extendedprice").cast("decimal(30,2)")).as("_rev"))
+        val w = Window.partitionBy(col("l_suppkey")).orderBy(col("ship_date"))
+        val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        daily.select(col("l_suppkey"), col("ship_date"),
+          col("_rev").cast("double").as("revenue"),
+          (col("_rev") - lag(col("_rev"), 1).over(w)).cast("double")
+            .as("delta_prev"),
+          lead(col("_rev"), 2).over(w).cast("double").as("rev_plus2"),
+          first(col("_rev")).over(w).cast("double").as("first_rev"),
+          last(col("_rev")).over(wFull).cast("double").as("last_rev"),
+          nth_value(col("_rev"), 3).over(wFull).cast("double").as("third_rev"))
+      },
+      """WITH daily AS (
+        |  SELECT l_suppkey, CAST(l_shipdate AS DATE) AS ship_date,
+        |         SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS rev
+        |  FROM lineitem WHERE l_extendedprice > 0 GROUP BY 1, 2)
+        |SELECT l_suppkey, ship_date,
+        |  CAST(rev AS DOUBLE) AS revenue,
+        |  CAST(rev - lag(rev, 1) OVER w AS DOUBLE) AS delta_prev,
+        |  CAST(lead(rev, 2) OVER w AS DOUBLE) AS rev_plus2,
+        |  CAST(first_value(rev) OVER w AS DOUBLE) AS first_rev,
+        |  CAST(last_value(rev) OVER wf AS DOUBLE) AS last_rev,
+        |  CAST(nth_value(rev, 3) OVER wf AS DOUBLE) AS third_rev
+        |FROM daily
+        |WINDOW w AS (PARTITION BY l_suppkey ORDER BY ship_date),
+        |       wf AS (PARTITION BY l_suppkey ORDER BY ship_date
+        |              ROWS BETWEEN UNBOUNDED PRECEDING
+        |                       AND UNBOUNDED FOLLOWING)""".stripMargin),
+
     // ───── J15: null-aware anti join — NOT IN against a subquery
     // that CONTAINS a NULL must return ZERO rows (three-valued logic:
     // `x NOT IN (..., NULL)` is never true), where NOT EXISTS / anti
