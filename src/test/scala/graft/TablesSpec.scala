@@ -286,6 +286,42 @@ class TablesSpec extends SparkSpec {
     assert(back.exceptAll(li).isEmpty && li.exceptAll(back).isEmpty)
   }
 
+  test("writeZOrdered: a second-dimension range scan physically skips row groups") {
+    // the span test above proves layout GEOMETRY; this proves the
+    // payoff — parquet row-group stats let a l_partkey range scan
+    // DECODE far fewer rows from the z-ordered layout than from the
+    // single-column-sorted one (whose every row group spans the full
+    // l_partkey range, so pushdown can skip nothing)
+    val li = Tables.table(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_partkey")
+    val zDir = tmp() + "/zskip"
+    val linDir = tmp() + "/linskip"
+    Tables.writeZOrdered(li, zDir, "l_orderkey", "l_partkey", numFiles = 8)
+    li.repartitionByRange(8, $"l_orderkey").sortWithinPartitions("l_orderkey")
+      .write.parquet(linDir)
+    val (lo, hi) = {
+      val r = li.agg(min($"l_partkey"), max($"l_partkey")).head
+      val (mn, mx) = (r.getLong(0), r.getLong(1))
+      (mn, mn + (mx - mn) / 10) // bottom decile of the partkey range
+    }
+    def scanDecodedRows(dir: String): (Long, Long) = {
+      val df = spark.read.parquet(dir)
+        .filter($"l_partkey" >= lo && $"l_partkey" <= hi)
+      val out = df.collect().length.toLong
+      val scan = df.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.head
+      (scan.metrics("numOutputRows").value, out)
+    }
+    val (zScan, zRows) = scanDecodedRows(zDir)
+    val (linScan, linRows) = scanDecodedRows(linDir)
+    assert(zRows === linRows) // same logical answer
+    info(s"rows decoded at the scan: z=$zScan linear=$linScan (result $zRows)")
+    // the z layout must skip MOST row groups for a 10%-range probe;
+    // the linear layout decodes ~everything
+    assert(zScan < linScan / 2, s"z=$zScan linear=$linScan")
+  }
+
   test("writeSharded: shard files hold disjoint contiguous sorted key ranges") {
     val dir = java.nio.file.Files.createTempDirectory("graft_shards").toString
     val df = Tables.table(spark, sfDir, "orders").select("o_orderkey", "o_totalprice")
