@@ -268,6 +268,66 @@ object Governance {
     audit.toDF("partition", "age_days", "action", "status")
   }
 
+  /** GDPR right-to-be-forgotten: surgically delete every row whose
+    * `keyCol` is in `keys` from a parquet lake, rewriting ONLY the
+    * files that contain a match — O(affected files), never O(lake).
+    *
+    * 1. ONE metadata-augmented scan finds affected files
+    *    (`_metadata.file_path` grouped under the key predicate);
+    *    parquet row-group pruning means unaffected files cost little
+    *    more than footer reads.
+    * 2. Each affected file is rewritten individually without the key
+    *    rows: the replacement is written COMPLETELY to a dot-prefixed
+    *    staging path (invisible to readers) before the two-metadata-op
+    *    swap, so no reader ever sees a torn file; a crash inside the
+    *    swap window leaves the durable `.forget_*` staging file as
+    *    the recovery artifact. A file whose every row matches is
+    *    DELETED outright.
+    * 3. Returns the audit frame (file, rows_before, rows_removed,
+    *    status) a compliance log keeps.
+    *
+    * The affected-file collect is bounded by the number of files
+    * holding the key — the true control-plane bound of any surgical
+    * delete (a subject's rows live in a handful of files; the other
+    * 100 TB are never read row-wise, never written). Idempotent:
+    * re-running with the same keys finds zero affected files.
+    */
+  def forgetKey(spark: SparkSession, path: String, keyCol: String,
+                keys: Seq[Long]): DataFrame = {
+    import spark.implicits._
+    require(keys.nonEmpty, "keys must be non-empty")
+    val lake = spark.read.parquet(path)
+    val affected = lake
+      .filter(col(keyCol).isin(keys: _*))
+      .select(col("_metadata.file_path").as("f"))
+      .groupBy(col("f")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq.sortBy(_._1)
+    val conf = spark.sessionState.newHadoopConf()
+    val audit = affected.map { case (uri, nMatch) =>
+      val target = new org.apache.hadoop.fs.Path(new java.net.URI(uri))
+      val fs = target.getFileSystem(conf)
+      val one = spark.read.parquet(target.toString)
+      val before = one.count()
+      val status =
+        if (before == nMatch) { // nothing survives: drop the file
+          if (fs.delete(target, false)) "FILE_DELETED" else "DELETE_FAILED"
+        } else {
+          val tmp = new org.apache.hadoop.fs.Path(
+            target.getParent, s".forget_${target.getName}")
+          one.filter(!col(keyCol).isin(keys: _*))
+            .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val part = fs.globStatus(
+            new org.apache.hadoop.fs.Path(tmp, "part-*.parquet")).head.getPath
+          fs.delete(target, false)
+          val ok = fs.rename(part, target)
+          fs.delete(tmp, true)
+          if (ok) "REWRITTEN" else "RENAME_FAILED"
+        }
+      (target.getName, before, nMatch, status)
+    }
+    audit.toDF("file", "rows_before", "rows_removed", "status")
+  }
+
   // ──────────────────────── data dictionary ───────────────────────
 
   /** Columns a row-level rule constrains (for rule → column listing). */

@@ -19,8 +19,20 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** DISK_ONLY, deliberately NOT the MEMORY_AND_DISK_SER the CC code
+    * uses: a memory-first level UNROLLS each block in heap before
+    * deciding to spill, and on an all-duplicates corpus the pair
+    * graph's edge list is output-quadratic (30 exact copies → ~900×
+    * the edges) — 32 concurrent ~450 MB unrolls OOM'd an 8 GB box at
+    * the 30× sweep. DISK_ONLY serializes straight to disk with no
+    * unroll; the three iteration joins then stream the edge blocks
+    * back, which costs sequential reads and survives ANY edge-list
+    * size the disk holds. Broadcast-bait is not a concern here (the
+    * prefix-join scaladoc's DISK_ONLY caveat): every consumer join is
+    * hinted shuffle-hash.
+    */
   private val CkptLevel =
-    org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+    org.apache.spark.storage.StorageLevel.DISK_ONLY
 
   /** The degree-annotated edge checkpoint of the LAST [[pageRank]]
     * call — it backs the returned frame's lineage, so it cannot be

@@ -299,6 +299,29 @@ object ValidationQueries {
         |  '7 years' AS retention_policy
         |FROM cols c LEFT JOIN agg a USING (column_name)""".stripMargin),
 
+    // ───── GDPR right-to-be-forgotten: a multi-file events lake is
+    // laid out, two subjects' rows are surgically deleted —
+    // Governance.forgetKey rewrites ONLY the files containing
+    // matches (O(affected files), never O(lake); GovernanceSpec
+    // proves untouched files keep their modification times) — and
+    // the oracle pins the POST-DELETE lake content row-for-row
+    // against the subject-filtered source. ts is excluded from the
+    // lake so the round-trip stays encoding-neutral.
+    "gov_forget_user" -> QueryDef.sql(
+      (s, dir) => {
+        val lake = s"${System.getProperty("java.io.tmpdir")}/graft_forget_" +
+          Integer.toHexString(dir.hashCode)
+        Tables.deletePath(s, lake)
+        Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"), col("value"))
+          .repartition(8, col("event_id"))
+          .write.mode("overwrite").parquet(lake)
+        graft.operators.Governance.forgetKey(s, lake, "user_id", Seq(7L, 13L))
+        s.read.parquet(lake).select("event_id", "user_id", "value")
+      },
+      """SELECT event_id, user_id, value FROM events
+        |WHERE user_id NOT IN (7, 13)""".stripMargin),
+
     // ───── storage-lifecycle dry-run plan (ref newpy.py:89-98 — the
     // S3 raw→Glacier 30-day rule, re-expressed as partition-directory
     // tiering): a month-partitioned zone is laid out from orders, and

@@ -247,4 +247,61 @@ class GovernanceSpec extends SparkSpec {
     assert(audit2("notadate") === "SKIPPED")
     assert(new java.io.File(s"$zone/d=notadate").isDirectory)
   }
+
+  test("forgetKey is SURGICAL: only files holding the key are rewritten") {
+    import graft.operators.Governance
+    import spark.implicits._
+    val lake = java.nio.file.Files.createTempDirectory("forget").toString
+    // 100 rows spread over multiple files; every user_id unique
+    (0L until 100L).map(i => (i, i + 1000L))
+      .toDF("id", "user_id")
+      .repartition(10, $"id")
+      .write.mode("overwrite").parquet(lake)
+    val dir = new java.io.File(lake)
+    def partFiles = dir.listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(partFiles.length > 3) // a genuinely multi-file lake
+
+    // derive the EXPECTED affected set from metadata, then forget the
+    // users whose rows live in exactly one known file
+    def filesOf(keys: Seq[Long]): Set[String] =
+      spark.read.parquet(lake).filter($"user_id".isin(keys: _*))
+        .select(col("_metadata.file_path")).distinct()
+        .collect().map(r => new java.io.File(new java.net.URI(r.getString(0))).getName)
+        .toSet
+    val someFile = partFiles.head.getName
+    val victimIds = spark.read.parquet(lake)
+      .withColumn("f", col("_metadata.file_path"))
+      .filter($"f".endsWith(someFile))
+      .select($"user_id").as[Long].collect().toSeq.sorted
+    assert(victimIds.size >= 2)
+    val partial = victimIds.tail // leave one row → rewrite, not delete
+    val before = partFiles.map(f => f.getName -> f.lastModified()).toMap
+
+    val audit = Governance.forgetKey(spark, lake, "user_id", partial)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // exactly the one file rewritten, every other file byte-untouched
+    assert(audit.map(_._1).toSet === Set(someFile))
+    assert(audit.head._4 === "REWRITTEN")
+    assert(audit.head._2 === victimIds.size.toLong)
+    assert(audit.head._3 === partial.size.toLong)
+    val after = partFiles.map(f => f.getName -> f.lastModified()).toMap
+    val untouched = before.keySet - someFile
+    assert(untouched.forall(k => after(k) == before(k)),
+      s"non-matching files were rewritten: ${untouched.filter(k => after(k) != before(k))}")
+
+    // content: exactly those rows gone
+    val back = spark.read.parquet(lake)
+    assert(back.count() === 100L - partial.size)
+    assert(back.filter($"user_id".isin(partial: _*)).count() === 0)
+
+    // idempotent: nothing left to forget
+    assert(Governance.forgetKey(spark, lake, "user_id", partial).count() === 0)
+
+    // full-file match deletes the file instead of writing an empty one
+    val a3 = Governance.forgetKey(spark, lake, "user_id", Seq(victimIds.head))
+      .collect().map(r => r.getString(3)).toSeq
+    assert(a3 === Seq("FILE_DELETED"))
+    assert(filesOf(victimIds) === Set.empty)
+    assert(spark.read.parquet(lake).count() === 100L - victimIds.size)
+  }
 }
