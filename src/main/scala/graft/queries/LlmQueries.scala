@@ -1477,6 +1477,64 @@ object LlmQueries {
          |       CAST(r AS DOUBLE) / 1000000000000.0 AS rank
          |FROM r3""".stripMargin),
 
+    // ───── triangle statistics over the same near-dup pair graph:
+    // undirected degree, triangles through each node, local
+    // clustering coefficient — the triangle census a curation
+    // pipeline reads to tell template CLIQUES (dense boilerplate
+    // families, lcc → 1) from hub-and-spoke near-dup stars (shared
+    // header pulling unrelated docs, lcc → 0). Degree-ordered
+    // compact-forward join: edges oriented up the (deg, id) total
+    // order bound every out-degree by O(√m) — the wedge fan-out is
+    // O(m^1.5) regardless of hub skew, where id-orientation would
+    // hand a low-id hub C(deg,2) wedges. lcc is ONE IEEE division of
+    // exact integers — engine-invariant. The oracle re-derives the
+    // same oriented wedge-close census as a CTE chain.
+    "graph_triangle_stats" -> QueryDef.sql(
+      (s, dir) => {
+        val sigs = TextDedup.minhashSignatures(nearDupCorpus(s, dir), "doc_id", "text")
+        Graph.triangleStats(
+          TextDedup.lshCandidatePairs(
+            TextDedup.lshBands(sigs, "doc_id"), "doc_id"),
+          "id_1", "id_2")
+          .select(col("node").as("doc_id"), col("deg"), col("tri"), col("lcc"))
+      },
+      s"""WITH $minhashBandsCtes,
+         |prs AS (
+         |  SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2
+         |  FROM bands a JOIN bands b
+         |    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+         |   AND a.doc_id < b.doc_id),
+         |edges AS (
+         |  SELECT id_1 AS src, id_2 AS dst FROM prs
+         |  UNION
+         |  SELECT id_2, id_1 FROM prs),
+         |deg AS (SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY 1),
+         |oriented AS (
+         |  SELECT e.src AS lo, e.dst AS hi
+         |  FROM edges e
+         |  JOIN deg ds ON ds.node = e.src
+         |  JOIN deg dd ON dd.node = e.dst
+         |  WHERE ds.deg < dd.deg OR (ds.deg = dd.deg AND e.src < e.dst)),
+         |wedges AS (
+         |  SELECT a.lo, a.hi AS mid, b.hi AS far
+         |  FROM oriented a JOIN oriented b ON a.lo = b.lo AND a.hi <> b.hi),
+         |tris AS (
+         |  SELECT w.lo, w.mid, w.far
+         |  FROM wedges w
+         |  WHERE EXISTS (SELECT 1 FROM oriented o
+         |                WHERE o.lo = w.mid AND o.hi = w.far)),
+         |pern AS (
+         |  SELECT node, COUNT(*) AS tri FROM (
+         |    SELECT lo AS node FROM tris
+         |    UNION ALL SELECT mid FROM tris
+         |    UNION ALL SELECT far FROM tris) GROUP BY 1)
+         |SELECT d.node AS doc_id, d.deg,
+         |       COALESCE(p.tri, 0) AS tri,
+         |       CASE WHEN d.deg < 2 THEN 0.0
+         |            ELSE CAST(2 * COALESCE(p.tri, 0) AS DOUBLE)
+         |                 / CAST(d.deg * (d.deg - 1) AS DOUBLE) END AS lcc
+         |FROM deg d LEFT JOIN pern p USING (node)""".stripMargin),
+
     "dd_simhash" -> QueryDef.sql(
       (s, dir) => TextDedup.simhash16(docs(s, dir), "doc_id", "text"),
       {

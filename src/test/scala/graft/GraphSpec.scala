@@ -52,4 +52,39 @@ class GraphSpec extends SparkSpec {
     assert(r(3L) === step(cFromDeg2))
     assert(r(2L) === step(2 * cFromDeg1))
   }
+
+  test("triangleStats: planted triangle + pendant — counts, lcc, no-triangle rows") {
+    // triangle {1,2,3} plus pendant 4 hanging off 3
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("id_1", "id_2")
+    val r = Graph.triangleStats(pairs, "id_1", "id_2")
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getDouble(3)))).toMap
+    assert(r.keySet === Set(1L, 2L, 3L, 4L))
+    assert(r(1L) === ((2L, 1L, 1.0)))       // deg 2, one triangle, lcc 2·1/(2·1)=1
+    assert(r(2L) === ((2L, 1L, 1.0)))
+    assert(r(3L) === ((3L, 1L, 1.0 / 3.0))) // deg 3, lcc 2·1/(3·2)
+    assert(r(4L) === ((1L, 0L, 0.0)))       // pendant: tri 0, lcc pinned 0.0
+  }
+
+  test("triangleStats: K4 = 4 triangles/node, lcc 1; duplicate+reversed edges collapse") {
+    val k4 = for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b)
+    // feed each edge twice, half reversed — the symmetrize+distinct
+    // must collapse them before degrees are counted
+    val noisy = (k4 ++ k4.map(_.swap)).toDF("id_1", "id_2")
+    val r = Graph.triangleStats(noisy, "id_1", "id_2")
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getDouble(3)))).toMap
+    (1L to 4L).foreach { n => assert(r(n) === ((3L, 3L, 1.0))) }
+  }
+
+  test("triangleStats: degree-ordered orientation is repartition-invariant") {
+    // hub 0 with leaves 1..6, one closed pair (1,2): exercises the
+    // deg-tie and hub-vs-leaf orientation branches
+    val pairs = ((1L to 6L).map(l => (0L, l)) :+ ((1L, 2L))).toDF("id_1", "id_2")
+    val base = Graph.triangleStats(pairs, "id_1", "id_2").collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getDouble(3)))).toMap
+    assert(base(0L)._2 === 1L && base(1L)._2 === 1L && base(2L)._2 === 1L)
+    assert(base(3L)._2 === 0L)
+    val shuffled = Graph.triangleStats(pairs.repartition(7), "id_1", "id_2")
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getDouble(3)))).toMap
+    assert(shuffled === base)
+  }
 }

@@ -529,6 +529,20 @@ class PlanContractsSpec extends SparkSpec {
     assert(countLines(p, "BroadcastNestedLoopJoin") <= 4, p)
   }
 
+  test("graph_triangle_stats: wedge census over the one oriented checkpoint — all SHJ, no cartesian") {
+    val p = plan("graph_triangle_stats")
+    // wedge self-join + closing semi-probe + degree/tri joins all run
+    // against the CHECKPOINTED oriented edge list — the LSH band
+    // pipeline must appear zero times, and every join is hinted
+    // shuffle-hash (output-sized checkpoint stats would otherwise
+    // bait a broadcast of the edge list)
+    assert(!p.contains("minhash_sigs"), p)
+    assert(countLines(p, "ShuffledHashJoin") >= 3, p)
+    assert(countLines(p, "SortMergeJoin") === 0, p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("j16_correlated_scalar: de-correlated to ONE aggregate + ONE join — no per-row subquery") {
     val p = plan("j16_correlated_scalar")
     // Catalyst must rewrite the correlated scalar subquery into a
