@@ -943,4 +943,47 @@ object TextAnalysis {
     }
     prepped.select(col(idCol) +: fracCols: _*)
   }
+
+  /** C4-style blocklist ("bad words") gate (arXiv:1910.10683 §2.2
+    * drops any page containing a word from a public blocklist).
+    * Per document: token count, blocklisted-token occurrences,
+    * distinct blocklisted terms present, occurrence fraction, and the
+    * C4 keep decision (`n_block_hits == 0` — ANY hit drops the page).
+    *
+    * Scale shape: the blocklist rides as a LITERAL array in the
+    * projection (real blocklists are a few thousand terms — KBs of
+    * task binary, not a join side), so the whole gate is scan-side
+    * array algebra with ZERO exchanges at any corpus size. Matching
+    * is exact-token against normalized text — no substring scan, so
+    * "scrap" never trips a blocklisted "crap" (the documented C4
+    * false-positive family this choice avoids). Tokenization is
+    * fenced through [[graft.plans.NoInline]]: the occurrence filter
+    * is an interpreted higher-order lambda and would otherwise
+    * re-split the text once per token ([[topNgramFracs]]'s measured
+    * O(tokens²) trap). Counts are exact integers; `block_frac` is one
+    * correctly-rounded IEEE division — engine-invariant.
+    */
+  def blocklistGate(df: DataFrame, idCol: String, textCol: String,
+                    blocklist: Seq[String]): DataFrame = {
+    require(blocklist.nonEmpty, "blocklist must be non-empty")
+    val spark = df.sparkSession
+    graft.plans.GraftExtensions.register(spark)
+    val bl = typedLit(blocklist.distinct.sorted)
+    val toks = col("_toks")
+    df.select(col(idCol),
+        graft.plans.NoInline(spark,
+          split(graft.functions.Functions.normalizeText(col(textCol)), " "))
+          .as("_toks"))
+      .select(col(idCol),
+        size(toks).cast("long").as("n_tokens"),
+        size(filter(toks, t => array_contains(bl, t))).cast("long")
+          .as("n_block_hits"),
+        size(array_intersect(toks, bl)).cast("long").as("n_block_terms"))
+      .select(col(idCol), col("n_tokens"), col("n_block_hits"),
+        col("n_block_terms"),
+        when(col("n_tokens") === 0, lit(0.0)).otherwise(
+          col("n_block_hits").cast("double") / col("n_tokens").cast("double"))
+          .as("block_frac"),
+        (col("n_block_hits") === 0).as("keep"))
+  }
 }

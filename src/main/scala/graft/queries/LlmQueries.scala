@@ -2632,6 +2632,32 @@ object LlmQueries {
         |    AS frac_curly_bracket
         |FROM m""".stripMargin),
 
+    // ───── C4 blocklist ("bad words") gate (arXiv:1910.10683 §2.2:
+    // any page containing a blocklisted word is dropped). Blocklist
+    // rides as a literal array in the projection — scan-side, zero
+    // exchanges at any corpus size; exact-token matching against
+    // normalized text (no substring false positives). "spam" is
+    // deliberately absent from the synthetic vocabulary so the
+    // no-hit-term path is exercised alongside real hits.
+    "ta_blocklist_gate" -> QueryDef.sql(
+      (s, dir) =>
+        TextAnalysis.blocklistGate(docs(s, dir), "doc_id", "text",
+          Seq("slow", "dup", "spam")),
+      s"""WITH n AS (SELECT doc_id, ${normSql("text")} AS t FROM documents),
+         |tk AS (SELECT doc_id, string_split(t, ' ') AS toks FROM n),
+         |c AS (
+         |  SELECT doc_id, len(toks) AS n_tokens,
+         |    len(list_filter(toks,
+         |        x -> list_contains(['dup', 'slow', 'spam'], x))) AS n_block_hits,
+         |    len(list_intersect(toks, ['dup', 'slow', 'spam'])) AS n_block_terms
+         |  FROM tk)
+         |SELECT doc_id, n_tokens, n_block_hits, n_block_terms,
+         |  CASE WHEN n_tokens = 0 THEN 0.0
+         |       ELSE CAST(n_block_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+         |  END AS block_frac,
+         |  n_block_hits = 0 AS keep
+         |FROM c""".stripMargin),
+
     // ───── Gopher repetition signals (arXiv:2112.11446 A1.1 /
     // RPv2 rps_doc_frac_chars_top_{2,3,4}gram): fraction of chars in
     // the most frequent word n-gram, tie → lexicographically

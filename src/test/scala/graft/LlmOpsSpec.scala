@@ -1404,6 +1404,31 @@ class LlmOpsSpec extends SparkSpec {
     assert(bad === 0)
   }
 
+  test("blocklistGate: exact-token hits, no substring false positives, C4 drop rule") {
+    val d = Seq(
+      (1L, "the Slow cat is slow"),     // 2 hits (case-normalized), 1 term
+      (2L, "a slower catalog update"),  // substring "slow" must NOT trip
+      (3L, "dup dup slow"),             // 3 hits, 2 distinct terms
+      (4L, "clean text only")).toDF("doc_id", "text")
+    val out = TextAnalysis.blocklistGate(d, "doc_id", "text",
+        Seq("slow", "dup", "spam"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("n_block_hits") === 2L)
+    assert(out(1L).getAs[Long]("n_block_terms") === 1L)
+    assert(!out(1L).getAs[Boolean]("keep"))
+    assert(out(2L).getAs[Long]("n_block_hits") === 0L)
+    assert(out(2L).getAs[Boolean]("keep"))
+    assert(out(3L).getAs[Long]("n_block_hits") === 3L)
+    assert(out(3L).getAs[Long]("n_block_terms") === 2L)
+    assert(out(3L).getAs[Double]("block_frac") === 1.0)
+    assert(out(4L).getAs[Boolean]("keep"))
+    // corpus sanity: hit fraction bounded, keep ⇔ zero hits
+    val c = TextAnalysis.blocklistGate(docs, "doc_id", "text",
+      Seq("slow", "dup", "spam"))
+    assert(c.filter($"block_frac" < 0 || $"block_frac" > 1).count() === 0)
+    assert(c.filter($"keep" =!= ($"n_block_hits" === 0)).count() === 0)
+  }
+
   test("topNgramFracs: repeated phrase dominates, ties break smallest, short docs zero") {
     val d = Seq(
       // "b c" occurs 3×, len 3, total chars 15 → 9/15
