@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.QueryDef
 import graft.operators.{Bpe, Graph, Multimodal, Sampling, Similarity, Sketches, TextAnalysis, TextDedup}
-import graft.sources.Tables
+import graft.sources.{FileStatsIndex, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -2481,6 +2481,41 @@ object LlmQueries {
         |       CAST(SUM(length(text)) AS BIGINT) AS total_text_chars,
         |       CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars
         |FROM documents GROUP BY lang""".stripMargin),
+
+    // ───── table-format-style DATA SKIPPING over plain parquet: land
+    // lineitem range-clustered on l_shipdate (8 files), build the
+    // per-file min/max stats index in ONE narrow scan, then answer a
+    // year-slice aggregate reading ONLY the files whose interval
+    // intersects the predicate — the transaction-log skipping
+    // mechanism of Delta/Iceberg as an explicit operator. The oracle
+    // computes the same aggregate from the full table: any unsound
+    // prune (a dropped file that held matching rows) breaks the hash.
+    // TablesSpec pins the other half — that the survivor list is a
+    // strict subset. Sums go through decimal (exactSum) as everywhere.
+    "corpus_file_skipping" -> QueryDef.sql(
+      (s, dir) => {
+        val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_fskip_" +
+          Integer.toHexString(dir.hashCode)
+        Tables.table(s, dir, "lineitem")
+          .repartitionByRange(8, col("l_shipdate"))
+          .sortWithinPartitions(col("l_shipdate"))
+          .write.mode("overwrite").parquet(tmp)
+        FileStatsIndex.write(
+          FileStatsIndex.build(s, tmp, Seq("l_shipdate")), tmp)
+        val lo = lit("1996-01-01").cast("timestamp")
+        val hi = lit("1997-01-01").cast("timestamp")
+        FileStatsIndex.prunedRead(s, tmp, "l_shipdate", lo, hi)
+          .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n_rows"),
+            graft.functions.Functions.exactSum(col("l_quantity")).as("sum_qty"))
+      },
+      """SELECT l_returnflag, COUNT(*) AS n_rows,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1""".stripMargin),
 
     // ───── one-row corpus datasheet (the "Datasheets for Datasets"
     // summary, Gebru et al. 2018 arXiv:1803.09010, with WIMBD-style

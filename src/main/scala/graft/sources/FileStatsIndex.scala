@@ -1,0 +1,100 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Delta/Iceberg-style DATA SKIPPING for plain parquet directories:
+  * a per-file min/max statistics index, built once per table write,
+  * that lets subsequent range-predicate reads open ONLY the files
+  * whose value interval intersects the predicate.
+  *
+  * Parquet footers already carry row-group min/max, but the scan
+  * still LISTS and OPENS every file to read those footers —
+  * O(files) round-trips per query, which at lake scale (millions of
+  * files) dominates planning. A table-level stats index inverts
+  * that: one O(files)-row parquet read plans the file list, and the
+  * data scan touches only survivors. This is exactly the transaction-
+  * log stats mechanism of the table formats, re-expressed as an
+  * explicit operator over directories the engine already writes.
+  *
+  * Soundness: `min ≤ v ≤ max` for every non-null value v in the
+  * file, so a file is skippable for `[lo, hi]` iff
+  * `max < lo ∨ min > hi`. NULL values never satisfy a range
+  * predicate, so files whose indexed column is entirely NULL
+  * (min/max NULL → the keep-condition is NULL → filtered out) are
+  * correctly skippable. Pruning is file-level ONLY — the caller's
+  * row-level predicate still applies after the read (same contract
+  * as the formats' skipping).
+  *
+  * Effectiveness requires the layout to CLUSTER the indexed column
+  * across files ([[Tables.compact]] with sortCols, or
+  * [[Tables.writeZOrdered]] for two dimensions); on a random layout
+  * every file's interval spans the domain and nothing prunes —
+  * soundly, just uselessly.
+  */
+object FileStatsIndex {
+
+  /** One scan → one stats row per file: min/max per indexed column
+    * plus the file's row count. Map-side combined on the file-name
+    * key (rows of one file live in contiguous scan partitions, so
+    * partial aggregation collapses almost everything before the one
+    * O(files)-row shuffle). Only the indexed columns are read —
+    * column pruning keeps the build scan narrow.
+    */
+  def build(spark: SparkSession, path: String, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one column to index")
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) :+
+      count(lit(1)).as("n_rows")
+    Tables.parquet(spark, path)
+      .select(cols.map(col): _*)
+      .groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Persist the index next to the table (atomic staging swap — the
+    * same no-partial-state contract every sink here honors).
+    */
+  def write(stats: DataFrame, tablePath: String): String = {
+    val statsPath = indexPath(tablePath)
+    graft.operators.Scd2.writeAtomic(stats.coalesce(1), statsPath)
+    statsPath
+  }
+
+  def indexPath(tablePath: String): String =
+    tablePath.stripSuffix("/") + "_file_stats"
+
+  /** Range-predicate read through the index: open ONLY files whose
+    * [min, max] interval intersects [lo, hi]. The survivor file list
+    * is an O(files) control-plane collect (bounded by file count,
+    * never row count — the same class of driver hop as partition
+    * listing). Returns the pruned frame; callers apply their row
+    * predicate on top, exactly as with format-native skipping.
+    */
+  def prunedRead(spark: SparkSession, tablePath: String, c: String,
+                 lo: Column, hi: Column): DataFrame = {
+    val stats = Tables.parquet(spark, indexPath(tablePath))
+    val survivors = stats
+      .filter(col(s"max_$c") >= lo && col(s"min_$c") <= hi)
+      .select("file").collect().map(_.getString(0))
+    if (survivors.isEmpty)
+      // empty survivor set: keep the table schema, read no rows
+      Tables.parquet(spark, tablePath).filter(lit(false))
+    else
+      spark.read.parquet(survivors: _*)
+  }
+
+  /** The file lists a predicate would read, with and without the
+    * index — the audit pair TablesSpec pins (pruned ⊂ all, and
+    * result equality).
+    */
+  def plannedFiles(spark: SparkSession, tablePath: String, c: String,
+                   lo: Column, hi: Column): (Seq[String], Seq[String]) = {
+    val stats = Tables.parquet(spark, indexPath(tablePath))
+    val all = stats.select("file").collect().map(_.getString(0)).toSeq.sorted
+    val pruned = stats
+      .filter(col(s"max_$c") >= lo && col(s"min_$c") <= hi)
+      .select("file").collect().map(_.getString(0)).toSeq.sorted
+    (pruned, all)
+  }
+}

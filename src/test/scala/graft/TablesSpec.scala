@@ -211,6 +211,41 @@ class TablesSpec extends SparkSpec {
     assert(after.exceptAll(df).isEmpty && df.exceptAll(after).isEmpty)
   }
 
+  test("FileStatsIndex: clustered layout prunes files; pruned read is result-exact; empty range reads nothing") {
+    import graft.sources.FileStatsIndex
+    val dir = tmp() + "/lake"
+    val li = Tables.table(spark, sfDir, "lineitem")
+    li.repartitionByRange(8, col("l_shipdate"))
+      .sortWithinPartitions(col("l_shipdate"))
+      .write.parquet(dir)
+    FileStatsIndex.write(FileStatsIndex.build(spark, dir, Seq("l_shipdate")), dir)
+    val lo = lit("1996-01-01").cast("timestamp")
+    val hi = lit("1997-01-01").cast("timestamp")
+    // a one-year slice of a 7-year clustered span must skip MOST files
+    val (pruned, all) = FileStatsIndex.plannedFiles(spark, dir, "l_shipdate", lo, hi)
+    assert(all.length === 8, all.mkString(","))
+    assert(pruned.nonEmpty && pruned.length <= 3, pruned.mkString(","))
+    assert(pruned.toSet.subsetOf(all.toSet))
+    // pruning is sound: pruned read + row predicate ≡ full read + row predicate
+    val p = (d: org.apache.spark.sql.DataFrame) =>
+      d.filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+    val viaIndex = p(FileStatsIndex.prunedRead(spark, dir, "l_shipdate", lo, hi))
+    val full = p(spark.read.parquet(dir))
+    assert(viaIndex.count() === full.count())
+    assert(viaIndex.exceptAll(full).isEmpty && full.exceptAll(viaIndex).isEmpty)
+    // out-of-domain range: zero survivors, empty frame, schema kept
+    val none = FileStatsIndex.prunedRead(spark, dir, "l_shipdate",
+      lit("1902-01-01").cast("timestamp"), lit("1903-01-01").cast("timestamp"))
+    assert(none.count() === 0L)
+    assert(none.schema === li.schema)
+    // unclustered layout: soundly prunes NOTHING (every interval spans the domain)
+    val dir2 = tmp() + "/lake2"
+    li.repartition(8).write.parquet(dir2)
+    FileStatsIndex.write(FileStatsIndex.build(spark, dir2, Seq("l_shipdate")), dir2)
+    val (pruned2, all2) = FileStatsIndex.plannedFiles(spark, dir2, "l_shipdate", lo, hi)
+    assert(pruned2.length === all2.length)
+  }
+
   test("compact with sortCols restores clustering that round-robin would destroy") {
     val dir = tmp() + "/clustered"
     val df = Tables.table(spark, sfDir, "orders")
