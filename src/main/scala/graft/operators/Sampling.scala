@@ -228,4 +228,45 @@ object Sampling {
     Skew.saltedRank(df, Seq(stratumCol), idCol, seed)
       .filter(col("pos") <= cap)
   }
+
+  /** Deterministic probability-proportional-to-size (Poisson PPS)
+    * sampling: row i with integer weight w_i is kept with probability
+    * `min(1, k·w_i/W)` where `W = Σw` — the expected sample size is
+    * ≈ k with long rows proportionally favored (the standard corpus-
+    * mixing sampler when examples should be weighted by token count,
+    * not document count).
+    *
+    * Determinism and cross-engine exactness: the keep decision is the
+    * pure-integer inequality `h·W < w·k·2^32` with
+    * `h = md5(seed ∥ id)[0:8] ∈ [0, 2^32)` — no floating point
+    * anywhere in the decision. Both products are evaluated in
+    * DECIMAL(38,0) (DuckDB: HUGEINT): with h < 2^32 and 38 digits of
+    * headroom the products are exact for any W up to ~10^28 — far
+    * past a 100 TB corpus's total token count. The reported `p_keep`
+    * is display-only: one exact integer product downcast and ONE
+    * correctly-rounded IEEE division.
+    *
+    * Scale shape: one map-side-combined aggregate computes W (a
+    * 1-row frame broadcast back — the [[Graph.pageRank]] nFrame
+    * pattern); the keep filter is scan-side. No shuffle of the data
+    * itself, no per-row state, no order dependence — unlike
+    * reservoir-style A-Res sampling there is no global top-k and
+    * nothing driver-side, at the price of a ±O(√k) sample-size
+    * spread (the Poisson trade every distributed sampler makes).
+    */
+  def ppsSample(df: DataFrame, idCol: String, weightCol: String,
+                expectK: Int, seed: String): DataFrame = {
+    require(expectK >= 1, s"expectK must be >= 1, got $expectK")
+    val w = col(weightCol).cast("long")
+    val totalFrame = df.agg(sum(w).cast("long").as("_tw"))
+    val h = conv(substring(md5(concat(lit(seed), col(idCol).cast("string"))),
+      1, 8), 16, 10).cast("long")
+    df.crossJoin(broadcast(totalFrame))
+      .filter(h.cast("decimal(38,0)") * col("_tw").cast("decimal(38,0)") <
+        w.cast("decimal(38,0)") * lit(expectK) * lit(4294967296L))
+      .select(col(idCol), w.as("weight"),
+        least(lit(1.0),
+          (w * expectK).cast("double") / col("_tw").cast("double"))
+          .as("p_keep"))
+  }
 }

@@ -2631,6 +2631,30 @@ object LlmQueries {
         |  FROM documents)
         |WHERE pos <= 15""".stripMargin),
 
+    // ───── deterministic Poisson PPS sampling: keep probability
+    // ∝ document length (min(1, k·w/W)) — the corpus-mixing sampler
+    // when examples should be weighted by size, not count. The keep
+    // decision is the pure-integer inequality h·W < w·k·2^32
+    // (DECIMAL(38,0) / HUGEINT products — NO floating point in the
+    // decision, so the sample is bit-identical cross-engine); W is
+    // one map-side-combined aggregate broadcast back, the filter is
+    // scan-side — no data shuffle at any corpus size.
+    "corpus_pps_sample" -> QueryDef.sql(
+      (s, dir) =>
+        Sampling.ppsSample(docs(s, dir), "doc_id", "n_chars",
+          expectK = 50, seed = "pps9"),
+      """WITH w AS (
+        |  SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+        |         CAST(concat('0x', substr(md5('pps9' || CAST(doc_id AS VARCHAR)), 1, 8))
+        |              AS BIGINT) AS h
+        |  FROM documents),
+        |t AS (SELECT CAST(SUM(weight) AS BIGINT) AS tw FROM w)
+        |SELECT doc_id, weight,
+        |       least(1.0, CAST(weight * 50 AS DOUBLE) / CAST(tw AS DOUBLE)) AS p_keep
+        |FROM w, t
+        |WHERE CAST(h AS HUGEINT) * CAST(tw AS HUGEINT)
+        |    < CAST(weight AS HUGEINT) * 50 * 4294967296""".stripMargin),
+
     // ───── RedPajama-Data-v2 doc-level fraction signals (the battery
     // CCNet/Gopher-style curation cuts on) not covered by
     // ta_gopher_rules/ta_quality_scores: all-caps-word, no-alpha-word,

@@ -1404,6 +1404,30 @@ class LlmOpsSpec extends SparkSpec {
     assert(bad === 0)
   }
 
+  test("ppsSample: expected size ≈ k, certain rows kept, repartition/seed behavior") {
+    import graft.operators.Sampling
+    val base = Sampling.ppsSample(docs, "doc_id", "n_chars", expectK = 50, seed = "pps9")
+    val n = base.count()
+    // Poisson spread: |n − k| within ~4√k
+    assert(math.abs(n - 50L) <= 30L, s"sample size $n far from 50")
+    // p_keep honest: every kept row carries min(1, k·w/W) and w > 0
+    assert(base.filter($"p_keep" <= 0 || $"p_keep" > 1).count() === 0)
+    // partitioning-invariant (pure function of the row + one global sum)
+    val shuffled = Sampling.ppsSample(
+      docs.repartition(13), "doc_id", "n_chars", expectK = 50, seed = "pps9")
+    assert(base.select("doc_id").exceptAll(shuffled.select("doc_id")).isEmpty)
+    assert(shuffled.select("doc_id").exceptAll(base.select("doc_id")).isEmpty)
+    // different seed → different sample (overwhelmingly)
+    val other = Sampling.ppsSample(docs, "doc_id", "n_chars", expectK = 50, seed = "pps10")
+    assert(other.select("doc_id").exceptAll(base.select("doc_id")).count() > 0)
+    // a row whose k·w ≥ W is ALWAYS kept (probability clamps to 1)
+    val d = (1L to 9L).map((_, 10L)) :+ ((10L, 100000L))
+    val heavy = Sampling.ppsSample(
+      d.toDF("id", "w"), "id", "w", expectK = 5, seed = "x")
+    assert(heavy.filter($"id" === 10L).count() === 1L)
+    assert(heavy.filter($"id" === 10L).head().getAs[Double]("p_keep") === 1.0)
+  }
+
   test("blocklistGate: exact-token hits, no substring false positives, C4 drop rule") {
     val d = Seq(
       (1L, "the Slow cat is slow"),     // 2 hits (case-normalized), 1 term
