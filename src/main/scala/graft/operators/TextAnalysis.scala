@@ -986,4 +986,76 @@ object TextAnalysis {
           .as("block_frac"),
         (col("n_block_hits") === 0).as("keep"))
   }
+
+  /** Document-level token co-occurrence association (PMI family)
+    * over the top-`topVocab` vocabulary: for every vocabulary pair
+    * (t1 < t2), the number of documents containing both, each term's
+    * document frequency, and the association LIFT
+    * `⌊10^6 · N · n_ab / (n_a · n_b)⌋` in parts-per-million — the
+    * exact-integer monotone transform of PMI (= ln lift), kept
+    * integral so the score is bit-identical cross-engine (ln of a
+    * ratio would ride each libm's last ulp).
+    *
+    * Scale shape: restricting to a FIXED top-V vocabulary is what
+    * bounds the quadratic — per-document pair fan-out is ≤ C(V,2)
+    * regardless of document length, where unrestricted co-occurrence
+    * on a 1k-distinct-token web page is 500k pairs/doc. The vocab
+    * (with its doc frequencies) is an O(V) driver collect — V is
+    * config-bounded (the [[Sampling]] O(|strata|) control-plane
+    * contract) — and rides back as a literal array + literal map, so
+    * the pair pass is ONE scan with in-row pair generation and ONE
+    * map-side-combined count shuffle bounded by C(V,2) keys. The
+    * doc-frequency pass is its own scan; two scans total, no joins.
+    * Tokenization and the vocab intersect are fenced
+    * ([[topNgramFracs]]'s interpreted-lambda re-evaluation trap).
+    */
+  def pmiPairs(df: DataFrame, idCol: String, textCol: String,
+               topVocab: Int = 16, minPair: Int = 5): DataFrame = {
+    require(topVocab >= 2, s"topVocab must be >= 2, got $topVocab")
+    require(minPair >= 1, s"minPair must be >= 1, got $minPair")
+    val spark = df.sparkSession
+    graft.plans.GraftExtensions.register(spark)
+    def distinctToks =
+      array_sort(array_distinct(
+        split(graft.functions.Functions.normalizeText(col(textCol)), " ")))
+    // pass 1: doc frequencies → deterministic top-V (count desc, token
+    // asc) via TakeOrderedAndProject; O(V) driver hop
+    val vocabRows = df
+      .select(explode(distinctToks).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok").asc).limit(topVocab)
+      .collect()
+    val vocab = vocabRows.map(_.getString(0)).toSeq
+    val dfreq = vocabRows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nFrame = df.agg(count(lit(1)).as("_n"))
+    // pass 2: in-row pair generation over the vocab-filtered sorted
+    // distinct token array (array_intersect keeps first-arg order →
+    // stays sorted, so i < j emission yields t1 < t2 for free)
+    val tokd = df.select(
+      graft.plans.NoInline(spark,
+        array_intersect(distinctToks, typedLit(vocab))).as("_vt"))
+    val vt = col("_vt")
+    val prs = when(size(vt) >= 2,
+      flatten(transform(sequence(lit(1), size(vt) - 1), i =>
+        transform(slice(vt, i + 1, size(vt)),
+          t2 => struct(element_at(vt, i).as("t1"), t2.as("t2"))))))
+      .otherwise(array().cast("array<struct<t1:string,t2:string>>"))
+    val counts = tokd
+      .select(explode(prs).as("p"))
+      .select(col("p.t1").as("t1"), col("p.t2").as("t2"))
+      .groupBy("t1", "t2").agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minPair)
+    val dfLit = typedLit(dfreq)
+    counts.crossJoin(broadcast(nFrame))
+      .select(col("t1"), col("t2"), col("n_ab"),
+        element_at(dfLit, col("t1")).as("n_a"),
+        element_at(dfLit, col("t2")).as("n_b"),
+        col("_n"))
+      .select(col("t1"), col("t2"), col("n_ab"), col("n_a"), col("n_b"),
+        // exact-integer floor division — 10^6·N·n_ab stays far inside
+        // BIGINT up to ~10^12 documents; past that, lift the products
+        // to DECIMAL(38,0) (the ppsSample recipe)
+        expr("CAST((1000000L * _n * n_ab) DIV (n_a * n_b) AS BIGINT)")
+          .as("lift_ppm"))
+  }
 }

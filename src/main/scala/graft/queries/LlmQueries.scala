@@ -2631,6 +2631,37 @@ object LlmQueries {
         |  FROM documents)
         |WHERE pos <= 15""".stripMargin),
 
+    // ───── token co-occurrence association over the top-16
+    // vocabulary: docs-containing-both counts + exact-integer LIFT
+    // in ppm (the monotone transform of PMI — ln would ride libm's
+    // last ulp; the integer ratio is bit-identical cross-engine).
+    // The fixed top-V vocab is what bounds the quadratic: pair
+    // fan-out ≤ C(V,2) per doc at ANY document length; vocab+freqs
+    // ride back as an O(V) literal so the pair pass is one scan +
+    // one bounded count shuffle, zero joins.
+    "ta_pmi_pairs" -> QueryDef.sql(
+      (s, dir) =>
+        TextAnalysis.pmiPairs(docs(s, dir), "doc_id", "text",
+          topVocab = 16, minPair = 5),
+      s"""WITH n AS (SELECT doc_id, ${normSql("text")} AS t FROM documents),
+         |tk AS (
+         |  SELECT doc_id, unnest(list_distinct(string_split(t, ' '))) AS tok
+         |  FROM n),
+         |freq AS (SELECT tok, COUNT(*) AS c FROM tk GROUP BY 1),
+         |vocab AS (SELECT tok, c FROM freq ORDER BY c DESC, tok LIMIT 16),
+         |vtk AS (SELECT doc_id, tok FROM tk WHERE tok IN (SELECT tok FROM vocab)),
+         |pc AS (
+         |  SELECT a.tok AS t1, b.tok AS t2, COUNT(*) AS n_ab
+         |  FROM vtk a JOIN vtk b ON a.doc_id = b.doc_id AND a.tok < b.tok
+         |  GROUP BY 1, 2
+         |  HAVING COUNT(*) >= 5),
+         |nn AS (SELECT COUNT(*) AS n FROM documents)
+         |SELECT pc.t1, pc.t2, pc.n_ab, va.c AS n_a, vb.c AS n_b,
+         |       (1000000 * nn.n * pc.n_ab) // (va.c * vb.c) AS lift_ppm
+         |FROM pc
+         |JOIN vocab va ON va.tok = pc.t1
+         |JOIN vocab vb ON vb.tok = pc.t2, nn""".stripMargin),
+
     // ───── deterministic Poisson PPS sampling: keep probability
     // ∝ document length (min(1, k·w/W)) — the corpus-mixing sampler
     // when examples should be weighted by size, not count. The keep

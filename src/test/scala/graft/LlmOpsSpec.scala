@@ -1428,6 +1428,28 @@ class LlmOpsSpec extends SparkSpec {
     assert(heavy.filter($"id" === 10L).head().getAs[Double]("p_keep") === 1.0)
   }
 
+  test("pmiPairs: hand-derived lift on planted co-occurrence; vocab cap; ordering invariants") {
+    // 4 docs; vocab (top-3 by df): a(4), b(3), c(2); d appears once
+    // and must fall off the top-3 vocab cap
+    val d = Seq(
+      (1L, "a b c"),
+      (2L, "a b"),
+      (3L, "a c d"),
+      (4L, "a b zz")).toDF("doc_id", "text")
+    val out = TextAnalysis.pmiPairs(d, "doc_id", "text", topVocab = 3, minPair = 1)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(out.keySet === Set(("a", "b"), ("a", "c"), ("b", "c")))
+    // lift(a,b) = 1e6·4·3/(4·3) = 1e6; lift(b,c) = 1e6·4·1/(3·2)
+    assert(out(("a", "b")).getAs[Long]("lift_ppm") === 1000000L)
+    assert(out(("a", "c")).getAs[Long]("n_ab") === 2L)
+    assert(out(("b", "c")).getAs[Long]("lift_ppm") === 666666L)
+    // corpus invariants: t1 < t2 everywhere, counts consistent
+    val c = TextAnalysis.pmiPairs(docs, "doc_id", "text", topVocab = 16, minPair = 5)
+    assert(c.filter($"t1" >= $"t2").count() === 0)
+    assert(c.filter($"n_ab" > $"n_a" || $"n_ab" > $"n_b").count() === 0)
+    assert(c.filter($"n_ab" < 5).count() === 0)
+  }
+
   test("blocklistGate: exact-token hits, no substring false positives, C4 drop rule") {
     val d = Seq(
       (1L, "the Slow cat is slow"),     // 2 hits (case-normalized), 1 term
