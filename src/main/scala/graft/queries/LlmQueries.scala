@@ -51,7 +51,14 @@ object LlmQueries {
     */
   private lazy val minhashBandsCtes =
     s"""$nearDupCorpusSql,
-       |$shinglesSql,
+       |$bandsFromCorpusCtes""".stripMargin
+
+  /** Band derivation alone (expects a `corpus(doc_id, text, lang)`
+    * CTE already in scope) — split out so callers can swap the
+    * corpus (e.g. the exact-dedup-first graph census).
+    */
+  private lazy val bandsFromCorpusCtes =
+    s"""$shinglesSql,
        |sh AS (SELECT doc_id, md5(unnest(sh)) AS h FROM shl),
        |sig AS (
        |  SELECT doc_id,
@@ -1477,28 +1484,44 @@ object LlmQueries {
          |       CAST(r AS DOUBLE) / 1000000000000.0 AS rank
          |FROM r3""".stripMargin),
 
-    // ───── triangle statistics over the same near-dup pair graph:
+    // ───── triangle statistics over the near-dup pair graph:
     // undirected degree, triangles through each node, local
     // clustering coefficient — the triangle census a curation
     // pipeline reads to tell template CLIQUES (dense boilerplate
     // families, lcc → 1) from hub-and-spoke near-dup stars (shared
-    // header pulling unrelated docs, lcc → 0). Degree-ordered
-    // compact-forward join: edges oriented up the (deg, id) total
-    // order bound every out-degree by O(√m) — the wedge fan-out is
-    // O(m^1.5) regardless of hub skew, where id-orientation would
-    // hand a low-id hub C(deg,2) wedges. lcc is ONE IEEE division of
-    // exact integers — engine-invariant. The oracle re-derives the
-    // same oriented wedge-close census as a CTE chain.
+    // header pulling unrelated docs, lcc → 0). The census runs on
+    // the EXACT-DEDUPED corpus — the pipeline-correct order (exact
+    // clones contribute degenerate clique structure that measures
+    // clone count, not near-dup topology) and the order that keeps
+    // the op scale-stable: triangle count is CUBIC in clone
+    // multiplicity, so on an un-deduped all-duplicates corpus the
+    // output itself explodes (the 30× derived sweep measured exactly
+    // that before the dedup stage). Degree-ordered compact-forward
+    // join: edges oriented up the (deg, id) total order bound every
+    // out-degree by O(√m) — wedge fan-out O(m^1.5) regardless of hub
+    // skew, where id-orientation would hand a low-id hub C(deg,2)
+    // wedges. lcc is ONE IEEE division of exact integers —
+    // engine-invariant. The oracle re-derives dedup + the oriented
+    // wedge-close census as a CTE chain.
     "graph_triangle_stats" -> QueryDef.sql(
       (s, dir) => {
-        val sigs = TextDedup.minhashSignatures(nearDupCorpus(s, dir), "doc_id", "text")
+        val base = TextDedup.dedupExact(nearDupCorpus(s, dir), "doc_id", "text")
+        val sigs = TextDedup.minhashSignatures(base, "doc_id", "text")
         Graph.triangleStats(
           TextDedup.lshCandidatePairs(
             TextDedup.lshBands(sigs, "doc_id"), "doc_id"),
           "id_1", "id_2")
           .select(col("node").as("doc_id"), col("deg"), col("tri"), col("lcc"))
       },
-      s"""WITH $minhashBandsCtes,
+      s"""WITH corpus0 AS (
+         |  SELECT doc_id, text, lang FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 10000, text || ' copy', lang FROM documents),
+         |corpus AS (
+         |  SELECT doc_id, text, lang FROM corpus0
+         |  QUALIFY row_number() OVER (PARTITION BY md5(${normSql("text")})
+         |                             ORDER BY doc_id) = 1),
+         |$bandsFromCorpusCtes,
          |prs AS (
          |  SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2
          |  FROM bands a JOIN bands b

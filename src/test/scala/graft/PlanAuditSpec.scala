@@ -40,7 +40,11 @@ class PlanAuditSpec extends SparkSpec {
     "ret_bm25_topk" ->
       "1-row (N, avg-len) corpus frame broadcast into the vocab-bounded idf table",
     "graph_pagerank" ->
-      "1-row vertex-count frame broadcast into each power iteration's rank update")
+      "1-row vertex-count frame broadcast into each power iteration's rank update",
+    "corpus_pps_sample" ->
+      "1-row total-weight frame broadcast into the scan-side keep filter",
+    "ta_pmi_pairs" ->
+      "1-row corpus-count frame broadcast into the C(V,2)-bounded lift table")
 
   test("no registered query hides an unlisted cartesian or nested-loop join") {
     GraftExtensions.register(spark)
