@@ -961,6 +961,101 @@ object RelationalQueries {
         |                ELSE 0 END) AS BIGINT) AS n_clipped
         |FROM f, c GROUP BY l_returnflag""".stripMargin),
 
+    // ───── V8: SEASONAL outlier days — v06's z-score after removing
+    // the day-of-week effect (retail/traffic revenue is weekly-
+    // periodic; an un-detrended z flags every Saturday instead of
+    // real anomalies). The seasonal mean is QUANTIZED to integer
+    // thousandths via floor division — the graph_pagerank fixed-point
+    // recipe — so residuals are exact BIGINTs and their moments exact
+    // decimal sums: NO floating-point value is ever summed (double
+    // sums are partitioning- and engine-ordered; integer/decimal sums
+    // are not). The only doubles are the final mean/sd/z evaluation —
+    // a fixed chain of correctly-rounded IEEE ops on identical exact
+    // inputs. Shape: daily aggregate (1 shuffle, scan-side partial),
+    // O(suppliers×7) seasonal frame joined back shuffle-hash, then
+    // the per-supplier moments as WHOLE-PARTITION window sums over
+    // the residual frame — the decimal window aggregate is exact, and
+    // reading the moments through a window instead of an aggregate +
+    // join-back means the residual frame executes ONCE (the join-back
+    // formulation re-runs the whole daily/seasonal chain per
+    // consumer: measured 3 SHJ / 4 fact scans vs this plan's 1 / 2).
+    "v08_seasonal_outliers" -> QueryDef.sql(
+      (s, dir) => {
+        val daily = t(s, dir, "lineitem")
+          .filter(col("l_extendedprice") > 0)
+          .groupBy(col("l_suppkey"), to_date(col("l_shipdate")).as("ship_date"))
+          .agg(sum(col("l_extendedprice").cast("decimal(30,2)"))
+            .cast("decimal(18,2)").as("_rev"))
+          .withColumn("_dw", dayofweek(col("ship_date")) - 1)
+        val seasonal = daily.groupBy(col("l_suppkey"), col("_dw"))
+          .agg(count(lit(1)).as("_ng"),
+            sum((col("_rev") * 1000).cast("decimal(38,0)")).as("_sg"))
+        val resid = daily
+          .join(seasonal.hint("shuffle_hash"), Seq("l_suppkey", "_dw"))
+          .withColumn("_rm",
+            (col("_rev") * 1000).cast("long") -
+              expr("CAST(_sg AS BIGINT) DIV _ng"))
+        val w = Window.partitionBy(col("l_suppkey"))
+        val rm38 = col("_rm").cast("decimal(38,0)")
+        resid
+          .select(col("*"),
+            // one select → ONE Window node (chained withColumn emits
+            // a Window operator per call)
+            count(lit(1)).over(w).as("n_days"),
+            sum(rm38).over(w).as("_s1"),
+            sum(rm38 * rm38).over(w).as("_s2"))
+          .filter(col("n_days") >= 2)
+          .withColumn("_mean", momentsMean(col("n_days"), col("_s1")))
+          .withColumn("_sd",
+            momentsStddevPop(col("n_days"), col("_s1"), col("_s2")))
+          .filter(col("_sd") > 0)
+          .withColumn("z", round(
+            (col("_rm").cast("double") - col("_mean")) / col("_sd"), 6))
+          .filter(abs(col("z")) >= 3.0)
+          .select(col("l_suppkey"), col("ship_date"),
+            col("_dw").cast("int").as("dow"),
+            col("_rev").cast("double").as("total_revenue"),
+            (col("_rm").cast("double") / 1000.0).as("residual"),
+            col("z"))
+      },
+      """WITH daily AS (
+        |  SELECT l_suppkey, CAST(l_shipdate AS DATE) AS ship_date,
+        |         CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2)))
+        |              AS DECIMAL(18,2)) AS rev
+        |  FROM lineitem WHERE l_extendedprice > 0 GROUP BY 1, 2),
+        |d2 AS (
+        |  SELECT *, CAST(date_part('dow', ship_date) AS INTEGER) AS dw
+        |  FROM daily),
+        |seas AS (
+        |  SELECT l_suppkey, dw, COUNT(*) AS ng,
+        |         CAST(SUM(CAST(rev * 1000 AS BIGINT)) AS BIGINT) AS sg
+        |  FROM d2 GROUP BY 1, 2),
+        |r AS (
+        |  SELECT d.l_suppkey, d.ship_date, d.dw, d.rev,
+        |         CAST(d.rev * 1000 AS BIGINT) - (s.sg // s.ng) AS rm
+        |  FROM d2 d JOIN seas s ON d.l_suppkey = s.l_suppkey AND d.dw = s.dw),
+        |r2 AS (
+        |  SELECT *,
+        |    COUNT(*) OVER (PARTITION BY l_suppkey) AS n_days,
+        |    SUM(CAST(rm AS DECIMAL(38,0))) OVER (PARTITION BY l_suppkey) AS s1,
+        |    SUM(CAST(rm AS DECIMAL(38,0)) * CAST(rm AS DECIMAL(38,0)))
+        |      OVER (PARTITION BY l_suppkey) AS s2
+        |  FROM r),
+        |mm AS (
+        |  SELECT *,
+        |    CAST(s1 AS DOUBLE) / CAST(n_days AS DOUBLE) AS mean,
+        |    sqrt((CAST(n_days AS DOUBLE) * CAST(s2 AS DOUBLE)
+        |          - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+        |         / (CAST(n_days AS DOUBLE) * CAST(n_days AS DOUBLE))) AS sd
+        |  FROM r2 WHERE n_days >= 2)
+        |SELECT l_suppkey, ship_date, dw AS dow,
+        |       CAST(rev AS DOUBLE) AS total_revenue,
+        |       CAST(rm AS DOUBLE) / 1000.0 AS residual,
+        |       round((CAST(rm AS DOUBLE) - mean) / sd, 6) AS z
+        |FROM mm
+        |WHERE sd > 0
+        |  AND abs(round((CAST(rm AS DOUBLE) - mean) / sd, 6)) >= 3.0""".stripMargin),
+
     // ───── P26: collection-function battery — set algebra over
     // arrays (intersect/union/except return IMPLEMENTATION-DEFINED
     // order in both engines, so every set result is array_sort'ed

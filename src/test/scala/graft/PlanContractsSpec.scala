@@ -454,6 +454,20 @@ class PlanContractsSpec extends SparkSpec {
     assert(countLines(p, "GreaterThan(l_extendedprice,0.0)") === 2, p)
   }
 
+  test("v08_seasonal_outliers: ONE seasonal join, moments via window — residual frame never re-executes") {
+    val p = plan("v08_seasonal_outliers")
+    // daily→seasonal is the only join; the per-supplier moments read
+    // through a whole-partition window (a moments-aggregate+join-back
+    // formulation re-runs the daily/seasonal chain per consumer —
+    // measured 3 SHJ / 4 fact scans)
+    assert(countLines(p, "ShuffledHashJoin") === 1, p)
+    assert(countLines(p, "SortMergeJoin") === 0, p)
+    assert(countLines(p, "Window") === 1, p)
+    assert(countLines(p, "FileScan") === 2, p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial_"), p)
+  }
+
   test("a15_value_histogram: one map-side-combined shuffle, nothing else") {
     val p = plan("a15_value_histogram")
     assert(p.contains("partial_"), p)
