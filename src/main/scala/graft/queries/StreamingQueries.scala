@@ -309,6 +309,68 @@ object StreamingQueries {
         |       CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value
         |FROM g GROUP BY user_id, sid""".stripMargin),
 
+    // ───── session CONCURRENCY census — for every 30-min-gap session,
+    // how many other sessions overlapped it in time (the load/abuse
+    // signal session aggregation alone can't see). NO pair join:
+    // overlaps(a) = #(starts < a.end) − #(ends ≤ a.start) − own(a),
+    // both counts from one merged (ts, kind) event stream via the
+    // distributed merge-rank (deterministic time-bucket partitions +
+    // in-bucket running sums + O(#buckets) offset frame) — linear at
+    // ANY concurrency, where the pair-materializing formulation is
+    // concurrency-quadratic (measured: 30× user-population sweep
+    // timed out pair-based, runs in seconds count-based). Kind order
+    // at equal ts encodes the strict boundary semantics exactly. The
+    // oracle is the NAIVE theta self-join over the same session set.
+    "ev_session_overlap" -> QueryDef.sql(
+      (s, dir) => {
+        import graft.operators.IntervalOverlap
+        val sess = Tables.events(s, dir)
+          .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(col("user_id"),
+            col("session_window.start").as("session_start"),
+            col("session_window.end").as("session_end"))
+          .withColumn("sid", concat_ws(":",
+            col("user_id"), unix_micros(col("session_start"))))
+        IntervalOverlap.concurrencyCensus(
+            sess, "sid", "session_start", "session_end", bucketSeconds = 3600)
+          .select(col("user_id"), col("session_start"), col("n_concurrent"))
+      },
+      """WITH e AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events),
+        |l AS (
+        |  SELECT user_id, event_id, ts,
+        |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM e),
+        |f AS (
+        |  SELECT user_id, ts,
+        |         CASE WHEN prev_ts IS NULL OR ts >= prev_ts + INTERVAL 30 MINUTE
+        |              THEN 1 ELSE 0 END AS ns,
+        |         event_id
+        |  FROM l),
+        |g AS (
+        |  SELECT user_id, ts,
+        |         SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                       ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM f),
+        |sess AS (
+        |  SELECT user_id,
+        |         min(ts) AS session_start,
+        |         max(ts) + INTERVAL 30 MINUTE AS session_end
+        |  FROM g GROUP BY user_id, sid),
+        |s2 AS (
+        |  SELECT user_id, session_start, session_end,
+        |         concat(CAST(user_id AS VARCHAR), ':',
+        |                CAST(epoch_us(session_start) AS VARCHAR)) AS sid2
+        |  FROM sess)
+        |SELECT a.user_id, a.session_start, COUNT(b.sid2) AS n_concurrent
+        |FROM s2 a LEFT JOIN s2 b
+        |  ON b.sid2 <> a.sid2
+        | AND a.session_start < b.session_end
+        | AND b.session_start < a.session_end
+        |GROUP BY 1, 2""".stripMargin),
+
     // ───── tumbling 1h window aggregation (streaming twin: windowedAgg)
     "ev_window_agg" -> QueryDef.sql(
       (s, dir) =>

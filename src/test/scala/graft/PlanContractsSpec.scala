@@ -468,6 +468,18 @@ class PlanContractsSpec extends SparkSpec {
     assert(p.contains("partial_"), p)
   }
 
+  test("ev_session_overlap: merge-rank census — no cartesian/BNLJ, offsets broadcast, SHJ join-back") {
+    val p = plan("ev_session_overlap")
+    // the overlap count must NEVER materialize pairs: no theta join
+    // shapes, the O(#buckets) offset frame broadcasts, the final
+    // join-back is shuffled-hash
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(countLines(p, "SortMergeJoin") === 0, p)
+    assert(countLines(p, "BroadcastHashJoin") >= 1, p)
+    assert(countLines(p, "ShuffledHashJoin") >= 1, p)
+  }
+
   test("a15_value_histogram: one map-side-combined shuffle, nothing else") {
     val p = plan("a15_value_histogram")
     assert(p.contains("partial_"), p)
