@@ -97,4 +97,59 @@ object FileStatsIndex {
       .select("file").collect().map(_.getString(0)).toSeq.sorted
     (pruned, all)
   }
+
+  private def baseName(p: String): String = p.substring(p.lastIndexOf('/') + 1)
+
+  /** INCREMENTAL index maintenance — the ingest-loop shape. A full
+    * [[build]] re-reads the whole table on every append; refresh
+    * stats ONLY the files the index hasn't seen and drops rows for
+    * files that vanished (compaction, vacuum, GDPR rewrite). Indexed
+    * files are NEVER re-read — their stats rows pass through
+    * byte-identical (immutable-file semantics: a parquet data file
+    * never changes in place in any lake layout here; rewrites create
+    * new files). The file-set diff is an O(files) driver hop on
+    * BASENAMES (unique per directory, scheme-independent — listing
+    * URIs and `input_file_name` URIs differ in scheme spelling).
+    * Returns the number of newly indexed files.
+    */
+  def refresh(spark: SparkSession, tablePath: String,
+              cols: Seq[String]): Int = {
+    require(cols.nonEmpty, "need at least one column to index")
+    val p = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val listed = scala.collection.mutable.Map.empty[String, String]
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet"))
+        listed += f.getPath.getName -> f.getPath.toUri.toString
+    }
+    val existing = Tables.parquet(spark, indexPath(tablePath))
+      .localCheckpoint(true) // the swap below replaces the files this frame reads
+    val indexed = existing.select("file").collect()
+      .map(r => baseName(r.getString(0))).toSet
+    val newPaths = (listed.keySet -- indexed).toSeq.sorted.map(listed)
+    val removed = indexed -- listed.keySet
+    val kept =
+      if (removed.isEmpty) existing
+      else {
+        val rm = removed // stable reference for the closure-free filter
+        existing.filter(not(
+          regexp_extract(col("file"), "[^/]+$", 0)
+            .isin(rm.toSeq.sorted: _*)))
+      }
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) :+
+      count(lit(1)).as("n_rows")
+    val updated =
+      if (newPaths.isEmpty) kept
+      else kept.unionByName(
+        spark.read.parquet(newPaths: _*)
+          .select(cols.map(col): _*)
+          .groupBy(input_file_name().as("file"))
+          .agg(aggs.head, aggs.tail: _*))
+    graft.operators.Scd2.writeAtomic(updated.coalesce(1), indexPath(tablePath))
+    existing.unpersist(false)
+    newPaths.length
+  }
 }

@@ -246,6 +246,43 @@ class TablesSpec extends SparkSpec {
     assert(pruned2.length === all2.length)
   }
 
+  test("FileStatsIndex.refresh: appends stat only new files, removed rows drop, indexed files never re-read") {
+    import graft.sources.FileStatsIndex
+    val dir = tmp() + "/lake"
+    val li = Tables.table(spark, sfDir, "lineitem")
+    val lo = li.filter(col("l_orderkey") % 2 === 0)
+    val hi = li.filter(col("l_orderkey") % 2 =!= 0)
+    lo.repartition(4).write.parquet(dir)
+    FileStatsIndex.write(FileStatsIndex.build(spark, dir, Seq("l_orderkey")), dir)
+    val before = spark.read.parquet(FileStatsIndex.indexPath(dir)).collect()
+    assert(before.length === 4)
+    // append 4 more files, then CORRUPT one original file: a refresh
+    // that touched indexed files would crash on it
+    hi.repartition(4).write.mode("append").parquet(dir)
+    val victim = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .filter(f => before.exists(r => r.getString(
+        r.fieldIndex("file")).endsWith(f.getName))).head
+    java.nio.file.Files.write(victim.toPath, Array.fill[Byte](64)(0))
+    intercept[Exception] { // corruption is real: a full rebuild dies on it
+      FileStatsIndex.build(spark, dir, Seq("l_orderkey")).collect()
+    }
+    val added = FileStatsIndex.refresh(spark, dir, Seq("l_orderkey"))
+    assert(added === 4)
+    val after = spark.read.parquet(FileStatsIndex.indexPath(dir)).collect()
+    assert(after.length === 8)
+    // original rows pass through byte-identical (never re-read)
+    val fi = after.head.fieldIndex("file")
+    val afterByFile = after.map(r => r.getString(fi) -> r).toMap
+    before.foreach(r => assert(afterByFile(r.getString(fi)) === r))
+    // a file vanishing (compaction/vacuum) drops its row on refresh
+    assert(victim.delete())
+    assert(FileStatsIndex.refresh(spark, dir, Seq("l_orderkey")) === 0)
+    val finalRows = spark.read.parquet(FileStatsIndex.indexPath(dir)).collect()
+    assert(finalRows.length === 7)
+    assert(!finalRows.exists(_.getString(fi).endsWith(victim.getName)))
+  }
+
   test("compact with sortCols restores clustering that round-robin would destroy") {
     val dir = tmp() + "/clustered"
     val df = Tables.table(spark, sfDir, "orders")
