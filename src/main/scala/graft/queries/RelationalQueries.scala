@@ -961,6 +961,99 @@ object RelationalQueries {
         |                ELSE 0 END) AS BIGINT) AS n_clipped
         |FROM f, c GROUP BY l_returnflag""".stripMargin),
 
+    // ───── A20: RFM customer segmentation — recency/frequency/
+    // monetary quintile scores and the classic 3-digit segment code.
+    // The quintile assignment is the SCALE-SAFE form: a global
+    // ntile(5) is a single-partition window over every customer (one
+    // task owns the table); instead the four cutoffs per metric come
+    // from ONE exact-percentile aggregate (a11's interpolation,
+    // bit-matched cross-engine) broadcast back, and each score is
+    // pure comparison arithmetic at the scan. Monetary sums go
+    // through decimal; recency is integer day arithmetic against the
+    // corpus max date (parameter-free, reproducible).
+    "a20_rfm_segments" -> QueryDef.sql(
+      (s, dir) => {
+        val cust = t(s, dir, "orders")
+          .groupBy(col("o_custkey"))
+          .agg(max(to_date(col("o_orderdate"))).as("_last"),
+            count(lit(1)).as("frequency"),
+            sum(col("o_totalprice").cast("decimal(30,2)")).as("_mon"))
+        val mx = t(s, dir, "orders")
+          .agg(max(to_date(col("o_orderdate"))).as("_maxd"))
+        val c2 = cust.crossJoin(broadcast(mx))
+          .select(col("o_custkey"),
+            datediff(col("_maxd"), col("_last")).as("recency_days"),
+            col("frequency"),
+            col("_mon").cast("double").as("monetary"))
+        val cutExprs = Seq("recency_days", "frequency", "monetary").flatMap(m =>
+          Seq(20, 40, 60, 80).map(p =>
+            expr(s"percentile(CAST($m AS DOUBLE), 0.$p)").as(s"_${m.head}$p")))
+        val cuts = c2.agg(cutExprs.head, cutExprs.tail: _*)
+        def bucket(c: org.apache.spark.sql.Column, pfx: String) =
+          lit(1) + (c > col(s"_${pfx}20")).cast("int") +
+            (c > col(s"_${pfx}40")).cast("int") +
+            (c > col(s"_${pfx}60")).cast("int") +
+            (c > col(s"_${pfx}80")).cast("int")
+        c2.crossJoin(broadcast(cuts))
+          .select(col("o_custkey"), col("recency_days"), col("frequency"),
+            col("monetary"),
+            (lit(6) - bucket(col("recency_days").cast("double"), "r"))
+              .as("r_score"),
+            bucket(col("frequency").cast("double"), "f").as("f_score"),
+            bucket(col("monetary"), "m").as("m_score"))
+          .withColumn("segment",
+            col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+      },
+      """WITH cust AS (
+        |  SELECT o_custkey,
+        |         max(CAST(o_orderdate AS DATE)) AS last_d,
+        |         COUNT(*) AS frequency,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE)
+        |           AS monetary
+        |  FROM orders GROUP BY 1),
+        |mx AS (SELECT max(CAST(o_orderdate AS DATE)) AS maxd FROM orders),
+        |c2 AS (
+        |  SELECT o_custkey,
+        |         CAST(date_diff('day', last_d, mx.maxd) AS INTEGER)
+        |           AS recency_days,
+        |         frequency, monetary
+        |  FROM cust, mx),
+        |cuts AS (
+        |  SELECT
+        |    quantile_cont(CAST(recency_days AS DOUBLE), 0.2) AS r20,
+        |    quantile_cont(CAST(recency_days AS DOUBLE), 0.4) AS r40,
+        |    quantile_cont(CAST(recency_days AS DOUBLE), 0.6) AS r60,
+        |    quantile_cont(CAST(recency_days AS DOUBLE), 0.8) AS r80,
+        |    quantile_cont(CAST(frequency AS DOUBLE), 0.2) AS f20,
+        |    quantile_cont(CAST(frequency AS DOUBLE), 0.4) AS f40,
+        |    quantile_cont(CAST(frequency AS DOUBLE), 0.6) AS f60,
+        |    quantile_cont(CAST(frequency AS DOUBLE), 0.8) AS f80,
+        |    quantile_cont(monetary, 0.2) AS m20,
+        |    quantile_cont(monetary, 0.4) AS m40,
+        |    quantile_cont(monetary, 0.6) AS m60,
+        |    quantile_cont(monetary, 0.8) AS m80
+        |  FROM c2),
+        |sc AS (
+        |  SELECT o_custkey, recency_days, frequency, monetary,
+        |    6 - (1 + CAST(CAST(recency_days AS DOUBLE) > r20 AS INTEGER)
+        |           + CAST(CAST(recency_days AS DOUBLE) > r40 AS INTEGER)
+        |           + CAST(CAST(recency_days AS DOUBLE) > r60 AS INTEGER)
+        |           + CAST(CAST(recency_days AS DOUBLE) > r80 AS INTEGER))
+        |      AS r_score,
+        |    1 + CAST(CAST(frequency AS DOUBLE) > f20 AS INTEGER)
+        |      + CAST(CAST(frequency AS DOUBLE) > f40 AS INTEGER)
+        |      + CAST(CAST(frequency AS DOUBLE) > f60 AS INTEGER)
+        |      + CAST(CAST(frequency AS DOUBLE) > f80 AS INTEGER) AS f_score,
+        |    1 + CAST(monetary > m20 AS INTEGER)
+        |      + CAST(monetary > m40 AS INTEGER)
+        |      + CAST(monetary > m60 AS INTEGER)
+        |      + CAST(monetary > m80 AS INTEGER) AS m_score
+        |  FROM c2, cuts)
+        |SELECT o_custkey, recency_days, frequency, monetary,
+        |       r_score, f_score, m_score,
+        |       r_score * 100 + f_score * 10 + m_score AS segment
+        |FROM sc""".stripMargin),
+
     // ───── V8: SEASONAL outlier days — v06's z-score after removing
     // the day-of-week effect (retail/traffic revenue is weekly-
     // periodic; an un-detrended z flags every Saturday instead of

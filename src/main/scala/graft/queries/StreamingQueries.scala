@@ -149,6 +149,42 @@ object StreamingQueries {
         |         AS events_per_user
         |FROM events GROUP BY 1""".stripMargin),
 
+    // ───── DAU/MAU28 stickiness — the engagement ratio dashboards
+    // track. A windowed COUNT DISTINCT (28-day trailing users per
+    // day) has no algebraic window form; the scalable shape is the
+    // CONTRIBUTION EXPLODE over the (user, day) distinct layer: each
+    // active (user, day) row marks the user active for days d..d+27
+    // (×28 on the distinct layer — bounded), a second distinct
+    // collapses overlapping contributions, and MAU28 is then a plain
+    // per-day count. Two distinct shuffles + one bounded join — no
+    // per-day 28-day re-scan, no quadratic, at any event volume.
+    "ev_stickiness" -> QueryDef.sql(
+      (s, dir) => {
+        val ud = Tables.events(s, dir)
+          .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+        val mau = ud
+          .select(col("user_id"),
+            explode(sequence(col("day"), date_add(col("day"), 27))).as("wday"))
+          .distinct()
+          .groupBy(col("wday").as("day")).agg(count(lit(1)).as("mau28"))
+        val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+        dau.join(mau.hint("shuffle_hash"), Seq("day"))
+          .select(col("day"), col("dau"), col("mau28"),
+            round(col("dau").cast("double") / col("mau28").cast("double"), 4)
+              .as("stickiness"))
+      },
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |c AS (
+        |  SELECT DISTINCT user_id, day + CAST(x AS INTEGER) AS wday
+        |  FROM ud, generate_series(0, 27) AS t(x)),
+        |mau AS (SELECT wday, COUNT(*) AS mau28 FROM c GROUP BY 1),
+        |dau AS (SELECT day, COUNT(*) AS dau FROM ud GROUP BY 1)
+        |SELECT d.day, d.dau, m.mau28,
+        |       round(CAST(d.dau AS DOUBLE) / CAST(m.mau28 AS DOUBLE), 4)
+        |         AS stickiness
+        |FROM dau d JOIN mau m ON m.wday = d.day""".stripMargin),
+
     // ───── the DAU summary maintained INCREMENTALLY by the real
     // streaming engine (X63's foreachBatch MV loop): COUNT DISTINCT is
     // not algebraic — per-day (sum, count) state can't merge it — so

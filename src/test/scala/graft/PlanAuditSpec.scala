@@ -44,7 +44,9 @@ class PlanAuditSpec extends SparkSpec {
     "corpus_pps_sample" ->
       "1-row total-weight frame broadcast into the scan-side keep filter",
     "ta_pmi_pairs" ->
-      "1-row corpus-count frame broadcast into the C(V,2)-bounded lift table")
+      "1-row corpus-count frame broadcast into the C(V,2)-bounded lift table",
+    "a20_rfm_segments" ->
+      "1-row max-date and percentile-cutoff frames broadcast into the customer scan")
 
   test("no registered query hides an unlisted cartesian or nested-loop join") {
     GraftExtensions.register(spark)
