@@ -774,4 +774,96 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "cand_id", "cell", "approx_dist", "rank")
   }
+
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    * 1998): from a per-query candidate pool, greedily pick `outK`
+    * results maximizing `λ·rel(c) − (1−λ)·max_{s∈selected} sim(c,s)`
+    * — relevance WITH diversity, the re-rank step that stops a RAG
+    * retriever returning `outK` near-copies of the same passage.
+    *
+    * Scale shape: the pool is [[bruteForceTopK]]'s output (swap in
+    * any `ann_*` variant at scale) joined back to its vectors, then
+    * COLLAPSED to one row per query (poolK·dim doubles — bounded by
+    * config, not data), so the greedy loop is per-row array algebra:
+    * `outK` statically-unrolled steps, each a filter of un-picked
+    * candidates, an MMR score per candidate (max-similarity via a
+    * fixed-order zip_with/aggregate dot over UNIT vectors — the
+    * oracle replicates the exact fold order), and an argmax via
+    * `array_max` on a (mmr, −cand_id) struct (deterministic
+    * tie-break). Each step's state lands behind a
+    * [[graft.plans.NoInline]] fence — unfenced, every step re-inlines
+    * the whole previous step's expression tree (the documented
+    * 2^k blow-up). No shuffle after the pool collapse; the loop
+    * parallelizes per query.
+    *
+    * λ is integer percent so the literal reaching both engines is an
+    * exact IEEE double; scores round 6 dp before every comparison.
+    */
+  def mmrRerank(candidates: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, poolK: Int, outK: Int,
+                lambdaPct: Int = 50): DataFrame = {
+    require(outK >= 1 && poolK >= outK, s"need poolK >= outK >= 1; got $poolK, $outK")
+    require(lambdaPct >= 0 && lambdaPct <= 100, s"lambdaPct 0..100, got $lambdaPct")
+    ensureRegistered(candidates)
+    val spark = candidates.sparkSession
+    val lam = lambdaPct / 100.0
+    val pool = bruteForceTopK(candidates, queries, idCol, vecCol, poolK)
+    val withVecs = candidates
+      .select(col(idCol).as("cand_id"), col(vecCol).as("_cv"))
+      .join(broadcast(pool), Seq("cand_id"))
+      .withColumn("_n", l2Norm(col("_cv")))
+      .withColumn("_u", transform(col("_cv"), x => x.cast("double") / col("_n")))
+    val dotU = (a: Column, b: Column) =>
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    var df = withVecs.groupBy("query_id").agg(
+      sort_array(collect_list(struct(
+        col("rank"), col("cand_id"), col("cos_sim").as("rel"), col("_u"))))
+        .as("_c"))
+      .select(col("query_id"), col("_c"),
+        array().cast("array<bigint>").as("_picked"),
+        array().cast("array<array<double>>").as("_selv"),
+        array().cast("array<struct<pos:int,cand_id:bigint,rel:double,mmr:double>>")
+          .as("_out"))
+    (1 to outK).foreach { step =>
+      val rem = filter(col("_c"),
+        c => !array_contains(col("_picked"), c.getField("cand_id")))
+      val scored = transform(rem, c => {
+        val maxSim =
+          if (step == 1) lit(0.0)
+          else round(array_max(transform(col("_selv"),
+            sv => dotU(c.getField("_u"), sv))), 6)
+        struct(
+          round(lit(lam) * c.getField("rel") - lit(1.0 - lam) * maxSim, 6)
+            .as("mmr"),
+          (-c.getField("cand_id")).as("_negid"),
+          c.getField("cand_id").as("cand_id"),
+          c.getField("rel").as("rel"),
+          c.getField("_u").as("_u"))
+      })
+      // the argmax is evaluated EXACTLY ONCE per row into its own
+      // fenced column, and the state updates read the materialized
+      // struct. This is a CORRECTNESS constraint, not a perf nicety:
+      // referencing `array_max(scored)` from several projection
+      // columns plants copies of one higher-order-function tree that
+      // SHARE NamedLambdaVariable instances — measured here returning
+      // DIFFERENT picks for two copies in the same projection (the
+      // filter's lambda state cross-contaminated between copies).
+      // One copy per step also cuts the per-row cost 5×.
+      df = df
+        .select(col("query_id"), col("_c"), col("_picked"), col("_selv"),
+          col("_out"),
+          graft.plans.NoInline(spark, array_max(scored)).as("_best"))
+        .select(col("query_id"), col("_c"),
+          concat(col("_picked"), array(col("_best.cand_id"))).as("_picked"),
+          concat(col("_selv"), array(col("_best._u"))).as("_selv"),
+          concat(col("_out"), array(struct(
+            lit(step).as("pos"),
+            col("_best.cand_id").as("cand_id"),
+            col("_best.rel").as("rel"),
+            col("_best.mmr").as("mmr")))).as("_out"))
+    }
+    df.select(col("query_id"), explode(col("_out")).as("_o"))
+      .select(col("query_id"), col("_o.pos"), col("_o.cand_id"),
+        col("_o.rel"), col("_o.mmr"))
+  }
 }

@@ -1677,6 +1677,77 @@ object LlmQueries {
          |  FROM sc)
          |WHERE rank <= 10""".stripMargin),
 
+    // ───── MMR diversified re-ranking (Carbonell & Goldstein 1998)
+    // over the brute-force pool: 4 greedy picks maximizing
+    // λ·rel − (1−λ)·max-sim-to-selected — the re-rank that stops a
+    // RAG retriever returning four near-copies of one passage. The
+    // greedy loop is per-row array algebra over the collapsed
+    // per-query pool (each step behind a no_inline fence — unfenced,
+    // the expression tree doubles per step); unit-vector dots use
+    // the fixed-order fold both engines replicate bit-for-bit, and
+    // every comparison is on 6 dp-rounded scores with a −cand_id
+    // struct tie-break. The oracle unrolls the same 4 steps as
+    // pick/max-sim/filter CTE rounds.
+    "ret_mmr_rerank" -> QueryDef.sql(
+      (s, dir) => {
+        val e = emb(s, dir)
+        Similarity.mmrRerank(e, e.filter(col("vec_id") < 3),
+          "vec_id", "embedding", poolK = 15, outK = 4, lambdaPct = 50)
+      },
+      {
+        val dotSql = (a: String, b: String) =>
+          s"list_aggregate([$a[i] * $b[i] for i in generate_series(1, 64)], 'sum')"
+        val steps = (2 to 4).map { j =>
+          val prev = (1 until j).map(i => s"SELECT query_id, cand_id, u FROM b$i")
+            .mkString("\n  UNION ALL ")
+          s"""pk$j AS (
+             |  $prev),
+             |ms$j AS (
+             |  SELECT pl.query_id, pl.cand_id,
+             |         round(MAX(${dotSql("pl.u", "b.u")}), 6) AS msim
+             |  FROM pool pl JOIN pk$j b USING (query_id)
+             |  GROUP BY 1, 2),
+             |r$j AS (
+             |  SELECT pl.query_id, pl.cand_id, pl.rel, pl.u,
+             |         round(0.5 * pl.rel - 0.5 * m.msim, 6) AS mmr
+             |  FROM pool pl
+             |  JOIN ms$j m ON m.query_id = pl.query_id AND m.cand_id = pl.cand_id
+             |  LEFT JOIN pk$j x ON x.query_id = pl.query_id AND x.cand_id = pl.cand_id
+             |  WHERE x.cand_id IS NULL),
+             |b$j AS (
+             |  SELECT query_id, cand_id, rel, u, mmr FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY query_id
+             |                ORDER BY mmr DESC, cand_id) AS rn FROM r$j)
+             |  WHERE rn = 1)""".stripMargin
+        }.mkString(",\n")
+        val out = (1 to 4).map(j =>
+          s"SELECT query_id, $j AS pos, cand_id, rel, mmr FROM b$j")
+          .mkString("\nUNION ALL ")
+        s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3),
+           |c AS (SELECT vec_id AS cand_id, embedding AS cv FROM embeddings),
+           |sc AS (
+           |  SELECT query_id, cand_id, round(${cosineSql("qv", "cv")}, 6) AS rel, cv
+           |  FROM c, q WHERE query_id <> cand_id),
+           |pool AS (
+           |  SELECT query_id, cand_id, rel,
+           |    [CAST(cv[i] AS DOUBLE)
+           |       / sqrt(list_aggregate([CAST(cv[j] AS DOUBLE) * CAST(cv[j] AS DOUBLE)
+           |                              for j in generate_series(1, 64)], 'sum'))
+           |     for i in generate_series(1, 64)] AS u
+           |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+           |              ORDER BY rel DESC, cand_id) AS rn FROM sc)
+           |  WHERE rn <= 15),
+           |b1 AS (
+           |  SELECT query_id, cand_id, rel, u,
+           |         round(0.5 * rel - 0.5 * 0.0, 6) AS mmr FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY query_id
+           |                ORDER BY round(0.5 * rel - 0.5 * 0.0, 6) DESC, cand_id) AS rn
+           |    FROM pool)
+           |  WHERE rn = 1),
+           |$steps
+           |$out""".stripMargin
+      }),
+
     // ───── int8-quantized brute-force top-k: the ANN memory-scale
     // path (1 byte/dim at rest, 4× smaller than float32; max-abs
     // scale cancels in cosine so scoring never dequantizes). The

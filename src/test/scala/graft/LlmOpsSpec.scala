@@ -1404,6 +1404,42 @@ class LlmOpsSpec extends SparkSpec {
     assert(bad === 0)
   }
 
+  test("mmrRerank: diversity demotes the near-copy; λ=100 degenerates to relevance order") {
+    import graft.operators.Similarity
+    // query 0 = e1; candidates: 10/11 both ≈ e1 (near-copies of each
+    // other), 12 = diagonal-ish (less relevant, diverse)
+    def v(parts: (Int, Double)*): Seq[Float] = {
+      val a = Array.fill(64)(0.001f)
+      parts.foreach { case (i, x) => a(i) = x.toFloat }
+      a.toSeq
+    }
+    val d = Seq(
+      (0L, v(0 -> 1.0)),                 // the query
+      (10L, v(0 -> 1.0, 1 -> 0.05)),     // near-copy A (most relevant)
+      (11L, v(0 -> 1.0, 1 -> 0.06)),     // near-copy B (≈ A)
+      (12L, v(0 -> 0.6, 5 -> 0.8))       // diverse, lower relevance
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.mmrRerank(d.filter($"vec_id" > 0), d.filter($"vec_id" === 0),
+        "vec_id", "embedding", poolK = 3, outK = 3, lambdaPct = 50)
+      .orderBy("pos").collect().map(_.getLong(2))
+    // pick 1 = most relevant near-copy; pick 2 must be the DIVERSE
+    // candidate, not the other near-copy
+    assert(out(0) === 10L, out.mkString(","))
+    assert(out(1) === 12L, out.mkString(","))
+    assert(out(2) === 11L, out.mkString(","))
+    // λ = 100: pure relevance — near-copies first
+    val rel = Similarity.mmrRerank(d.filter($"vec_id" > 0), d.filter($"vec_id" === 0),
+        "vec_id", "embedding", poolK = 3, outK = 3, lambdaPct = 100)
+      .orderBy("pos").collect().map(_.getLong(2))
+    assert(rel.toSeq === Seq(10L, 11L, 12L), rel.mkString(","))
+    // repartition invariance (the collapsed pool row is a pure
+    // function of the candidate set)
+    val shuffled = Similarity.mmrRerank(d.filter($"vec_id" > 0).repartition(5),
+        d.filter($"vec_id" === 0), "vec_id", "embedding", 3, 3, 50)
+      .orderBy("pos").collect().map(_.getLong(2))
+    assert(shuffled.toSeq === out.toSeq)
+  }
+
   test("ppsSample: expected size ≈ k, certain rows kept, repartition/seed behavior") {
     import graft.operators.Sampling
     val base = Sampling.ppsSample(docs, "doc_id", "n_chars", expectK = 50, seed = "pps9")

@@ -46,7 +46,9 @@ class PlanAuditSpec extends SparkSpec {
     "ta_pmi_pairs" ->
       "1-row corpus-count frame broadcast into the C(V,2)-bounded lift table",
     "a20_rfm_segments" ->
-      "1-row max-date and percentile-cutoff frames broadcast into the customer scan")
+      "1-row max-date and percentile-cutoff frames broadcast into the customer scan",
+    "ret_mmr_rerank" ->
+      "pools via the allowlisted exhaustive ANN baseline (queries broadcast); the greedy loop itself is per-row")
 
   test("no registered query hides an unlisted cartesian or nested-loop join") {
     GraftExtensions.register(spark)
