@@ -1054,6 +1054,60 @@ object RelationalQueries {
         |       r_score * 100 + f_score * 10 + m_score AS segment
         |FROM sc""".stripMargin),
 
+    // ───── A21: Pareto/ABC supplier classification — cumulative
+    // revenue share over suppliers ranked desc, class A ≤ 80%,
+    // B ≤ 95%, C above. The cumulative window runs over the
+    // AGGREGATED supplier frame (bounded by entity count, never fact
+    // rows) — the one place an unpartitioned running sum is the
+    // right call at 100 TB. Shares are integer basis points from
+    // decimal sums (floor division against the decimal total) so the
+    // class boundaries are exact cross-engine — a double cumsum
+    // would drift with partitioning.
+    "a21_abc_analysis" -> QueryDef.sql(
+      (s, dir) => {
+        val sup = t(s, dir, "lineitem")
+          .groupBy(col("l_suppkey"))
+          .agg(sum(col("l_extendedprice").cast("decimal(30,2)")).as("_rev"))
+          // integer CENTS for the share arithmetic: DuckDB's // on
+          // DECIMAL operands is not exact integral division (measured
+          // one-bp boundary flips); BIGINT // BIGINT is, both engines
+          .withColumn("_rc", (col("_rev") * 100).cast("long"))
+        val total = sup.agg(sum(col("_rc")).as("_tot"))
+        val w = Window.orderBy(col("_rev").desc, col("l_suppkey").asc)
+          .rowsBetween(Window.unboundedPreceding, 0)
+        sup.crossJoin(broadcast(total))
+          .select(col("l_suppkey"), col("_rev"), col("_tot"),
+            sum(col("_rc")).over(w).as("_cum"))
+          .select(col("l_suppkey"),
+            col("_rev").cast("double").as("revenue"),
+            expr("(10000L * _cum) DIV _tot").as("cum_share_bp"))
+          .withColumn("abc_class",
+            when(col("cum_share_bp") <= 8000, "A")
+              .when(col("cum_share_bp") <= 9500, "B")
+              .otherwise("C"))
+      },
+      """WITH sup AS (
+        |  SELECT l_suppkey,
+        |         SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS rev,
+        |         CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))) * 100 AS BIGINT)
+        |           AS rc
+        |  FROM lineitem GROUP BY 1),
+        |t AS (SELECT SUM(rc) AS tot FROM sup),
+        |c AS (
+        |  SELECT l_suppkey, rev, tot,
+        |         SUM(rc) OVER (ORDER BY rev DESC, l_suppkey
+        |                       ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM sup, t),
+        |b AS (
+        |  SELECT l_suppkey, CAST(rev AS DOUBLE) AS revenue,
+        |         CAST((10000 * cum) // tot AS BIGINT) AS cum_share_bp
+        |  FROM c)
+        |SELECT l_suppkey, revenue, cum_share_bp,
+        |       CASE WHEN cum_share_bp <= 8000 THEN 'A'
+        |            WHEN cum_share_bp <= 9500 THEN 'B'
+        |            ELSE 'C' END AS abc_class
+        |FROM b""".stripMargin),
+
     // ───── V8: SEASONAL outlier days — v06's z-score after removing
     // the day-of-week effect (retail/traffic revenue is weekly-
     // periodic; an un-detrended z flags every Saturday instead of

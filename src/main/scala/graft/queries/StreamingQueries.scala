@@ -149,6 +149,43 @@ object StreamingQueries {
         |         AS events_per_user
         |FROM events GROUP BY 1""".stripMargin),
 
+    // ───── event-type transition matrix — P(next type | type) per
+    // user-ordered event stream, the Markov view funnels summarize.
+    // One window per user partition (lead over (ts, event_id) — the
+    // id tiebreak makes simultaneous events deterministic), one
+    // count shuffle bounded by |types|²; probability as integer ppm
+    // via floor division (exact cross-engine; a double ratio is one
+    // division and would also match, but ppm keeps the matrix
+    // directly comparable/sortable as integers).
+    "ev_transition_matrix" -> QueryDef.sql(
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val pairs = Tables.events(s, dir)
+          .select(col("user_id"), col("event_type"),
+            lead(col("event_type"), 1).over(w).as("next_type"))
+          .filter(col("next_type").isNotNull)
+          .groupBy(col("event_type"), col("next_type"))
+          .agg(count(lit(1)).as("n"))
+        val totals = pairs.groupBy(col("event_type"))
+          .agg(sum(col("n")).as("_tot"))
+        pairs.join(totals.hint("shuffle_hash"), Seq("event_type"))
+          .select(col("event_type"), col("next_type"), col("n"),
+            expr("CAST((1000000 * n) DIV _tot AS BIGINT)").as("p_ppm"))
+      },
+      """WITH p AS (
+        |  SELECT event_type,
+        |         lead(event_type) OVER (PARTITION BY user_id
+        |                                ORDER BY ts, event_id) AS next_type
+        |  FROM events),
+        |c AS (
+        |  SELECT event_type, next_type, COUNT(*) AS n
+        |  FROM p WHERE next_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT event_type, SUM(n) AS tot FROM c GROUP BY 1)
+        |SELECT c.event_type, c.next_type, c.n,
+        |       CAST((1000000 * c.n) // t.tot AS BIGINT) AS p_ppm
+        |FROM c JOIN t USING (event_type)""".stripMargin),
+
     // ───── DAU/MAU28 stickiness — the engagement ratio dashboards
     // track. A windowed COUNT DISTINCT (28-day trailing users per
     // day) has no algebraic window form; the scalable shape is the

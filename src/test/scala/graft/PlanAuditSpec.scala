@@ -48,7 +48,9 @@ class PlanAuditSpec extends SparkSpec {
     "a20_rfm_segments" ->
       "1-row max-date and percentile-cutoff frames broadcast into the customer scan",
     "ret_mmr_rerank" ->
-      "pools via the allowlisted exhaustive ANN baseline (queries broadcast); the greedy loop itself is per-row")
+      "pools via the allowlisted exhaustive ANN baseline (queries broadcast); the greedy loop itself is per-row",
+    "a21_abc_analysis" ->
+      "1-row revenue-total frame broadcast into the supplier-bounded cumulative frame")
 
   test("no registered query hides an unlisted cartesian or nested-loop join") {
     GraftExtensions.register(spark)
