@@ -2611,6 +2611,40 @@ object LlmQueries {
         |  AND l_shipdate < TIMESTAMP '1997-01-01'
         |GROUP BY 1""".stripMargin),
 
+    // ───── composed OPTIMIZE: 64-small-file landing → compact
+    // clustered on l_shipdate → stats-index rebuild → pruned
+    // year-slice aggregate THROUGH the fresh index. One query walks
+    // the whole nightly-maintenance path; the oracle (the same
+    // aggregate from the raw table) breaks if compaction loses or
+    // duplicates a single row OR the rebuilt index prunes unsoundly.
+    // TablesSpec pins the audit-frame side (file counts shrink, row
+    // count preserved).
+    "gov_lake_maintenance" -> QueryDef.sql(
+      (s, dir) => {
+        val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_maint_" +
+          Integer.toHexString(dir.hashCode)
+        Tables.deletePath(s, tmp)
+        Tables.table(s, dir, "lineitem").repartition(64)
+          .write.parquet(tmp)
+        Tables.maintain(s, tmp, targetFileBytes = 1L << 20,
+          sortCols = Seq("l_shipdate"))
+        val lo = lit("1998-01-01").cast("timestamp")
+        val hi = lit("1999-01-01").cast("timestamp")
+        FileStatsIndex.prunedRead(s, tmp, "l_shipdate", lo, hi)
+          .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+          .groupBy(col("l_linestatus"))
+          .agg(count(lit(1)).as("n_rows"),
+            graft.functions.Functions.exactSum(col("l_extendedprice"))
+              .as("sum_price"))
+      },
+      """SELECT l_linestatus, COUNT(*) AS n_rows,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE)
+        |         AS sum_price
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+        |  AND l_shipdate < TIMESTAMP '1999-01-01'
+        |GROUP BY 1""".stripMargin),
+
     // ───── one-row corpus datasheet (the "Datasheets for Datasets"
     // summary, Gebru et al. 2018 arXiv:1803.09010, with WIMBD-style
     // measured stats): docs, langs, sources, total words, Gopher pass

@@ -283,6 +283,49 @@ object Tables {
     n
   }
 
+  /** OPTIMIZE-style lake maintenance in one call — the nightly job
+    * every lakehouse runs: compact small files into target-sized
+    * ones CLUSTERED on `sortCols` ([[compact]]'s range-partition +
+    * in-partition sort path), rebuild the min/max skipping index
+    * over `statsCols` ([[FileStatsIndex]] — a rewrite invalidates
+    * every old file, so rebuild, not refresh), and return a one-row
+    * AUDIT frame: file/byte counts before and after plus the row
+    * count — the row count read from the fresh stats index, not
+    * another table scan. Every number is fs metadata or a frame the
+    * maintenance already built; the data itself is read once
+    * (compaction) and written once.
+    */
+  def maintain(spark: SparkSession, path: String,
+               targetFileBytes: Long = 128L << 20,
+               sortCols: Seq[String] = Nil,
+               statsCols: Seq[String] = Nil): DataFrame = {
+    def footprint(): (Long, Long) = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      var bytes = 0L; var files = 0L
+      val it = fs.listFiles(p, true)
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet")) { bytes += f.getLen; files += 1 }
+      }
+      (files, bytes)
+    }
+    val (filesBefore, bytesBefore) = footprint()
+    compact(spark, path, targetFileBytes, sortCols)
+    val idxCols = if (statsCols.nonEmpty) statsCols else sortCols
+    val rows: Long =
+      if (idxCols.nonEmpty) {
+        FileStatsIndex.write(FileStatsIndex.build(spark, path, idxCols), path)
+        parquet(spark, FileStatsIndex.indexPath(path))
+          .agg(org.apache.spark.sql.functions.sum("n_rows")).head.getLong(0)
+      } else parquet(spark, path).count()
+    val (filesAfter, bytesAfter) = footprint()
+    import spark.implicits._
+    Seq((filesBefore, filesAfter, bytesBefore, bytesAfter, rows))
+      .toDF("n_files_before", "n_files_after",
+        "bytes_before", "bytes_after", "n_rows")
+  }
+
   /** Recursive path delete through the Hadoop fs (works for local
     * temp artifacts and any lake filesystem alike) — the one shared
     * cleanup helper, so scratch-dir lifecycles never hand-roll

@@ -283,6 +283,25 @@ class TablesSpec extends SparkSpec {
     assert(!finalRows.exists(_.getString(fi).endsWith(victim.getName)))
   }
 
+  test("maintain: compacts + clusters + rebuilds the index; audit numbers honest") {
+    import graft.sources.FileStatsIndex
+    val dir = tmp() + "/lake"
+    val li = Tables.table(spark, sfDir, "lineitem")
+    li.repartition(32).write.parquet(dir)
+    val audit = Tables.maintain(spark, dir, targetFileBytes = 512L << 20,
+      sortCols = Seq("l_shipdate")).head()
+    assert(audit.getAs[Long]("n_files_before") === 32L)
+    assert(audit.getAs[Long]("n_files_after") < 32L)
+    assert(audit.getAs[Long]("n_rows") === li.count())
+    assert(audit.getAs[Long]("bytes_after") < audit.getAs[Long]("bytes_before"))
+    // the rebuilt index covers exactly the post-compaction files and
+    // prunes a narrow slice (clustering restored by the maintenance)
+    val stats = spark.read.parquet(FileStatsIndex.indexPath(dir)).collect()
+    assert(stats.length === audit.getAs[Long]("n_files_after"))
+    val after = spark.read.parquet(dir)
+    assert(after.exceptAll(li).isEmpty && li.exceptAll(after).isEmpty)
+  }
+
   test("compact with sortCols restores clustering that round-robin would destroy") {
     val dir = tmp() + "/clustered"
     val df = Tables.table(spark, sfDir, "orders")
