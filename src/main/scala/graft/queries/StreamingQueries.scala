@@ -186,6 +186,57 @@ object StreamingQueries {
         |       CAST((1000000 * c.n) // t.tot AS BIGINT) AS p_ppm
         |FROM c JOIN t USING (event_type)""".stripMargin),
 
+    // ───── the STREAMING twin of ev_transition_matrix: transition
+    // counts maintained incrementally across event-time-ordered
+    // batches. Unlike the algebraic MVs, a transition pair straddles
+    // ROWS — and at batch boundaries, BATCHES — so the state carries
+    // the count matrix PLUS each user's last-event frontier in ONE
+    // atomically-swapped frame (counts without the matching frontier
+    // would double-count boundary pairs on restart). The feed splits
+    // by ts terciles (append arrival); oracle = the one-shot batch
+    // SQL, so every boundary stitch must be exact.
+    "mv_stream_transitions" -> QueryDef.sql(
+      (s, dir) => {
+        import graft.streaming.DimensionStream
+        val root = s"${System.getProperty("java.io.tmpdir")}/graft_mv_tr_" +
+          Integer.toHexString(dir.hashCode)
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(root), true)
+        val ev = Tables.events(s, dir)
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        val cuts = ev.agg(
+          expr("percentile(CAST(unix_micros(ts) AS DOUBLE), 0.34)"),
+          expr("percentile(CAST(unix_micros(ts) AS DOUBLE), 0.67)"))
+          .head()
+        val (c1, c2) = (cuts.getDouble(0), cuts.getDouble(1))
+        val us = unix_micros(col("ts")).cast("double")
+        Seq(us <= c1, us > c1 && us <= c2, us > c2).zipWithIndex.foreach {
+          case (p, i) => DimensionStream.writeFeedFile(ev.filter(p),
+            s"$root/feed", s"batch_$i", 1700000000000L + i * 60000L)
+        }
+        val state = DimensionStream.transitionMergeAvailableNow(
+          s, s"$root/feed", s"$root/state", queryName = "mv_stream_transitions")
+        val cnt = state.filter(col("_kind") === "cnt")
+          .select("event_type", "next_type", "n")
+        val totals = cnt.groupBy(col("event_type")).agg(sum(col("n")).as("_tot"))
+        cnt.join(totals.hint("shuffle_hash"), Seq("event_type"))
+          .select(col("event_type"), col("next_type"), col("n"),
+            expr("CAST((1000000 * n) DIV _tot AS BIGINT)").as("p_ppm"))
+      },
+      """WITH p AS (
+        |  SELECT event_type,
+        |         lead(event_type) OVER (PARTITION BY user_id
+        |                                ORDER BY ts, event_id) AS next_type
+        |  FROM events),
+        |c AS (
+        |  SELECT event_type, next_type, COUNT(*) AS n
+        |  FROM p WHERE next_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT event_type, SUM(n) AS tot FROM c GROUP BY 1)
+        |SELECT c.event_type, c.next_type, c.n,
+        |       CAST((1000000 * c.n) // t.tot AS BIGINT) AS p_ppm
+        |FROM c JOIN t USING (event_type)""".stripMargin),
+
     // ───── DAU/MAU28 stickiness — the engagement ratio dashboards
     // track. A windowed COUNT DISTINCT (28-day trailing users per
     // day) has no algebraic window form; the scalable shape is the

@@ -181,6 +181,118 @@ object DimensionStream {
     spark.read.parquet(statePath)
   }
 
+  /** Streaming EVENT-TRANSITION-MATRIX materialized view — the
+    * stateful-increment tier above the algebraic MVs: transition
+    * counts are NOT a per-row aggregate (the pair (type → next_type)
+    * straddles rows, and at a batch boundary it straddles BATCHES),
+    * so the state carries two parts in ONE frame:
+    *
+    *  - `_kind = 'cnt'`: the (event_type, next_type) count matrix —
+    *    sum-mergeable across batches;
+    *  - `_kind = 'frontier'`: each user's LAST event (ts, event_id,
+    *    type) — the cross-batch stitch. Each batch contributes its
+    *    within-batch transitions (lead over (ts, event_id) per user)
+    *    plus one boundary transition per user: frontier → the
+    *    batch's first event.
+    *
+    * One frame means ONE [[Scd2.writeAtomic]] per batch: counts,
+    * frontier, and the batchId replay-guard sidecar commit in the
+    * same rename — a crash can never persist counts without the
+    * matching frontier (two separate writes could, and the boundary
+    * transitions would then double-count on restart).
+    *
+    * CONTRACT: feed batches must be event-time ordered per user
+    * (append arrival — the streaming case). The boundary stitch only
+    * fires when frontier < the batch's first event (guarded), and
+    * the frontier always advances to the max (ts, event_id), so an
+    * out-of-order feed degrades to dropped boundary pairs rather
+    * than corrupted counts. State size: |types|² + one row per user.
+    */
+  def transitionMergeAvailableNow(spark: SparkSession, feedDir: String,
+                                  statePath: String,
+                                  queryName: String = "mv_transitions"): DataFrame = {
+    val schema = spark.read.parquet(feedDir).schema
+    val feed = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(feedDir)
+    val q = feed.writeStream
+      .outputMode("update")
+      .queryName(queryName)
+      .option("checkpointLocation", s"$statePath.checkpoint")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val lastApplied = Scd2.readSidecar(spark, statePath, "_last_batch_id")
+          .map(_.trim.toLong).getOrElse(-1L)
+        if (batchId > lastApplied && !batch.isEmpty) {
+          import org.apache.spark.sql.expressions.Window
+          val fs = new org.apache.hadoop.fs.Path(statePath)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val prev =
+            if (fs.exists(new org.apache.hadoop.fs.Path(statePath)))
+              Some(spark.read.parquet(statePath))
+            else None
+          val prevCnt = prev.map(_.filter(col("_kind") === "cnt")
+            .select("event_type", "next_type", "n"))
+          val frontier = prev.map(_.filter(col("_kind") === "frontier")
+            .select(col("user_id"), col("last_ts"), col("last_eid"),
+              col("last_type")))
+          val ev = batch.select(col("user_id"), col("ts"),
+            col("event_id"), col("event_type"))
+          val w = Window.partitionBy(col("user_id"))
+            .orderBy(col("ts"), col("event_id"))
+          val within = ev
+            .withColumn("next_type", lead(col("event_type"), 1).over(w))
+            .filter(col("next_type").isNotNull)
+            .groupBy(col("event_type"), col("next_type"))
+            .agg(count(lit(1)).as("n"))
+          val firsts = ev.withColumn("_rn", row_number().over(w))
+            .filter(col("_rn") === 1).drop("_rn")
+          val boundary = frontier.map(f => firsts
+            .join(f.hint("shuffle_hash"), Seq("user_id"))
+            .filter(col("last_ts") < col("ts") ||
+              (col("last_ts") === col("ts") && col("last_eid") < col("event_id")))
+            .groupBy(col("last_type").as("event_type"),
+              col("event_type").as("next_type"))
+            .agg(count(lit(1)).as("n")))
+          val deltas = boundary.map(within.unionByName(_)).getOrElse(within)
+          val mergedCnt = prevCnt.map(_.unionByName(deltas)).getOrElse(deltas)
+            .groupBy("event_type", "next_type").agg(sum(col("n")).as("n"))
+          val lasts = ev
+            .withColumn("_rn", row_number().over(
+              Window.partitionBy(col("user_id"))
+                .orderBy(col("ts").desc, col("event_id").desc)))
+            .filter(col("_rn") === 1)
+            .select(col("user_id"), col("ts").as("last_ts"),
+              col("event_id").as("last_eid"), col("event_type").as("last_type"))
+          val newFrontier = frontier.map(_.unionByName(lasts)).getOrElse(lasts)
+            .withColumn("_rn", row_number().over(
+              Window.partitionBy(col("user_id"))
+                .orderBy(col("last_ts").desc, col("last_eid").desc)))
+            .filter(col("_rn") === 1).drop("_rn")
+          val state = mergedCnt
+            .select(lit("cnt").as("_kind"), col("event_type"),
+              col("next_type"), col("n"),
+              lit(null).cast("bigint").as("user_id"),
+              lit(null).cast("timestamp").as("last_ts"),
+              lit(null).cast("bigint").as("last_eid"),
+              lit(null).cast("string").as("last_type"))
+            .unionByName(newFrontier.select(
+              lit("frontier").as("_kind"),
+              lit(null).cast("string").as("event_type"),
+              lit(null).cast("string").as("next_type"),
+              lit(null).cast("bigint").as("n"),
+              col("user_id"), col("last_ts"), col("last_eid"),
+              col("last_type")))
+          Scd2.writeAtomic(state, statePath,
+            sidecar = Map("_last_batch_id" -> batchId.toString))
+        }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(statePath)
+  }
+
   /** Write one CDC feed file (single parquet file, explicit
     * modification time so the file source's modTime ordering replays
     * batches deterministically).

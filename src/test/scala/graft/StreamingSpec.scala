@@ -389,6 +389,45 @@ class StreamingSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("streaming MV (stateful stitch): transition matrix resumes across restarts to the one-shot counts") {
+    import graft.streaming.DimensionStream
+    val ev = Tables.events(spark, sfDir)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+    val root = java.nio.file.Files.createTempDirectory("mvtr").toString
+    // ts-ordered halves (the append-arrival contract the boundary
+    // stitch requires)
+    val cut = ev.agg(expr("percentile(CAST(unix_micros(ts) AS DOUBLE), 0.5)"))
+      .head().getDouble(0)
+    val us = unix_micros($"ts").cast("double")
+    // phase 1: first half only, run to completion (stop/crash)
+    DimensionStream.writeFeedFile(
+      ev.filter(us <= cut), s"$root/feed", "b0", 1700000000000L)
+    DimensionStream.transitionMergeAvailableNow(spark, s"$root/feed",
+      s"$root/state", queryName = "spec_mv_tr_1")
+    // frontier must exist after phase 1 — one row per phase-1 user
+    val st1 = spark.read.parquet(s"$root/state")
+    assert(st1.filter($"_kind" === "frontier").count() ===
+      ev.filter(us <= cut).select("user_id").distinct().count())
+    // phase 2: second half lands; RESTART on the same checkpoint —
+    // boundary pairs (last of phase 1 → first of phase 2 per user)
+    // must stitch exactly once
+    DimensionStream.writeFeedFile(
+      ev.filter(us > cut), s"$root/feed", "b1", 1700000060000L)
+    val resumed = DimensionStream.transitionMergeAvailableNow(spark,
+      s"$root/feed", s"$root/state", queryName = "spec_mv_tr_2")
+    val got = resumed.filter($"_kind" === "cnt")
+      .select("event_type", "next_type", "n")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val expected = ev
+      .withColumn("next_type", lead($"event_type", 1).over(w))
+      .filter($"next_type".isNotNull)
+      .groupBy("event_type", "next_type").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got === expected)
+  }
+
   test("streaming MV (distinct layer): DAU resumes across restarts to the one-shot answer") {
     import graft.streaming.DimensionStream
     val ev = Tables.events(spark, sfDir)
