@@ -124,9 +124,20 @@ object TextAnalysis {
     * is codegen'd.
     */
   def luhnCcDetect(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val cands = filter(
-      regexp_extract_all(col(textCol), lit("\\d+"), lit(0)),
-      c => length(c) >= 13 && length(c) <= 19)
+    val spark = df.sparkSession
+    // X89 hazard class: `size(cands)` and `size(filter(cands, …))` as
+    // sibling projection columns would plant two COPIES of the
+    // candidate-filter HOF tree, whose lambdas can share
+    // NamedLambdaVariable state and silently disagree within one row
+    // (the measured mmrRerank failure mode). Materialize the
+    // candidate array EXACTLY ONCE into its own fenced column; both
+    // siblings then read the attribute, not copies of the tree.
+    val prepped = df.select(
+      col(idCol), col(textCol),
+      graft.plans.NoInline(spark, filter(
+        regexp_extract_all(col(textCol), lit("\\d+"), lit(0)),
+        c => length(c) >= 13 && length(c) <= 19)).as("_cands"))
+    val cands = col("_cands")
     val luhnOk = (c: Column) =>
       aggregate(
         sequence(lit(1), length(c)),
@@ -137,7 +148,7 @@ object TextAnalysis {
             when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
           acc + dd
         }) % 10 === 0
-    df.select(
+    prepped.select(
       col(idCol),
       size(cands).as("n_cc_candidates"),
       size(filter(cands, luhnOk)).as("n_cc_valid"),
@@ -174,9 +185,19 @@ object TextAnalysis {
         array_sort(wordTokens(col(textCol)))).as("_sorted"))
     val sorted = col("_sorted")
     val n = size(sorted)
-    // 1-based indices where a sorted equal-run ends
-    val ends = filter(sequence(lit(1), n), i =>
-      (i === n) || (element_at(sorted, i) =!= element_at(sorted, i + 1)))
+    // X89 hazard class: the equal-run-ends filter tree was referenced
+    // by BOTH the entropy fold and `size(ends)` as sibling projection
+    // columns — copies of one HOF tree whose lambdas can share
+    // NamedLambdaVariable state and disagree within one row (the
+    // measured mmrRerank failure mode). Materialize the ends array
+    // EXACTLY ONCE into its own fenced column; the fold and the size
+    // then read the attribute, not tree copies.
+    val staged = prepped.select(col(idCol), sorted,
+      graft.plans.NoInline(spark,
+        filter(sequence(lit(1), n), i =>
+          (i === n) || (element_at(sorted, i) =!= element_at(sorted, i + 1))))
+        .as("_ends"))
+    val ends = col("_ends")
     val h = aggregate(
       ends,
       struct(lit(0).as("prev"), lit(0.0).as("acc")),
@@ -184,7 +205,7 @@ object TextAnalysis {
         val p = (e - st.getField("prev")).cast("double") / n.cast("double")
         struct(e.as("prev"), (st.getField("acc") + p * log(p)).as("acc"))
       }).getField("acc")
-    prepped.select(
+    staged.select(
       col(idCol),
       n.as("n_tokens"),
       size(ends).as("n_distinct_tokens"),
