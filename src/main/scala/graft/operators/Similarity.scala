@@ -486,10 +486,21 @@ object Similarity {
     * cosine to their OWN centroid; the most prototypical (closest)
     * examples carry the least training signal at large data scale, so
     * drop the top `prunePct` percent per cell (floor, so small cells
-    * under-prune rather than empty out). The per-cell window is
-    * bounded by the cell population (k is the lever, as in
-    * [[semDedup]]); ranking is deterministic cross-engine via the
-    * 6 dp-rounded cosine with id tiebreak.
+    * under-prune rather than empty out). Ranking is deterministic
+    * cross-engine via the 6 dp-rounded cosine with id tiebreak.
+    *
+    * Scale shape (the de-cliffed form — semantics unchanged): a naive
+    * per-cell `row_number` window sorts each of the k cells in ONE
+    * task, so with k fixed the hot partition grows linearly with the
+    * corpus (30× sweep measured ratio 2.07). Instead the rank
+    * threshold is derived from the per-(cell, cos) HISTOGRAM — ≤
+    * 2,000,001 rows per cell by the 6 dp rounding, a hard bound
+    * INDEPENDENT of corpus size — so the only windows are (a) a
+    * running sum over that bounded histogram and (b) an id rank
+    * inside (cell, cos) tie-groups, whose partitions are tie-sized,
+    * never cell-sized. The corpus itself is shuffled exactly once (on
+    * the (cell, cos) key the verdict join and the tie-rank window
+    * share).
     *
     * Output: one row per input vector —
     * `(vec_id, cell_id, centroid_cos, keep)`.
@@ -501,14 +512,32 @@ object Similarity {
       s"prunePct must be 0..100, got $prunePct")
     ensureRegistered(df)
     val cells = corpusCells(df, idCol, vecCol, k, iters, samplePct)
-    val w = Window.partitionBy(col("cell_id"))
-      .orderBy(col("centroid_cos").desc, col("vec_id").asc)
-    val cw = Window.partitionBy(col("cell_id"))
-    cells
-      .withColumn("_rn", row_number().over(w))
-      .withColumn("_cnt", count(lit(1)).over(cw))
+      .select("vec_id", "cell_id", "centroid_cos")
+    // one row per distinct (cell, cos) — map-side combined, bounded
+    val hist = cells.groupBy("cell_id", "centroid_cos")
+      .agg(count(lit(1)).as("_c"))
+    val hw = Window.partitionBy("cell_id").orderBy(col("centroid_cos").desc)
+    val cw = Window.partitionBy("cell_id")
+    // per cos-group verdict: 1 = keep all, 0 = drop all, 2 = boundary
+    // (the ncut rank falls inside this group; `_bdrops` of its rows —
+    // the smallest ids — are dropped)
+    val verdicts = hist
+      .withColumn("_cum", sum("_c").over(hw))
+      .withColumn("_ncut", floor(sum("_c").over(cw) * lit(prunePct) / lit(100)))
+      .withColumn("_above", col("_cum") - col("_c"))
+      .select(col("cell_id"), col("centroid_cos"),
+        when(col("_cum") <= col("_ncut"), lit(0))
+          .when(col("_above") >= col("_ncut"), lit(1))
+          .otherwise(lit(2)).as("_verdict"),
+        (col("_ncut") - col("_above")).as("_bdrops"))
+    val bw = Window.partitionBy("cell_id", "centroid_cos")
+      .orderBy(col("vec_id").asc)
+    cells.join(verdicts, Seq("cell_id", "centroid_cos"))
+      .withColumn("_brn", row_number().over(bw))
       .select(col("vec_id"), col("cell_id"), col("centroid_cos"),
-        (col("_rn") > floor(col("_cnt") * lit(prunePct) / lit(100))).as("keep"))
+        when(col("_verdict") === 1, lit(true))
+          .when(col("_verdict") === 0, lit(false))
+          .otherwise(col("_brn") > col("_bdrops")).as("keep"))
   }
 
   /** Deterministic ±1 entry of the random-projection matrix:
