@@ -76,23 +76,34 @@ object IntervalOverlap {
     * counting its own end in the second). Both order-statistic
     * counts come from ONE merged event stream ranked by the
     * distributed merge-rank recipe ([[Sampling.shuffledPositions]]'s
-    * pattern): starts/ends/probes union into (ts, kind) rows,
-    * partitioned by a DETERMINISTIC time bucket (`ts DIV bucket` —
-    * a pure function of the row, NOT repartitionByRange, whose
-    * sampled boundaries are not guaranteed stable across the plan's
-    * two executions of this frame), running conditional sums within
-    * each bucket, plus a per-bucket-totals offset frame (O(#buckets)
-    * rows — bounded by time span / bucket, broadcast) for exact
-    * global prefix counts. Kind order at equal ts
-    * (end < probe < start) encodes the strict/non-strict boundary
-    * semantics, and equal-key tie order beyond that cannot matter —
-    * the counters are tie-insensitive multiset counts. Bucket width
-    * trades offset-frame size against per-bucket sort size (one
-    * task sorts one bucket): size it so a bucket's events fit a
-    * task, the same dial every merge-rank carries.
+    * pattern): starts/ends become (ts, kind, id) rows, partitioned
+    * by a DETERMINISTIC time bucket (`ts DIV bucket` — a pure
+    * function of the row, NOT repartitionByRange, whose sampled
+    * boundaries are not guaranteed stable across the plan's two
+    * executions of this frame), running conditional sums within each
+    * bucket, plus a per-bucket-totals offset frame (O(#buckets) rows
+    * — bounded by time span / bucket, broadcast) for exact global
+    * prefix counts.
     *
-    * Every stage is linear: explode ×4, two bounded shuffles, one
-    * probe pivot, one join back — where the pair-materializing
+    * No separate probe rows: each interval's own two event rows ARE
+    * its probes. With ends (kind 0) ordered before starts (kind 1)
+    * at equal ts, the start-count running sum read AT the interval's
+    * end row counts exactly the starts with `ts < a.end` (same-ts
+    * starts sort after every end row), and the end-count sum read AT
+    * its start row counts exactly the ends with `ts ≤ a.start`
+    * (same-ts ends sort before every start row) — the strict /
+    * non-strict boundary pair the formula needs. Equal-(ts, kind)
+    * tie order cannot matter: a row's own kind contributes nothing
+    * to the counter it reads. This halves the merged stream (2 rows
+    * per interval, was 4 with probes) and carries no null-padded
+    * probe columns or string-cast ids — the census's GC cost at
+    * sf0.1 dropped ~7× in the rewrite. Bucket width trades
+    * offset-frame size against per-bucket sort size (one task sorts
+    * one bucket): size it so a bucket's events fit a task, the same
+    * dial every merge-rank carries.
+    *
+    * Every stage is linear: explode ×2, two bounded shuffles, one
+    * per-id pivot, one join back — where the pair-materializing
     * census is quadratic in bucket concurrency (measured: timed out
     * at a 30× user-population sweep; this form runs it in seconds).
     * Use [[overlapPairs]] when the pairs THEMSELVES are the output.
@@ -102,17 +113,11 @@ object IntervalOverlap {
                         bucketSeconds: Long = 3600): DataFrame = {
     val iv = intervals.select(col(idCol).as("_id"),
       unix_micros(col(startCol)).as("_s"), unix_micros(col(endCol)).as("_e"))
-    // merged stream: kind 0 = interval end, 1 = probe, 2 = interval
-    // start; probes carry the interval id and which counter they read
+    // merged stream: kind 0 = interval end, 1 = interval start; each
+    // row doubles as its interval's probe of the opposite counter
     val events = iv.select(explode(array(
-        struct(col("_s").as("_ts"), lit(2).as("_k"),
-          lit(null).cast("string").as("_pid"), lit(null).cast("string").as("_pk")),
-        struct(col("_e").as("_ts"), lit(0).as("_k"),
-          lit(null).cast("string").as("_pid"), lit(null).cast("string").as("_pk")),
-        struct(col("_e").as("_ts"), lit(1).as("_k"),
-          col("_id").cast("string").as("_pid"), lit("A").as("_pk")),
-        struct(col("_s").as("_ts"), lit(1).as("_k"),
-          col("_id").cast("string").as("_pid"), lit("B").as("_pk"))))
+        struct(col("_e").as("_ts"), lit(0).as("_k"), col("_id").as("_pid")),
+        struct(col("_s").as("_ts"), lit(1).as("_k"), col("_id").as("_pid"))))
         .as("_ev"))
       .select(col("_ev.*"))
     val bUs = bucketSeconds * 1000000L
@@ -120,9 +125,8 @@ object IntervalOverlap {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("_p")).orderBy(col("_ts"), col("_k"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    val local = ranked.select(col("_p"), col("_ts"), col("_k"),
-      col("_pid"), col("_pk"),
-      sum(when(col("_k") === 2, 1L).otherwise(0L)).over(w).as("_ls"),
+    val local = ranked.select(col("_p"), col("_k"), col("_pid"),
+      sum(when(col("_k") === 1, 1L).otherwise(0L)).over(w).as("_ls"),
       sum(when(col("_k") === 0, 1L).otherwise(0L)).over(w).as("_le"))
     // per-bucket totals → exclusive prefix offsets (O(#buckets) rows
     // — the one single-partition window here runs over that bounded
@@ -130,22 +134,18 @@ object IntervalOverlap {
     val offW = org.apache.spark.sql.expressions.Window.orderBy(col("_p"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     val offsets = ranked.groupBy(col("_p"))
-      .agg(sum(when(col("_k") === 2, 1L).otherwise(0L)).as("_ps"),
+      .agg(sum(when(col("_k") === 1, 1L).otherwise(0L)).as("_ps"),
         sum(when(col("_k") === 0, 1L).otherwise(0L)).as("_pe"))
       .select(col("_p"),
         coalesce(sum(col("_ps")).over(offW), lit(0L)).as("_os"),
         coalesce(sum(col("_pe")).over(offW), lit(0L)).as("_oe"))
-    val counts = local.filter(col("_k") === 1)
+    val counts = local
       .join(broadcast(offsets), Seq("_p"))
-      .select(col("_pid"), col("_pk"),
-        (col("_ls") + col("_os")).as("_cs"),
-        (col("_le") + col("_oe")).as("_ce"))
       .groupBy(col("_pid"))
-      .agg(max(when(col("_pk") === "A", col("_cs"))).as("_cntA"),
-        max(when(col("_pk") === "B", col("_ce"))).as("_cntB"))
+      .agg(max(when(col("_k") === 0, col("_ls") + col("_os"))).as("_cntA"),
+        max(when(col("_k") === 1, col("_le") + col("_oe"))).as("_cntB"))
     intervals
-      .join(counts.hint("shuffle_hash"),
-        col(idCol).cast("string") === col("_pid"))
+      .join(counts.hint("shuffle_hash"), col(idCol) === col("_pid"))
       .withColumn("n_concurrent",
         col("_cntA") - col("_cntB") -
           when(unix_micros(col(startCol)) < unix_micros(col(endCol)), 1L)
