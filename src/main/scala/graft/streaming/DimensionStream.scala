@@ -205,8 +205,13 @@ object DimensionStream {
     * (append arrival — the streaming case). The boundary stitch only
     * fires when frontier < the batch's first event (guarded), and
     * the frontier always advances to the max (ts, event_id), so an
-    * out-of-order feed degrades to dropped boundary pairs rather
-    * than corrupted counts. State size: |types|² + one row per user.
+    * out-of-order feed degrades, never corrupts: within-batch pairs
+    * stay exact; a boundary stitch made before a late batch arrived
+    * pairs events that are non-adjacent in final event time (mass
+    * conserved, shifted cells); a late batch's own boundary is
+    * DROPPED — total pair mass = one-shot total − drops, with the
+    * drop count measured exactly by StreamingSpec's shuffled-order
+    * case. State size: |types|² + one row per user.
     */
   def transitionMergeAvailableNow(spark: SparkSession, feedDir: String,
                                   statePath: String,

@@ -558,4 +558,75 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.filter(col("version_no") === 3).count() ===
       b.filter(col("s_suppkey") % 30 === 0).count())
   }
+
+  test("streaming MV (stateful stitch): out-of-order feed — drops measured exactly, within-batch mass intact") {
+    import graft.streaming.DimensionStream
+    val ev = Tables.events(spark, sfDir)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+    val root = java.nio.file.Files.createTempDirectory("mvtrooo").toString
+    // event-time thirds fed OUT OF ORDER: T0, T2, T1
+    val us = unix_micros($"ts").cast("double")
+    val cuts = ev.agg(
+      expr("percentile(CAST(unix_micros(ts) AS DOUBLE), 0.3333)"),
+      expr("percentile(CAST(unix_micros(ts) AS DOUBLE), 0.6667)"))
+      .head()
+    val (c1, c2) = (cuts.getDouble(0), cuts.getDouble(1))
+    val batches = Seq( // arrival order
+      ev.filter(us <= c1),
+      ev.filter(us > c2),
+      ev.filter(us > c1 && us <= c2))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      DimensionStream.writeFeedFile(b, s"$root/feed", s"b$i",
+        1700000000000L + i * 60000L)
+    }
+    val state = DimensionStream.transitionMergeAvailableNow(spark,
+      s"$root/feed", s"$root/state", queryName = "spec_mv_tr_ooo")
+    val got = state.filter($"_kind" === "cnt")
+      .select("event_type", "next_type", "n")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+
+    // driver-side simulation of the documented arrival-order stitch
+    // semantics: within-batch adjacent pairs always count; the
+    // frontier->first boundary stitches only when the frontier is
+    // older, else the boundary pair is DROPPED; frontier = running max
+    type E = (Double, Long, String) // (ts_us, event_id, type)
+    val sim = scala.collection.mutable.Map.empty[(String, String), Long]
+    val frontier = scala.collection.mutable.Map.empty[Long, E]
+    var drops = 0L
+    batches.foreach { b =>
+      val rows = b.select($"user_id", us.as("u"), $"event_id", $"event_type")
+        .collect()
+        .map(r => (r.getLong(0), (r.getDouble(1), r.getLong(2), r.getString(3))))
+        .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(e => (e._1, e._2)))
+      rows.foreach { case (uid, es) =>
+        es.sliding(2).filter(_.length == 2).foreach { p =>
+          val (a, c) = (p(0), p(1))
+          val k = (a._3, c._3); sim(k) = sim.getOrElse(k, 0L) + 1 }
+        frontier.get(uid).foreach { f =>
+          val first = es.head
+          if (f._1 < first._1 || (f._1 == first._1 && f._2 < first._2)) {
+            val k = (f._3, first._3); sim(k) = sim.getOrElse(k, 0L) + 1
+          } else drops += 1
+        }
+        val last = es.last
+        frontier(uid) = frontier.get(uid) match {
+          case Some(f) if f._1 > last._1 ||
+            (f._1 == last._1 && f._2 > last._2) => f
+          case _ => last
+        }
+      }
+    }
+    assert(got === sim.toMap, "streamed matrix must equal the arrival-order stitch semantics")
+    // the degradation is EXACTLY the dropped boundary stitches: total
+    // pair mass = one-shot total - drops (stale stitches shift pairs
+    // between cells but conserve mass; within-batch pairs are exact)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val oneShotTotal = ev
+      .withColumn("next_type", lead($"event_type", 1).over(w))
+      .filter($"next_type".isNotNull).count()
+    assert(drops > 0, "the shuffled order must actually exercise the drop path")
+    assert(got.values.sum === oneShotTotal - drops,
+      s"pair mass must be one-shot ($oneShotTotal) minus dropped boundaries ($drops)")
+  }
 }
