@@ -439,6 +439,60 @@ object Tables {
                props: java.util.Properties = new java.util.Properties()): DataFrame =
     spark.read.jdbc(url, table, props)
 
+  /** Data files under a parquet output directory, the COPY manifest
+    * unit (Redshift's manifest file is exactly this list): absolute
+    * file paths, sorted for determinism. Control-plane metadata —
+    * O(files) driver-side, never data.
+    */
+  def parquetManifest(spark: SparkSession, dir: String): Seq[String] = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    def walk(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] =
+      fs.listStatus(p).toSeq.flatMap { s =>
+        if (s.isDirectory) walk(s.getPath)
+        else if (s.getPath.getName.endsWith(".parquet")) Seq(s) else Seq.empty
+      }
+    walk(path).map(_.getPath.toString).sorted
+  }
+
+  /** S14: warehouse bulk load in the Redshift COPY shape
+    * (`glue_jobs/nyc_curated_s3_to_redshift.py:60-73` — `COPY schema.
+    * table FROM 's3://curated/...' FORMAT AS PARQUET` + the job's
+    * post-load rowcount check), re-expressed over the portable JDBC
+    * path: the MANIFEST (an explicit file list, the COPY retry/atomic
+    * unit — never "whatever the prefix holds right now") is read as
+    * one parquet scan and APPENDED into the warehouse table, then the
+    * load is audited by rowcount. Returns the one-row audit frame —
+    * `(table, n_files, rows_before, rows_manifest, rows_after, ok)` —
+    * with `ok = (rows_after − rows_before == rows_manifest)`, the
+    * gate a workflow checks before `job.commit()`.
+    *
+    * Scale shape: the scan is a normal distributed parquet read of
+    * exactly the manifested files; `numPartitions` caps concurrent
+    * warehouse connections (same dial as [[writeJdbc]]); the audit
+    * counts are a footer-metadata count on the Spark side and a
+    * `count(*)` pushed to the warehouse on the JDBC side — no data
+    * is re-read to audit.
+    */
+  def copyManifest(spark: SparkSession, manifest: Seq[String], url: String,
+                   table: String, numPartitions: Int = 8,
+                   props: java.util.Properties = new java.util.Properties())
+      : DataFrame = {
+    require(manifest.nonEmpty, "COPY manifest must list at least one file")
+    import org.apache.spark.sql.functions.lit
+    def warehouseCount(): Long =
+      try readJdbc(spark, url, table).count() catch { case _: Exception => 0L }
+    val before = warehouseCount()
+    val df = spark.read.parquet(manifest: _*)
+    val rowsManifest = df.count()
+    df.coalesce(numPartitions).write.mode("append").jdbc(url, table, props)
+    val after = warehouseCount()
+    import spark.implicits._
+    Seq((table, manifest.size, before, rowsManifest, after))
+      .toDF("table", "n_files", "rows_before", "rows_manifest", "rows_after")
+      .withColumn("ok", lit(after - before == rowsManifest))
+  }
+
   /** Immediate child directories of `base` whose name starts with
     * `prefix`, via the Hadoop FileSystem API — so control-plane
     * listings (version dirs, run-id prefixes) work on any supported

@@ -142,6 +142,32 @@ class TablesSpec extends SparkSpec {
     assert(back2 === Seq((3L, "gamma")))
   }
 
+  test("copyManifest: COPY-shaped bulk append over live JDBC with rowcount audit") {
+    import spark.implicits._
+    val url = "jdbc:derby:memory:graft_copy;create=true"
+    val dir = java.nio.file.Files.createTempDirectory("graft_copy").toString
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "name")
+      .repartition(2).write.parquet(s"$dir/load1")
+    Seq((4L, "d")).toDF("id", "name").write.parquet(s"$dir/load2")
+    val m1 = Tables.parquetManifest(spark, s"$dir/load1")
+    assert(m1.size === 2 && m1.forall(_.endsWith(".parquet")))
+    // first COPY creates the table; audit must balance
+    val a1 = Tables.copyManifest(spark, m1, url, "warehouse_t").head()
+    assert(a1.getAs[Long]("rows_before") === 0L)
+    assert(a1.getAs[Long]("rows_manifest") === 3L)
+    assert(a1.getAs[Long]("rows_after") === 3L)
+    assert(a1.getAs[Boolean]("ok"))
+    // second COPY appends (never truncates) and audits the delta only
+    val a2 = Tables.copyManifest(spark,
+      Tables.parquetManifest(spark, s"$dir/load2"), url, "warehouse_t").head()
+    assert(a2.getAs[Long]("rows_before") === 3L)
+    assert(a2.getAs[Long]("rows_after") === 4L)
+    assert(a2.getAs[Boolean]("ok"))
+    val back = Tables.readJdbc(spark, url, "warehouse_t")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(back === Seq(1L, 2L, 3L, 4L))
+  }
+
   test("JSONL round-trip preserves the documents schema and contents") {
     val dir = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
     val docs = Tables.table(spark, sfDir, "documents")
