@@ -204,6 +204,16 @@ object Bench {
       if (skipped.nonEmpty)
         System.err.println(s"[bench] ${copies}x sweep budget (${budget}s) hit; " +
           s"skipped: ${skipped.mkString(",")}")
+      // a skip must still carry a datapoint: the best prior (the 10×
+      // sweep's measured time for the 30× section, else 1× scaled) —
+      // so no query name ever appears in the artifact without a
+      // scale number or an explicit predictor behind its skip
+      val skDetail = skipped.map { n =>
+        val p = prior.get(n)
+          .orElse(timeAt01.get(n).filter(_ > 0).map(_ * copies))
+          .map(v => f""","prior_sec":$v%.3f""").getOrElse("")
+        f"""{"name":"$n"$p}"""
+      }.mkString("[", ",", "]")
       // cliff: per-row cost at Nx data grew >2x vs the bench SF.
       // ratio = t_sfN / (copies * t_sf0.1); timeouts are cliffs by
       // definition (ratio from the cap is a LOWER bound).
@@ -256,7 +266,7 @@ object Bench {
       val er = timed.collect { case (n, v) if v == -2.0 => "\"" + n + "\"" }
         .mkString("[", ",", "]")
       val json =
-        f"""{"copies":$copies,"budget_sec":$budget,"query_cap_sec":$cap,"queries":${jsonDict(timed)},"gc_ms":${jsonDict(sweepGc)},"cliffs":$cs,"errored":$er,"skipped":$sk}"""
+        f"""{"copies":$copies,"budget_sec":$budget,"query_cap_sec":$cap,"queries":${jsonDict(timed)},"gc_ms":${jsonDict(sweepGc)},"cliffs":$cs,"errored":$er,"skipped":$sk,"skipped_detail":$skDetail}"""
       (json, cliffs.map(_._1), timed.toMap)
     }
 
@@ -272,11 +282,12 @@ object Bench {
     // 30× section: full registry, tighter budget (cheapest-first means
     // the budget cuts the most expensive tail, reported as skips).
     val scale30Copies = sys.env.getOrElse("BENCH_SCALE30_COPIES", "30").toInt
-    // 900s: with the round-8 fixpoint/prefix rework the expensive tail
-    // fits — 600s left 33 of 119 queries unseen at 30×, 900 times
-    // nearly all of them (cheapest-first, so the budget cuts only the
-    // most expensive stragglers, still reported as skips)
-    val scale30Budget = sys.env.getOrElse("BENCH_SCALE30_BUDGET_SEC", "900").toInt
+    // 1800s: 900 left 40 of 207 queries unseen at 30× in round 9 —
+    // the budget must grow with the registry so the expensive tail
+    // (the very queries whose scaling matters most) gets a real 30×
+    // datapoint; cheapest-first still cuts only the most expensive
+    // stragglers, reported with their 10× prior in skipped_detail
+    val scale30Budget = sys.env.getOrElse("BENCH_SCALE30_BUDGET_SEC", "1800").toInt
     val scale30Cap = sys.env.getOrElse("BENCH_SCALE30_QUERY_CAP_SEC", "240").toInt
     val scale30On =
       sys.env.getOrElse("BENCH_SCALE30", "on") != "off" && scale30Copies > 1
@@ -305,6 +316,11 @@ object Bench {
       f"""{"queries":${jsonDict(results)},"gc_ms":${jsonDict(gcMs)},"scale":$scaleJson,"scale30":$scale30Json,"headline_queries":${jsonDict(headlineResults)},"cliffs_10x":${names(cliffs10)},"cliffs_30x":${names(cliffs30)},"excluded_twins":${names(excludedTwins)},"failed":${names(failed)},"total_all":$totalAll%.3f,"sf":"$sfDir","metric":"total","unit":"sec","value":$headlineTotal%.3f}"""
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
     java.nio.file.Files.writeString(java.nio.file.Paths.get("target/bench.json"), line)
+    // durable, TRACKED copy: the driver's BENCH_r{N}.json records only
+    // the (truncated) tail of the printed line, and target/ is
+    // regenerable — without this file the per-query evidence a round's
+    // verdict cites would not survive the round
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), line)
     println(line)
     spark.stop()
   }
