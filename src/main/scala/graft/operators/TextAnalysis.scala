@@ -212,6 +212,76 @@ object TextAnalysis {
       when(n === 0, 0.0).otherwise(round(-h, 6)).as("unigram_entropy"))
   }
 
+  /** Hashed-n-gram linear text classifier — the model-inference-at-
+    * scale shape of the fastText quality gates behind DCLM (Li et al.
+    * 2024, arXiv:2406.11794 §3.4, OH-2.5+ELI5 classifier) and
+    * FineWeb-Edu (Penedo et al. 2024, arXiv:2406.17557): a document's
+    * score is the sum of learned weights over its bag of word
+    * uni+bigrams, each feature hashed into a fixed bucket space
+    * (fastText's hashing trick — no vocabulary file ships with the
+    * model, just a weight vector indexed by hash).
+    *
+    * `weights` is the trained model as DATA — one row per bucket,
+    * integer basis-point weights (`bucket`, `w_bp`) — so inference is
+    * pure relational algebra: explode grams (linear scan-side work),
+    * hash to buckets map-side (engine-portable md5-prefix mod B),
+    * broadcast the B-bounded weight table, ONE map-combined key
+    * shuffle for the per-doc sum. Integer bp weights keep the logit
+    * EXACT cross-engine (no float summation order anywhere); the gate
+    * is `logit_bp > 0`. Docs with zero features survive with the bias
+    * alone (left join back to the doc spine).
+    *
+    * Scale shape: identical to [[bigramLogProb]]'s — the corpus is
+    * never shuffled except for the per-doc sum; the model (however
+    * many buckets) broadcasts. At 100 TB the classifier gate runs in
+    * the same pass budget as any quality projection.
+    */
+  def hashedNgramScore(df: DataFrame, idCol: String, textCol: String,
+                       weights: DataFrame, buckets: Int,
+                       biasBp: Long): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val spark = df.sparkSession
+    graft.plans.GraftExtensions.register(spark)
+    // X89 pattern: the token-filter HOF materializes once; the gram
+    // builder below references the attribute
+    val toked = df.select(col(idCol),
+      graft.plans.NoInline(spark,
+        filter(wordTokens(col(textCol)), t => t =!= "")).as("_toks"))
+    val n = size(col("_toks"))
+    val grams = concat(
+      col("_toks"),
+      when(n >= 2, zip_with(
+        slice(col("_toks"), lit(1), n - 1),
+        slice(col("_toks"), lit(2), n - 1),
+        (a, b) => concat_ws("_", a, b)))
+        .otherwise(array().cast("array<string>")))
+    val feats = toked.select(col(idCol), explode(grams).as("_g"))
+      .select(col(idCol),
+        (conv(substring(md5(col("_g")), 1, 6), 16, 10).cast("long")
+          % buckets).as("bucket"))
+    val sums = feats.join(broadcast(weights), Seq("bucket"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("_nf"), sum(col("w_bp")).as("_s"))
+    df.select(col(idCol))
+      .join(sums, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("_nf"), lit(0L)).as("n_features"),
+        (coalesce(col("_s"), lit(0L)) + lit(biasBp)).as("logit_bp"))
+      .withColumn("keep", col("logit_bp") > 0)
+  }
+
+  /** Deterministic pseudo-trained weight table for
+    * [[hashedNgramScore]] demos/tests: `w_bp(bucket) =
+    * md5int("w:" + bucket) mod 1001 − 500` — any engine re-derives
+    * it exactly. A real deployment reads the trained vector from a
+    * table instead; the inference plan is identical.
+    */
+  def syntheticWeights(spark: org.apache.spark.sql.SparkSession,
+                       buckets: Int): DataFrame =
+    spark.range(buckets).select(col("id").as("bucket"),
+      (conv(substring(md5(concat(lit("w:"), col("id").cast("string"))),
+        1, 6), 16, 10).cast("long") % 1001 - 500).as("w_bp"))
+
   // ─────────────────────── repetition scoring ───────────────────────
 
   // ─────────────────── corpus-level statistics ───────────────────

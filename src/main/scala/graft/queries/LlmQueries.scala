@@ -2473,6 +2473,48 @@ object LlmQueries {
         |  regexp_replace(t, '\d{13,}', '[CC]', 'g') AS clean_text
         |FROM c""".stripMargin),
 
+    // ───── hashed-n-gram linear classifier gate (X94 — the
+    // fastText-shaped quality classifier behind DCLM/FineWeb-Edu,
+    // run as pure relational inference): word uni+bigrams hashed
+    // md5-prefix mod B, broadcast B-bounded basis-point weight
+    // table, one map-combined per-doc integer sum, gate logit>0.
+    // Weights are the deterministic synthetic vector so the oracle
+    // re-derives model AND inference exactly (integer arithmetic
+    // end to end — no float anywhere).
+    "ta_classifier_gate" -> QueryDef.sql(
+      (s, dir) =>
+        TextAnalysis.hashedNgramScore(docs(s, dir), "doc_id", "text",
+          TextAnalysis.syntheticWeights(s, 512), buckets = 512,
+          biasBp = -1000L),
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |                     t -> t <> '') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |         toks || [toks[i] || '_' || toks[i+1]
+        |                  for i in range(1, len(toks))] AS grams
+        |  FROM tk),
+        |f AS (
+        |  SELECT doc_id,
+        |         CAST(concat('0x', substr(md5(unnest(grams)), 1, 6)) AS BIGINT)
+        |           % 512 AS bucket
+        |  FROM g),
+        |w AS (
+        |  SELECT range AS bucket,
+        |         CAST(concat('0x', substr(md5('w:' || range), 1, 6)) AS BIGINT)
+        |           % 1001 - 500 AS w_bp
+        |  FROM range(512)),
+        |sums AS (
+        |  SELECT doc_id, count(*) AS nf, sum(w_bp) AS s
+        |  FROM f JOIN w USING (bucket) GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |       CAST(coalesce(nf, 0) AS BIGINT) AS n_features,
+        |       CAST(coalesce(s, 0) - 1000 AS BIGINT) AS logit_bp,
+        |       coalesce(s, 0) - 1000 > 0 AS keep
+        |FROM documents d LEFT JOIN sums USING (doc_id)""".stripMargin),
+
     // ───── JL ±1 random projection (Achlioptas 2003) 64 → 16 dims:
     // scan-side vec_dot against md5-derived sign vectors, zero
     // shuffles; the oracle re-derives every sign and the fixed-order

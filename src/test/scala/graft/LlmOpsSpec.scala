@@ -1589,4 +1589,31 @@ class LlmOpsSpec extends SparkSpec {
         s"estimate off >5% on $day: ${whole(day)} vs $n")
     }
   }
+
+  test("hashedNgramScore: feature count, bias-only docs, integer-exact logit") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "alpha beta gamma"), // 3 unigrams + 2 bigrams = 5 features
+      (2L, "solo"),             // 1 feature
+      (3L, ""),                 // 0 features: bias-only row survives
+      (4L, "alpha beta gamma")) // identical to doc 1 -> identical logit
+      .toDF("doc_id", "text")
+    val w = TextAnalysis.syntheticWeights(spark, 64)
+    val got = TextAnalysis.hashedNgramScore(docs, "doc_id", "text", w, 64, -100L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got(1L)._1 === 5L && got(2L)._1 === 1L && got(3L)._1 === 0L)
+    assert(got(3L)._2 === -100L && !got(3L)._3)
+    assert(got(4L) === got(1L), "same text must score identically")
+    // recompute doc 1 driver-side from the weight table
+    val wm = w.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def bp(g: String): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(g.getBytes("UTF-8")).take(3).map("%02x".format(_)).mkString
+      wm(java.lang.Long.parseLong(h, 16) % 64)
+    }
+    val grams = Seq("alpha", "beta", "gamma", "alpha_beta", "beta_gamma")
+    assert(got(1L)._2 === grams.map(bp).sum - 100L)
+    assert(got(1L)._3 === (got(1L)._2 > 0))
+  }
 }
