@@ -804,6 +804,42 @@ object Similarity {
       .select("query_id", "cand_id", "cell", "approx_dist", "rank")
   }
 
+  /** Two-stage retrieval refine — the FAISS `IndexRefineFlat`
+    * pattern, the standard production ANN shape: a cheap approximate
+    * stage (IVF-PQ / LSH / any `ann_*` variant) over-fetches a
+    * candidate pool, then ONLY those pool pairs are re-scored with
+    * exact full-vector cosine and cut to the final top `k`.
+    * Quantization error affects candidate SELECTION but never the
+    * reported scores or the final order among survivors — the recall
+    * knob is the pool size, the precision of what's returned is
+    * exact.
+    *
+    * Scale shape: the pool (q × poolK rows, bounded by config)
+    * broadcasts INTO the candidate scan — the corpus is filtered to
+    * pool members map-side and never shuffles; queries broadcast
+    * with their vectors; the final top-k window runs over q × poolK
+    * narrow rows. Exact-vector arithmetic touches only the pool, so
+    * the refine cost is independent of corpus size.
+    */
+  def refineTopK(pool: DataFrame, candidates: DataFrame, queries: DataFrame,
+                 idCol: String, vecCol: String, k: Int): DataFrame = {
+    ensureRegistered(candidates)
+    val c = candidates.select(col(idCol).as("cand_id"),
+      col(vecCol).cast("array<double>").as("_cv"))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("_qv"))
+    val scored = c.join(broadcast(pool.select("query_id", "cand_id")),
+        Seq("cand_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("cos_sim", round(dot(col("_cv"), col("_qv")) /
+        (l2Norm(col("_cv")) * l2Norm(col("_qv"))), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("cand_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "cand_id", "cos_sim", "rank")
+  }
+
   /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
     * 1998): from a per-query candidate pool, greedily pick `outK`
     * results maximizing `λ·rel(c) − (1−λ)·max_{s∈selected} sim(c,s)`

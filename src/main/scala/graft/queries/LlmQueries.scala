@@ -3067,6 +3067,77 @@ object LlmQueries {
          |  FROM adc)
          |WHERE rank <= 10""".stripMargin),
 
+    // ───── two-stage retrieval: IVF-PQ over-fetch (pool 30) →
+    // exact full-vector cosine refine to top 10 (X95 — FAISS
+    // IndexRefineFlat, the production ANN shape: quantization picks
+    // the pool, exact arithmetic picks and scores the answer). The
+    // oracle extends the full IVF-PQ twin with the same pool cut and
+    // exact re-rank.
+    "ann_refined_topk" -> QueryDef.sql(
+      (s, dir) => {
+        val e = emb(s, dir)
+        val q = e.filter(col("vec_id") < 5)
+        val pool = Similarity.ivfPqTopK(e, q, "vec_id", "embedding", k = 30)
+        Similarity.refineTopK(pool, e, q, "vec_id", "embedding", k = 10)
+      },
+      s"""WITH vecs AS (
+         |  SELECT vec_id AS vid,
+         |         [CAST(x AS DOUBLE) for x in embedding] AS v
+         |  FROM embeddings),
+         |cc AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vid) - 1 AS INTEGER) AS ccid,
+         |         v AS cv
+         |  FROM (SELECT vid, v FROM vecs ORDER BY vid LIMIT 8)),
+         |casg AS (
+         |  SELECT v.vid, c.ccid,
+         |         round(${pqDistSql("v.v", "c.cv", 64)}, 6) AS d
+         |  FROM vecs v, cc c),
+         |ccell AS (
+         |  SELECT vid, ccid AS cell FROM (
+         |    SELECT vid, ccid,
+         |           row_number() OVER (PARTITION BY vid
+         |                              ORDER BY d ASC, ccid ASC) AS rn
+         |    FROM casg) WHERE rn = 1),
+         |rvecs AS (
+         |  SELECT v.vid,
+         |         [v.v[i] - c.cv[i] for i in generate_series(1, 64)] AS v
+         |  FROM vecs v
+         |  JOIN ccell ce USING (vid)
+         |  JOIN cc c ON c.ccid = ce.cell),
+         |${pqSql(m = 4, dsub = 16, k = 16, iters = 2, nQueries = 5, src = "rvecs")},
+         |adc AS (
+         |  SELECT q0.query_id, e0.vid AS cand_id,
+         |         round(q0.d + q1.d + q2.d + q3.d, 6) AS approx_dist
+         |  FROM pcode0 e0
+         |  JOIN pcode1 e1 USING (vid)
+         |  JOIN pcode2 e2 USING (vid)
+         |  JOIN pcode3 e3 USING (vid)
+         |  JOIN ccell ce USING (vid)
+         |  JOIN qd0 q0 ON q0.cid = e0.code
+         |  JOIN qd1 q1 ON q1.query_id = q0.query_id AND q1.cid = e1.code
+         |  JOIN qd2 q2 ON q2.query_id = q0.query_id AND q2.cid = e2.code
+         |  JOIN qd3 q3 ON q3.query_id = q0.query_id AND q3.cid = e3.code
+         |  JOIN ccell qc ON qc.vid = q0.query_id AND qc.cell = ce.cell
+         |  WHERE q0.query_id <> e0.vid),
+         |pool AS (
+         |  SELECT query_id, cand_id FROM (
+         |    SELECT query_id, cand_id,
+         |           row_number() OVER (PARTITION BY query_id
+         |             ORDER BY approx_dist ASC, cand_id ASC) AS rn
+         |    FROM adc) WHERE rn <= 30),
+         |ex AS (
+         |  SELECT p.query_id, p.cand_id,
+         |         round(${cosineSql("qv.v", "cv.v")}, 6) AS cos_sim
+         |  FROM pool p
+         |  JOIN vecs qv ON qv.vid = p.query_id
+         |  JOIN vecs cv ON cv.vid = p.cand_id)
+         |SELECT query_id, cand_id, cos_sim, rank FROM (
+         |  SELECT query_id, cand_id, cos_sim,
+         |         CAST(row_number() OVER (PARTITION BY query_id
+         |           ORDER BY cos_sim DESC, cand_id ASC) AS INTEGER) AS rank
+         |  FROM ex)
+         |WHERE rank <= 10""".stripMargin),
+
     // ───── interpolated bigram LM chain scoring (the in-engine
     // stand-in for CCNet's KenLM perplexity filter): per-doc mean log
     // of the FULL chain p(w₁)·Π(λ·c₂/c₁ + (1−λ)·Laplace-unigram) —

@@ -1616,4 +1616,31 @@ class LlmOpsSpec extends SparkSpec {
     assert(got(1L)._2 === grams.map(bp).sum - 100L)
     assert(got(1L)._3 === (got(1L)._2 > 0))
   }
+
+  test("refineTopK: pool subset, exact scores, full-pool refine equals brute force") {
+    import graft.operators.Similarity
+    val e = graft.sources.Tables.table(spark, sfDir, "embeddings")
+    val q = e.filter($"vec_id" < 3)
+    val pool = Similarity.ivfPqTopK(e, q, "vec_id", "embedding", k = 20)
+    val poolSet = pool.select("query_id", "cand_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val refined = Similarity.refineTopK(pool, e, q, "vec_id", "embedding", k = 5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2), r.getInt(3)))
+    // refined pairs come from the pool, exactly 5 per query, ranks 1..5
+    assert(refined.forall { case (p, _, _) => poolSet.contains(p) })
+    refined.groupBy(_._1._1).foreach { case (_, rs) =>
+      assert(rs.map(_._3).sorted.toSeq === (1 to 5)) }
+    // refine scores are the EXACT cosines brute force computes
+    val bf = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 200)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    refined.foreach { case (p, cos, _) => assert(bf(p) === cos) }
+    // a refine over the FULL brute-force pool reproduces brute force
+    // top-5 exactly (pool recall 100% -> refine == exact search)
+    val fullPool = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 200)
+    val viaRefine = Similarity.refineTopK(fullPool, e, q, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    val direct = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    assert(viaRefine === direct)
+  }
 }
