@@ -328,6 +328,88 @@ object Governance {
     audit.toDF("file", "rows_before", "rows_removed", "status")
   }
 
+  /** Lake VACUUM — the Delta `VACUUM table RETAIN n HOURS` analog for
+    * this lake's two physical conventions, deleting exactly the two
+    * classes of storage a crash or retention policy strands:
+    *
+    *  - **swap debris**: `*.staging` / `*.backup` directories left by
+    *    a [[Scd2.writeAtomic]] interrupted between its rename steps.
+    *    Younger than `retainMs` they are RETAINED (a concurrent
+    *    writer may be mid-swap — the same live-writer race Delta's
+    *    retention window exists for); older, deleted.
+    *  - **expired versions**: [[graft.sources.VersionedTable]] `v=N`
+    *    directories beyond the newest `keepVersions`, older than
+    *    `retainMs` — time travel past the retention horizon is
+    *    traded for storage, exactly Delta's trade. The matching
+    *    `_history/v=N` manifest rides along, so history never points
+    *    at missing data; retained versions keep their manifests.
+    *
+    * Everything else is untouched — live data files are referenced by
+    * definition in this layout (a directory IS its table), so unlike
+    * Delta there is no unreferenced-file scan to get wrong. `nowMs`
+    * is injected (never wall-clock) so runs are deterministic and
+    * testable; ages come from filesystem modification times. Returns
+    * the audit frame `(path, kind, age_ms, action)`, one row per
+    * inspected candidate — every deletion is accounted for, every
+    * retention visible.
+    *
+    * Scale: a pure control-plane directory walk (O(entries) driver
+    * metadata, no data reads) — the same budget as a lake listing.
+    */
+  def vacuum(spark: SparkSession, root: String, retainMs: Long,
+             nowMs: Long, keepVersions: Int = 1): DataFrame = {
+    import spark.implicits._
+    require(retainMs >= 0, s"retainMs must be >= 0, got $retainMs")
+    require(keepVersions >= 1, s"keepVersions must be >= 1, got $keepVersions")
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    val fs = rootP.getFileSystem(spark.sessionState.newHadoopConf())
+    val audit =
+      scala.collection.mutable.ArrayBuffer.empty[(String, String, Long, String)]
+    val rootStr = rootP.toUri.getPath
+    def rel(p: org.apache.hadoop.fs.Path): String =
+      p.toUri.getPath.stripPrefix(rootStr).stripPrefix("/")
+    def walk(dir: org.apache.hadoop.fs.Path): Unit = {
+      val children = fs.listStatus(dir).toSeq
+      val names = children.map(_.getPath.getName).toSet
+      val versioned =
+        names.contains("_history") && names.exists(_.startsWith("v="))
+      children.filter(_.isDirectory).foreach { st =>
+        val name = st.getPath.getName
+        val age = nowMs - st.getModificationTime
+        if (name.endsWith(".staging") || name.endsWith(".backup")) {
+          if (age > retainMs) {
+            val ok = fs.delete(st.getPath, true)
+            audit += ((rel(st.getPath), "swap_debris", age,
+              if (ok) "DELETED" else "DELETE_FAILED"))
+          } else audit += ((rel(st.getPath), "swap_debris", age, "RETAINED"))
+        } else if (versioned && name.startsWith("v=")) {
+          () // judged below against the version order, not per-entry
+        } else if (name != "_history") walk(st.getPath)
+      }
+      if (versioned) {
+        val vs = children
+          .filter(c => c.isDirectory && c.getPath.getName.startsWith("v="))
+          .sortBy(_.getPath.getName.stripPrefix("v=").toInt)
+        val cut = vs.length - keepVersions
+        vs.zipWithIndex.foreach { case (st, i) =>
+          val age = nowMs - st.getModificationTime
+          if (i < cut && age > retainMs) {
+            val ok = fs.delete(st.getPath, true)
+            val manifest = new org.apache.hadoop.fs.Path(
+              new org.apache.hadoop.fs.Path(dir, "_history"),
+              st.getPath.getName)
+            if (fs.exists(manifest)) fs.delete(manifest, true)
+            audit += ((rel(st.getPath), "expired_version", age,
+              if (ok) "DELETED" else "DELETE_FAILED"))
+          } else audit += ((rel(st.getPath), "version", age, "RETAINED"))
+        }
+      }
+    }
+    if (fs.exists(rootP)) walk(rootP)
+    audit.sortBy(r => (r._1, r._2)).toSeq
+      .toDF("path", "kind", "age_ms", "action")
+  }
+
   // ──────────────────────── data dictionary ───────────────────────
 
   /** Columns a row-level rule constrains (for rule → column listing). */

@@ -304,4 +304,54 @@ class GovernanceSpec extends SparkSpec {
     assert(filesOf(victimIds) === Set.empty)
     assert(spark.read.parquet(lake).count() === 100L - victimIds.size)
   }
+
+  test("vacuum: expired swap debris and old versions go, young debris and current version stay") {
+    import graft.operators.Governance
+    import graft.sources.VersionedTable
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_vac").toString
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def touch(p: String, modMs: Long): Unit = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      fs.mkdirs(hp); fs.setTimes(hp, modMs, -1)
+    }
+    val now = 1700000000000L
+    val hourMs = 3600 * 1000L
+    // swap debris: one expired, one inside the retention window
+    touch(s"$root/tables/dim.staging", now - 10 * hourMs)
+    touch(s"$root/tables/fact.backup", now - 1 * hourMs)
+    // versioned table with three versions; v1/v2 aged out, v3 current
+    val base = s"$root/versioned"
+    (1 to 3).foreach { i =>
+      VersionedTable.write(Seq((i.toLong, s"op$i")).toDF("id", "name"),
+        base, s"load$i", java.sql.Timestamp.valueOf(s"2024-01-0$i 00:00:00"))
+    }
+    Seq(1, 2).foreach(i =>
+      fs.setTimes(new org.apache.hadoop.fs.Path(s"$base/v=$i"),
+        now - 20 * hourMs, -1))
+    fs.setTimes(new org.apache.hadoop.fs.Path(s"$base/v=3"),
+      now - 20 * hourMs, -1) // current version is old too - must STAY
+    val audit = Governance.vacuum(spark, root, retainMs = 4 * hourMs,
+      nowMs = now, keepVersions = 1)
+      .collect().map(r => r.getString(0) -> ((r.getString(1), r.getString(3)))).toMap
+    assert(audit("tables/dim.staging") === (("swap_debris", "DELETED")))
+    assert(audit("tables/fact.backup") === (("swap_debris", "RETAINED")))
+    assert(audit("versioned/v=1") === (("expired_version", "DELETED")))
+    assert(audit("versioned/v=2") === (("expired_version", "DELETED")))
+    assert(audit("versioned/v=3") === (("version", "RETAINED")))
+    // physical state: debris gone, young debris intact, current readable
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/tables/dim.staging")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$root/tables/fact.backup")))
+    assert(VersionedTable.read(spark, base).as[(Long, String)].collect()
+      .toSeq === Seq((3L, "op3")))
+    // history follows the data: only the retained version's manifest
+    assert(VersionedTable.history(spark, base).select("version")
+      .collect().map(_.get(0).toString).toSeq === Seq("3"))
+    // idempotent: a second vacuum finds nothing new to delete
+    val again = Governance.vacuum(spark, root, retainMs = 4 * hourMs,
+      nowMs = now, keepVersions = 1)
+      .collect().map(_.getString(3)).toSet
+    assert(again === Set("RETAINED"))
+  }
 }
