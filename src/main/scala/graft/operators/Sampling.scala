@@ -269,4 +269,76 @@ object Sampling {
           (w * expectK).cast("double") / col("_tw").cast("double"))
           .as("p_keep"))
   }
+
+  /** Concat-and-chunk sequence-packing manifest — the GPT-style
+    * training-batch assembly step (documents concatenated in shuffled
+    * order, the token stream chunked into fixed `seqLen`-token
+    * training sequences; cf. GPT-3, Brown et al. 2020,
+    * arXiv:2005.14165 app. B: "documents are packed into sequences").
+    * For every document it answers: which shard, at which position in
+    * the shard's pack order, starting at which token offset, spanning
+    * which training sequences (`first_seq..last_seq` —
+    * boundary-straddling documents span several). Downstream loaders
+    * read the manifest instead of re-deriving packing, and ablations
+    * can cite exact (shard, seq) coordinates per document.
+    *
+    * Determinism: pack order is a pure function of (seed, id) —
+    * shard = md5-prefix mod `shards`, in-shard order = the md5 TAIL
+    * (chars 7+, disjoint bits from the shard decision) with id as
+    * tiebreak — so re-runs, re-partitionings, and other engines
+    * produce the identical manifest. Zero-token documents occupy one
+    * slot (`greatest(tok, 1)`) so every doc has a well-defined span.
+    *
+    * Scale shape: packing is inherently sequential WITHIN a shard
+    * (every offset depends on all predecessors), so the shard count
+    * is the parallelism knob — but nothing here serializes a whole
+    * shard into one reducer: like [[shuffledPositions]], the in-shard
+    * cumsum decomposes into per-(shard, hex-bucket) window ranks (the
+    * 2-hex prefix of the ORDER key is the bucket, so bucket order ∥
+    * in-bucket order IS the shard order) plus a `shards × 256`-row
+    * offset frame broadcast back. Both shuffles are fine-grained and
+    * bounded at any corpus size; the offset frame is tiny by
+    * construction. Sequence ids are derived with integral `DIV` (no
+    * doubles — offsets past 2^53 tokens would silently round).
+    */
+  def packPlan(df: DataFrame, idCol: String, tokens: Column, seqLen: Int,
+               shards: Int, seed: String): DataFrame = {
+    require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    import org.apache.spark.sql.expressions.Window
+    val keyed = df.select(
+      col(idCol),
+      greatest(tokens.cast("long"), lit(1L)).as("n_tokens"),
+      md5(concat(lit(seed), col(idCol).cast("string"))).as("_skey"))
+      .select(
+        col(idCol), col("n_tokens"),
+        pmod(conv(substring(col("_skey"), 1, 6), 16, 10).cast("long"),
+          lit(shards.toLong)).as("shard"),
+        substring(col("_skey"), 7, 26).as("_okey"),
+        conv(substring(col("_skey"), 7, 2), 16, 10).cast("long").as("_bkt"))
+    val inBkt = Window.partitionBy(col("shard"), col("_bkt"))
+      .orderBy(col("_okey"), col(idCol))
+    val ranked = keyed.select(
+      col(idCol), col("n_tokens"), col("shard"), col("_bkt"),
+      row_number().over(inBkt).as("_rank"),
+      coalesce(sum(col("n_tokens"))
+        .over(inBkt.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+        .as("_toff"))
+    val bktOrder = Window.partitionBy(col("shard")).orderBy(col("_bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = keyed.groupBy("shard", "_bkt")
+      .agg(count(lit(1)).as("_n"), sum(col("n_tokens")).as("_t"))
+      .select(col("shard"), col("_bkt"),
+        coalesce(sum(col("_n")).over(bktOrder), lit(0L)).as("_roff"),
+        coalesce(sum(col("_t")).over(bktOrder), lit(0L)).as("_boff"))
+    ranked.join(broadcast(offsets), Seq("shard", "_bkt"))
+      .select(
+        col(idCol), col("shard"), col("n_tokens"),
+        (col("_roff") + col("_rank")).as("pack_pos"),
+        (col("_boff") + col("_toff")).as("token_offset"))
+      .withColumn("first_seq", expr(s"token_offset DIV ${seqLen}L"))
+      .withColumn("last_seq",
+        expr(s"(token_offset + n_tokens - 1) DIV ${seqLen}L"))
+      .withColumn("n_seqs", col("last_seq") - col("first_seq") + lit(1L))
+  }
 }

@@ -532,7 +532,13 @@ object Similarity {
         (col("_ncut") - col("_above")).as("_bdrops"))
     val bw = Window.partitionBy("cell_id", "centroid_cos")
       .orderBy(col("vec_id").asc)
-    cells.join(verdicts, Seq("cell_id", "centroid_cos"))
+    // shuffled-hash BY CONTRACT: the histogram is bounded per cell but
+    // k·2M rows in the worst case — past any broadcast budget — and a
+    // statistics-driven broadcast at small SF can even pick the CORPUS
+    // side as build (observed: BuildLeft on `cells`). The shuffle key
+    // (cell, cos) is the tie-rank window's partition key, so the
+    // corpus pays this one exchange for both.
+    cells.join(verdicts.hint("shuffle_hash"), Seq("cell_id", "centroid_cos"))
       .withColumn("_brn", row_number().over(bw))
       .select(col("vec_id"), col("cell_id"), col("centroid_cos"),
         when(col("_verdict") === 1, lit(true))

@@ -1149,4 +1149,37 @@ object TextAnalysis {
         expr("CAST((1000000L * _n * n_ab) DIV (n_a * n_b) AS BIGINT)")
           .as("lift_ppm"))
   }
+
+  /** Fixed-window overlapping document chunking — the RAG/embedding
+    * preprocessing step (split every document into `chunkChars`-char
+    * windows every `stride` chars, consecutive chunks overlapping by
+    * `chunkChars − stride`) so retrieval indexes embed bounded
+    * passages instead of whole documents. Emits one row per chunk:
+    * `(id, chunk_id, start_char, chunk_text, chunk_len)` — chunk ids
+    * are dense per document (`start DIV stride`, exact because every
+    * start is a stride multiple), the final chunk is short rather
+    * than padded, and an empty document still yields its one empty
+    * chunk (downstream joins never lose the doc).
+    *
+    * Scale shape: pure scan-side `explode(sequence(...))` — output
+    * grows by the ~`len/stride` chunk factor but there is NO shuffle,
+    * no state, and no driver hop; chunks land co-partitioned with
+    * their documents, so the downstream embed/index stage starts
+    * from a clean map-side frame at any corpus size.
+    */
+  def chunkDocs(df: DataFrame, idCol: String, textCol: String,
+                chunkChars: Int, stride: Int): DataFrame = {
+    require(chunkChars >= 1, s"chunkChars must be >= 1, got $chunkChars")
+    require(stride >= 1 && stride <= chunkChars,
+      s"stride must be in 1..chunkChars, got $stride")
+    val t = col(textCol)
+    df.select(col(idCol), t.as("_t"),
+        explode(sequence(lit(0), greatest(length(t) - 1, lit(0)),
+          lit(stride))).as("_start"))
+      .select(col(idCol),
+        expr(s"CAST(_start DIV $stride AS BIGINT)").as("chunk_id"),
+        col("_start").cast("long").as("start_char"),
+        col("_t").substr(col("_start") + 1, lit(chunkChars)).as("chunk_text"))
+      .withColumn("chunk_len", length(col("chunk_text")))
+  }
 }

@@ -36,6 +36,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[OverlapSorted].getName, "overlap_sorted"),
       (children: Seq[Expression]) => OverlapSorted(children(0), children(1))))
     ext.injectFunction((
+      new FunctionIdentifier("damerau_levenshtein"),
+      new ExpressionInfo(classOf[DamerauLevenshtein].getName,
+        "damerau_levenshtein"),
+      (children: Seq[Expression]) =>
+        DamerauLevenshtein(children(0), children(1))))
+    ext.injectFunction((
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
       (children: Seq[Expression]) => VecDot(children(0), children(1))))
@@ -148,6 +154,8 @@ object GraftExtensions {
     add("jaccard_sorted", children => JaccardSorted(children(0), children(1)))
     add("overlap_sorted", children => OverlapSorted(children(0), children(1)))
     add("vec_dot", children => VecDot(children(0), children(1)))
+    add("damerau_levenshtein",
+      children => DamerauLevenshtein(children(0), children(1)))
     add("no_inline", children => NoInline(children.head))
     add("bloom_agg", buildBloomAgg)
     add("bloom_might_contain", buildBloomMightContain)

@@ -1068,6 +1068,65 @@ object LlmQueries {
         |    CAST(concat('0x', substr(md5('splitv1' || CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 100 AS b
         |  FROM documents)""".stripMargin),
 
+    // ───── concat-and-chunk sequence packing: the manifest mapping
+    // every document to its (shard, pack position, token offset,
+    // first/last training sequence) under GPT-style packing into
+    // 512-token sequences across 8 shards. The Spark side decomposes
+    // the in-shard cumsum into per-(shard, hex-bucket) windows + a
+    // broadcast offset frame (no single-reducer shard windows); the
+    // oracle's single window per shard proves the decomposition IS
+    // the sequential packing. Integral DIV throughout — no doubles
+    // near token offsets.
+    "corpus_pack_sequences" -> QueryDef.sql(
+      (s, dir) =>
+        Sampling.packPlan(
+          docs(s, dir).select(col("doc_id"),
+            TextAnalysis.wsTokenCount(col("text")).as("_tok")),
+          "doc_id", col("_tok"), seqLen = 512, shards = 8, seed = "packv1"),
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    greatest(len(string_split_regex(trim(text), '\s+')), 1) AS n_tokens,
+        |    md5('packv1' || CAST(doc_id AS VARCHAR)) AS skey
+        |  FROM documents),
+        |k AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(concat('0x', substr(skey, 1, 6)) AS BIGINT) % 8 AS shard,
+        |    substr(skey, 7) AS okey
+        |  FROM t),
+        |c AS (
+        |  SELECT doc_id, shard, n_tokens,
+        |    row_number() OVER (PARTITION BY shard ORDER BY okey, doc_id) AS pack_pos,
+        |    COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY okey, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS token_offset
+        |  FROM k)
+        |SELECT doc_id, shard, n_tokens, pack_pos,
+        |  CAST(token_offset AS BIGINT) AS token_offset,
+        |  CAST(token_offset // 512 AS BIGINT) AS first_seq,
+        |  CAST((token_offset + n_tokens - 1) // 512 AS BIGINT) AS last_seq,
+        |  CAST((token_offset + n_tokens - 1) // 512
+        |    - token_offset // 512 + 1 AS BIGINT) AS n_seqs
+        |FROM c""".stripMargin),
+
+    // ───── RAG chunking: every document split into 200-char windows
+    // every 150 chars (50-char overlap) — the bounded-passage
+    // preprocessing in front of the embed/index stages. Scan-side
+    // explode, zero shuffles; the oracle re-derives every window with
+    // unnest(range(...)) (exclusive stop ≡ Spark's inclusive
+    // sequence-to-len−1) including the short final chunk and the
+    // one-empty-chunk contract for empty docs.
+    "ret_doc_chunks" -> QueryDef.sql(
+      (s, dir) =>
+        TextAnalysis.chunkDocs(docs(s, dir), "doc_id", "text",
+          chunkChars = 200, stride = 150),
+      """WITH s AS (
+        |  SELECT doc_id, text,
+        |    unnest(range(0, greatest(length(text), 1), 150)) AS i
+        |  FROM documents)
+        |SELECT doc_id, i // 150 AS chunk_id, i AS start_char,
+        |  substring(text, CAST(i + 1 AS INT), 200) AS chunk_text,
+        |  length(substring(text, CAST(i + 1 AS INT), 200)) AS chunk_len
+        |FROM s""".stripMargin),
+
     // ───── end-to-end corpus curation: quality gate → exact dedup →
     // per-language corpus stats (docs kept, total BPE-ish tokens,
     // exact-mean quality). The integration query a training-data

@@ -1203,6 +1203,183 @@ object RelationalQueries {
         |WHERE sd > 0
         |  AND abs(round((CAST(rm AS DOUBLE) - mean) / sd, 6)) >= 3.0""".stripMargin),
 
+    // ───── V9: robust outlier scoring via median/MAD — the
+    // Iglewicz–Hoaglin modified z-score family, which a single wild
+    // day cannot poison the way it drags a mean/σ gate (v06's moment
+    // z): median and MAD have 50% breakdown. Exactness recipe: daily
+    // revenue in integer cents, medians carried as DOUBLED integers
+    // (med2 = 2·median, mad4 = 2·median(|2x − med2|)) so even-count
+    // interpolation stays integral — Spark's exact `percentile` at
+    // p=0.5 computes a+(b−a)·0.5 over even integers (IEEE-exact
+    // < 2^53), the oracle re-derives the same values from pure rank
+    // arithmetic, proving them equal. The outlier FLAG is the
+    // integer inequality 20000·dev2 > 44478·mad4 (⇔ |x−med| >
+    // 1.4826·MAD; production gates lift the same integers to the
+    // 3.5 threshold of Iglewicz–Hoaglin 1993, =155673·mad4/20000) —
+    // no floating point in the decision; robust_z is display-only.
+    // Scale shape: the daily frame is CALENDAR-bounded (≤ #days
+    // regardless of corpus size), so both exact medians run on a
+    // bounded frame after one map-combined aggregate; the two 1-row
+    // stats broadcast back. Counts past BIGINT cents headroom
+    // (~9·10^16 dollars/day) would lift to DECIMAL(38,0).
+    "v09_mad_outliers" -> QueryDef.sql(
+      (s, dir) => {
+        val daily = t(s, dir, "lineitem")
+          .filter(col("l_extendedprice") > 0)
+          .groupBy(to_date(col("l_shipdate")).as("ship_date"))
+          .agg(sum(col("l_extendedprice").cast("decimal(30,2)"))
+            .cast("decimal(18,2)").as("_rev"))
+          .withColumn("_r2", (col("_rev") * 100).cast("long") * 2)
+        val med = daily.agg(
+          expr("CAST(percentile(_r2, 0.5d) AS BIGINT)").as("_med2"))
+        val dev = daily.crossJoin(broadcast(med))
+          .withColumn("_dev2", abs(col("_r2") - col("_med2")))
+        val mad = dev.agg(
+          expr("CAST(percentile(_dev2 * 2, 0.5d) AS BIGINT)").as("_mad4"))
+        dev.crossJoin(broadcast(mad))
+          .select(col("ship_date"),
+            col("_rev").cast("double").as("total_revenue"),
+            round(lit(2.0) * col("_dev2").cast("double") /
+              (lit(4.4478) * col("_mad4").cast("double")), 6).as("robust_z"),
+            (col("_dev2") * 20000L > col("_mad4") * 44478L).as("is_outlier"))
+      },
+      """WITH daily AS (
+        |  SELECT CAST(l_shipdate AS DATE) AS ship_date,
+        |         CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2)))
+        |              AS DECIMAL(18,2)) AS rev
+        |  FROM lineitem WHERE l_extendedprice > 0 GROUP BY 1),
+        |c AS (
+        |  SELECT ship_date, rev, CAST(rev * 100 AS BIGINT) * 2 AS r2
+        |  FROM daily),
+        |rk AS (
+        |  SELECT r2, row_number() OVER (ORDER BY r2) AS rn,
+        |         COUNT(*) OVER () AS n
+        |  FROM c),
+        |m AS (
+        |  SELECT (SUM(CASE WHEN rn = (n + 1) // 2 THEN r2 ELSE 0 END)
+        |        + SUM(CASE WHEN rn = n // 2 + 1 THEN r2 ELSE 0 END)) // 2
+        |        AS med2
+        |  FROM rk),
+        |dv AS (
+        |  SELECT c.ship_date, c.rev, abs(c.r2 - m.med2) AS dev2
+        |  FROM c, m),
+        |drk AS (
+        |  SELECT dev2 * 2 AS d4, row_number() OVER (ORDER BY dev2 * 2) AS rn,
+        |         COUNT(*) OVER () AS n
+        |  FROM dv),
+        |mm AS (
+        |  SELECT (SUM(CASE WHEN rn = (n + 1) // 2 THEN d4 ELSE 0 END)
+        |        + SUM(CASE WHEN rn = n // 2 + 1 THEN d4 ELSE 0 END)) // 2
+        |        AS mad4
+        |  FROM drk)
+        |SELECT dv.ship_date, CAST(dv.rev AS DOUBLE) AS total_revenue,
+        |  round(2.0 * CAST(dv.dev2 AS DOUBLE)
+        |        / (4.4478 * CAST(mm.mad4 AS DOUBLE)), 6) AS robust_z,
+        |  dv.dev2 * 20000 > mm.mad4 * 44478 AS is_outlier
+        |FROM dv, mm""".stripMargin),
+
+    // ───── V10: distribution-drift monitor — total-variation
+    // distance between two time periods' event-type distributions,
+    // the production data-drift check in front of any model retrain
+    // (the PSI/TVD monitor family; TVD chosen because it is exactly
+    // computable in integers — PSI's logarithm would ride libm and
+    // drift cross-engine). Shares are integer ppm by floor division
+    // (`(10^6·o) DIV n`, the X83 PMI recipe), the per-bin delta and
+    // the TVD (= Σ|Δ|/2) are pure BIGINT arithmetic — bit-identical
+    // in any engine. Scale shape: one map-combined |bins|-row
+    // aggregate, two 1-row broadcast frames; the event scan is the
+    // only data pass. BIGINT headroom to 9·10^12 events per period
+    // (then: DECIMAL(38,0), the ppsSample lift).
+    "v10_distribution_drift" -> QueryDef.sql(
+      (s, dir) => {
+        val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+        val bins = t(s, dir, "events").groupBy(col("event_type"))
+          .agg(
+            sum(when(col("ts") < cut, 1L).otherwise(0L)).as("o1"),
+            sum(when(col("ts") >= cut, 1L).otherwise(0L)).as("o2"))
+        val tot = bins.agg(sum(col("o1")).as("_n1"), sum(col("o2")).as("_n2"))
+        val shares = bins.crossJoin(broadcast(tot))
+          .select(col("event_type"), col("o1"), col("o2"),
+            expr("(1000000L * o1) DIV _n1").as("p1_ppm"),
+            expr("(1000000L * o2) DIV _n2").as("p2_ppm"))
+          .withColumn("delta_ppm", col("p1_ppm") - col("p2_ppm"))
+        val tvd = shares.agg(expr("SUM(abs(delta_ppm)) DIV 2").as("tvd_ppm"))
+        shares.crossJoin(broadcast(tvd))
+      },
+      """WITH bins AS (
+        |  SELECT event_type,
+        |    SUM(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+        |             THEN 1 ELSE 0 END) AS o1,
+        |    SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+        |             THEN 1 ELSE 0 END) AS o2
+        |  FROM events GROUP BY 1),
+        |tot AS (SELECT SUM(o1) AS n1, SUM(o2) AS n2 FROM bins),
+        |sh AS (
+        |  SELECT event_type,
+        |    CAST(o1 AS BIGINT) AS o1, CAST(o2 AS BIGINT) AS o2,
+        |    CAST((1000000 * o1) // n1 AS BIGINT) AS p1_ppm,
+        |    CAST((1000000 * o2) // n2 AS BIGINT) AS p2_ppm,
+        |    CAST((1000000 * o1) // n1
+        |         - (1000000 * o2) // n2 AS BIGINT) AS delta_ppm
+        |  FROM bins, tot),
+        |tv AS (
+        |  SELECT CAST(SUM(abs(delta_ppm)) // 2 AS BIGINT) AS tvd_ppm FROM sh)
+        |SELECT sh.*, tv.tvd_ppm FROM sh, tv""".stripMargin),
+
+    // ───── P28: transposition-aware fuzzy match pairs — the custom
+    // codegen'd true Damerau–Levenshtein expression
+    // (plans/DamerauLevenshtein.scala, Lowrance–Wagner 1975) against
+    // Spark's built-in levenshtein over blocked candidate pairs.
+    // The candidate frame doubles each part with an adjacent-char-
+    // swapped twin (the most common human typo class), so the output
+    // PROVES the transposition edit is first-class: 4k+ pairs where
+    // dl < lev (`transposition_gain` > 0) — a plain-levenshtein or
+    // OSA-restricted engine cannot reproduce this frame. Blocking on
+    // (brand, name length) keeps the self-join bucket-bounded (the
+    // MDM J10 discipline — length is swap-invariant so twins stay
+    // co-blocked); the expression itself is a scan-side projection
+    // inside whole-stage codegen. Oracle: DuckDB's built-in
+    // damerau_levenshtein (semantics fuzz-verified identical).
+    "p28_damerau_pairs" -> QueryDef.sql(
+      (s, dir) => {
+        graft.plans.GraftExtensions.register(s) // idempotent
+        val p0 = t(s, dir, "part").select("p_partkey", "p_name", "p_brand")
+        val swapped = p0.select(
+          (col("p_partkey") + 100000L).as("p_partkey"),
+          concat(substring(col("p_name"), 2, 1), substring(col("p_name"), 1, 1),
+            expr("substring(p_name, 3, 100000)")).as("p_name"),
+          col("p_brand"))
+        val pp = p0.unionByName(swapped)
+        val a = pp.toDF("k1", "n1", "b1").withColumn("_l1", length(col("n1")))
+        val b = pp.toDF("k2", "n2", "b2").withColumn("_l2", length(col("n2")))
+        a.join(b.hint("shuffle_hash"),
+            col("b1") === col("b2") && col("_l1") === col("_l2") &&
+              col("k1") < col("k2"))
+          .select(col("k1"), col("k2"),
+            expr("damerau_levenshtein(n1, n2)").as("dl"),
+            levenshtein(col("n1"), col("n2")).as("lev"))
+          .filter(col("dl") <= 3)
+          .withColumn("transposition_gain", col("lev") - col("dl"))
+      },
+      """WITH p0 AS (SELECT p_partkey, p_name, p_brand FROM part),
+        |pp AS (
+        |  SELECT * FROM p0
+        |  UNION ALL
+        |  SELECT p_partkey + 100000,
+        |    concat(substr(p_name, 2, 1), substr(p_name, 1, 1),
+        |           substr(p_name, 3, 100000)),
+        |    p_brand
+        |  FROM p0)
+        |SELECT a.p_partkey AS k1, b.p_partkey AS k2,
+        |  damerau_levenshtein(a.p_name, b.p_name) AS dl,
+        |  levenshtein(a.p_name, b.p_name) AS lev,
+        |  levenshtein(a.p_name, b.p_name)
+        |    - damerau_levenshtein(a.p_name, b.p_name) AS transposition_gain
+        |FROM pp a JOIN pp b
+        |  ON a.p_brand = b.p_brand AND length(a.p_name) = length(b.p_name)
+        | AND a.p_partkey < b.p_partkey
+        |WHERE damerau_levenshtein(a.p_name, b.p_name) <= 3""".stripMargin),
+
     // ───── P26: collection-function battery — set algebra over
     // arrays (intersect/union/except return IMPLEMENTATION-DEFINED
     // order in both engines, so every set result is array_sort'ed

@@ -50,7 +50,11 @@ class PlanAuditSpec extends SparkSpec {
     "ret_mmr_rerank" ->
       "pools via the allowlisted exhaustive ANN baseline (queries broadcast); the greedy loop itself is per-row",
     "a21_abc_analysis" ->
-      "1-row revenue-total frame broadcast into the supplier-bounded cumulative frame")
+      "1-row revenue-total frame broadcast into the supplier-bounded cumulative frame",
+    "v09_mad_outliers" ->
+      "two 1-row frames (exact median, exact MAD) broadcast back over the calendar-bounded daily frame",
+    "v10_distribution_drift" ->
+      "1-row period-totals and 1-row TVD frames broadcast over the |bins|-bounded share table")
 
   test("no registered query hides an unlisted cartesian or nested-loop join") {
     GraftExtensions.register(spark)

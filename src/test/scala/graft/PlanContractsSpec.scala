@@ -271,14 +271,30 @@ class PlanContractsSpec extends SparkSpec {
     assert(p.contains("REPARTITION_BY_NUM"), p)
   }
 
-  test("corpus_prune_prototypes: map-only assignment, one per-cell window shuffle") {
+  test("corpus_prune_prototypes: bounded-histogram verdicts, corpus shuffled " +
+    "once on the shared (cell, cos) key") {
     val p = plan("corpus_prune_prototypes")
-    // no joins at all — centroids are literals after the k-means
-    // build, assignment is scan-side, ranking is a per-cell window
-    assert(countLines(p, "Join") === 0, p)
-    val shuffles = p.linesIterator
-      .filter(_.contains("Exchange")).filterNot(_.contains("BroadcastExchange"))
-    assert(shuffles.size === 1, p)
+    // centroids are literals after the k-means build, assignment is
+    // scan-side; the ONLY join is the bounded-histogram verdict frame
+    // coming back — and it must be shuffled-hash on (cell, cos): the
+    // histogram is ≤ 2,000,001 rows PER CELL (worst case k·2M — past
+    // any broadcast budget), and a statistics-driven broadcast at
+    // small SF was observed to build the CORPUS side. The tie-rank
+    // window shares the join's partitioning, so the corpus pays one
+    // exchange for both.
+    assert(countLines(p, "ShuffledHashJoin") === 1, p)
+    assert(countLines(p, "BroadcastHashJoin") === 0, p)
+    assert(countLines(p, "SortMergeJoin") === 0, p)
+    assert(countLines(p, "CartesianProduct") === 0, p)
+    // no exchange between the verdict join and the tie-rank window
+    // (textual pin: the Window over (cell_id, centroid_cos) sits above
+    // the join with only Sort/Project in between)
+    val lines = p.linesIterator.toVector
+    val winIdx = lines.indexWhere(l =>
+      l.contains("Window") && l.contains("_brn"))
+    val joinIdx = lines.indexWhere(_.contains("ShuffledHashJoin"))
+    assert(winIdx >= 0 && joinIdx > winIdx, p)
+    assert(!lines.slice(winIdx + 1, joinIdx).exists(_.contains("Exchange")), p)
   }
 
   test("corpus_mixture_temperature: rate table broadcasts back, corpus filter is scan-side") {
