@@ -39,8 +39,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("damerau_levenshtein"),
       new ExpressionInfo(classOf[DamerauLevenshtein].getName,
         "damerau_levenshtein"),
-      (children: Seq[Expression]) =>
-        DamerauLevenshtein(children(0), children(1))))
+      GraftExtensions.buildDamerauLevenshtein))
     ext.injectFunction((
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
@@ -109,6 +108,16 @@ object GraftExtensions {
         lit(1, "numHashes", 6), lit(2, "shingleSize", 5))
     }
 
+  /** damerau_levenshtein(a, b[, k]) — with the optional literal
+    * threshold k the banded DP runs: exact distance when ≤ k, k+1
+    * otherwise (the join-scale form; see the expression's scaladoc).
+    */
+  private[plans] val buildDamerauLevenshtein: Seq[Expression] => Expression =
+    (children: Seq[Expression]) => DamerauLevenshtein(
+      children(0), children(1),
+      children.lift(2).map(e => foldableInt("damerau_levenshtein", "k", e))
+        .getOrElse(Int.MaxValue))
+
   /** packed_shingles(text[, shingleSize]) — size must be a literal. */
   private[plans] val buildPackedShingles: Seq[Expression] => Expression =
     (children: Seq[Expression]) => PackedShingles(children.head,
@@ -154,8 +163,7 @@ object GraftExtensions {
     add("jaccard_sorted", children => JaccardSorted(children(0), children(1)))
     add("overlap_sorted", children => OverlapSorted(children(0), children(1)))
     add("vec_dot", children => VecDot(children(0), children(1)))
-    add("damerau_levenshtein",
-      children => DamerauLevenshtein(children(0), children(1)))
+    add("damerau_levenshtein", buildDamerauLevenshtein)
     add("no_inline", children => NoInline(children.head))
     add("bloom_agg", buildBloomAgg)
     add("bloom_might_contain", buildBloomMightContain)

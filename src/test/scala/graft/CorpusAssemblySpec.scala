@@ -166,6 +166,30 @@ class CorpusAssemblySpec extends SparkSpec {
     assert(sym.forall(identity))
   }
 
+  test("damerau_levenshtein: banded 3-arg form agrees with exact below " +
+    "the cap and returns cap+1 above it") {
+    GraftExtensions.register(spark)
+    // deterministic fuzz: pairs of short strings over a small alphabet
+    // (high collision/transposition density), plus targeted shapes
+    val rnd = new scala.util.Random(0x5eed)
+    def word(): String =
+      (0 until (1 + rnd.nextInt(12))).map(_ => ('a' + rnd.nextInt(4)).toChar)
+        .mkString
+    val pairs = Seq.tabulate(4000)(_ => (word(), word())) ++ Seq(
+      ("CA", "ABC"), ("ab", "ba"), ("", "abcdefgh"), ("abcdefgh", ""),
+      ("abcd", "abcd"), ("aaaa", "bbbb"))
+    val df = pairs.toDF("a", "b")
+    for (cap <- Seq(0, 1, 2, 3, 5)) {
+      val bad = df.selectExpr("a", "b",
+          "damerau_levenshtein(a, b) AS exact",
+          s"damerau_levenshtein(a, b, $cap) AS capped")
+        .where(s"capped <> least(exact, ${cap + 1})")
+        .collect()
+      assert(bad.isEmpty,
+        s"cap=$cap disagreements: ${bad.take(5).mkString(", ")}")
+    }
+  }
+
   test("damerau_levenshtein: supplementary code points count as one") {
     GraftExtensions.register(spark)
     val emoji = "a😀b" // a😀b — 4 UTF-16 units, 3 code points
