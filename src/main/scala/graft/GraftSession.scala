@@ -31,6 +31,15 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.sql.adaptive.enabled", "true")
+      // ObjectHashAggregate (the execution mode of every
+      // TypedImperativeAggregate, e.g. topk_pairs) falls back to
+      // SORT-BASED aggregation after only 128 distinct groups by
+      // default — built for sketches with megabyte buffers. This
+      // engine's object buffers are O(k) longs by design, so keep
+      // hash aggregation through realistic group counts; memory
+      // pressure still spills via the aggregation map itself.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "10000000")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
     val withMaster = master.fold(b)(b.master)
     shufflePartitions.fold(withMaster)(n =>

@@ -45,6 +45,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
       (children: Seq[Expression]) => VecDot(children(0), children(1))))
     ext.injectFunction((
+      new FunctionIdentifier("topk_pairs"),
+      new ExpressionInfo(classOf[TopKPairsAgg].getName, "topk_pairs"),
+      GraftExtensions.buildTopKPairs))
+    ext.injectFunction((
       new FunctionIdentifier("no_inline"),
       new ExpressionInfo(classOf[NoInline].getName, "no_inline"),
       (children: Seq[Expression]) => NoInline(children.head)))
@@ -118,6 +122,13 @@ object GraftExtensions {
       children.lift(2).map(e => foldableInt("damerau_levenshtein", "k", e))
         .getOrElse(Int.MaxValue))
 
+  /** topk_pairs(keyLong, payloadLong, k) — bounded-heap top-k
+    * aggregate (see [[TopKPairsAgg]]); k must be an integer literal.
+    */
+  private[plans] val buildTopKPairs: Seq[Expression] => Expression =
+    (children: Seq[Expression]) => TopKPairsAgg(
+      children(0), children(1), foldableInt("topk_pairs", "k", children(2)))
+
   /** packed_shingles(text[, shingleSize]) — size must be a literal. */
   private[plans] val buildPackedShingles: Seq[Expression] => Expression =
     (children: Seq[Expression]) => PackedShingles(children.head,
@@ -164,6 +175,7 @@ object GraftExtensions {
     add("overlap_sorted", children => OverlapSorted(children(0), children(1)))
     add("vec_dot", children => VecDot(children(0), children(1)))
     add("damerau_levenshtein", buildDamerauLevenshtein)
+    add("topk_pairs", buildTopKPairs)
     add("no_inline", children => NoInline(children.head))
     add("bloom_agg", buildBloomAgg)
     add("bloom_might_contain", buildBloomMightContain)

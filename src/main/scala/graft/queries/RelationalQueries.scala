@@ -756,6 +756,45 @@ object RelationalQueries {
         |  FROM orders)
         |WHERE rn <= 3""".stripMargin),
 
+    // ───── O7: top-N per group as a BOUNDED-HEAP AGGREGATE — the
+    // same answer as o06 through the custom topk_pairs
+    // TypedImperativeAggregate (plans/TopKPairsAgg.scala) instead of
+    // a window. The window form shuffles and sorts EVERY order row on
+    // the customer key before discarding all but 3; the aggregate
+    // runs as ObjectHashAggregate with a map-side PARTIAL pass, so
+    // each mapper reduces its slice to ≤3 pairs per customer (O(k)
+    // heap state) and only those survivors cross the exchange —
+    // shuffle volume independent of fact row count, nothing globally
+    // sorted. Keys are exact cents (the registry-wide integer
+    // recipe); ties break by smallest order id, a total order, so the
+    // flattened `price:order` string is deterministic cross-engine.
+    "o07_topk_agg" -> QueryDef.sql(
+      (s, dir) => {
+        graft.plans.GraftExtensions.register(s) // idempotent
+        t(s, dir, "orders")
+          .select(col("o_custkey"),
+            (col("o_totalprice").cast("decimal(18,2)") * 100)
+              .cast("long").as("_cents"),
+            col("o_orderkey"))
+          .groupBy(col("o_custkey"))
+          .agg(expr("topk_pairs(_cents, o_orderkey, 3)").as("_top"))
+          .select(col("o_custkey"),
+            expr("array_join(transform(_top, p -> concat(p.k, ':', p.v)), ',')")
+              .as("top_orders"))
+      },
+      """WITH r AS (
+        |  SELECT o_custkey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        |    o_orderkey,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) DESC,
+        |               o_orderkey ASC) AS rn
+        |  FROM orders)
+        |SELECT o_custkey,
+        |  string_agg(cents || ':' || o_orderkey, ','
+        |    ORDER BY cents DESC, o_orderkey ASC) AS top_orders
+        |FROM r WHERE rn <= 3 GROUP BY 1""".stripMargin),
+
     // ───── materialized-view maintenance gate: the daily-revenue
     // aggregate rebuilt INCREMENTALLY — two arrival batches each
     // produce algebraic (decimal-sum, count) state, the states merge,
