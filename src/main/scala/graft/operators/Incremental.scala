@@ -87,4 +87,43 @@ object Incremental {
       .filter(col("change_type").isNotNull)
       .select(keys.map(col) :+ col("change_type"): _*)
   }
+
+  /** Apply a change feed to a keyed snapshot — the consumer half of
+    * the CDC pair ([[snapshotDiff]] derives a feed; this folds one
+    * back in, the offline form of `MERGE INTO ... WHEN MATCHED
+    * [DELETE]`). `changes` carries one row per change event with an
+    * op column (`D` deletes the key; anything else upserts
+    * `payloadCols`); `orderCols` must be a TOTAL order within each
+    * key (e.g. event time + a unique sequence id) — the LATEST change
+    * wins, later ops overwrite earlier ones within the same feed, and
+    * keys untouched by the feed pass through from the snapshot.
+    *
+    * Scale shape: the feed first collapses to one row per changed key
+    * via `max_by(payload, struct(orderCols))` — a declarative
+    * aggregate, so each mapper reduces its slice to its local latest
+    * BEFORE the exchange (a window `row_number` formulation would
+    * shuffle and sort the entire feed instead). Then ONE shuffled-hash
+    * full-outer join against the snapshot on the key; the snapshot is
+    * never sorted, and the join payload is exactly the state columns.
+    * Cost is O(|feed|) + O(|snapshot|) scan + one shuffle each —
+    * independent of how many historical change events a key has seen.
+    */
+  def applyChanges(snapshot: DataFrame, changes: DataFrame,
+                   keys: Seq[String], orderCols: Seq[String], opCol: String,
+                   payloadCols: Seq[String]): DataFrame = {
+    require(payloadCols.nonEmpty, "payloadCols must be non-empty")
+    val latest = changes
+      .groupBy(keys.map(col): _*)
+      .agg(max_by(
+        struct(col(opCol).as("_op") +: payloadCols.map(col): _*),
+        struct(orderCols.map(col): _*)).as("_c"))
+      .hint("shuffle_hash")
+    snapshot.join(latest, keys, "full_outer")
+      // deletes drop the key even if the snapshot never had it (a
+      // feed-only insert-then-delete key must not materialize)
+      .filter(col("_c").isNull || col("_c._op") =!= "D")
+      .select(keys.map(col) ++ payloadCols.map(c =>
+        when(col("_c").isNotNull, col(s"_c.$c"))
+          .otherwise(col(c)).as(c)): _*)
+  }
 }

@@ -937,4 +937,84 @@ object Similarity {
       .select(col("query_id"), col("_o.pos"), col("_o.cand_id"),
         col("_o.rel"), col("_o.mmr"))
   }
+
+  /** Exact d×d gram matrix Σ x·xᵀ over an embedding column in ONE
+    * pass — the sufficient statistic for PCA/whitening/linear probes
+    * (X = corpus matrix; covariance and principal axes derive from
+    * XᵀX without ever revisiting the data). Output: upper triangle
+    * as (i, j, g) rows, 1-based, d(d+1)/2 of them.
+    *
+    * Engine-exact by quantization: components quantize to
+    * `round(x·quantScale)` BIGINTs at the scan, so every product and
+    * the cross-row sum are integer arithmetic — bit-identical in any
+    * engine (double accumulation would drift with partitioning).
+    * Headroom: |q| ≤ quantScale·max|x| ⇒ with unit-norm embeddings at
+    * the default scale each product ≤ 1e8, overflowing BIGINT only
+    * past ~9×10¹⁰ rows; pick a smaller quantScale for more rows.
+    *
+    * Scale shape: the per-row cost is the inherent O(d²) of the outer
+    * product, emitted scan-side via nested HOF lambdas over the ONE
+    * fenced quantized array (no_inline — project-collapse would
+    * substitute the transform into every element_at, recomputing the
+    * quantization per access). The aggregation keys on (i, j) — at
+    * most d(d+1)/2 groups — so partial aggregation collapses each
+    * mapper's slice to ≤2080 rows (d=64) before the exchange: shuffle
+    * volume is partitions × d²/2 × 24 bytes, independent of corpus
+    * size, and the corpus itself never shuffles.
+    */
+  def gramMatrix(df: DataFrame, vecCol: String, dim: Int,
+                 quantScale: Int = 10000): DataFrame = {
+    ensureRegistered(df)
+    val spark = df.sparkSession
+    val q = df.select(graft.plans.NoInline(spark,
+      transform(col(vecCol).cast("array<double>"),
+        x => round(x * quantScale).cast("long"))).as("_q"))
+    q.select(explode(expr(
+      s"""flatten(transform(sequence(1, $dim), i ->
+         |  transform(sequence(i, $dim), j ->
+         |    named_struct('i', i, 'j', j,
+         |      'p', element_at(_q, i) * element_at(_q, j)))))""".stripMargin))
+        .as("_t"))
+      .groupBy(col("_t.i").as("i"), col("_t.j").as("j"))
+      .agg(sum(col("_t.p")).as("g"))
+  }
+
+  /** Leading principal component from a collected gram matrix
+    * (driver-side power iteration — the gram is d×d CONTROL PLANE, a
+    * few KB; the data plane stays distributed in [[gramMatrix]] /
+    * [[pcaProject]]). Deterministic: fixed start vector e₁ + fixed
+    * iteration count, no randomness. Returns the unit eigenvector.
+    */
+  def pcaTopComponent(gram: DataFrame, dim: Int,
+                      iters: Int = 100): Array[Double] = {
+    val g = Array.ofDim[Double](dim, dim)
+    gram.select(col("i"), col("j"), col("g").cast("double")).collect()
+      .foreach { r =>
+        val (i, j, v) = (r.getInt(0) - 1, r.getInt(1) - 1, r.getDouble(2))
+        g(i)(j) = v; g(j)(i) = v
+      }
+    var v = Array.tabulate(dim)(i => if (i == 0) 1.0 else 0.0)
+    for (_ <- 1 to iters) {
+      val w = Array.tabulate(dim)(i =>
+        (0 until dim).foldLeft(0.0)((acc, j) => acc + g(i)(j) * v(j)))
+      val n = math.sqrt(w.foldLeft(0.0)((a, x) => a + x * x))
+      require(n > 0, "gram matrix has no positive direction")
+      v = w.map(_ / n)
+    }
+    // sign convention: first nonzero coordinate positive, so the
+    // component is unique (±v are the same axis)
+    val lead = v.find(math.abs(_) > 1e-12).getOrElse(1.0)
+    if (lead < 0) v.map(-_) else v
+  }
+
+  /** Project every embedding onto a fixed component (broadcast as a
+    * literal array — map-only, zero shuffles): the PCA feature /
+    * whitening step. */
+  def pcaProject(df: DataFrame, idCol: String, vecCol: String,
+                 component: Array[Double]): DataFrame = {
+    ensureRegistered(df)
+    val comp = array(component.map(lit): _*)
+    df.select(col(idCol),
+      round(dot(col(vecCol).cast("array<double>"), comp), 6).as("pc1"))
+  }
 }

@@ -2591,6 +2591,27 @@ object LlmQueries {
            |      for i in generate_series(0, 63)], 'sum') / 4.0, 6) AS proj_$j""".stripMargin)
         .mkString(",\n") + "\nFROM embeddings"),
 
+    // ───── exact 64×64 gram matrix Σ x·xᵀ in ONE pass — the
+    // sufficient statistic PCA/whitening/linear probes run on.
+    // Components quantize to round(x·10⁴) BIGINTs at the scan, so
+    // the whole matrix is integer arithmetic (engine-exact, no
+    // double drift); (i,j) keys cap the shuffle at 2,080 partial
+    // rows per mapper regardless of corpus size. The driver-side
+    // power-iteration eigenvector + projection on top is LlmOpsSpec
+    // territory (no SQL eigen); the distributed statistic is gated
+    // here bit-for-bit.
+    "emb_gram_matrix" -> QueryDef.sql(
+      (s, dir) => Similarity.gramMatrix(emb(s, dir), "embedding", 64),
+      """SELECT i, j, CAST(SUM(qi * qj) AS BIGINT) AS g FROM (
+        |  SELECT i, j,
+        |    CAST(round(CAST(embedding[i] AS DOUBLE) * 10000) AS BIGINT) AS qi,
+        |    CAST(round(CAST(embedding[j] AS DOUBLE) * 10000) AS BIGINT) AS qj
+        |  FROM embeddings,
+        |    generate_series(1, 64) AS g1(i),
+        |    generate_series(1, 64) AS g2(j)
+        |  WHERE j >= i)
+        |GROUP BY 1, 2""".stripMargin),
+
     // ───── ANN over the 16-d projection — the composition X44
     // exists for: brute-force top-k in the REDUCED space (per-pair
     // work 4× cheaper, candidate lists feed a full-dim rerank in a

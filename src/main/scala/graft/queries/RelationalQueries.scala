@@ -891,6 +891,58 @@ object RelationalQueries {
         |SELECT s_suppkey + 10000000, 'insert'
         |FROM supplier WHERE s_suppkey < 3""".stripMargin),
 
+    // ───── CDC APPLY — the consumer half of the change-data pair:
+    // fold an I/U/D change feed into a keyed snapshot (offline MERGE
+    // INTO ... WHEN MATCHED DELETE). Feed = the events table mapped
+    // to ops (error→D, signup→I, else U), keyed by user, ordered by
+    // (ts, event_id) — a total order, so "latest change wins" is
+    // deterministic. Snapshot = customers as (key, status, cents)
+    // state rows. The feed collapses to latest-per-key via a
+    // map-combinable max_by (no window — a row_number formulation
+    // would shuffle AND sort the whole feed), then one shuffled-hash
+    // full-outer join upserts/deletes against the snapshot. Cents via
+    // the registry-wide decimal recipe keeps every value integer.
+    "cdc_apply" -> QueryDef.sql(
+      (s, dir) => {
+        import graft.operators.Incremental
+        val snap = t(s, dir, "customer").select(
+          col("c_custkey").as("entity_id"),
+          lit("base").as("status"),
+          (col("c_acctbal").cast("decimal(18,2)") * 100)
+            .cast("long").as("val_cents"))
+        val feed = t(s, dir, "events").select(
+          col("user_id").as("entity_id"),
+          col("ts"), col("event_id"),
+          when(col("event_type") === "error", "D")
+            .when(col("event_type") === "signup", "I")
+            .otherwise("U").as("op"),
+          col("event_type").as("status"),
+          (col("value").cast("decimal(18,2)") * 100)
+            .cast("long").as("val_cents"))
+        Incremental.applyChanges(snap, feed, Seq("entity_id"),
+          Seq("ts", "event_id"), "op", Seq("status", "val_cents"))
+      },
+      """WITH latest AS (
+        |  SELECT user_id AS entity_id,
+        |    CASE event_type WHEN 'error' THEN 'D'
+        |         WHEN 'signup' THEN 'I' ELSE 'U' END AS op,
+        |    event_type AS status,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS val_cents,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events),
+        |l1 AS (SELECT * FROM latest WHERE rn = 1),
+        |snap AS (
+        |  SELECT c_custkey AS entity_id, 'base' AS status,
+        |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS val_cents
+        |  FROM customer)
+        |SELECT COALESCE(l1.entity_id, snap.entity_id) AS entity_id,
+        |  COALESCE(l1.status, snap.status) AS status,
+        |  CASE WHEN l1.entity_id IS NOT NULL THEN l1.val_cents
+        |       ELSE snap.val_cents END AS val_cents
+        |FROM snap FULL OUTER JOIN l1 ON snap.entity_id = l1.entity_id
+        |WHERE l1.op IS NULL OR l1.op <> 'D'""".stripMargin),
+
     // ───── V6: statistical anomaly detection — days whose revenue
     // sits ≥ 3σ from the supplier's own mean, with mean/σ derived
     // from EXACT decimal moments (same recipe as a16: population
@@ -1880,6 +1932,65 @@ object RelationalQueries {
         |       wf AS (PARTITION BY l_suppkey ORDER BY ship_date
         |              ROWS BETWEEN UNBOUNDED PRECEDING
         |                       AND UNBOUNDED FOLLOWING)""".stripMargin),
+
+    // ───── W7: EWMA smoothing with a DYADIC decay (α = 1/2) over the
+    // trailing 8 observations — the feature-engineering staple
+    // (recency-weighted revenue) made ENGINE-EXACT: weights 2^(7−i)
+    // are integers, revenue is cents, so numerator/denominator/EWMA
+    // are pure BIGINT and the result is bit-identical in any engine
+    // (a general α^i EWMA rides libm pow cross-engine). Eight
+    // explicit lag() columns over ONE window — a single pass, fully
+    // codegen'd, no frame re-aggregation per row; missing leading
+    // observations drop their weight from the denominator (the
+    // standard adjusted/bias-corrected EWM form).
+    "w07_ewma_dyadic" -> QueryDef.sql(
+      (s, dir) => {
+        val daily = t(s, dir, "lineitem")
+          .filter(col("l_extendedprice") > 0)
+          .groupBy(col("l_suppkey"), to_date(col("l_shipdate")).as("d"))
+          .agg((sum(col("l_extendedprice").cast("decimal(30,2)")) * 100)
+            .cast("long").as("cents"))
+        val w = Window.partitionBy(col("l_suppkey")).orderBy(col("d"))
+        val terms = (0 to 7).map { i =>
+          val weight = lit(1L << (7 - i))
+          val x = if (i == 0) col("cents") else lag(col("cents"), i).over(w)
+          (coalesce(x * weight, lit(0L)),
+            when(x.isNotNull, weight).otherwise(lit(0L)))
+        }
+        val num = terms.map(_._1).reduce(_ + _)
+        val den = terms.map(_._2).reduce(_ + _)
+        daily.select(col("l_suppkey"), col("d"), col("cents"),
+          num.as("ewma_num"), den.as("ewma_den"))
+          .withColumn("ewma_cents", expr("ewma_num DIV ewma_den"))
+      }, {
+        // lag terms unrolled (DuckDB cannot run window functions
+        // inside list-comprehension lambdas); positives only, so
+        // Spark DIV (truncate) == DuckDB // (floor)
+        val nums = (0 to 7).map { i =>
+          val wgt = 1L << (7 - i)
+          if (i == 0) s"cents * $wgt"
+          else s"COALESCE(lag(cents, $i) OVER w * $wgt, 0)"
+        }.mkString(" + ")
+        val dens = (0 to 7).map { i =>
+          val wgt = 1L << (7 - i)
+          if (i == 0) s"$wgt"
+          else s"CASE WHEN lag(cents, $i) OVER w IS NOT NULL THEN $wgt ELSE 0 END"
+        }.mkString(" + ")
+        s"""WITH daily AS (
+           |  SELECT l_suppkey, CAST(l_shipdate AS DATE) AS d,
+           |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))) * 100 AS BIGINT)
+           |      AS cents
+           |  FROM lineitem WHERE l_extendedprice > 0 GROUP BY 1, 2),
+           |lagged AS (
+           |  SELECT l_suppkey, d, cents,
+           |    $nums AS ewma_num,
+           |    $dens AS ewma_den
+           |  FROM daily
+           |  WINDOW w AS (PARTITION BY l_suppkey ORDER BY d))
+           |SELECT l_suppkey, d, cents, ewma_num, ewma_den,
+           |  ewma_num // ewma_den AS ewma_cents
+           |FROM lagged""".stripMargin
+      }),
 
     // ───── J15: null-aware anti join — NOT IN against a subquery
     // that CONTAINS a NULL must return ZERO rows (three-valued logic:

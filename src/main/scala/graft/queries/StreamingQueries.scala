@@ -186,6 +186,75 @@ object StreamingQueries {
         |       CAST((1000000 * c.n) // t.tot AS BIGINT) AS p_ppm
         |FROM c JOIN t USING (event_type)""".stripMargin),
 
+    // ───── item-to-item co-visitation recommender (the covisitation
+    // matrix of every production recall stage, e.g. the OTTO/Kaggle
+    // winning shape): items = props.k, co-occurrence = two items
+    // touched by the same user, weight = user count. The quadratic
+    // hazard is the HEAVY USER — a user with F items contributes
+    // F²/2 pairs — so each user is first capped to their 32
+    // strongest items via the bounded-heap topk_pairs aggregate
+    // (ties item-asc, deterministic), putting a hard ceiling on
+    // per-user fan-out before the self-join. Pair counts map-combine;
+    // the final per-item top-5 neighbor list is topk_pairs again —
+    // count-keyed, never a global or per-partition sort of the pair
+    // table. Everything integer.
+    "rec_covisit_topk" -> QueryDef.sql(
+      (s, dir) => {
+        graft.plans.GraftExtensions.register(s)
+        val ui = Tables.events(s, dir)
+          .select(col("user_id"),
+            get_json_object(col("props"), "$.k").cast("long").as("item"))
+          .filter(col("item").isNotNull)
+          .groupBy(col("user_id"), col("item"))
+          .agg(count(lit(1)).as("n_i"))
+        val capped = ui.groupBy(col("user_id"))
+          .agg(expr("topk_pairs(n_i, item, 32)").as("_top"))
+          .select(col("user_id"),
+            explode(expr("transform(_top, p -> p.v)")).as("item"))
+        val pairs = capped.as("a")
+          .join(capped.as("b"), Seq("user_id"))
+          .filter(col("a.item") < col("b.item"))
+          .groupBy(col("a.item").as("i"), col("b.item").as("j"))
+          .agg(count(lit(1)).as("c"))
+        val sym = pairs.unionByName(
+          pairs.select(col("j").as("i"), col("i").as("j"), col("c")))
+        sym.groupBy(col("i").as("item"))
+          .agg(expr("topk_pairs(c, j, 5)").as("_nb"))
+          .select(col("item"),
+            expr("array_join(transform(_nb, p -> concat(p.v, ':', p.k)), ',')")
+              .as("top_neighbors"))
+      },
+      """WITH ui AS (
+        |  SELECT user_id,
+        |    TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,
+        |    COUNT(*) AS n_i
+        |  FROM events
+        |  WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+        |    IS NOT NULL
+        |  GROUP BY 1, 2),
+        |capped AS (
+        |  SELECT user_id, item FROM (
+        |    SELECT user_id, item,
+        |      row_number() OVER (PARTITION BY user_id
+        |        ORDER BY n_i DESC, item ASC) AS rn
+        |    FROM ui) WHERE rn <= 32),
+        |pr AS (
+        |  SELECT a.item AS i, b.item AS j, COUNT(*) AS c
+        |  FROM capped a
+        |  JOIN capped b ON a.user_id = b.user_id AND a.item < b.item
+        |  GROUP BY 1, 2),
+        |sym AS (
+        |  SELECT i, j, c FROM pr
+        |  UNION ALL SELECT j, i, c FROM pr),
+        |rk AS (
+        |  SELECT i, j, c,
+        |    row_number() OVER (PARTITION BY i ORDER BY c DESC, j ASC) AS rn
+        |  FROM sym)
+        |SELECT i AS item,
+        |  string_agg(j || ':' || c, ',' ORDER BY c DESC, j ASC)
+        |    AS top_neighbors
+        |FROM rk WHERE rn <= 5 GROUP BY 1""".stripMargin),
+
     // ───── the STREAMING twin of ev_transition_matrix: transition
     // counts maintained incrementally across event-time-ordered
     // batches. Unlike the algebraic MVs, a transition pair straddles

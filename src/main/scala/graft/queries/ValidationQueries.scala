@@ -421,6 +421,51 @@ object ValidationQueries {
              |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_$c,
              |  COUNT(DISTINCT $c) AS ndv_$c""".stripMargin)
           .mkString(",\n") + "\nFROM lineitem"
-      })
+      }),
+
+    // ───── V11: functional-dependency audit — does `source` determine
+    // `lang` in the documents table? The consistency check behind
+    // every "column A should imply column B" data contract (zip→city,
+    // sku→brand, source→language): per LHS value report the distinct
+    // RHS count, the majority RHS and its ppm share, and the count of
+    // rows OUTSIDE the majority (the rows a cleanup job would touch).
+    // Scale shape: two cascaded aggregations — (source, lang) counts
+    // first (map-side combinable, |sources × langs| partials), then
+    // per-source argmax via max(struct(cnt, lang)) — NEVER a window
+    // over the raw table, and the raw rows shuffle once at most.
+    // Ties break lang-DESC (max struct order), matching the oracle's
+    // row_number ORDER BY cnt DESC, lang DESC. All-integer output.
+    "v11_fd_audit" -> QueryDef.sql(
+      (s, dir) => {
+        val counts = t(s, dir, "documents")
+          .groupBy(col("source"), col("lang"))
+          .agg(count(lit(1)).as("cnt"))
+        counts.groupBy(col("source"))
+          .agg(
+            sum(col("cnt")).as("n_rows"),
+            count(lit(1)).as("n_langs"),
+            max(struct(col("cnt"), col("lang"))).as("_m"))
+          .select(col("source"), col("n_rows"), col("n_langs"),
+            col("_m.lang").as("majority_lang"),
+            expr("_m.cnt * 1000000L DIV n_rows").as("majority_ppm"),
+            (col("n_rows") - col("_m.cnt")).as("violation_rows"),
+            (col("n_langs") > 1).as("fd_violated"))
+      },
+      """WITH counts AS (
+        |  SELECT source, lang, COUNT(*) AS cnt
+        |  FROM documents GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT source, lang, cnt,
+        |    CAST(SUM(cnt) OVER (PARTITION BY source) AS BIGINT) AS n_rows,
+        |    COUNT(*) OVER (PARTITION BY source) AS n_langs,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY cnt DESC, lang DESC) AS rn
+        |  FROM counts)
+        |SELECT source, n_rows, n_langs,
+        |  lang AS majority_lang,
+        |  CAST(cnt * 1000000 // n_rows AS BIGINT) AS majority_ppm,
+        |  CAST(n_rows - cnt AS BIGINT) AS violation_rows,
+        |  n_langs > 1 AS fd_violated
+        |FROM ranked WHERE rn = 1""".stripMargin)
   )
 }

@@ -65,4 +65,73 @@ class IncrementalSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(d2 === Map(1L -> "update"))
   }
+
+  test("applyChanges: latest-wins, deletes, feed-only keys, pass-through") {
+    val snap = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+      .toDF("k", "s", "v")
+    val feed = Seq(
+      // key 1: two updates — the (ts, seq)-latest wins
+      (1L, 5L, 1L, "U", "a1", 11L),
+      (1L, 6L, 2L, "U", "a2", 12L),
+      // key 2: update then delete → absent
+      (2L, 5L, 3L, "U", "b1", 21L),
+      (2L, 7L, 4L, "D", "xx", 0L),
+      // key 4: feed-only insert-then-delete → must NOT materialize
+      (4L, 1L, 5L, "I", "d", 40L),
+      (4L, 2L, 6L, "D", "xx", 0L),
+      // key 5: delete-then-insert (D is EARLIER) → present
+      (5L, 1L, 7L, "D", "xx", 0L),
+      (5L, 2L, 8L, "I", "e", 50L),
+      // key 6: same ts, seq breaks the tie
+      (6L, 9L, 10L, "I", "f1", 60L),
+      (6L, 9L, 11L, "U", "f2", 61L)
+    ).toDF("k", "ts", "seq", "op", "s", "v")
+    val got = Incremental.applyChanges(snap, feed, Seq("k"),
+      Seq("ts", "seq"), "op", Seq("s", "v"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2)))
+      .toMap
+    assert(got === Map(
+      1L -> ("a2", 12L),  // latest update
+      3L -> ("c", 30L),   // untouched pass-through
+      5L -> ("e", 50L),   // re-insert after delete
+      6L -> ("f2", 61L))) // seq tiebreak
+  }
+
+  test("applyChanges: snapshotDiff round-trip reconstructs the new snapshot") {
+    val sup = Tables.table(spark, sfDir, "supplier")
+    val cols = Seq("s_name", "s_nationkey", "s_acctbal")
+    val newSnap = sup.filter($"s_suppkey" % 13 =!= 0)
+      .withColumn("s_acctbal",
+        when($"s_suppkey" % 7 === 0, $"s_acctbal" + 5.0)
+          .otherwise($"s_acctbal"))
+      .unionByName(sup.filter($"s_suppkey" < 3).select(
+        ($"s_suppkey" + 10000000L).as("s_suppkey"),
+        $"s_name", $"s_nationkey", $"s_acctbal"))
+    // payload-carrying feed: diff gives (key, type); deletes carry no
+    // payload, inserts/updates carry the NEW row
+    val diff = Incremental.snapshotDiff(sup, newSnap, Seq("s_suppkey"), cols)
+    val feed = diff
+      .join(newSnap, Seq("s_suppkey"), "left")
+      .select($"s_suppkey", lit(1L).as("seq"), lit(1L).as("seq2"),
+        when($"change_type" === "delete", "D").otherwise("U").as("op"),
+        $"s_name", $"s_nationkey", $"s_acctbal")
+    val rebuilt = Incremental.applyChanges(sup, feed, Seq("s_suppkey"),
+      Seq("seq", "seq2"), "op", cols)
+    assert(rebuilt.exceptAll(newSnap.select(
+      $"s_suppkey", $"s_name", $"s_nationkey", $"s_acctbal")).isEmpty)
+    assert(newSnap.select($"s_suppkey", $"s_name", $"s_nationkey",
+      $"s_acctbal").exceptAll(rebuilt).isEmpty)
+  }
+
+  test("applyChanges is partitioning-invariant") {
+    val snap = Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("k", "s", "v")
+    val feed = (1 to 500).map(i =>
+      (i.toLong % 10, i.toLong, i.toLong, if (i % 17 == 0) "D" else "U",
+        s"s$i", i.toLong)).toDF("k", "ts", "seq", "op", "s", "v")
+    val a = Incremental.applyChanges(snap, feed.repartition(1), Seq("k"),
+      Seq("ts", "seq"), "op", Seq("s", "v")).collect().toSet
+    val b = Incremental.applyChanges(snap, feed.repartition(23), Seq("k"),
+      Seq("ts", "seq"), "op", Seq("s", "v")).collect().toSet
+    assert(a === b && a.nonEmpty)
+  }
 }

@@ -1643,4 +1643,66 @@ class LlmOpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
     assert(viaRefine === direct)
   }
+
+  test("gramMatrix equals the hand-computed outer-product sum") {
+    val df = Seq(
+      Seq(1.0f, 2.0f, -1.0f),
+      Seq(0.5f, 0.0f, 3.0f)).toDF("embedding")
+    val got = Similarity.gramMatrix(df, "embedding", dim = 3,
+      quantScale = 10)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // quantized rows: (10, 20, -10) and (5, 0, 30)
+    val q = Seq(Seq(10L, 20L, -10L), Seq(5L, 0L, 30L))
+    val want = (for { i <- 0 until 3; j <- i until 3 } yield
+      (i + 1, j + 1) -> q.map(v => v(i) * v(j)).sum).toMap
+    assert(got === want)
+  }
+
+  test("gramMatrix is partitioning-invariant (integer accumulation)") {
+    val a = Similarity.gramMatrix(emb.repartition(1), "embedding", 64)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val b = Similarity.gramMatrix(emb.repartition(13), "embedding", 64)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(a === b && a.size === 64 * 65 / 2)
+  }
+
+  test("pcaTopComponent recovers a planted dominant direction; " +
+    "projection variance beats every coordinate axis") {
+    // planted: strong variance along (1,1,0,...)/√2, weak orthogonal
+    // noise along deterministic unit axes
+    val dim = 8
+    val rows = (0 until 200).map { i =>
+      val major = (i % 21).toDouble - 10.0 // spread -10..10
+      val minor = ((i * 7) % 5).toDouble / 10.0 - 0.2
+      val v = Array.ofDim[Float](dim)
+      v(0) = (major / math.sqrt(2) / 10.0).toFloat
+      v(1) = (major / math.sqrt(2) / 10.0).toFloat
+      v(2 + i % 6) = (minor / 10.0).toFloat
+      v.toSeq
+    }
+    val df = rows.toDF("embedding").withColumn("id",
+      monotonically_increasing_id())
+    val gram = Similarity.gramMatrix(df, "embedding", dim)
+    val comp = Similarity.pcaTopComponent(gram, dim)
+    val cosPlanted = math.abs((comp(0) + comp(1)) / math.sqrt(2))
+    assert(cosPlanted > 0.99,
+      s"component ${comp.toSeq} not aligned with planted axis")
+    // projection variance along pc1 ≥ variance along each raw axis
+    val proj = Similarity.pcaProject(df, "id", "embedding", comp)
+      .collect().map(_.getDouble(1))
+    def variance(xs: Seq[Double]): Double = {
+      val m = xs.sum / xs.size
+      xs.map(x => (x - m) * (x - m)).sum / xs.size
+    }
+    val pcVar = variance(proj.toSeq)
+    val axes = (0 until dim).map { a =>
+      variance(rows.map(_(a).toDouble))
+    }
+    assert(axes.forall(_ <= pcVar + 1e-9),
+      s"pc1 var $pcVar < some axis var ${axes.max}")
+    // deterministic: same inputs, same component bit-for-bit
+    val comp2 = Similarity.pcaTopComponent(
+      Similarity.gramMatrix(df.repartition(7), "embedding", dim), dim)
+    assert(comp.toSeq === comp2.toSeq)
+  }
 }
