@@ -2591,6 +2591,36 @@ object LlmQueries {
            |      for i in generate_series(0, 63)], 'sum') / 4.0, 6) AS proj_$j""".stripMargin)
         .mkString(",\n") + "\nFROM embeddings"),
 
+    // ───── per-class centroid vectors (nearest-class-mean / Rocchio
+    // prototypes; also the bootstrap for IVF and SemDeDup cells):
+    // mean embedding per label as (label, dim, sum_q, n, mean)
+    // rows. Sums are EXACT — components quantize to round(x·10⁴)
+    // BIGINTs at the scan — so partial aggregation is
+    // partitioning-invariant; the mean divides two exact integers in
+    // one deterministic IEEE op (6 dp-rounded). posexplode keys the
+    // shuffle on (label, dim): |labels|·64 groups, map-side combined,
+    // corpus never shuffles whole rows.
+    "emb_label_centroids" -> QueryDef.sql(
+      (s, dir) =>
+        emb(s, dir)
+          .select(col("label"), posexplode(
+            transform(col("embedding").cast("array<double>"),
+              x => round(x * 10000).cast("long"))))
+          .select(col("label"), (col("pos") + 1).as("dim"),
+            col("col").as("qv"))
+          .groupBy(col("label"), col("dim"))
+          .agg(sum(col("qv")).as("sum_q"), count(lit(1)).as("n"))
+          .select(col("label"), col("dim"), col("sum_q"), col("n"),
+            round(col("sum_q") / col("n") / 10000.0, 6).as("mean_v")),
+      """SELECT label, d AS dim,
+        |  CAST(SUM(CAST(round(CAST(embedding[d] AS DOUBLE) * 10000)
+        |    AS BIGINT)) AS BIGINT) AS sum_q,
+        |  COUNT(*) AS n,
+        |  round(CAST(SUM(CAST(round(CAST(embedding[d] AS DOUBLE) * 10000)
+        |    AS BIGINT)) AS BIGINT) / COUNT(*) / 10000.0, 6) AS mean_v
+        |FROM embeddings, generate_series(1, 64) AS g(d)
+        |GROUP BY 1, 2""".stripMargin),
+
     // ───── exact 64×64 gram matrix Σ x·xᵀ in ONE pass — the
     // sufficient statistic PCA/whitening/linear probes run on.
     // Components quantize to round(x·10⁴) BIGINTs at the scan, so

@@ -737,6 +737,60 @@ object StreamingQueries {
         |ASOF LEFT JOIN purchases p
         |  ON c.user_id = p.user_id AND c.ts >= p.p_ts""".stripMargin),
 
+    // ───── last-touch revenue attribution — every purchase credited
+    // to the user's most recent preceding click/view within 7 days,
+    // else 'organic' (the marketing-analytics counterpart of the
+    // as-of join). ONE window pass over per-user (ts, event_id)
+    // order: two IGNORE-NULLS last_value columns over the
+    // rows-to-1-preceding frame pick the same touch row (their CASEs
+    // null out the same rows), so no self-join, no per-purchase
+    // probe — the event table shuffles exactly once on user_id.
+    // Cents by the decimal recipe; counts and sums integer.
+    "ev_attribution" -> QueryDef.sql(
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val isTouch = col("event_type").isin("click", "view")
+        val ev = Tables.events(s, dir).select(
+          col("user_id"), col("ts"), col("event_id"), col("event_type"),
+          col("value"),
+          last(when(isTouch, col("ts")), ignoreNulls = true).over(w)
+            .as("t_ts"),
+          last(when(isTouch, col("event_type")), ignoreNulls = true).over(w)
+            .as("t_type"))
+        ev.filter(col("event_type") === "purchase")
+          .select(
+            when(col("t_ts").isNotNull &&
+              col("t_ts") >= col("ts") - expr("INTERVAL 7 DAYS"),
+              col("t_type")).otherwise("organic").as("channel"),
+            (col("value").cast("decimal(18,2)") * 100)
+              .cast("long").as("cents"))
+          .groupBy(col("channel"))
+          .agg(count(lit(1)).as("n_purchases"),
+            sum(col("cents")).as("revenue_cents"))
+      },
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+        |    event_type, value,
+        |    last_value(CASE WHEN event_type IN ('click', 'view')
+        |        THEN CAST(ts AS TIMESTAMP) END IGNORE NULLS)
+        |      OVER w AS t_ts,
+        |    last_value(CASE WHEN event_type IN ('click', 'view')
+        |        THEN event_type END IGNORE NULLS)
+        |      OVER w AS t_type
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT
+        |  CASE WHEN t_ts IS NOT NULL AND t_ts >= ts - INTERVAL 7 DAY
+        |       THEN t_type ELSE 'organic' END AS channel,
+        |  COUNT(*) AS n_purchases,
+        |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |    AS BIGINT) AS revenue_cents
+        |FROM e WHERE event_type = 'purchase'
+        |GROUP BY 1""".stripMargin),
+
     // ───── stateful running per-user counts through the real engine
     // (mapGroupsWithState, Update mode, AvailableNow): the memory sink
     // holds every per-batch update; max per key recovers the final

@@ -423,6 +423,55 @@ object ValidationQueries {
           .mkString(",\n") + "\nFROM lineitem"
       }),
 
+    // ───── join-key skew report — the diagnostic you run BEFORE
+    // picking a join/partitioning strategy at 100 TB: per-key row
+    // counts of the would-be shuffle key, reduced to key cardinality,
+    // max/median/p99 frequency, floor-mean, the max/mean skew ratio
+    // (ppm — >2,000,000 means AQE skew splitting or salting is
+    // warranted), and the 5 heaviest keys by name (via the
+    // bounded-heap topk_pairs — no sort of the counts table). Two
+    // cascaded aggregations; raw rows shuffle once into the counts.
+    "gov_skew_report" -> QueryDef.sql(
+      (s, dir) => {
+        graft.plans.GraftExtensions.register(s)
+        val counts = t(s, dir, "lineitem")
+          .groupBy(col("l_suppkey")).agg(count(lit(1)).as("cnt"))
+        counts.agg(
+          count(lit(1)).as("n_keys"),
+          sum(col("cnt")).as("total_rows"),
+          max(col("cnt")).as("max_cnt"),
+          expr("percentile(cnt, 0.5)").as("p50_cnt"),
+          expr("percentile(cnt, 0.99)").as("p99_cnt"),
+          expr("topk_pairs(cnt, l_suppkey, 5)").as("_top"))
+          .select(col("n_keys"), col("total_rows"), col("max_cnt"),
+            col("p50_cnt"), col("p99_cnt"),
+            expr("total_rows DIV n_keys").as("mean_cnt"),
+            expr("max_cnt * 1000000L DIV (total_rows DIV n_keys)")
+              .as("skew_ratio_ppm"),
+            expr("array_join(transform(_top, p -> concat(p.v, ':', p.k)), ',')")
+              .as("heaviest_keys"))
+      },
+      """WITH counts AS (
+        |  SELECT l_suppkey, COUNT(*) AS cnt FROM lineitem GROUP BY 1),
+        |stats AS (
+        |  SELECT COUNT(*) AS n_keys,
+        |    CAST(SUM(cnt) AS BIGINT) AS total_rows,
+        |    MAX(cnt) AS max_cnt,
+        |    quantile_cont(cnt, 0.5) AS p50_cnt,
+        |    quantile_cont(cnt, 0.99) AS p99_cnt
+        |  FROM counts),
+        |top AS (
+        |  SELECT string_agg(l_suppkey || ':' || cnt, ','
+        |      ORDER BY cnt DESC, l_suppkey ASC) AS heaviest_keys
+        |  FROM (SELECT l_suppkey, cnt,
+        |          row_number() OVER (ORDER BY cnt DESC, l_suppkey ASC) AS rn
+        |        FROM counts) WHERE rn <= 5)
+        |SELECT n_keys, total_rows, max_cnt, p50_cnt, p99_cnt,
+        |  total_rows // n_keys AS mean_cnt,
+        |  max_cnt * 1000000 // (total_rows // n_keys) AS skew_ratio_ppm,
+        |  heaviest_keys
+        |FROM stats, top""".stripMargin),
+
     // ───── V11: functional-dependency audit — does `source` determine
     // `lang` in the documents table? The consistency check behind
     // every "column A should imply column B" data contract (zip→city,
