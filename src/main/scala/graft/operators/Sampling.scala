@@ -341,4 +341,45 @@ object Sampling {
         expr(s"(token_offset + n_tokens - 1) DIV ${seqLen}L"))
       .withColumn("n_seqs", col("last_seq") - col("first_seq") + lit(1L))
   }
+
+  /** EXACT-k weighted sampling without replacement —
+    * Efraimidis–Spirakis A-ES (IPL 2006): each row draws a key
+    * u^(1/w) from a deterministic md5 uniform and the k LARGEST keys
+    * are the sample; at every draw inclusion probability is
+    * proportional to weight. The complement of [[ppsSample]]:
+    * Poisson-PPS gives an EXPECTED k with per-row independence; A-ES
+    * gives exactly k (ablation batches, eval panels, fixed-budget
+    * audits want the exact count).
+    *
+    * Engine-exact ordering: keys compare as
+    * `floor(ln(u)/w · 10¹²)` BIGINTs — ln is monotone, so the order
+    * is A-ES's order; md5 uniforms, ln, and one multiply/floor are
+    * bit-reproducible cross-engine (ln is in the proven-exact libm
+    * subset; pow, which the textbook u^(1/w) form needs, is not).
+    * Ties at 10⁻¹² resolution break by id — a total order.
+    *
+    * Scale shape: the global top-k runs as the bounded-heap
+    * `topk_pairs` aggregate — each mapper reduces its slice to k
+    * pairs (O(k) heap state), only k·16 bytes per mapper cross the
+    * exchange, and nothing is sorted. A window/orderBy-limit
+    * formulation would range-shuffle every row; this never shuffles
+    * the corpus at all. Zero-weight rows are excluded by contract
+    * (their inclusion probability is 0 and ln(u)/0 is undefined).
+    */
+  def weightedSampleTopK(df: DataFrame, idCol: String, weightCol: String,
+                         k: Int, seed: String): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    graft.plans.GraftExtensions.register(df.sparkSession)
+    val h = conv(substring(md5(concat(lit(seed), col(idCol).cast("string"))),
+      1, 8), 16, 10).cast("long")
+    val u = (h.cast("double") + lit(0.5)) / lit(4294967296.0)
+    val key = floor(log(u) / col(weightCol).cast("double") * lit(1.0e12))
+      .cast("long")
+    df.filter(col(weightCol) > 0)
+      .select(key.as("_k"), col(idCol).cast("long").as("_id"))
+      .agg(expr(s"topk_pairs(_k, _id, $k)").as("_top"))
+      .select(posexplode(col("_top")))
+      .select((col("pos") + 1).as("rank"),
+        col("col.v").as(idCol), col("col.k").as("key_scaled"))
+  }
 }

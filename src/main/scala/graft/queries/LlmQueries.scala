@@ -2966,6 +2966,33 @@ object LlmQueries {
         |WHERE CAST(h AS HUGEINT) * CAST(tw AS HUGEINT)
         |    < CAST(weight AS HUGEINT) * 50 * 4294967296""".stripMargin),
 
+    // ───── EXACT-k weighted sample (Efraimidis–Spirakis A-ES) — the
+    // fixed-budget companion of corpus_pps_sample's expected-k
+    // Poisson: ln(u)/w keys scaled to BIGINTs (ln is in the
+    // proven-bit-exact libm subset; pow is not), global top-100 via
+    // the bounded-heap topk_pairs aggregate — O(k) state per mapper,
+    // k·16 bytes per mapper over the wire, the corpus never sorted
+    // or shuffled. The oracle re-derives every key and ranks.
+    "corpus_weighted_sample" -> QueryDef.sql(
+      (s, dir) =>
+        Sampling.weightedSampleTopK(docs(s, dir), "doc_id", "n_chars",
+          k = 100, seed = "aes1"),
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    CAST(concat('0x', substr(md5('aes1' || CAST(doc_id AS VARCHAR)), 1, 8))
+        |         AS BIGINT) AS h,
+        |    CAST(n_chars AS DOUBLE) AS w
+        |  FROM documents WHERE n_chars > 0),
+        |k AS (
+        |  SELECT doc_id,
+        |    CAST(floor(ln((CAST(h AS DOUBLE) + 0.5) / 4294967296.0)
+        |      / w * 1000000000000.0) AS BIGINT) AS key_scaled
+        |  FROM s)
+        |SELECT CAST(row_number() OVER (ORDER BY key_scaled DESC, doc_id ASC)
+        |         AS INTEGER) AS rank,
+        |       doc_id, key_scaled
+        |FROM k ORDER BY key_scaled DESC, doc_id ASC LIMIT 100""".stripMargin),
+
     // ───── RedPajama-Data-v2 doc-level fraction signals (the battery
     // CCNet/Gopher-style curation cuts on) not covered by
     // ta_gopher_rules/ta_quality_scores: all-caps-word, no-alpha-word,

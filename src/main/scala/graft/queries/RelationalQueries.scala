@@ -736,6 +736,113 @@ object RelationalQueries {
         |    AS corr_qty_price
         |FROM m""".stripMargin),
 
+    // ───── A22: per-group OLS trend — each supplier's daily-revenue
+    // slope in cents/day, from the same EXACT-decimal-moments recipe
+    // as a16 (sums exact per group, the final slope ONE fixed double
+    // expression over casts of exact sums — engine- and
+    // partitioning-invariant where a built-in regr_slope would drift).
+    // Two cascaded aggs (daily, then 5 moments per supplier); nothing
+    // re-scans, no window. Degenerate groups (<2 days / zero x-var)
+    // excluded, like v06.
+    "a22_group_trend" -> QueryDef.sql(
+      (s, dir) => {
+        val daily = t(s, dir, "lineitem")
+          .filter(col("l_extendedprice") > 0)
+          .groupBy(col("l_suppkey"), to_date(col("l_shipdate")).as("d"))
+          .agg((sum(col("l_extendedprice").cast("decimal(30,2)")) * 100)
+            .cast("decimal(20,0)").as("y"))
+          .withColumn("x",
+            datediff(col("d"), lit("1992-01-01")).cast("decimal(10,0)"))
+        val m = daily.groupBy(col("l_suppkey"))
+          .agg(count(lit(1)).as("n_days"),
+            sum(col("x")).as("_sx"), sum(col("y")).as("_sy"),
+            sum(col("x") * col("y")).as("_sxy"),
+            sum(col("x") * col("x")).as("_sxx"))
+        m.filter(col("n_days") >= 2)
+          .select(col("l_suppkey"), col("n_days"),
+            round(
+              (col("n_days").cast("double") * col("_sxy").cast("double")
+                - col("_sx").cast("double") * col("_sy").cast("double"))
+              / (col("n_days").cast("double") * col("_sxx").cast("double")
+                - col("_sx").cast("double") * col("_sx").cast("double")),
+              6).as("slope_cents_per_day"))
+          .filter(col("slope_cents_per_day").isNotNull)
+      },
+      """WITH daily AS (
+        |  SELECT l_suppkey, CAST(l_shipdate AS DATE) AS d,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))) * 100
+        |         AS DECIMAL(20,0)) AS y
+        |  FROM lineitem WHERE l_extendedprice > 0 GROUP BY 1, 2),
+        |xy AS (
+        |  SELECT l_suppkey,
+        |    CAST(d - DATE '1992-01-01' AS DECIMAL(10,0)) AS x, y
+        |  FROM daily),
+        |m AS (
+        |  SELECT l_suppkey, COUNT(*) AS n_days,
+        |    SUM(x) AS sx, SUM(y) AS sy,
+        |    SUM(x * y) AS sxy, SUM(x * x) AS sxx
+        |  FROM xy GROUP BY 1)
+        |SELECT l_suppkey, n_days,
+        |  round((CAST(n_days AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      / (CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+        |    AS slope_cents_per_day
+        |FROM m
+        |WHERE n_days >= 2
+        |  AND CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0""".stripMargin),
+
+    // ───── A23: exact weighted median — the 50% weighted-rank price
+    // per return flag, weights = quantities (the "typical dollar"
+    // statistic; unweighted medians over-represent small orders).
+    // Lower weighted median: smallest value v with cum_weight(≤v) ≥
+    // total/2, as the pure-integer inequality 2·cum ≥ total — no
+    // interpolation, no doubles, bit-identical anywhere. Scale shape:
+    // raw rows first collapse to DISTINCT (flag, cents) weight sums
+    // (map-combinable; bounded by price cardinality), the cumsum
+    // window runs over that collapsed frame only, and the winner is a
+    // min() — the raw table is never windowed or sorted.
+    "a23_weighted_median" -> QueryDef.sql(
+      (s, dir) => {
+        val byPrice = t(s, dir, "lineitem")
+          .select(col("l_returnflag"),
+            (col("l_extendedprice").cast("decimal(18,2)") * 100)
+              .cast("long").as("cents"),
+            col("l_quantity").cast("long").as("w"))
+          .groupBy(col("l_returnflag"), col("cents"))
+          .agg(sum(col("w")).as("wsum"))
+        val win = Window.partitionBy(col("l_returnflag"))
+          .orderBy(col("cents"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val tot = Window.partitionBy(col("l_returnflag"))
+        byPrice
+          .withColumn("cum", sum(col("wsum")).over(win))
+          .withColumn("total", sum(col("wsum")).over(tot))
+          .filter(col("cum") * 2 >= col("total"))
+          .groupBy(col("l_returnflag"))
+          .agg(min(col("cents")).as("wmedian_cents"),
+            max(col("total")).as("total_weight"))
+      },
+      """WITH byprice AS (
+        |  SELECT l_returnflag,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS cents,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS wsum
+        |  FROM lineitem GROUP BY 1, 2),
+        |c AS (
+        |  SELECT l_returnflag, cents,
+        |    CAST(SUM(wsum) OVER (PARTITION BY l_returnflag ORDER BY cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum,
+        |    CAST(SUM(wsum) OVER (PARTITION BY l_returnflag) AS BIGINT)
+        |      AS total
+        |  FROM byprice)
+        |SELECT l_returnflag, MIN(cents) AS wmedian_cents,
+        |  MAX(total) AS total_weight
+        |FROM c WHERE cum * 2 >= total
+        |GROUP BY 1""".stripMargin),
+
     // ───── O6: top-N per group — each customer's 3 largest orders
     // (per-key window over the group shuffle; the per-key variant of
     // o04's global TakeOrderedAndProject).

@@ -1464,6 +1464,39 @@ class LlmOpsSpec extends SparkSpec {
     assert(heavy.filter($"id" === 10L).head().getAs[Double]("p_keep") === 1.0)
   }
 
+  test("weightedSampleTopK: exactly k, deterministic across partitioning, " +
+    "weight-biased, seed-sensitive") {
+    import graft.operators.Sampling
+    val base = Sampling.weightedSampleTopK(docs, "doc_id", "n_chars",
+      k = 100, seed = "aes1").collect()
+    assert(base.length === 100)
+    assert(base.map(_.getInt(0)).toSeq === (1 to 100)) // dense ranks
+    // partitioning-invariant: same 100 docs in the same order
+    val shuffled = Sampling.weightedSampleTopK(docs.repartition(13),
+      "doc_id", "n_chars", k = 100, seed = "aes1").collect()
+    assert(base.map(r => (r.getInt(0), r.getLong(1))).toSeq ===
+      shuffled.map(r => (r.getInt(0), r.getLong(1))).toSeq)
+    // different seed → different sample (overwhelmingly)
+    val other = Sampling.weightedSampleTopK(docs, "doc_id", "n_chars",
+      k = 100, seed = "aes2").collect()
+    assert(other.map(_.getLong(1)).toSet != base.map(_.getLong(1)).toSet)
+    // weighted inclusion: sampled docs skew heavy — the sample's mean
+    // n_chars must exceed the corpus mean (A-ES inclusion ∝ weight)
+    val ids = base.map(_.getLong(1)).toSet
+    val stats = docs.filter($"n_chars" > 0)
+      .select(avg($"n_chars").as("mu"),
+        avg(when($"doc_id".isin(ids.toSeq: _*), $"n_chars")).as("mu_s"))
+      .head()
+    assert(stats.getDouble(1) > stats.getDouble(0),
+      s"sample mean ${stats.getDouble(1)} ≤ corpus mean ${stats.getDouble(0)}")
+    // a dominant weight is (virtually) always included
+    val d = ((1L to 99L).map((_, 1L)) :+ ((100L, 1000000L)))
+      .toDF("id", "w")
+    val heavy = Sampling.weightedSampleTopK(d, "id", "w", k = 5, seed = "x")
+      .collect().map(_.getLong(1)).toSet
+    assert(heavy.contains(100L))
+  }
+
   test("pmiPairs: hand-derived lift on planted co-occurrence; vocab cap; ordering invariants") {
     // 4 docs; vocab (top-3 by df): a(4), b(3), c(2); d appears once
     // and must fall off the top-3 vocab cap
