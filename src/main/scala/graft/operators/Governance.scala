@@ -447,4 +447,40 @@ object Governance {
       "quality_rules", "is_pii", "sensitivity", "data_steward",
       "retention_policy")
   }
+
+  /** Order-independent table content checksum — one row: (n_rows,
+    * sig1, sig2). Rows digest to 60-bit integers (md5 → 15 hex
+    * chars, always positive in a BIGINT) and combine with XOR — a
+    * commutative, associative fold, so the signature is invariant to
+    * partitioning, file layout, and row order: two replicas with
+    * equal content produce equal signatures on ANY engine, and the
+    * independently-salted second channel makes an accidental XOR
+    * cancellation across both ~2⁻¹²⁰. The per-column digests are
+    * fixed-width with disjoint NULL/value domains (the
+    * [[Incremental.snapshotDiff]] recipe — separator schemes let
+    * values shift field boundaries).
+    *
+    * Scale shape: pure scan-side projection + ONE all-combinable
+    * aggregate — no shuffle carries anything but 3 longs per mapper.
+    * This is the cross-replica integrity check (same-content audit
+    * after migration/backfill/replication) done in one pass per side.
+    *
+    * Caller contract: `cols` must cast to string identically in any
+    * comparing engine — strings/integers/dates are safe; raw doubles
+    * are not (format drift), cast them to decimals first.
+    */
+  def tableChecksum(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "cols must be non-empty")
+    def colDigest(c: String) = md5(
+      when(col(c).isNull, lit("n"))
+        .otherwise(concat(lit("v"), col(c).cast("string"))))
+    val rowStr = concat(cols.map(colDigest): _*)
+    def sig(salt: String) =
+      conv(substring(md5(concat(lit(salt), rowStr)), 1, 15), 16, 10)
+        .cast("long")
+    df.select(sig("1").as("_s1"), sig("2").as("_s2"))
+      .agg(count(lit(1)).as("n_rows"),
+        expr("bit_xor(_s1)").as("sig1"),
+        expr("bit_xor(_s2)").as("sig2"))
+  }
 }

@@ -49,6 +49,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[TopKPairsAgg].getName, "topk_pairs"),
       GraftExtensions.buildTopKPairs))
     ext.injectFunction((
+      new FunctionIdentifier("freq_items"),
+      new ExpressionInfo(classOf[MisraGriesAgg].getName, "freq_items"),
+      GraftExtensions.buildFreqItems))
+    ext.injectFunction((
       new FunctionIdentifier("no_inline"),
       new ExpressionInfo(classOf[NoInline].getName, "no_inline"),
       (children: Seq[Expression]) => NoInline(children.head)))
@@ -129,6 +133,13 @@ object GraftExtensions {
     (children: Seq[Expression]) => TopKPairsAgg(
       children(0), children(1), foldableInt("topk_pairs", "k", children(2)))
 
+  /** freq_items(itemLong, k) — Misra–Gries frequent-items sketch
+    * (see [[MisraGriesAgg]]); k must be an integer literal.
+    */
+  private[plans] val buildFreqItems: Seq[Expression] => Expression =
+    (children: Seq[Expression]) => MisraGriesAgg(
+      children(0), foldableInt("freq_items", "k", children(1)))
+
   /** packed_shingles(text[, shingleSize]) — size must be a literal. */
   private[plans] val buildPackedShingles: Seq[Expression] => Expression =
     (children: Seq[Expression]) => PackedShingles(children.head,
@@ -176,6 +187,7 @@ object GraftExtensions {
     add("vec_dot", children => VecDot(children(0), children(1)))
     add("damerau_levenshtein", buildDamerauLevenshtein)
     add("topk_pairs", buildTopKPairs)
+    add("freq_items", buildFreqItems)
     add("no_inline", children => NoInline(children.head))
     add("bloom_agg", buildBloomAgg)
     add("bloom_might_contain", buildBloomMightContain)

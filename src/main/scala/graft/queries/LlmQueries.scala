@@ -322,6 +322,48 @@ object LlmQueries {
         |ORDER BY n DESC, token ASC
         |LIMIT 50""".stripMargin),
 
+    // ───── EXACT heavy hitters via the two-pass Misra–Gries pattern:
+    // pass 1 reduces the unbounded token stream to ≤32 candidates
+    // with O(32) state per mapper (`freq_items` sketch — the MG
+    // guarantee: any token with freq > n/33 SURVIVES any merge
+    // order); pass 2 semi-joins the stream against the broadcast
+    // candidates and counts exactly, so the answer has no sketch
+    // error. Contrast ta_top_terms: that one shuffles every distinct
+    // token (vocabulary-bounded here, unbounded in the wild); this
+    // shuffles only candidate tokens — the 100 TB form. Raw MG
+    // counts are never exposed (they vary with merge order; only the
+    // survival guarantee is order-free).
+    "ta_heavy_tokens" -> QueryDef.sql(
+      (s, dir) => {
+        graft.plans.GraftExtensions.register(s)
+        val toks = docs(s, dir)
+          .select(explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+          .filter(col("token") =!= "")
+        val cands = toks
+          .agg(expr("freq_items(xxhash64(token), 32)").as("_c"))
+          .select(explode(expr("transform(_c, x -> x.item)")).as("h"))
+        val total = toks.agg(count(lit(1)).as("n_total"))
+        toks.join(broadcast(cands),
+            xxhash64(col("token")) === col("h"), "left_semi")
+          .groupBy(col("token"))
+          .agg(count(lit(1)).as("cnt"))
+          .crossJoin(broadcast(total))
+          .filter(col("cnt") * 33 > col("n_total"))
+          .select(col("token"), col("cnt"), col("n_total"),
+            expr("cnt * 1000000L DIV n_total").as("share_ppm"))
+      },
+      """WITH toks AS (
+        |  SELECT token FROM (
+        |    SELECT unnest(string_split_regex(lower(trim(text)), '\s+'))
+        |      AS token
+        |    FROM documents)
+        |  WHERE token <> ''),
+        |t AS (SELECT COUNT(*) AS n_total FROM toks),
+        |c AS (SELECT token, COUNT(*) AS cnt FROM toks GROUP BY 1)
+        |SELECT token, cnt, n_total,
+        |  CAST(cnt * 1000000 // n_total AS BIGINT) AS share_ppm
+        |FROM c, t WHERE cnt * 33 > n_total""".stripMargin),
+
     // ───── CCNet-style unigram log-prob quality signal: corpus LM
     // broadcast back to the token stream; per-token ln rounded to 9dp
     // then decimal-summed so the parallel mean is bit-deterministic.
@@ -2762,6 +2804,36 @@ object LlmQueries {
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         |  AND l_shipdate < TIMESTAMP '1997-01-01'
         |GROUP BY 1""".stripMargin),
+
+    // ───── bloom-filter file index — the POINT-LOOKUP complement of
+    // corpus_file_skipping's min/max index (Delta BLOOMFILTER INDEX):
+    // the table lands HASH-partitioned on the lookup key (each key in
+    // exactly one file — the layout equality lookups want, and the
+    // layout min/max skipping is useless on), a per-file bloom is
+    // built in one narrow scan, and the point read opens only files
+    // whose filter might contain the key — ~1 of 8 here (false
+    // positives cost an extra file; false negatives impossible).
+    // TablesSpec pins the file-count audit; the oracle gates the
+    // looked-up content.
+    "corpus_bloom_lookup" -> QueryDef.sql(
+      (s, dir) => {
+        val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_bloomix_" +
+          Integer.toHexString(dir.hashCode)
+        Tables.table(s, dir, "orders")
+          .repartition(8, col("o_custkey"))
+          .write.mode("overwrite").parquet(tmp)
+        FileStatsIndex.writeBloom(
+          FileStatsIndex.buildBloom(s, tmp, "o_custkey"), tmp)
+        FileStatsIndex.prunedPointRead(s, tmp, "o_custkey", lit(37L))
+          .filter(col("o_custkey") === 37L)
+          .agg(count(lit(1)).as("n_orders"),
+            sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+              .cast("long")).as("cents"))
+      },
+      """SELECT COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |    AS BIGINT)) AS BIGINT) AS cents
+        |FROM orders WHERE o_custkey = 37""".stripMargin),
 
     // ───── composed OPTIMIZE: 64-small-file landing → compact
     // clustered on l_shipdate → stats-index rebuild → pruned

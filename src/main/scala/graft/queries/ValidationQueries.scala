@@ -423,6 +423,42 @@ object ValidationQueries {
           .mkString(",\n") + "\nFROM lineitem"
       }),
 
+    // ───── order-independent table checksum — the cross-replica
+    // integrity audit (post-migration/backfill/replication "same
+    // content?" check) as ONE pass per side: rows digest to 60-bit
+    // md5 integers, XOR-combined (commutative+associative, so the
+    // signature is invariant to partitioning, file layout, and row
+    // order), doubly salted so accidental cancellation across both
+    // channels is ~2⁻¹²⁰. Nothing but 3 longs per mapper crosses the
+    // exchange. The oracle re-derives the full digest chain.
+    "gov_table_checksum" -> QueryDef.sql(
+      (s, dir) =>
+        graft.operators.Governance.tableChecksum(
+          t(s, dir, "customer"), Seq("c_custkey", "c_name", "c_nationkey")),
+      """WITH s AS (
+        |  SELECT
+        |    md5(concat('1',
+        |      md5(CASE WHEN c_custkey IS NULL THEN 'n'
+        |               ELSE 'v' || CAST(c_custkey AS VARCHAR) END),
+        |      md5(CASE WHEN c_name IS NULL THEN 'n'
+        |               ELSE 'v' || c_name END),
+        |      md5(CASE WHEN c_nationkey IS NULL THEN 'n'
+        |               ELSE 'v' || CAST(c_nationkey AS VARCHAR) END)))
+        |      AS h1,
+        |    md5(concat('2',
+        |      md5(CASE WHEN c_custkey IS NULL THEN 'n'
+        |               ELSE 'v' || CAST(c_custkey AS VARCHAR) END),
+        |      md5(CASE WHEN c_name IS NULL THEN 'n'
+        |               ELSE 'v' || c_name END),
+        |      md5(CASE WHEN c_nationkey IS NULL THEN 'n'
+        |               ELSE 'v' || CAST(c_nationkey AS VARCHAR) END)))
+        |      AS h2
+        |  FROM customer)
+        |SELECT COUNT(*) AS n_rows,
+        |  bit_xor(CAST(concat('0x', substr(h1, 1, 15)) AS BIGINT)) AS sig1,
+        |  bit_xor(CAST(concat('0x', substr(h2, 1, 15)) AS BIGINT)) AS sig2
+        |FROM s""".stripMargin),
+
     // ───── join-key skew report — the diagnostic you run BEFORE
     // picking a join/partitioning strategy at 100 TB: per-key row
     // counts of the would-be shuffle key, reduced to key cardinality,

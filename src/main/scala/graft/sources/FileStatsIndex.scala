@@ -152,4 +152,85 @@ object FileStatsIndex {
     existing.unpersist(false)
     newPaths.length
   }
+
+  // ───── bloom-filter file index: the POINT-LOOKUP complement of the
+  // min/max index (Delta's BLOOMFILTER INDEX). Min/max skipping needs
+  // the layout to range-cluster the column; a key-hash-partitioned
+  // layout defeats it (every file's interval spans the domain) yet is
+  // exactly what equality lookups want — each key lives in ONE file,
+  // and a per-file bloom finds it without opening the rest. False
+  // positives only cost an extra file read; false negatives are
+  // impossible (the [[graft.plans.BloomAgg]] filter is exact on
+  // membership-no).
+
+  def bloomIndexPath(tablePath: String): String =
+    tablePath.stripSuffix("/") + "_file_bloom"
+
+  /** One scan → one (file, bloom, n_rows) row per file. Sized for
+    * ~`numItems` distinct keys per file at `numBits` (defaults give
+    * ~8 bits/key ≈ 2% fpp). The bloom aggregate merges map-side like
+    * any agg, so the build is one narrow scan + one O(files) shuffle.
+    */
+  def buildBloom(spark: SparkSession, path: String, c: String,
+                 numItems: Long = 100000L,
+                 numBits: Long = 800000L): DataFrame = {
+    graft.plans.GraftExtensions.register(spark)
+    Tables.parquet(spark, path)
+      .select(col(c))
+      .groupBy(input_file_name().as("file"))
+      .agg(expr(s"bloom_agg(xxhash64($c), ${numItems}L, ${numBits}L)")
+        .as(s"bloom_$c"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  def writeBloom(stats: DataFrame, tablePath: String): String = {
+    val p = bloomIndexPath(tablePath)
+    graft.operators.Scd2.writeAtomic(stats.coalesce(1), p)
+    p
+  }
+
+  /** (file, survives) pairs for a point probe. The per-file filters
+    * are PROBED ON THE DRIVER: Spark's `might_contain` only accepts a
+    * constant/scalar-subquery filter (it exists for runtime join
+    * pruning with ONE filter), while an index has one filter PER ROW
+    * — and the index is O(files) control-plane data anyway, the same
+    * class of driver hop as the min/max file list. Deserialization is
+    * Spark's own sketch codec, so probe semantics match the
+    * `bloom_agg` build bit-for-bit. The probe hash is computed by the
+    * ENGINE (a 1-row xxhash64 job), so the value must be cast to the
+    * indexed column's exact type — xxhash64 of an int and of a long
+    * differ, and a mismatched probe would prune everything.
+    */
+  private def bloomSurvivors(spark: SparkSession, tablePath: String,
+                             c: String, value: Column): (Seq[String], Seq[String]) = {
+    graft.plans.GraftExtensions.register(spark)
+    val probeHash = spark.range(1).select(xxhash64(value)).head().getLong(0)
+    val rows = Tables.parquet(spark, bloomIndexPath(tablePath))
+      .select(col("file"), col(s"bloom_$c")).collect()
+    val all = rows.map(_.getString(0)).toSeq.sorted
+    val pruned = rows.filter { r =>
+      org.apache.spark.util.sketch.BloomFilter
+        .readFrom(new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+        .mightContainLong(probeHash)
+    }.map(_.getString(0)).toSeq.sorted
+    (pruned, all)
+  }
+
+  /** Equality-lookup read through the bloom index: open ONLY files
+    * whose filter might contain the key. O(files) control-plane
+    * collect, same class as [[prunedRead]].
+    */
+  def prunedPointRead(spark: SparkSession, tablePath: String, c: String,
+                      value: Column): DataFrame = {
+    val (survivors, _) = bloomSurvivors(spark, tablePath, c, value)
+    if (survivors.isEmpty) Tables.parquet(spark, tablePath).filter(lit(false))
+    else spark.read.parquet(survivors: _*)
+  }
+
+  /** Audit pair for the bloom path: (files a point lookup opens,
+    * all files) — TablesSpec pins pruned ⊂ all plus result equality.
+    */
+  def plannedFilesBloom(spark: SparkSession, tablePath: String, c: String,
+                        value: Column): (Seq[String], Seq[String]) =
+    bloomSurvivors(spark, tablePath, c, value)
 }

@@ -272,6 +272,49 @@ class TablesSpec extends SparkSpec {
     assert(pruned2.length === all2.length)
   }
 
+  test("FileStatsIndex bloom: point lookup opens ~1 of 8 hash-partitioned " +
+    "files, never misses, min/max would prune nothing") {
+    import graft.sources.FileStatsIndex
+    val dir = tmp() + "/lake"
+    val orders = Tables.table(spark, sfDir, "orders")
+    orders.repartition(8, col("o_custkey")).write.parquet(dir)
+    FileStatsIndex.writeBloom(
+      FileStatsIndex.buildBloom(spark, dir, "o_custkey"), dir)
+    // the same layout defeats min/max skipping: every file's key
+    // interval spans the domain (this is WHY the bloom tier exists)
+    FileStatsIndex.write(
+      FileStatsIndex.build(spark, dir, Seq("o_custkey")), dir)
+    // mid-domain keys: for a boundary key (the global min/max) even a
+    // hash layout lets min/max prune, which would muddy the
+    // "min/max can't help here" contrast below
+    val allKeys = orders.select("o_custkey").distinct()
+      .orderBy("o_custkey").collect().map(_.getLong(0))
+    val keys = allKeys.slice(allKeys.length / 2 - 10, allKeys.length / 2 + 10)
+    var opened = 0
+    keys.foreach { k =>
+      val (pruned, all) = FileStatsIndex.plannedFilesBloom(
+        spark, dir, "o_custkey", lit(k))
+      assert(all.length === 8)
+      assert(pruned.nonEmpty, s"key $k: bloom false negative")
+      opened += pruned.length
+      // soundness: pruned read finds exactly the key's rows
+      val viaIndex = FileStatsIndex.prunedPointRead(spark, dir, "o_custkey", lit(k))
+        .filter(col("o_custkey") === k).count()
+      val full = orders.filter(col("o_custkey") === k).count()
+      assert(viaIndex === full)
+      val (mm, mmAll) = FileStatsIndex.plannedFiles(
+        spark, dir, "o_custkey", lit(k), lit(k))
+      assert(mm.length === mmAll.length, "min/max unexpectedly pruned a hash layout")
+    }
+    // ~1 file per lookup (2% fpp): across 20 keys, well under 2 avg
+    assert(opened <= 30, s"opened $opened files across 20 lookups")
+    // absent key: usually zero survivors; NEVER a wrong row
+    val absent = FileStatsIndex.prunedPointRead(
+      spark, dir, "o_custkey", lit(-987654321L))
+      .filter(col("o_custkey") === -987654321L)
+    assert(absent.count() === 0L)
+  }
+
   test("FileStatsIndex.refresh: appends stat only new files, removed rows drop, indexed files never re-read") {
     import graft.sources.FileStatsIndex
     val dir = tmp() + "/lake"
