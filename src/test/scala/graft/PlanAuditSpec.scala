@@ -54,7 +54,9 @@ class PlanAuditSpec extends SparkSpec {
     "v09_mad_outliers" ->
       "two 1-row frames (exact median, exact MAD) broadcast back over the calendar-bounded daily frame",
     "v10_distribution_drift" ->
-      "1-row period-totals and 1-row TVD frames broadcast over the |bins|-bounded share table")
+      "1-row period-totals and 1-row TVD frames broadcast over the |bins|-bounded share table",
+    "ta_heavy_tokens" ->
+      "1-row token-total frame broadcast into the ≤k-candidate exact count (the MG second pass)")
 
   test("no registered query hides an unlisted cartesian or nested-loop join") {
     GraftExtensions.register(spark)
