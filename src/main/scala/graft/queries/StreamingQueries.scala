@@ -186,6 +186,47 @@ object StreamingQueries {
         |       CAST((1000000 * c.n) // t.tot AS BIGINT) AS p_ppm
         |FROM c JOIN t USING (event_type)""".stripMargin),
 
+    // ───── time-to-convert distribution — seconds from each
+    // purchase back to the user's most recent preceding view/click
+    // (the latency companion of ev_attribution's channel credit):
+    // same single-window IGNORE-NULLS last_value shape, then exact
+    // integer deltas feed count/median/p90/max. No self-join; the
+    // event table shuffles once on user_id and the percentile runs
+    // over |purchases| integers.
+    "ev_time_to_convert" -> QueryDef.sql(
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val isTouch = col("event_type").isin("click", "view")
+        Tables.events(s, dir)
+          .select(col("user_id"), col("ts"), col("event_type"),
+            last(when(isTouch, col("ts")), ignoreNulls = true).over(w)
+              .as("t_ts"))
+          .filter(col("event_type") === "purchase" && col("t_ts").isNotNull)
+          // exact integer MICROSECOND deltas — epoch-seconds would
+          // truncate in Spark and stay fractional in DuckDB
+          .select((unix_micros(col("ts")) - unix_micros(col("t_ts")))
+            .as("usec"))
+          .agg(count(lit(1)).as("n_converted"),
+            expr("percentile(usec, 0.5)").as("p50_usec"),
+            expr("percentile(usec, 0.9)").as("p90_usec"),
+            max(col("usec")).as("max_usec"))
+      },
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+        |    last_value(CASE WHEN event_type IN ('click', 'view')
+        |        THEN CAST(ts AS TIMESTAMP) END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS t_ts
+        |  FROM events)
+        |SELECT COUNT(*) AS n_converted,
+        |  quantile_cont(epoch_us(ts) - epoch_us(t_ts), 0.5) AS p50_usec,
+        |  quantile_cont(epoch_us(ts) - epoch_us(t_ts), 0.9) AS p90_usec,
+        |  CAST(MAX(epoch_us(ts) - epoch_us(t_ts)) AS BIGINT) AS max_usec
+        |FROM e WHERE event_type = 'purchase' AND t_ts IS NOT NULL"""
+        .stripMargin),
+
     // ───── item-to-item co-visitation recommender (the covisitation
     // matrix of every production recall stage, e.g. the OTTO/Kaggle
     // winning shape): items = props.k, co-occurrence = two items

@@ -6,6 +6,7 @@ import graft.operators.SqlWorkflow.{QualityCheck, TestStep, Transform}
 import graft.operators.Validation._
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Queries exercising the declarative DQ rule engine, the enrichment
@@ -422,6 +423,131 @@ object ValidationQueries {
              |  COUNT(DISTINCT $c) AS ndv_$c""".stripMargin)
           .mkString(",\n") + "\nFROM lineitem"
       }),
+
+    // ───── inclusion-dependency (FK) discovery — profiling which
+    // column pairs actually satisfy child ⊆ parent (the Metanome/
+    // data-catalog primitive behind "suggest foreign keys"): for five
+    // candidate pairs, distinct child keys, orphan keys (left-anti
+    // vs parent), and containment ppm. Scale shape per pair: both
+    // sides reduce to DISTINCT KEYS at the scan (the wide rows never
+    // shuffle), one anti join per pair, counts only — cost is
+    // O(distinct keys), never O(rows²). events.user_id→supplier is
+    // the deliberately-WRONG candidate (user ids overrun the supplier
+    // key space): discovery's whole job is rejecting such guesses, so
+    // the op provably measures containment, not assumes it.
+    "gov_fk_discovery" -> QueryDef.sql(
+      (s, dir) => {
+        def pair(childT: String, childC: String,
+                 parentT: String, parentC: String): DataFrame = {
+          val child = t(s, dir, childT)
+            .select(col(childC).cast("long").as("k")).distinct()
+          val parent = t(s, dir, parentT)
+            .select(col(parentC).cast("long").as("k")).distinct()
+            .withColumn("_hit", lit(1))
+          child.join(parent, Seq("k"), "left")
+            .agg(count(lit(1)).as("n_child_keys"),
+              sum(when(col("_hit").isNull, 1L).otherwise(0L))
+                .as("n_orphan_keys"))
+            .select(
+              lit(s"$childT.$childC").as("child_col"),
+              lit(s"$parentT.$parentC").as("parent_col"),
+              col("n_child_keys"), col("n_orphan_keys"),
+              expr("(n_child_keys - n_orphan_keys) * 1000000L" +
+                " DIV greatest(n_child_keys, 1L)").as("containment_ppm"))
+        }
+        pair("orders", "o_custkey", "customer", "c_custkey")
+          .unionByName(pair("lineitem", "l_orderkey", "orders", "o_orderkey"))
+          .unionByName(pair("lineitem", "l_suppkey", "supplier", "s_suppkey"))
+          .unionByName(pair("nation", "n_regionkey", "region", "r_regionkey"))
+          .unionByName(pair("events", "user_id", "customer", "c_custkey"))
+          .unionByName(pair("events", "user_id", "supplier", "s_suppkey"))
+      },
+      """SELECT child_col, parent_col, n_child_keys, n_orphan_keys,
+        |  (n_child_keys - n_orphan_keys) * 1000000
+        |    // greatest(n_child_keys, 1) AS containment_ppm
+        |FROM (
+        |  SELECT 'orders.o_custkey' AS child_col,
+        |    'customer.c_custkey' AS parent_col,
+        |    (SELECT COUNT(DISTINCT o_custkey) FROM orders) AS n_child_keys,
+        |    (SELECT COUNT(*) FROM (
+        |       SELECT DISTINCT o_custkey FROM orders
+        |       WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)))
+        |      AS n_orphan_keys
+        |  UNION ALL
+        |  SELECT 'lineitem.l_orderkey', 'orders.o_orderkey',
+        |    (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem),
+        |    (SELECT COUNT(*) FROM (
+        |       SELECT DISTINCT l_orderkey FROM lineitem
+        |       WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)))
+        |  UNION ALL
+        |  SELECT 'lineitem.l_suppkey', 'supplier.s_suppkey',
+        |    (SELECT COUNT(DISTINCT l_suppkey) FROM lineitem),
+        |    (SELECT COUNT(*) FROM (
+        |       SELECT DISTINCT l_suppkey FROM lineitem
+        |       WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier)))
+        |  UNION ALL
+        |  SELECT 'nation.n_regionkey', 'region.r_regionkey',
+        |    (SELECT COUNT(DISTINCT n_regionkey) FROM nation),
+        |    (SELECT COUNT(*) FROM (
+        |       SELECT DISTINCT n_regionkey FROM nation
+        |       WHERE n_regionkey NOT IN (SELECT r_regionkey FROM region)))
+        |  UNION ALL
+        |  SELECT 'events.user_id', 'customer.c_custkey',
+        |    (SELECT COUNT(DISTINCT user_id) FROM events),
+        |    (SELECT COUNT(*) FROM (
+        |       SELECT DISTINCT user_id FROM events
+        |       WHERE user_id NOT IN (SELECT c_custkey FROM customer)))
+        |  UNION ALL
+        |  SELECT 'events.user_id', 'supplier.s_suppkey',
+        |    (SELECT COUNT(DISTINCT user_id) FROM events),
+        |    (SELECT COUNT(*) FROM (
+        |       SELECT DISTINCT user_id FROM events
+        |       WHERE user_id NOT IN (SELECT s_suppkey FROM supplier))))"""
+        .stripMargin),
+
+    // ───── CUSUM change-point scan — cumulative sum of daily-revenue
+    // deviations from the global mean (Page 1954): a level SHIFT in
+    // the series makes |cusum| ramp, and its peak day is the classic
+    // change-point estimate; pure-integer throughout (cents minus
+    // floor-mean, cumulative BIGINT), so the scan is engine-exact
+    // where an EWMA/σ formulation would ride floating point. One
+    // daily aggregate, a 1-row mean frame broadcast back, one
+    // calendar-bounded cumsum window, one 1-row peak frame.
+    "v12_cusum_shift" -> QueryDef.sql(
+      (s, dir) => {
+        val daily = t(s, dir, "lineitem")
+          .filter(col("l_extendedprice") > 0)
+          .groupBy(to_date(col("l_shipdate")).as("d"))
+          .agg((sum(col("l_extendedprice").cast("decimal(30,2)")) * 100)
+            .cast("long").as("cents"))
+        val mean = daily.agg(
+          expr("sum(cents) DIV count(1)").as("mean_cents"))
+        val w = Window.orderBy(col("d"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cusum = daily.crossJoin(broadcast(mean))
+          .withColumn("cusum",
+            sum(col("cents") - col("mean_cents")).over(w))
+        val peak = cusum.agg(max(abs(col("cusum"))).as("peak_abs"))
+        cusum.crossJoin(broadcast(peak))
+          .select(col("d"), col("cents"), col("cusum"),
+            (abs(col("cusum")) === col("peak_abs")).as("is_change_point"))
+      },
+      """WITH daily AS (
+        |  SELECT CAST(l_shipdate AS DATE) AS d,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))) * 100
+        |      AS BIGINT) AS cents
+        |  FROM lineitem WHERE l_extendedprice > 0 GROUP BY 1),
+        |m AS (SELECT CAST(SUM(cents) AS BIGINT) // COUNT(*) AS mean_cents
+        |      FROM daily),
+        |c AS (
+        |  SELECT d, cents,
+        |    CAST(SUM(cents - mean_cents) OVER (ORDER BY d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cusum
+        |  FROM daily, m),
+        |p AS (SELECT MAX(abs(cusum)) AS peak_abs FROM c)
+        |SELECT d, cents, cusum, abs(cusum) = peak_abs AS is_change_point
+        |FROM c, p""".stripMargin),
 
     // ───── order-independent table checksum — the cross-replica
     // integrity audit (post-migration/backfill/replication "same

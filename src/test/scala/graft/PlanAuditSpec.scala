@@ -56,7 +56,9 @@ class PlanAuditSpec extends SparkSpec {
     "v10_distribution_drift" ->
       "1-row period-totals and 1-row TVD frames broadcast over the |bins|-bounded share table",
     "ta_heavy_tokens" ->
-      "1-row token-total frame broadcast into the ≤k-candidate exact count (the MG second pass)")
+      "1-row token-total frame broadcast into the ≤k-candidate exact count (the MG second pass)",
+    "v12_cusum_shift" ->
+      "two 1-row frames (global mean, peak |cusum|) broadcast over the calendar-bounded daily frame")
 
   test("no registered query hides an unlisted cartesian or nested-loop join") {
     GraftExtensions.register(spark)
