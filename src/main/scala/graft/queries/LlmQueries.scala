@@ -2232,6 +2232,89 @@ object LlmQueries {
          |  FROM sc)
          |WHERE rank <= 10""".stripMargin),
 
+    // ───── ANN quality EVAL as an engine query — recall@10 and
+    // reciprocal rank of the IVF index against the exact brute-force
+    // ranking, per query, all-integer (ppm). This is the harness that
+    // decides nprobe/centroid settings before a 100 TB index build:
+    // ground truth on a sampled query panel is exactly this
+    // composition, and both arms already have engine-exact semantics
+    // (6 dp cosine, deterministic tie-breaks) so the eval itself is
+    // oracle-reproducible — the metric can't drift between engines.
+    "ret_eval_recall" -> QueryDef.sql(
+      (s, dir) => {
+        val e = emb(s, dir)
+        val q = e.filter(col("vec_id") < 5)
+        val bf = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 10)
+          .select(col("query_id"), col("cand_id"),
+            col("rank").cast("int").as("bf_rank"))
+        val ivf = Similarity.ivfTopK(e, q, "vec_id", "embedding",
+          k = 10, numCentroids = 8, nprobe = 1)
+          .select(col("query_id"), col("cand_id"),
+            col("rank").cast("int").as("ivf_rank"))
+        bf.join(ivf, Seq("query_id", "cand_id"), "left")
+          .groupBy(col("query_id"))
+          .agg(
+            sum(when(col("ivf_rank").isNotNull, 1L).otherwise(0L))
+              .as("n_hits"),
+            max(when(col("bf_rank") === 1,
+              coalesce(expr("1000000L DIV ivf_rank"), lit(0L))))
+              .as("rr_ppm"))
+          .withColumn("recall_ppm", expr("n_hits * 1000000L DIV 10"))
+      },
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+         |           FROM embeddings WHERE vec_id < 5),
+         |c AS (SELECT vec_id AS cand_id, embedding AS cv FROM embeddings),
+         |bf AS (
+         |  SELECT query_id, cand_id, bf_rank FROM (
+         |    SELECT q.query_id, c.cand_id,
+         |      CAST(row_number() OVER (PARTITION BY q.query_id
+         |        ORDER BY round(${cosineSql("q.qv", "c.cv")}, 6) DESC,
+         |                 c.cand_id) AS INTEGER) AS bf_rank
+         |    FROM q, c WHERE q.query_id <> c.cand_id)
+         |  WHERE bf_rank <= 10),
+         |cent AS (
+         |  SELECT vec_id AS centroid_id, embedding AS cv
+         |  FROM embeddings ORDER BY vec_id LIMIT 8),
+         |asg AS (
+         |  SELECT e.vec_id, ct.centroid_id,
+         |         round(${cosineSql("e.embedding", "ct.cv")}, 6) AS cc
+         |  FROM embeddings e, cent ct),
+         |ranked AS (
+         |  SELECT vec_id, centroid_id,
+         |         row_number() OVER (PARTITION BY vec_id
+         |                            ORDER BY cc DESC, centroid_id) AS rn
+         |  FROM asg),
+         |cells AS (SELECT vec_id AS cand_id, centroid_id
+         |          FROM ranked WHERE rn = 1),
+         |probes AS (SELECT vec_id AS query_id, centroid_id FROM ranked
+         |           WHERE rn = 1 AND vec_id < 5),
+         |ivf AS (
+         |  SELECT query_id, cand_id, ivf_rank FROM (
+         |    SELECT sc.query_id, sc.cand_id,
+         |      CAST(row_number() OVER (PARTITION BY sc.query_id
+         |        ORDER BY sc.cos_sim DESC, sc.cand_id) AS INTEGER)
+         |        AS ivf_rank
+         |    FROM (
+         |      SELECT p.query_id, ce.cand_id,
+         |        round(${cosineSql("eq.embedding", "ec.embedding")}, 6)
+         |          AS cos_sim
+         |      FROM probes p
+         |      JOIN cells ce USING (centroid_id)
+         |      JOIN embeddings eq ON eq.vec_id = p.query_id
+         |      JOIN embeddings ec ON ec.vec_id = ce.cand_id
+         |      WHERE p.query_id <> ce.cand_id) sc)
+         |  WHERE ivf_rank <= 10)
+         |SELECT bf.query_id,
+         |  CAST(SUM(CASE WHEN ivf.ivf_rank IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_hits,
+         |  CAST(MAX(CASE WHEN bf.bf_rank = 1
+         |    THEN COALESCE(1000000 // ivf.ivf_rank, 0) END) AS BIGINT)
+         |    AS rr_ppm,
+         |  CAST(SUM(CASE WHEN ivf.ivf_rank IS NOT NULL THEN 1 ELSE 0 END)
+         |    * 1000000 // 10 AS BIGINT) AS recall_ppm
+         |FROM bf LEFT JOIN ivf USING (query_id, cand_id)
+         |GROUP BY 1""".stripMargin),
+
     "emb_dup_pairs" -> QueryDef.sql(
       (s, dir) => {
         val e = emb(s, dir).select("vec_id", "embedding")

@@ -58,7 +58,9 @@ class PlanAuditSpec extends SparkSpec {
     "ta_heavy_tokens" ->
       "1-row token-total frame broadcast into the ≤k-candidate exact count (the MG second pass)",
     "v12_cusum_shift" ->
-      "two 1-row frames (global mean, peak |cusum|) broadcast over the calendar-bounded daily frame")
+      "two 1-row frames (global mean, peak |cusum|) broadcast over the calendar-bounded daily frame",
+    "ret_eval_recall" ->
+      "composes the allowlisted exhaustive ANN baseline (queries broadcast) as the eval's ground-truth arm")
 
   test("no registered query hides an unlisted cartesian or nested-loop join") {
     GraftExtensions.register(spark)
