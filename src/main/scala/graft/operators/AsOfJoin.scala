@@ -59,4 +59,28 @@ object AsOfJoin {
       .select((leftCols.map(col) ++
         valueCols.map(c => col(s"_v.$c").as(c))): _*)
   }
+
+  /** As-of join with a TOLERANCE window (pandas `merge_asof
+    * tolerance` / Flink interval-join semantics): a match older than
+    * `tolerance` before the probe row is treated as NO match — every
+    * attached column nulls out together (the match is one right ROW;
+    * per-column nulling would leave a half-attached record). Same
+    * one-shuffle union-sort-window plan as [[asofJoin]]; the
+    * staleness check is a scan-side projection on top, so tolerance
+    * costs nothing at any scale. `rightTs` must be among the carried
+    * columns' namespace but differ from `leftTs` (both appear in the
+    * output condition).
+    */
+  def asofJoinTolerance(left: DataFrame, right: DataFrame,
+                        keyCols: Seq[String], leftTs: String, rightTs: String,
+                        valueCols: Seq[String], tolerance: Column): DataFrame = {
+    require(leftTs != rightTs,
+      "leftTs and rightTs must have distinct names (both survive in the output)")
+    val attached = (valueCols :+ rightTs).distinct
+    val joined = asofJoin(left, right, keyCols, leftTs, rightTs, attached)
+    val fresh = col(rightTs).isNotNull &&
+      col(rightTs) >= col(leftTs) - tolerance
+    joined.select((left.columns.toSeq.map(col) ++ attached.map(c =>
+      when(fresh, col(c)).otherwise(lit(null)).as(c))): _*)
+  }
 }

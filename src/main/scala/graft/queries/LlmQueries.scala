@@ -4,6 +4,7 @@ import graft.QueryDef
 import graft.operators.{Bpe, Graph, Multimodal, Sampling, Similarity, Sketches, TextAnalysis, TextDedup}
 import graft.sources.{FileStatsIndex, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** LLM training-data pipeline operators over documents/embeddings
@@ -363,6 +364,145 @@ object LlmQueries {
         |SELECT token, cnt, n_total,
         |  CAST(cnt * 1000000 // n_total AS BIGINT) AS share_ppm
         |FROM c, t WHERE cnt * 33 > n_total""".stripMargin),
+
+    // ───── Zipf-exponent fit — OLS slope of ln(freq) on ln(rank)
+    // over the token frequency table (natural text sits near −1;
+    // synthetic/templated corpora flatten toward 0, so the exponent
+    // is a one-number corpus-health check next to ta_unigram_entropy).
+    // Engine-exact determinism: every ln is 9 dp-rounded into a
+    // DECIMAL before summation (the ta_unigram_logprob recipe — raw
+    // double sums would drift with partitioning), the five moments
+    // are exact decimal sums, and the slope is ONE fixed double
+    // expression (the a16/a22 recipe). The rank window runs over the
+    // VOCAB table only — raw tokens are never windowed.
+    "ta_zipf_fit" -> QueryDef.sql(
+      (s, dir) => {
+        val toks = docs(s, dir)
+          .select(explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+          .filter(col("token") =!= "")
+        val vocab = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+        val w = Window.orderBy(col("cnt").desc, col("token").asc)
+        val xy = vocab
+          .withColumn("rnk", row_number().over(w))
+          .select(
+            round(log(col("rnk").cast("double")), 9)
+              .cast("decimal(18,9)").as("x"),
+            round(log(col("cnt").cast("double")), 9)
+              .cast("decimal(18,9)").as("y"))
+        xy.agg(count(lit(1)).as("n_vocab"),
+            sum(col("x")).as("_sx"), sum(col("y")).as("_sy"),
+            sum(col("x") * col("y")).as("_sxy"),
+            sum(col("x") * col("x")).as("_sxx"))
+          .select(col("n_vocab"),
+            round(
+              (col("n_vocab").cast("double") * col("_sxy").cast("double")
+                - col("_sx").cast("double") * col("_sy").cast("double"))
+              / (col("n_vocab").cast("double") * col("_sxx").cast("double")
+                - col("_sx").cast("double") * col("_sx").cast("double")),
+              6).as("zipf_slope"))
+      },
+      """WITH toks AS (
+        |  SELECT token FROM (
+        |    SELECT unnest(string_split_regex(lower(trim(text)), '\s+'))
+        |      AS token
+        |    FROM documents)
+        |  WHERE token <> ''),
+        |v AS (SELECT token, COUNT(*) AS cnt FROM toks GROUP BY 1),
+        |xy AS (
+        |  SELECT
+        |    CAST(round(ln(CAST(row_number() OVER (ORDER BY cnt DESC,
+        |      token ASC) AS DOUBLE)), 9) AS DECIMAL(18,9)) AS x,
+        |    CAST(round(ln(CAST(cnt AS DOUBLE)), 9) AS DECIMAL(18,9)) AS y
+        |  FROM v),
+        |m AS (
+        |  SELECT COUNT(*) AS n_vocab,
+        |    SUM(x) AS sx, SUM(y) AS sy,
+        |    SUM(x * y) AS sxy, SUM(x * x) AS sxx
+        |  FROM xy)
+        |SELECT n_vocab,
+        |  round((CAST(n_vocab AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      / (CAST(n_vocab AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+        |    AS zipf_slope
+        |FROM m""".stripMargin),
+
+    // ───── per-source PII exposure report — the compliance rollup
+    // over the scrub + Luhn detectors: deterministic plants (email on
+    // doc_id%3, phone on %5, a Luhn-VALID card on %7) prove every
+    // counter moves; per source the report carries doc counts,
+    // per-class hit counts/totals, and the clean-docs share in ppm.
+    // Two scan-side detector projections joined on doc_id, one
+    // |sources|-bounded aggregate — no raw-text shuffle.
+    "gov_pii_report" -> QueryDef.sql(
+      (s, dir) => {
+        val planted = docs(s, dir).select(col("doc_id"), col("source"),
+          concat(col("text"),
+            when(col("doc_id") % 3 === 0,
+              concat(lit(" u"), col("doc_id"), lit("@example.com")))
+              .otherwise(lit("")),
+            when(col("doc_id") % 5 === 0, lit(" +1 555-867-5309"))
+              .otherwise(lit("")),
+            when(col("doc_id") % 7 === 0, lit(" 4539148803436467"))
+              .otherwise(lit(""))).as("text"))
+        val scrub = TextAnalysis.scrubPii(planted, "text")
+          .select(col("doc_id"), col("source"),
+            col("n_emails"), col("n_phones"))
+        val luhn = TextAnalysis.luhnCcDetect(planted, "doc_id", "text")
+          .select(col("doc_id"), col("n_cc_valid"))
+        scrub.join(luhn, Seq("doc_id"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("n_emails") > 0, 1L).otherwise(0L))
+              .as("docs_with_email"),
+            sum(col("n_emails").cast("long")).as("total_emails"),
+            sum(when(col("n_phones") > 0, 1L).otherwise(0L))
+              .as("docs_with_phone"),
+            sum(when(col("n_cc_valid") > 0, 1L).otherwise(0L))
+              .as("docs_with_valid_cc"),
+            sum(when(col("n_emails") === 0 && col("n_phones") === 0 &&
+              col("n_cc_valid") === 0, 1L).otherwise(0L)).as("_clean"))
+          .withColumn("clean_ppm", expr("_clean * 1000000L DIV n_docs"))
+          .drop("_clean")
+      },
+      s"""WITH planted AS (
+         |  SELECT doc_id, source,
+         |    text || (CASE WHEN doc_id % 3 = 0
+         |             THEN ' u' || doc_id || '@example.com' ELSE '' END)
+         |         || (CASE WHEN doc_id % 5 = 0
+         |             THEN ' +1 555-867-5309' ELSE '' END)
+         |         || (CASE WHEN doc_id % 7 = 0
+         |             THEN ' 4539148803436467' ELSE '' END) AS t
+         |  FROM documents),
+         |d AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(regexp_extract_all(t, '${TextAnalysis.EmailPattern}'))
+         |      AS INTEGER) AS n_emails,
+         |    CAST(len(regexp_extract_all(t, '${TextAnalysis.PhonePattern}'))
+         |      AS INTEGER) AS n_phones,
+         |    CAST(len(list_filter(
+         |      list_filter(regexp_extract_all(t, '\\d+'),
+         |                  x -> length(x) BETWEEN 13 AND 19),
+         |      x -> list_sum([CASE WHEN i % 2 = 0 THEN
+         |          (CASE WHEN CAST(x[length(x)-i+1] AS INTEGER) * 2 > 9
+         |                THEN CAST(x[length(x)-i+1] AS INTEGER) * 2 - 9
+         |                ELSE CAST(x[length(x)-i+1] AS INTEGER) * 2 END)
+         |        ELSE CAST(x[length(x)-i+1] AS INTEGER) END
+         |        for i in generate_series(1, length(x))]) % 10 = 0))
+         |      AS INTEGER) AS n_cc_valid
+         |  FROM planted)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN n_emails > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS docs_with_email,
+         |  CAST(SUM(n_emails) AS BIGINT) AS total_emails,
+         |  CAST(SUM(CASE WHEN n_phones > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS docs_with_phone,
+         |  CAST(SUM(CASE WHEN n_cc_valid > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS docs_with_valid_cc,
+         |  CAST(SUM(CASE WHEN n_emails = 0 AND n_phones = 0
+         |    AND n_cc_valid = 0 THEN 1 ELSE 0 END) * 1000000
+         |    // COUNT(*) AS BIGINT) AS clean_ppm
+         |FROM d GROUP BY 1""".stripMargin),
 
     // ───── CCNet-style unigram log-prob quality signal: corpus LM
     // broadcast back to the token stream; per-token ln rounded to 9dp

@@ -843,6 +843,54 @@ object RelationalQueries {
         |FROM c WHERE cum * 2 >= total
         |GROUP BY 1""".stripMargin),
 
+    // ───── A24: Benford first-digit audit — the fraud/DQ screen over
+    // order amounts: observed first-significant-digit shares vs
+    // Benford's log₁₀(1+1/d) expectation, per-digit deviation, and
+    // the total-variation distance as ONE integer. The expected
+    // shares are the nine canonical ppm CONSTANTS (301030 … 45757)
+    // hardcoded in BOTH engines — deriving them via log10 at runtime
+    // would ride libm cross-engine. First digit via string head of
+    // the integer cents (cents > 0 always has a nonzero lead digit);
+    // one 9-group map-combined aggregate + a 1-row total frame.
+    "a24_benford_check" -> QueryDef.sql(
+      (s, dir) => {
+        val benford = typedLit(Map(
+          1 -> 301030L, 2 -> 176091L, 3 -> 124939L, 4 -> 96910L,
+          5 -> 79181L, 6 -> 66947L, 7 -> 57992L, 8 -> 51153L,
+          9 -> 45757L))
+        val digits = t(s, dir, "orders")
+          .select((col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long").as("cents"))
+          .filter(col("cents") > 0)
+          .select(substring(col("cents").cast("string"), 1, 1)
+            .cast("int").as("digit"))
+          .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+        val total = digits.agg(sum(col("n")).as("n_total"))
+        digits.crossJoin(broadcast(total))
+          .select(col("digit"), col("n"),
+            expr("n * 1000000L DIV n_total").as("share_ppm"),
+            benford(col("digit")).as("benford_ppm"))
+          .withColumn("dev_ppm",
+            abs(col("share_ppm") - col("benford_ppm")))
+      },
+      """WITH d AS (
+        |  SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INTEGER)
+        |    AS digit
+        |  FROM (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |          AS BIGINT) AS cents FROM orders)
+        |  WHERE cents > 0),
+        |c AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM c),
+        |b(digit, benford_ppm) AS (VALUES
+        |  (1, 301030), (2, 176091), (3, 124939), (4, 96910), (5, 79181),
+        |  (6, 66947), (7, 57992), (8, 51153), (9, 45757))
+        |SELECT c.digit, c.n,
+        |  CAST(c.n * 1000000 // t.n_total AS BIGINT) AS share_ppm,
+        |  CAST(b.benford_ppm AS BIGINT) AS benford_ppm,
+        |  CAST(abs(c.n * 1000000 // t.n_total - b.benford_ppm) AS BIGINT)
+        |    AS dev_ppm
+        |FROM c JOIN b USING (digit), t""".stripMargin),
+
     // ───── O6: top-N per group — each customer's 3 largest orders
     // (per-key window over the group shuffle; the per-key variant of
     // o04's global TakeOrderedAndProject).

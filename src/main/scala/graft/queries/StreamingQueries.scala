@@ -832,6 +832,50 @@ object StreamingQueries {
         |FROM e WHERE event_type = 'purchase'
         |GROUP BY 1""".stripMargin),
 
+    // ───── as-of join with a TOLERANCE window (pandas merge_asof
+    // tolerance): same backward match as ev_asof_join, but a
+    // purchase more than 36 hours older than the click is no match —
+    // both attached columns null out TOGETHER (the match is a row,
+    // not per-column). The staleness test is a scan-side projection
+    // over the same one-shuffle union-sort-window plan; tolerance is
+    // free at any scale.
+    "j17_asof_tolerance" -> QueryDef.sql(
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id"), col("ts"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts").as("p_ts"),
+            col("value").as("p_value"), col("event_id").as("p_event_id"))
+        val w = Window.partitionBy(col("user_id"), col("p_ts"))
+          .orderBy(col("p_event_id").desc)
+        val deduped = purchases
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).drop("rn")
+        AsOfJoin.asofJoinTolerance(clicks, deduped, Seq("user_id"),
+          "ts", "p_ts", Seq("p_ts", "p_value"),
+          expr("INTERVAL 36 HOURS"))
+      },
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, value,
+        |    CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events),
+        |clicks AS (
+        |  SELECT user_id, event_id, ts FROM e WHERE event_type = 'click'),
+        |purchases AS (
+        |  SELECT user_id, ts AS p_ts, value AS p_value, event_id AS p_event_id
+        |  FROM e WHERE event_type = 'purchase'
+        |  QUALIFY row_number() OVER (PARTITION BY user_id, ts
+        |                             ORDER BY event_id DESC) = 1)
+        |SELECT c.user_id, c.event_id, c.ts,
+        |  CASE WHEN p.p_ts >= c.ts - INTERVAL 36 HOUR
+        |       THEN p.p_ts END AS p_ts,
+        |  CASE WHEN p.p_ts >= c.ts - INTERVAL 36 HOUR
+        |       THEN p.p_value END AS p_value
+        |FROM clicks c
+        |ASOF LEFT JOIN purchases p
+        |  ON c.user_id = p.user_id AND c.ts >= p.p_ts""".stripMargin),
+
     // ───── stateful running per-user counts through the real engine
     // (mapGroupsWithState, Update mode, AvailableNow): the memory sink
     // holds every per-batch update; max per key recovers the final

@@ -51,4 +51,32 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.count() === trades.count())
     assert(out.columns.toSeq === (trades.columns.toSeq :+ "price"))
   }
+
+  test("tolerance: stale matches null out atomically; fresh and " +
+    "boundary matches survive; no-match rows unchanged") {
+    // t1 at 10:00:05 ← q1 at 10:00:00 (5s old)
+    // t2 at 10:00:10 ← q2 at 10:00:10 (0s old)
+    val tol = (sec: Int) => AsOfJoin.asofJoinTolerance(
+      trades, quotes, Seq("key"), "ts", "q_ts",
+      Seq("price", "quote_id"), expr(s"INTERVAL $sec SECONDS"))
+      .collect().map(r => r.getAs[String]("trade_id") ->
+        (Option(r.getAs[java.lang.Double]("price")),
+          Option(r.getAs[String]("quote_id")),
+          Option(r.getAs[java.sql.Timestamp]("q_ts")))).toMap
+    val wide = tol(60)
+    assert(wide("t1") === (Some(100.0), Some("q1"),
+      Some(ts("2024-01-01 10:00:00"))))
+    assert(wide("t0") === (None, None, None))
+    val tight = tol(3)
+    // 5s-old match exceeds 3s tolerance: price, quote_id AND q_ts all null
+    assert(tight("t1") === (None, None, None))
+    // equal-ts match is 0s old: survives any tolerance
+    assert(tight("t2") === (Some(101.0), Some("q2"),
+      Some(ts("2024-01-01 10:00:10"))))
+    // boundary: exactly-at-tolerance match is FRESH (>= cut)
+    val exact = tol(5)
+    assert(exact("t1")._2 === Some("q1"))
+    // row count always preserved (left join semantics)
+    assert(tol(1).size === trades.collect().length)
+  }
 }

@@ -60,7 +60,9 @@ class PlanAuditSpec extends SparkSpec {
     "v12_cusum_shift" ->
       "two 1-row frames (global mean, peak |cusum|) broadcast over the calendar-bounded daily frame",
     "ret_eval_recall" ->
-      "composes the allowlisted exhaustive ANN baseline (queries broadcast) as the eval's ground-truth arm")
+      "composes the allowlisted exhaustive ANN baseline (queries broadcast) as the eval's ground-truth arm",
+    "a24_benford_check" ->
+      "1-row digit-total frame broadcast into the 9-row digit table")
 
   test("no registered query hides an unlisted cartesian or nested-loop join") {
     GraftExtensions.register(spark)
