@@ -2147,6 +2147,88 @@ object RelationalQueries {
            |FROM lagged""".stripMargin
       }),
 
+    // ───── W8: calendar gap-fill with LAST-OBSERVATION-CARRIED-
+    // FORWARD — the imputation for STATE-like series (balances,
+    // inventory, sensor readings) where w03's zero-fill is wrong: a
+    // missing day means "unchanged", not "zero". Spine explode +
+    // one left join + ONE window pass carrying both the last value
+    // and its observation date (gap_age_days = how stale the carried
+    // value is — the staleness column downstream SLAs key on). All
+    // integer cents/dates; spine bounded per key by its own
+    // [min, max] date span.
+    "w08_gap_fill_locf" -> QueryDef.sql(
+      (s, dir) => {
+        val daily = t(s, dir, "lineitem")
+          .filter(col("l_extendedprice") > 0)
+          .groupBy(col("l_suppkey"), to_date(col("l_shipdate")).as("d"))
+          .agg((sum(col("l_extendedprice").cast("decimal(30,2)")) * 100)
+            .cast("long").as("obs_cents"))
+        val spine = daily.groupBy(col("l_suppkey"))
+          .agg(min(col("d")).as("_lo"), max(col("d")).as("_hi"))
+          .select(col("l_suppkey"),
+            explode(sequence(col("_lo"), col("_hi"))).as("d"))
+        val w = Window.partitionBy(col("l_suppkey")).orderBy(col("d"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        spine.join(daily, Seq("l_suppkey", "d"), "left")
+          .select(col("l_suppkey"), col("d"), col("obs_cents"),
+            last(col("obs_cents"), ignoreNulls = true).over(w)
+              .as("filled_cents"),
+            datediff(col("d"),
+              last(when(col("obs_cents").isNotNull, col("d")),
+                ignoreNulls = true).over(w)).as("gap_age_days"))
+      },
+      """WITH daily AS (
+        |  SELECT l_suppkey, CAST(l_shipdate AS DATE) AS d,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))) * 100
+        |      AS BIGINT) AS obs_cents
+        |  FROM lineitem WHERE l_extendedprice > 0 GROUP BY 1, 2),
+        |bounds AS (
+        |  SELECT l_suppkey, MIN(d) AS lo, MAX(d) AS hi FROM daily
+        |  GROUP BY 1),
+        |spine AS (
+        |  SELECT l_suppkey, CAST(unnest(generate_series(lo, hi,
+        |    INTERVAL 1 DAY)) AS DATE) AS d
+        |  FROM bounds),
+        |j AS (
+        |  SELECT s.l_suppkey, s.d, daily.obs_cents
+        |  FROM spine s LEFT JOIN daily USING (l_suppkey, d))
+        |SELECT l_suppkey, d, obs_cents,
+        |  last_value(obs_cents IGNORE NULLS) OVER w AS filled_cents,
+        |  CAST(date_diff('day',
+        |    last_value(CASE WHEN obs_cents IS NOT NULL THEN d END
+        |      IGNORE NULLS) OVER w, d) AS INTEGER) AS gap_age_days
+        |FROM j
+        |WINDOW w AS (PARTITION BY l_suppkey ORDER BY d
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin),
+
+    // ───── O8: KEYSET pagination — page 3 of the order book by
+    // (o_orderdate, o_orderkey) cursor, the serving pattern that
+    // stays O(page) at any depth: `WHERE (d, k) > (cursor_d,
+    // cursor_k)` prunes at the SCAN (min/max row-group stats cover
+    // the leading date), then TakeOrderedAndProject keeps only the
+    // page — where OFFSET must sort and discard every earlier row,
+    // and page 1,000,000 costs a million rows. The cursor is the
+    // previous page's last key, fixed here for determinism.
+    "o08_keyset_page" -> QueryDef.sql(
+      (s, dir) =>
+        t(s, dir, "orders")
+          .filter(col("o_orderdate") > lit("1995-06-15").cast("timestamp") ||
+            (col("o_orderdate") === lit("1995-06-15").cast("timestamp") &&
+              col("o_orderkey") > 1000L))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+          .limit(20)
+          .select(col("o_orderkey"), col("o_orderdate"),
+            (col("o_totalprice").cast("decimal(18,2)") * 100)
+              .cast("long").as("cents")),
+      """SELECT o_orderkey, o_orderdate,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |    AS cents
+        |FROM orders
+        |WHERE o_orderdate > TIMESTAMP '1995-06-15'
+        |   OR (o_orderdate = TIMESTAMP '1995-06-15' AND o_orderkey > 1000)
+        |ORDER BY o_orderdate, o_orderkey
+        |LIMIT 20""".stripMargin),
+
     // ───── J15: null-aware anti join — NOT IN against a subquery
     // that CONTAINS a NULL must return ZERO rows (three-valued logic:
     // `x NOT IN (..., NULL)` is never true), where NOT EXISTS / anti
