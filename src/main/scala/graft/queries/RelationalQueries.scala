@@ -1098,6 +1098,80 @@ object RelationalQueries {
         |FROM snap FULL OUTER JOIN l1 ON snap.entity_id = l1.entity_id
         |WHERE l1.op IS NULL OR l1.op <> 'D'""".stripMargin),
 
+    // ───── the STREAMING twin of cdc_apply, fed OUT OF ORDER on
+    // purpose: the change feed splits into event-time terciles
+    // arriving T0, T2, T1, and the state's per-key stored (ts,
+    // event_id) makes last-writer-wins follow EVENT order, not
+    // arrival order — plus tombstoned deletes, so the late middle
+    // tercile can neither regress a key nor resurrect a deleted one.
+    // The oracle is the IDENTICAL one-shot batch SQL as cdc_apply:
+    // any boundary or ordering mistake in the stitch breaks the hash.
+    "cdc_stream_apply" -> QueryDef.sql(
+      (s, dir) => {
+        import graft.streaming.DimensionStream
+        val root = s"${System.getProperty("java.io.tmpdir")}/graft_cdc_stream_" +
+          Integer.toHexString(dir.hashCode)
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(root), true)
+        val feedDir = s"$root/feed"
+        val statePath = s"$root/state"
+        val feed = graft.sources.Tables.events(s, dir).select(
+          col("user_id").as("entity_id"),
+          col("ts"), col("event_id"),
+          when(col("event_type") === "error", "D")
+            .when(col("event_type") === "signup", "I")
+            .otherwise("U").as("op"),
+          col("event_type").as("status"),
+          (col("value").cast("decimal(18,2)") * 100)
+            .cast("long").as("val_cents"))
+        val cuts = feed.agg(
+          expr("percentile(CAST(unix_micros(ts) AS DOUBLE), 0.34)"),
+          expr("percentile(CAST(unix_micros(ts) AS DOUBLE), 0.67)"))
+          .head()
+        val (c1, c2) = (cuts.getDouble(0).toLong, cuts.getDouble(1).toLong)
+        val t0 = feed.filter(unix_micros(col("ts")) <= c1)
+        val t1 = feed.filter(unix_micros(col("ts")) > c1 &&
+          unix_micros(col("ts")) <= c2)
+        val t2 = feed.filter(unix_micros(col("ts")) > c2)
+        // arrival order T0, T2, T1 — the middle tercile arrives LAST
+        DimensionStream.writeFeedFile(t0, feedDir, "b0", 1700000000000L)
+        DimensionStream.writeFeedFile(t2, feedDir, "b1", 1700000060000L)
+        DimensionStream.writeFeedFile(t1, feedDir, "b2", 1700000120000L)
+        val state0 = t(s, dir, "customer").select(
+          col("c_custkey").as("entity_id"),
+          lit("U").as("op"),
+          lit("base").as("status"),
+          (col("c_acctbal").cast("decimal(18,2)") * 100)
+            .cast("long").as("val_cents"),
+          lit("1970-01-01 00:00:00").cast("timestamp").as("ts"),
+          lit(0L).as("event_id"))
+        graft.operators.Scd2.writeAtomic(state0, statePath)
+        DimensionStream.cdcApplyAvailableNow(s, feedDir, statePath,
+          keys = Seq("entity_id"), orderCols = Seq("ts", "event_id"),
+          opCol = "op", payloadCols = Seq("status", "val_cents"))
+      },
+      """WITH latest AS (
+        |  SELECT user_id AS entity_id,
+        |    CASE event_type WHEN 'error' THEN 'D'
+        |         WHEN 'signup' THEN 'I' ELSE 'U' END AS op,
+        |    event_type AS status,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS val_cents,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events),
+        |l1 AS (SELECT * FROM latest WHERE rn = 1),
+        |snap AS (
+        |  SELECT c_custkey AS entity_id, 'base' AS status,
+        |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS val_cents
+        |  FROM customer)
+        |SELECT COALESCE(l1.entity_id, snap.entity_id) AS entity_id,
+        |  COALESCE(l1.status, snap.status) AS status,
+        |  CASE WHEN l1.entity_id IS NOT NULL THEN l1.val_cents
+        |       ELSE snap.val_cents END AS val_cents
+        |FROM snap FULL OUTER JOIN l1 ON snap.entity_id = l1.entity_id
+        |WHERE l1.op IS NULL OR l1.op <> 'D'""".stripMargin),
+
     // ───── V6: statistical anomaly detection — days whose revenue
     // sits ≥ 3σ from the supplier's own mean, with mean/σ derived
     // from EXACT decimal moments (same recipe as a16: population

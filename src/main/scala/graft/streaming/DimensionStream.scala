@@ -302,6 +302,74 @@ object DimensionStream {
     * modification time so the file source's modTime ordering replays
     * batches deterministically).
     */
+  /** Streaming CDC APPLY — the I/U/D consumer loop
+    * ([[graft.operators.Incremental.applyChanges]] run per
+    * micro-batch against a persisted state table), hardened one step
+    * beyond the batch form: the state carries each key's winning
+    * (orderCols, op) alongside the payload, so the merge is
+    * last-writer-wins BY EVENT ORDER, not by arrival order. That
+    * buys two properties the stateless loop can't have:
+    *
+    *  - OUT-OF-ORDER SAFETY: a batch of older changes arriving after
+    *    a newer one cannot regress a key — the state's stored order
+    *    wins (`>` strictly, so an equal-order replay keeps state:
+    *    re-applying any batch is a no-op ⇒ idempotent under
+    *    at-least-once delivery with no batch-id sidecar needed).
+    *  - TOMBSTONES: deletes persist as `op = D` rows instead of
+    *    removing the key, so a LATE stale insert/update cannot
+    *    resurrect a deleted key. The read view filters tombstones;
+    *    compaction of old tombstones is the lake VACUUM's job.
+    *
+    * Scale shape per batch: the feed collapses map-side to
+    * latest-per-key, then ONE full-outer shuffled-hash join against
+    * the state and an atomic staged swap — identical cost profile to
+    * the batch applyChanges, state-size-bounded, never
+    * history-bounded. Returns the final LIVE rows (tombstones
+    * filtered), which must equal the one-shot batch apply of the
+    * whole feed regardless of batch arrival order.
+    */
+  def cdcApplyAvailableNow(spark: SparkSession, feedDir: String,
+                           statePath: String, keys: Seq[String],
+                           orderCols: Seq[String], opCol: String,
+                           payloadCols: Seq[String],
+                           queryName: String = "cdc_stream_apply"): DataFrame = {
+    val schema = spark.read.parquet(feedDir).schema
+    val feed = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(feedDir)
+    val ordState = struct(orderCols.map(col): _*)
+    val q = feed.writeStream
+      .outputMode("update")
+      .queryName(queryName)
+      .option("checkpointLocation", s"$statePath.checkpoint")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val latest = batch.groupBy(keys.map(col): _*)
+            .agg(max_by(
+              struct((opCol +: payloadCols ++: orderCols).map(col): _*),
+              ordState).as("_c"))
+            .hint("shuffle_hash")
+          val state = spark.read.parquet(statePath)
+          val joined = state.join(latest, keys, "full_outer")
+          // the incoming change wins only if STRICTLY newer — equal
+          // order keeps state, which makes replay a no-op
+          val incomingWins = col("_c").isNotNull && (col(opCol).isNull ||
+            struct(orderCols.map(c => col(s"_c.$c")): _*) > ordState)
+          val stateCols = (opCol +: payloadCols ++: orderCols)
+          val next = joined.select(keys.map(col) ++ stateCols.map(c =>
+            when(incomingWins, col(s"_c.$c")).otherwise(col(c)).as(c)): _*)
+          Scd2.writeAtomic(next, statePath)
+        }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(statePath)
+      .filter(col(opCol) =!= "D")
+      .select((keys ++ payloadCols).map(col): _*)
+  }
+
   def writeFeedFile(df: DataFrame, feedDir: String, name: String,
                     modTimeMs: Long): Unit = {
     val spark = df.sparkSession

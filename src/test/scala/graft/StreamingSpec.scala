@@ -629,4 +629,56 @@ class StreamingSpec extends SparkSpec {
     assert(got.values.sum === oneShotTotal - drops,
       s"pair mass must be one-shot ($oneShotTotal) minus dropped boundaries ($drops)")
   }
+
+  test("cdcApplyAvailableNow: full-feed replay onto final state is a no-op " +
+    "(equal event order keeps state); tombstones block resurrection") {
+    import graft.streaming.DimensionStream
+    import graft.operators.Scd2
+    val root = java.nio.file.Files.createTempDirectory("graft_cdcspec_").toString
+    val feedDir = s"$root/feed"
+    val statePath = s"$root/state"
+    val feed = Seq(
+      (1L, 10L, 1L, "U", "a1", 11L),
+      (2L, 10L, 2L, "D", "xx", 0L),  // delete key 2 at t=10
+      (3L, 10L, 3L, "I", "c1", 31L)
+    ).toDF("entity_id", "ts", "event_id", "op", "status", "val_cents")
+    val state0 = Seq(
+      (1L, "U", "base", 10L, 0L, 0L),
+      (2L, "U", "base", 20L, 0L, 0L)
+    ).toDF("entity_id", "op", "status", "val_cents", "ts", "event_id")
+    Scd2.writeAtomic(state0, statePath)
+    DimensionStream.writeFeedFile(feed, feedDir, "b0", 1700000000000L)
+    val first = DimensionStream.cdcApplyAvailableNow(spark, feedDir,
+      statePath, Seq("entity_id"), Seq("ts", "event_id"), "op",
+      Seq("status", "val_cents"), queryName = "cdcspec1")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2)))
+      .toSet
+    assert(first === Set(1L -> ("a1", 11L), 3L -> ("c1", 31L)))
+    // replay the SAME feed with a fresh checkpoint: equal (ts, seq)
+    // keeps state — the final rows must be byte-identical
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$statePath.checkpoint"), true)
+    val replayed = DimensionStream.cdcApplyAvailableNow(spark, feedDir,
+      statePath, Seq("entity_id"), Seq("ts", "event_id"), "op",
+      Seq("status", "val_cents"), queryName = "cdcspec2")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2)))
+      .toSet
+    assert(replayed === first)
+    // a LATE batch of changes OLDER than the applied ones: stale
+    // update on key 1 loses; stale insert on DELETED key 2 cannot
+    // resurrect it (tombstone order wins)
+    val late = Seq(
+      (1L, 5L, 9L, "U", "stale", 99L),
+      (2L, 5L, 9L, "I", "zombie", 99L)
+    ).toDF("entity_id", "ts", "event_id", "op", "status", "val_cents")
+    DimensionStream.writeFeedFile(late, feedDir, "b1", 1700000060000L)
+    val afterLate = DimensionStream.cdcApplyAvailableNow(spark, feedDir,
+      statePath, Seq("entity_id"), Seq("ts", "event_id"), "op",
+      Seq("status", "val_cents"), queryName = "cdcspec3")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2)))
+      .toSet
+    assert(afterLate === first,
+      s"late stale batch must change nothing, got $afterLate")
+  }
 }
