@@ -2221,6 +2221,39 @@ object RelationalQueries {
            |FROM lagged""".stripMargin
       }),
 
+    // ───── A25: Herfindahl–Hirschman concentration index — supplier
+    // revenue concentration as Σ share², shares in integer basis
+    // points of BIGINT cents (the a21/X90 recipe: BIGINT//BIGINT is
+    // exact integral division; DECIMAL // is not). HHI > 2500 is the
+    // regulator's "highly concentrated" line; here it is an exact
+    // integer, so the alert threshold can't flap on float noise. Two
+    // cascaded aggs + one 1-row total frame; supplier-bounded.
+    "a25_hhi_concentration" -> QueryDef.sql(
+      (s, dir) => {
+        val bySupp = t(s, dir, "lineitem")
+          .filter(col("l_extendedprice") > 0)
+          .groupBy(col("l_suppkey"))
+          .agg((sum(col("l_extendedprice").cast("decimal(30,2)")) * 100)
+            .cast("long").as("cents"))
+        val total = bySupp.agg(sum(col("cents")).cast("long").as("_tot"))
+        bySupp.crossJoin(broadcast(total))
+          .select(expr("cents * 10000L DIV _tot").as("share_bp"))
+          .agg(count(lit(1)).as("n_suppliers"),
+            sum(col("share_bp") * col("share_bp")).as("hhi"),
+            max(col("share_bp")).as("top_share_bp"))
+      },
+      """WITH s AS (
+        |  SELECT l_suppkey,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))) * 100
+        |      AS BIGINT) AS cents
+        |  FROM lineitem WHERE l_extendedprice > 0 GROUP BY 1),
+        |t AS (SELECT CAST(SUM(cents) AS BIGINT) AS tot FROM s),
+        |sh AS (SELECT cents * 10000 // tot AS share_bp FROM s, t)
+        |SELECT COUNT(*) AS n_suppliers,
+        |  CAST(SUM(share_bp * share_bp) AS BIGINT) AS hhi,
+        |  CAST(MAX(share_bp) AS BIGINT) AS top_share_bp
+        |FROM sh""".stripMargin),
+
     // ───── W8: calendar gap-fill with LAST-OBSERVATION-CARRIED-
     // FORWARD — the imputation for STATE-like series (balances,
     // inventory, sensor readings) where w03's zero-fill is wrong: a

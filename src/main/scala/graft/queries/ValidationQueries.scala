@@ -505,6 +505,45 @@ object ValidationQueries {
         |       WHERE user_id NOT IN (SELECT s_suppkey FROM supplier))))"""
         .stripMargin),
 
+    // ───── join-cardinality prediction — |A ⋈ B| computed from the
+    // two sides' per-key COUNT TABLES, never from the join itself:
+    // Σ_k cntA(k)·cntB(k), plus each side's key count and max
+    // frequency (the skew corner the estimate hinges on). With
+    // X109's skew report this completes the plan-before-you-join
+    // toolkit: the count tables are O(distinct keys), their join is
+    // keys-only, and the true join never executes. Exact integers —
+    // the CBO-style estimate with zero estimation error when derived
+    // from full histograms.
+    "gov_join_cardinality" -> QueryDef.sql(
+      (s, dir) => {
+        val a = t(s, dir, "orders").groupBy(col("o_orderkey").as("k"))
+          .agg(count(lit(1)).as("ca"))
+        val b = t(s, dir, "lineitem").groupBy(col("l_orderkey").as("k"))
+          .agg(count(lit(1)).as("cb"))
+        a.join(b.hint("shuffle_hash"), Seq("k"))
+          .agg(sum(col("ca") * col("cb")).as("_rows"))
+          .select(col("_rows").cast("long").as("predicted_join_rows"))
+          .crossJoin(broadcast(a.agg(
+            count(lit(1)).as("orders_keys"),
+            max(col("ca")).as("orders_max_freq"))))
+          .crossJoin(broadcast(b.agg(
+            count(lit(1)).as("lineitem_keys"),
+            max(col("cb")).as("lineitem_max_freq"))))
+      },
+      """WITH a AS (SELECT o_orderkey AS k, COUNT(*) AS ca FROM orders
+        |           GROUP BY 1),
+        |b AS (SELECT l_orderkey AS k, COUNT(*) AS cb FROM lineitem
+        |      GROUP BY 1),
+        |j AS (SELECT CAST(SUM(ca * cb) AS BIGINT) AS predicted_join_rows
+        |      FROM a JOIN b USING (k)),
+        |sa AS (SELECT COUNT(*) AS orders_keys, MAX(ca) AS orders_max_freq
+        |       FROM a),
+        |sb AS (SELECT COUNT(*) AS lineitem_keys, MAX(cb) AS lineitem_max_freq
+        |       FROM b)
+        |SELECT predicted_join_rows, orders_keys, orders_max_freq,
+        |       lineitem_keys, lineitem_max_freq
+        |FROM j, sa, sb""".stripMargin),
+
     // ───── CUSUM change-point scan — cumulative sum of daily-revenue
     // deviations from the global mean (Page 1954): a level SHIFT in
     // the series makes |cusum| ramp, and its peak day is the classic

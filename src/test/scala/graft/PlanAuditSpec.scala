@@ -62,7 +62,11 @@ class PlanAuditSpec extends SparkSpec {
     "ret_eval_recall" ->
       "composes the allowlisted exhaustive ANN baseline (queries broadcast) as the eval's ground-truth arm",
     "a24_benford_check" ->
-      "1-row digit-total frame broadcast into the 9-row digit table")
+      "1-row digit-total frame broadcast into the 9-row digit table",
+    "a25_hhi_concentration" ->
+      "1-row revenue-total frame broadcast into the supplier-bounded share table",
+    "gov_join_cardinality" ->
+      "two 1-row per-side stats frames broadcast onto the 1-row prediction")
 
   test("no registered query hides an unlisted cartesian or nested-loop join") {
     GraftExtensions.register(spark)
