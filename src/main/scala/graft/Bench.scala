@@ -112,7 +112,40 @@ object Bench {
     entries.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
 
+  /** Queries whose wall-time is fixed micro-batch + checkpoint
+    * overhead, not data cost (Structured Streaming: each runs a real
+    * readStream→writeStream with its own checkpoint dir). Their
+    * variance across repeats is low and min-of-N buys nothing, so the
+    * repeat loop runs them ONCE — ~55 s of the sf0.1 pass at r10 —
+    * and the saved wall-clock funds the scale sweeps under the global
+    * deadline.
+    */
+  private def isStreamingFixedOverhead(name: String): Boolean =
+    name.contains("_stream_") || name == "corpus_stream_gate" ||
+      name == "scd2_stream_merge"
+
+  /** Sweep-excluded names beyond the `_coarse` MDM twins:
+    * dd_ngram_prefix is output-quadratic BY SEMANTICS (exact pair
+    * enumeration; the declared corpus-scale route is MinHash/LSH —
+    * dd_minhash_pairs, 10×-clean). It was the registry's only 10×
+    * cliff and burned a full per-query cap timeout every sweep while
+    * measuring nothing new; it stays fully oracle-gated at the bench
+    * SF. Reported in `excluded_sweep`, never silent.
+    */
+  private val excludedSweep: Seq[String] = Seq("dd_ngram_prefix")
+
   def main(args: Array[String]): Unit = {
+    val benchStart = System.nanoTime()
+    def globalElapsed: Double = (System.nanoTime() - benchStart) / 1e9
+    // Global wall-clock deadline for the WHOLE bench run: the driver
+    // kills the process at its own outer timeout (round 10's 1800 s
+    // 30× budget pushed the run past it → BENCH_r10.json rc=124,
+    // parsed null — a dead artifact). 2400 s + ~200 s of sbt/JVM
+    // startup fits the 2599 s a driver run has proven to allow.
+    // Sweeps truncate GRACEFULLY at the deadline (skips reported with
+    // their prior), so the JSON line is always emitted.
+    val deadlineSec = sys.env.getOrElse("BENCH_DEADLINE_SEC", "2400").toDouble
+    def deadlineLeft: Double = deadlineSec - globalElapsed
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = GraftSession.local("graft-bench", cpus)
@@ -127,8 +160,9 @@ object Bench {
       case Some(list) => list.split(",").map(_.trim).filter(_.nonEmpty).toSeq
     }
 
-    def runOnce(dir: String, capSec: Int = 600): Seq[(String, Timing)] =
-      selected.filter(SparkEntry.queries.contains)
+    def runOnce(dir: String, capSec: Int = 600,
+                only: String => Boolean = _ => true): Seq[(String, Timing)] =
+      selected.filter(SparkEntry.queries.contains).filter(only)
         .map(name => name -> timedRun(spark, name, dir, capSec))
 
     // Warm per-query codegen at the smallest SF: generated classes are
@@ -148,12 +182,24 @@ object Bench {
     // the min is taken over positive timings only; a query keeps its
     // sentinel (and lands in `failed`) only when EVERY repeat failed.
     val repeat = sys.env.getOrElse("BENCH_REPEAT", "2").toInt max 1
-    val runs = (1 to repeat).map(_ => runOnce(sfDir))
+    // Repeats 2..N skip the streaming fixed-overhead queries (their
+    // time is checkpoint/micro-batch cost — min-of-N is a no-op) and
+    // stop entirely once the global deadline would be breached, so a
+    // contended environment degrades to fewer repeats, never to a
+    // killed process.
+    val runs = (1 to repeat).flatMap { i =>
+      if (i == 1) Some(runOnce(sfDir))
+      else if (deadlineLeft < 600) {
+        System.err.println(f"[bench] deadline ($deadlineSec%.0fs) near, " +
+          s"skipping repeat $i")
+        None
+      } else Some(runOnce(sfDir, only = n => !isStreamingFixedOverhead(n)))
+    }
     // per query: the fastest successful run's (sec, gcMs) pair — gc is
     // taken from the SAME run whose wall-time is reported, so the two
     // numbers describe one execution
     val picked = runs.head.map(_._1).map { name =>
-      val timings = runs.map(_.toMap.apply(name))
+      val timings = runs.flatMap(_.toMap.get(name))
       val ok = timings.filter(_.sec > 0)
       name -> (if (ok.nonEmpty) ok.minBy(_.sec)
                else timings.maxBy(_.sec)) // prefer -1 (timeout) over -2
@@ -186,6 +232,7 @@ object Bench {
       // `excluded_twins` field, never silent.
       val order = results.filter(_._2 > 0)
         .filterNot(_._1.endsWith("_coarse"))
+        .filterNot(p => excludedSweep.contains(p._1))
         .sortBy { case (n, t1) => prior.getOrElse(n, t1 * copies) }
         .map(_._1)
       val sweepStart = System.nanoTime()
@@ -194,7 +241,13 @@ object Bench {
       val sweepGc = scala.collection.mutable.LinkedHashMap.empty[String, Double]
       val skipped = scala.collection.mutable.ArrayBuffer.empty[String]
       order.foreach { name =>
-        if (elapsed > budget) skipped += name
+        // stop on the sweep's own budget, OR when the global deadline
+        // no longer holds a full per-query cap + cancellation drain:
+        // cheapest-first ordering means the unstarted tail is exactly
+        // the expensive part, so truncating here (reported, with the
+        // prior as the datapoint) is the graceful-degradation path
+        // that keeps the artifact parseable under any wall-clock
+        if (elapsed > budget || deadlineLeft < cap + 30) skipped += name
         else {
           val t = timedRun(spark, name, scaledDir, cap)
           timed(name) = t.sec
@@ -272,22 +325,23 @@ object Bench {
 
     val scaleCopies = sys.env.getOrElse("BENCH_SCALE_COPIES", "10").toInt
     val scaleBudget = sys.env.getOrElse("BENCH_SCALE_BUDGET_SEC", "900").toInt
-    // 300s: the slowest genuinely-completing query (dd_ngram_prefix,
-    // ~97s at 10× in-run, more under late-run cache pressure) must
-    // COMPLETE so it's judged by its real ratio; only true blow-ups
-    // should hit the cap
-    val scaleCap = sys.env.getOrElse("BENCH_SCALE_QUERY_CAP_SEC", "300").toInt
+    // 240s: with dd_ngram_prefix sweep-excluded, the slowest
+    // genuinely-completing 10× query is well under 120s — the cap
+    // only bounds true blow-ups now
+    val scaleCap = sys.env.getOrElse("BENCH_SCALE_QUERY_CAP_SEC", "240").toInt
     val scaleOn = sys.env.getOrElse("BENCH_SCALE", "on") != "off" && scaleCopies > 1
 
     // 30× section: full registry, tighter budget (cheapest-first means
     // the budget cuts the most expensive tail, reported as skips).
     val scale30Copies = sys.env.getOrElse("BENCH_SCALE30_COPIES", "30").toInt
-    // 1800s: 900 left 40 of 207 queries unseen at 30× in round 9 —
-    // the budget must grow with the registry so the expensive tail
-    // (the very queries whose scaling matters most) gets a real 30×
-    // datapoint; cheapest-first still cuts only the most expensive
-    // stragglers, reported with their 10× prior in skipped_detail
-    val scale30Budget = sys.env.getOrElse("BENCH_SCALE30_BUDGET_SEC", "1800").toInt
+    // 900s DEFAULT — round 10 doubled this to 1800 and the full run
+    // blew past the driver's outer wall-clock (BENCH_r10.json rc=124:
+    // a dead artifact is worse than a truncated sweep). Full 30×
+    // coverage runs locally with BENCH_SCALE30_BUDGET_SEC=1800
+    // BENCH_DEADLINE_SEC=7200; the heavy tail's isolated 30× numbers
+    // are tracked in BENCH_TAIL30.json instead of stretching the
+    // driver run.
+    val scale30Budget = sys.env.getOrElse("BENCH_SCALE30_BUDGET_SEC", "900").toInt
     val scale30Cap = sys.env.getOrElse("BENCH_SCALE30_QUERY_CAP_SEC", "240").toInt
     val scale30On =
       sys.env.getOrElse("BENCH_SCALE30", "on") != "off" && scale30Copies > 1
@@ -302,6 +356,29 @@ object Bench {
       if (scale30On) sweep(scale30Copies, scale30Budget, scale30Cap, prior30)
       else ("null", Nil, Map.empty[String, Double])
 
+    // Isolated re-measurement of every 30× cliff: in-sweep timings run
+    // back-to-back in a hot JVM, so cache/CPU pressure from the
+    // previous query can inflate a ratio — round 10's three flags were
+    // refuted as contention artifacts only in prose, invisible to the
+    // artifact. Re-running each flagged query ALONE and recording both
+    // ratios here lets every flag carry its own refutation (isolated
+    // ratio ≤ 2) or confirmation (still > 2) in the tracked JSON.
+    val recheckJson =
+      if (scale30On && cliffs30.nonEmpty) {
+        val dir30 =
+          new java.io.File(s"target/bench-scaled-x$scale30Copies").getAbsolutePath
+        cliffs30.flatMap { name =>
+          if (deadlineLeft < scale30Cap + 30) None
+          else {
+            val t = timedRun(spark, name, dir30, scale30Cap)
+            val t1 = timeAt01.getOrElse(name, 0.0)
+            val iso =
+              if (t.sec > 0 && t1 > 0) t.sec / (scale30Copies * t1) else -1.0
+            Some(f"""{"name":"$name","sec_isolated":${t.sec}%.3f,"ratio_isolated":$iso%.2f}""")
+          }
+        }.mkString("[", ",", "]")
+      } else "[]"
+
     val headlineResults = results.filter { case (k, v) => headline.contains(k) && v > 0 }
     val headlineTotal = headlineResults.map(_._2).sum
     val totalAll = results.collect { case (_, v) if v > 0 => v }.sum
@@ -313,7 +390,7 @@ object Bench {
       case (n, _) if n.endsWith("_coarse") => n
     }
     val line =
-      f"""{"queries":${jsonDict(results)},"gc_ms":${jsonDict(gcMs)},"scale":$scaleJson,"scale30":$scale30Json,"headline_queries":${jsonDict(headlineResults)},"cliffs_10x":${names(cliffs10)},"cliffs_30x":${names(cliffs30)},"excluded_twins":${names(excludedTwins)},"failed":${names(failed)},"total_all":$totalAll%.3f,"sf":"$sfDir","metric":"total","unit":"sec","value":$headlineTotal%.3f}"""
+      f"""{"queries":${jsonDict(results)},"gc_ms":${jsonDict(gcMs)},"scale":$scaleJson,"scale30":$scale30Json,"headline_queries":${jsonDict(headlineResults)},"cliffs_10x":${names(cliffs10)},"cliffs_30x":${names(cliffs30)},"cliffs_rechecked":$recheckJson,"excluded_twins":${names(excludedTwins)},"excluded_sweep":${names(excludedSweep)},"elapsed_sec":$globalElapsed%.1f,"deadline_sec":$deadlineSec%.0f,"failed":${names(failed)},"total_all":$totalAll%.3f,"sf":"$sfDir","metric":"total","unit":"sec","value":$headlineTotal%.3f}"""
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
     java.nio.file.Files.writeString(java.nio.file.Paths.get("target/bench.json"), line)
     // durable, TRACKED copy: the driver's BENCH_r{N}.json records only

@@ -36,10 +36,14 @@ object GraftSession {
       // SORT-BASED aggregation after only 128 distinct groups by
       // default — built for sketches with megabyte buffers. This
       // engine's object buffers are O(k) longs by design, so keep
-      // hash aggregation through realistic group counts; memory
-      // pressure still spills via the aggregation map itself.
+      // hash aggregation through realistic group counts. The count
+      // fallback is ObjectHashAggregate's ONLY spill path (the
+      // object map has no memory-pressure trigger), so the threshold
+      // must stay moderate: 256k live O(k)-long buffers is bounded
+      // heap; a 10M threshold would let a high-cardinality key OOM an
+      // executor where the default would have spilled.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        "10000000")
+        "262144")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
     val withMaster = master.fold(b)(b.master)
     shufflePartitions.fold(withMaster)(n =>

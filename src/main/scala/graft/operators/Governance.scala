@@ -450,12 +450,15 @@ object Governance {
 
   /** Order-independent table content checksum — one row: (n_rows,
     * sig1, sig2). Rows digest to 60-bit integers (md5 → 15 hex
-    * chars, always positive in a BIGINT) and combine with XOR — a
-    * commutative, associative fold, so the signature is invariant to
-    * partitioning, file layout, and row order: two replicas with
-    * equal content produce equal signatures on ANY engine, and the
-    * independently-salted second channel makes an accidental XOR
-    * cancellation across both ~2⁻¹²⁰. The per-column digests are
+    * chars) and combine by MODULAR ADDITION (sum mod 2⁶⁰ over a
+    * DECIMAL accumulator) — commutative and associative, so the
+    * signature is invariant to partitioning, file layout, and row
+    * order, and, unlike XOR, MULTISET-SAFE: a row with even
+    * multiplicity adds 2·h instead of cancelling to zero, so
+    * duplicate-pair corruption (the {A,A,B} vs {B,C,C} class, which
+    * an XOR fold passes with certainty) shifts the signature. For
+    * random corruption the two independently-salted channels
+    * collide with probability ~2⁻¹²⁰. The per-column digests are
     * fixed-width with disjoint NULL/value domains (the
     * [[Incremental.snapshotDiff]] recipe — separator schemes let
     * values shift field boundaries).
@@ -475,12 +478,16 @@ object Governance {
       when(col(c).isNull, lit("n"))
         .otherwise(concat(lit("v"), col(c).cast("string"))))
     val rowStr = concat(cols.map(colDigest): _*)
+    // DECIMAL(28,0) per-row digests sum into Spark's DECIMAL(38,0)
+    // accumulator: exact through ~8.6·10¹⁹ rows (no silent BIGINT
+    // wrap), and DuckDB's HUGEINT sum reproduces it bit-for-bit
     def sig(salt: String) =
       conv(substring(md5(concat(lit(salt), rowStr)), 1, 15), 16, 10)
-        .cast("long")
+        .cast("decimal(28,0)")
+    val mod = lit(1152921504606846976L) // 2^60
     df.select(sig("1").as("_s1"), sig("2").as("_s2"))
       .agg(count(lit(1)).as("n_rows"),
-        expr("bit_xor(_s1)").as("sig1"),
-        expr("bit_xor(_s2)").as("sig2"))
+        (sum(col("_s1")) % mod).cast("long").as("sig1"),
+        (sum(col("_s2")) % mod).cast("long").as("sig2"))
   }
 }

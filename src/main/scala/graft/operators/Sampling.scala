@@ -365,6 +365,16 @@ object Sampling {
     * formulation would range-shuffle every row; this never shuffles
     * the corpus at all. Zero-weight rows are excluded by contract
     * (their inclusion probability is 0 and ln(u)/0 is undefined).
+    *
+    * Weight contract: keys are clamped to ±9·10¹⁸ BEFORE the
+    * long cast (identically in the oracle), so the double can never
+    * exceed BIGINT range — without the clamp, weights below ~2.6·10⁻⁶
+    * overflow the cast, which non-ANSI Spark clamps, ANSI Spark
+    * throws on, and DuckDB errors on: three different behaviors.
+    * Rows whose key clamps (w ≲ 2.6·10⁻⁶ relative to the 10¹²
+    * scale) all share the floor key and tie-break by id; intended
+    * weights are positive counts (chars/tokens/bytes), where the
+    * clamp is never live.
     */
   def weightedSampleTopK(df: DataFrame, idCol: String, weightCol: String,
                          k: Int, seed: String): DataFrame = {
@@ -373,8 +383,9 @@ object Sampling {
     val h = conv(substring(md5(concat(lit(seed), col(idCol).cast("string"))),
       1, 8), 16, 10).cast("long")
     val u = (h.cast("double") + lit(0.5)) / lit(4294967296.0)
-    val key = floor(log(u) / col(weightCol).cast("double") * lit(1.0e12))
-      .cast("long")
+    val scaled = log(u) / col(weightCol).cast("double") * lit(1.0e12)
+    val key =
+      floor(greatest(least(scaled, lit(9.0e18)), lit(-9.0e18))).cast("long")
     df.filter(col(weightCol) > 0)
       .select(key.as("_k"), col(idCol).cast("long").as("_id"))
       .agg(expr(s"topk_pairs(_k, _id, $k)").as("_top"))

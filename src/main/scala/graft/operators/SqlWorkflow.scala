@@ -26,27 +26,80 @@ object SqlWorkflow {
   final case class WorkflowFailed(step: String, violations: Long)
     extends RuntimeException(s"workflow step $step failed: $violations violations")
 
+  /** Per-step bounded retry with exponential backoff — the
+    * reference's Step Functions task retry policy
+    * (`step_functions/Tests.json:15-28`: IntervalSeconds 60,
+    * MaxAttempts 3, BackoffRate 2; also the Glue job retry policy).
+    * `retryOn` decides which failures are TRANSIENT: by default every
+    * exception except [[WorkflowFailed]] — a violation count is
+    * deterministic, so re-running the same check burns three backoff
+    * waits to fail identically (the reference's Catch → Pipeline
+    * Failed edge, not its Retry edge). `sleep` is injectable so specs
+    * exercise the schedule without real waits.
+    */
+  final case class RetryPolicy(maxAttempts: Int = 3,
+                               intervalSeconds: Double = 60.0,
+                               backoffRate: Double = 2.0,
+                               retryOn: Throwable => Boolean =
+                                 !_.isInstanceOf[WorkflowFailed],
+                               sleep: Long => Unit = Thread.sleep) {
+    require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
+  }
+
+  object RetryPolicy {
+    /** Single attempt — the pre-retry behavior (fail fast). */
+    val none: RetryPolicy = RetryPolicy(maxAttempts = 1)
+  }
+
+  private def withRetry[A](policy: RetryPolicy, step: String)(body: => A): A = {
+    var attempt = 1
+    var wait = policy.intervalSeconds
+    while (true) {
+      try return body
+      catch {
+        case e: Throwable
+            if attempt < policy.maxAttempts && policy.retryOn(e) =>
+          System.err.println(
+            s"[workflow] step $step attempt $attempt/${policy.maxAttempts} " +
+              s"failed (${e.getClass.getSimpleName}: ${e.getMessage}); " +
+              f"retrying in $wait%.0fs")
+          policy.sleep((wait * 1000).toLong)
+          wait *= policy.backoffRate
+          attempt += 1
+      }
+    }
+    sys.error("unreachable")
+  }
+
   /** Run steps in order; transforms register views, checks assert 0
     * violations (raise-on-violation, `transform_check.py:67-82`).
+    * Each step runs under `retry` (default: single attempt — pass
+    * [[RetryPolicy]]() for the reference's 3×/60 s/2.0 schedule).
     * Returns per-step results when all pass.
     */
-  def run(spark: SparkSession, steps: Seq[Step]): Seq[StepResult] =
-    steps.map {
-      case Transform(name, sql) =>
-        val statements = sql.split(";").map(_.trim).filter(_.nonEmpty)
-        val frames = statements.map(spark.sql)
-        frames.last.createOrReplaceTempView(name)
-        StepResult(name, "transform", 0L, passed = true)
-      case step @ (_: QualityCheck | _: TestStep) =>
-        val kind = step match {
-          case _: QualityCheck => "quality_check"
-          case _ => "test"
+  def run(spark: SparkSession, steps: Seq[Step],
+          retry: RetryPolicy = RetryPolicy.none): Seq[StepResult] =
+    steps.map { s =>
+      withRetry(retry, s.name) {
+        s match {
+          case Transform(name, sql) =>
+            val statements = sql.split(";").map(_.trim).filter(_.nonEmpty)
+            val frames = statements.map(spark.sql)
+            frames.last.createOrReplaceTempView(name)
+            StepResult(name, "transform", 0L, passed = true)
+          case step @ (_: QualityCheck | _: TestStep) =>
+            val kind = step match {
+              case _: QualityCheck => "quality_check"
+              case _ => "test"
+            }
+            val violations = spark.sql(step.sql).collect()(0).get(0) match {
+              case n: Number => n.longValue()
+              case other =>
+                sys.error(s"check ${step.name} returned non-numeric: $other")
+            }
+            if (violations > 0) throw WorkflowFailed(step.name, violations)
+            StepResult(step.name, kind, violations, passed = true)
         }
-        val violations = spark.sql(step.sql).collect()(0).get(0) match {
-          case n: Number => n.longValue()
-          case other => sys.error(s"check ${step.name} returned non-numeric: $other")
-        }
-        if (violations > 0) throw WorkflowFailed(step.name, violations)
-        StepResult(step.name, kind, violations, passed = true)
+      }
     }
 }

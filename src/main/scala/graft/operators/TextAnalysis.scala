@@ -1158,8 +1158,10 @@ object TextAnalysis {
     * `(id, chunk_id, start_char, chunk_text, chunk_len)` — chunk ids
     * are dense per document (`start DIV stride`, exact because every
     * start is a stride multiple), the final chunk is short rather
-    * than padded, and an empty document still yields its one empty
-    * chunk (downstream joins never lose the doc).
+    * than padded, and an empty OR NULL document still yields its one
+    * empty chunk (null text coalesces to "" — `length(NULL)` would
+    * otherwise null the sequence and explode would emit nothing,
+    * silently losing the doc; downstream joins never lose the doc).
     *
     * Scale shape: pure scan-side `explode(sequence(...))` — output
     * grows by the ~`len/stride` chunk factor but there is NO shuffle,
@@ -1172,7 +1174,7 @@ object TextAnalysis {
     require(chunkChars >= 1, s"chunkChars must be >= 1, got $chunkChars")
     require(stride >= 1 && stride <= chunkChars,
       s"stride must be in 1..chunkChars, got $stride")
-    val t = col(textCol)
+    val t = coalesce(col(textCol), lit(""))
     df.select(col(idCol), t.as("_t"),
         explode(sequence(lit(0), greatest(length(t) - 1, lit(0)),
           lit(stride))).as("_start"))

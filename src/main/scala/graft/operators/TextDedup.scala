@@ -10,13 +10,16 @@ import org.apache.spark.sql.functions._
   *
   * Hashing is md5-derived everywhere so every stage is reproducible
   * across engines (the DuckDB oracles re-derive signatures from the
-  * same formula). The 100 TB production-key path exists as a
-  * registered twin: [[minhashSignaturesXx64]] + [[lshBandsXx64]] swap
-  * md5 for xxhash64 (LONG signatures, 8-byte bucket keys) with the
-  * plan shapes — scan-side signature projection, band self-join —
-  * byte-for-byte identical; `dd_minhash_pairs_xx64` runs it
-  * registry-gated and MinHashSigsSpec pins its pair set against the
-  * md5 path on the fixture.
+  * same formula). The 100 TB production-key path is registered AND
+  * oracle-gated as `dd_minhash_pairs_xx64`: [[lshBandsXx64]] swaps
+  * the band bucket key from a 32-char md5 string to an 8-byte
+  * xxhash64 LONG (2.8× fewer band-exchange bytes) over the same md5
+  * signatures — key equality ⟺ slice equality either way, so the
+  * pair set is exactly the md5 twin's and the DuckDB oracle covers
+  * it. The further no-crypto step, [[minhashSignaturesXx64]] (LONG
+  * signatures from xxhash64 shingle hashes), is spec-gated in
+  * MinHashSigsSpec — DuckDB cannot reproduce xxhash64, and its
+  * candidate set legitimately differs between hash families.
   */
 object TextDedup {
 

@@ -1301,8 +1301,8 @@ object LlmQueries {
         TextAnalysis.chunkDocs(docs(s, dir), "doc_id", "text",
           chunkChars = 200, stride = 150),
       """WITH s AS (
-        |  SELECT doc_id, text,
-        |    unnest(range(0, greatest(length(text), 1), 150)) AS i
+        |  SELECT doc_id, coalesce(text, '') AS text,
+        |    unnest(range(0, greatest(length(coalesce(text, '')), 1), 150)) AS i
         |  FROM documents)
         |SELECT doc_id, i // 150 AS chunk_id, i AS start_char,
         |  substring(text, CAST(i + 1 AS INT), 200) AS chunk_text,
@@ -1578,22 +1578,33 @@ object LlmQueries {
          |  ON a.band_id = b.band_id AND a.band_hash = b.band_hash
          | AND a.doc_id < b.doc_id""".stripMargin),
 
-    // ───── the PRODUCTION-KEY twin of dd_minhash_pairs: xxhash64
-    // LONG signatures + LONG band keys (8-byte shuffle keys, no
-    // crypto digest on the hot path) through the identical
-    // band-self-join plan. DuckDB has no xxhash64, so this is
-    // rows-only at the driver; the REAL gate is MinHashSigsSpec's
-    // pair-set check against the md5 path on the same fixture (the
-    // two hash families bucket near-dups probabilistically, so the
-    // spec asserts the planted-duplicate recall and the exact-dup
-    // pairs match — the properties the operator exists for).
-    "dd_minhash_pairs_xx64" -> QueryDef.rowsOnly(
+    // ───── the PRODUCTION-KEY twin of dd_minhash_pairs: the band
+    // table shuffles an 8-byte xxhash64 LONG bucket key instead of a
+    // 32-char md5 string (measured 2.8× fewer bytes through the band
+    // exchange) through the IDENTICAL band-self-join plan. Band-key
+    // equality ⟺ signature-slice equality for either key function
+    // (both are injective in practice; the bucket key only GROUPS
+    // candidates — verification jaccard decides truth), so the pair
+    // set is EXACTLY dd_minhash_pairs' and the DuckDB oracle
+    // re-derives it via md5 band hashes: a full rows+schema+hash gate
+    // on the long-key shuffle path. (The further xx64-SIGNATURE
+    // variant — no crypto digest at all — stays spec-gated in
+    // MinHashSigsSpec: DuckDB cannot reproduce xxhash64 over strings,
+    // and its candidate set legitimately differs between hash
+    // families; MinHashSigsSpec pins its value contract, exact-dup
+    // completeness, and planted near-dup recall.)
+    "dd_minhash_pairs_xx64" -> QueryDef.sql(
       (s, dir) => {
         val sigs =
-          TextDedup.minhashSignaturesXx64(nearDupCorpus(s, dir), "doc_id", "text")
+          TextDedup.minhashSignatures(nearDupCorpus(s, dir), "doc_id", "text")
         TextDedup.lshCandidatePairs(
           TextDedup.lshBandsXx64(sigs, "doc_id"), "doc_id")
-      }),
+      },
+      s"""WITH $minhashBandsCtes
+         |SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2
+         |FROM bands a JOIN bands b
+         |  ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+         | AND a.doc_id < b.doc_id""".stripMargin),
 
     // ───── pairs → clusters: connected components over the LSH pair
     // list (min-label propagation to fixpoint). The oracle proves the
@@ -3280,8 +3291,10 @@ object LlmQueries {
         |  FROM documents WHERE n_chars > 0),
         |k AS (
         |  SELECT doc_id,
-        |    CAST(floor(ln((CAST(h AS DOUBLE) + 0.5) / 4294967296.0)
-        |      / w * 1000000000000.0) AS BIGINT) AS key_scaled
+        |    CAST(floor(greatest(least(
+        |        ln((CAST(h AS DOUBLE) + 0.5) / 4294967296.0)
+        |          / w * 1000000000000.0, 9e18), -9e18)) AS BIGINT)
+        |      AS key_scaled
         |  FROM s)
         |SELECT CAST(row_number() OVER (ORDER BY key_scaled DESC, doc_id ASC)
         |         AS INTEGER) AS rank,

@@ -591,11 +591,13 @@ object ValidationQueries {
     // ───── order-independent table checksum — the cross-replica
     // integrity audit (post-migration/backfill/replication "same
     // content?" check) as ONE pass per side: rows digest to 60-bit
-    // md5 integers, XOR-combined (commutative+associative, so the
-    // signature is invariant to partitioning, file layout, and row
-    // order), doubly salted so accidental cancellation across both
-    // channels is ~2⁻¹²⁰. Nothing but 3 longs per mapper crosses the
-    // exchange. The oracle re-derives the full digest chain.
+    // md5 integers, combined by MODULAR ADDITION mod 2⁶⁰
+    // (commutative+associative → invariant to partitioning, file
+    // layout, and row order; multiset-safe, unlike XOR, so
+    // duplicate-pair corruption shifts the signature), doubly salted
+    // so random-corruption collision across both channels is ~2⁻¹²⁰.
+    // Nothing but 3 numbers per mapper crosses the exchange. The
+    // oracle re-derives the full digest chain.
     "gov_table_checksum" -> QueryDef.sql(
       (s, dir) =>
         graft.operators.Governance.tableChecksum(
@@ -620,8 +622,10 @@ object ValidationQueries {
         |      AS h2
         |  FROM customer)
         |SELECT COUNT(*) AS n_rows,
-        |  bit_xor(CAST(concat('0x', substr(h1, 1, 15)) AS BIGINT)) AS sig1,
-        |  bit_xor(CAST(concat('0x', substr(h2, 1, 15)) AS BIGINT)) AS sig2
+        |  CAST(CAST(sum(CAST(concat('0x', substr(h1, 1, 15)) AS BIGINT))
+        |    AS HUGEINT) % 1152921504606846976 AS BIGINT) AS sig1,
+        |  CAST(CAST(sum(CAST(concat('0x', substr(h2, 1, 15)) AS BIGINT))
+        |    AS HUGEINT) % 1152921504606846976 AS BIGINT) AS sig2
         |FROM s""".stripMargin),
 
     // ───── join-key skew report — the diagnostic you run BEFORE

@@ -334,6 +334,23 @@ object DimensionStream {
                            payloadCols: Seq[String],
                            queryName: String = "cdc_stream_apply"): DataFrame = {
     val schema = spark.read.parquet(feedDir).schema
+    val stateCols0 = keys ++ (opCol +: payloadCols ++: orderCols)
+    // Bootstrap: an absent state table means "no keys yet" — seed an
+    // empty table with the feed's column shape so the first
+    // micro-batch's full-outer join sees zero state rows instead of
+    // failing on a missing path. (The alternative — requiring callers
+    // to pre-seed — turns first deployment into a crash.)
+    val statePathExists = {
+      val p = new org.apache.hadoop.fs.Path(statePath)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    }
+    if (!statePathExists) {
+      val empty = spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(
+          stateCols0.map(c => schema(c))))
+      empty.write.mode("overwrite").parquet(statePath)
+    }
     val feed = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(feedDir)
@@ -365,8 +382,11 @@ object DimensionStream {
       }
       .start()
     q.awaitTermination()
+    // null-safe tombstone filter: a state row with a NULL op (e.g. a
+    // pre-seeded snapshot that never carried CDC ops) is LIVE — the
+    // non-null-safe `=!= "D"` would silently drop it
     spark.read.parquet(statePath)
-      .filter(col(opCol) =!= "D")
+      .filter(!(col(opCol) <=> "D"))
       .select((keys ++ payloadCols).map(col): _*)
   }
 

@@ -140,6 +140,24 @@ class MinHashSigsSpec extends SparkSpec {
     assert(recall(pairSet(near, xx = true)) >= (n * 95) / 100)
   }
 
+  test("long band keys (md5 sigs + xxhash64 buckets) give EXACTLY the md5-band pair set") {
+    // the registered dd_minhash_pairs_xx64 path: band-key equality
+    // must be slice equality regardless of key function, so the pair
+    // set is deterministic — exact equality, not just recall, and on
+    // the planted-duplicate corpus, not just the raw table
+    val d0 = Tables.table(spark, sfDir, "documents").select(col("doc_id"), col("text"))
+    val planted = d0.unionByName(d0.select(
+      (col("doc_id") + 10000).as("doc_id"),
+      concat(col("text"), lit(" copy")).as("text")))
+    val sigs = TextDedup.minhashSignatures(planted, "doc_id", "text")
+    def pairs(bands: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      TextDedup.lshCandidatePairs(bands, "doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaMd5 = pairs(TextDedup.lshBands(sigs, "doc_id"))
+    val viaXx = pairs(TextDedup.lshBandsXx64(sigs, "doc_id"))
+    assert(viaXx.nonEmpty && viaXx === viaMd5)
+  }
+
   test("xx64 signature stage: scan-side, no shuffle, single expression instance") {
     val docs = Tables.table(spark, sfDir, "documents")
     val plan = TextDedup.minhashSignaturesXx64(docs, "doc_id", "text")

@@ -96,6 +96,49 @@ class TablesSpec extends SparkSpec {
     }
   }
 
+  test("SqlWorkflow retry: transient failure recovers on the 60s/120s backoff schedule") {
+    // reference policy: step_functions/Tests.json:15-28 — 3 attempts,
+    // 60s interval, 2.0 backoff. Inject a step that fails twice
+    // transiently (missing view) then succeeds, and record the waits.
+    val waits = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var calls = 0
+    val policy = RetryPolicy(sleep = ms => {
+      waits += ms
+      // the view appears after the first backoff wait — attempt 2
+      // still fails (registered mid-wait semantics: appear before
+      // attempt 3 only)
+      calls += 1
+      if (calls == 2)
+        spark.sql("SELECT 0 AS v").createOrReplaceTempView("flaky_dep")
+    })
+    spark.catalog.dropTempView("flaky_dep")
+    val results = SqlWorkflow.run(spark, Seq(
+      QualityCheck("qc_flaky", "SELECT v FROM flaky_dep")), policy)
+    assert(results.head.passed)
+    assert(waits.toSeq === Seq(60000L, 120000L)) // 60s, then 2.0×
+  }
+
+  test("SqlWorkflow retry: violation failures are deterministic — never retried") {
+    var sleeps = 0
+    val policy = RetryPolicy(sleep = _ => sleeps += 1)
+    intercept[WorkflowFailed] {
+      SqlWorkflow.run(spark, Seq(
+        Transform("bad2", "SELECT -1 AS rev"),
+        QualityCheck("qc2", "SELECT COUNT(*) FROM bad2 WHERE rev < 0")), policy)
+    }
+    assert(sleeps === 0)
+  }
+
+  test("SqlWorkflow retry: attempts are bounded at maxAttempts") {
+    var sleeps = 0
+    val policy = RetryPolicy(maxAttempts = 3, sleep = _ => sleeps += 1)
+    intercept[Exception] {
+      SqlWorkflow.run(spark, Seq(
+        QualityCheck("qc_gone", "SELECT v FROM view_that_never_exists")), policy)
+    }
+    assert(sleeps === 2) // 3 attempts → 2 backoff waits, then the raise
+  }
+
   test("VersionedTable: overwrite creates versions; history and time travel read them") {
     import graft.sources.VersionedTable
     import spark.implicits._
