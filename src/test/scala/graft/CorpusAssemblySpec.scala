@@ -120,6 +120,16 @@ class CorpusAssemblySpec extends SparkSpec {
       "chunk ids must be dense 0..n-1"))
   }
 
+  test("chunkDocs: NULL text behaves as empty — one empty chunk, doc never lost") {
+    val out = TextAnalysis.chunkDocs(
+      Seq((1L, Option.empty[String]), (2L, Some("ab"))).toDF("doc_id", "text"),
+      "doc_id", "text", chunkChars = 5, stride = 3)
+      .orderBy("doc_id", "chunk_id")
+      .select("doc_id", "chunk_id", "chunk_text", "chunk_len")
+      .as[(Long, Long, String, Int)].collect().toSeq
+    assert(out == Seq((1L, 0L, "", 0), (2L, 0L, "ab", 2)))
+  }
+
   test("chunkDocs: empty document still yields one empty chunk") {
     val one = TextAnalysis.chunkDocs(
       Seq((1L, ""), (2L, "ab")).toDF("doc_id", "text"),

@@ -354,4 +354,26 @@ class GovernanceSpec extends SparkSpec {
       .collect().map(_.getString(3)).toSet
     assert(again === Set("RETAINED"))
   }
+
+  test("tableChecksum: multiset-safe and invariant to row order + partitioning") {
+    import graft.operators.Governance
+    def sig(df: org.apache.spark.sql.DataFrame): (Long, Long, Long) = {
+      val r = Governance.tableChecksum(df, Seq("v")).collect()(0)
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    // the XOR fold's certain-collision class (ADVICE r10): equal row
+    // counts, every row at even multiplicity except one shared value —
+    // h(A)⊕h(A)=0 made {A,A,B} ≡ {B,C,C}; modular addition must not
+    val s1 = sig(Seq("A", "A", "B").toDF("v"))
+    val s2 = sig(Seq("B", "C", "C").toDF("v"))
+    assert(s1._1 === 3L && s2._1 === 3L)
+    assert(s1 !== s2, "duplicate-pair corruption must shift the signature")
+    // duplicate multiplicity itself must register (not cancel)
+    val once = sig(Seq("A", "B").toDF("v"))
+    val thrice = sig(Seq("A", "A", "A", "B").toDF("v"))
+    assert(once._2 !== thrice._2)
+    // equal content ⇒ equal signature under ANY order/partitioning
+    val perm = sig(Seq("B", "A", "A").toDF("v").repartition(7))
+    assert(perm === s1)
+  }
 }

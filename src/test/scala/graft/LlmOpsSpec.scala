@@ -1464,6 +1464,24 @@ class LlmOpsSpec extends SparkSpec {
     assert(heavy.filter($"id" === 10L).head().getAs[Double]("p_keep") === 1.0)
   }
 
+  test("weightedSampleTopK: sub-microscopic weights clamp inside BIGINT range") {
+    import graft.operators.Sampling
+    // w = 1e-9 drives ln(u)/w·10¹² to ~-10²¹ — far past Long.MinValue;
+    // the ±9·10¹⁸ clamp must keep every key a valid BIGINT (ADVICE
+    // r10: unclamped, non-ANSI Spark wrapped, ANSI threw, DuckDB
+    // errored — three behaviors) with ties broken by id
+    val d = Seq((1L, 1.0e-9), (2L, 2.0e-9), (3L, 100.0)).toDF("doc_id", "w")
+    val out = Sampling.weightedSampleTopK(d, "doc_id", "w", k = 3, seed = "cl")
+      .orderBy("rank").collect()
+    assert(out.length === 3)
+    assert(out.head.getLong(1) === 3L, "the real weight must rank first")
+    out.foreach(r =>
+      assert(math.abs(r.getLong(2)) <= 9200000000000000000L,
+        s"key ${r.getLong(2)} escaped the clamp"))
+    // the two clamped keys tie at the floor and break by id
+    assert(out.map(_.getLong(1)).toSeq === Seq(3L, 1L, 2L))
+  }
+
   test("weightedSampleTopK: exactly k, deterministic across partitioning, " +
     "weight-biased, seed-sensitive") {
     import graft.operators.Sampling

@@ -681,4 +681,34 @@ class StreamingSpec extends SparkSpec {
     assert(afterLate === first,
       s"late stale batch must change nothing, got $afterLate")
   }
+
+  test("cdcApplyAvailableNow: bootstraps from an ABSENT state table; null-op state rows are live") {
+    import graft.streaming.DimensionStream
+    import graft.operators.Scd2
+    val root = java.nio.file.Files.createTempDirectory("graft_cdcboot_").toString
+    // no state table seeded — first deployment must not crash
+    val feed = Seq(
+      (1L, 10L, 1L, "I", "a1", 11L),
+      (2L, 10L, 2L, "D", "xx", 0L)
+    ).toDF("entity_id", "ts", "event_id", "op", "status", "val_cents")
+    DimensionStream.writeFeedFile(feed, s"$root/feed", "b0", 1700000000000L)
+    val live = DimensionStream.cdcApplyAvailableNow(spark, s"$root/feed",
+      s"$root/state", Seq("entity_id"), Seq("ts", "event_id"), "op",
+      Seq("status", "val_cents"), queryName = "cdcboot1")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toSet
+    assert(live === Set(1L -> ("a1", 11L)))
+    // a pre-seeded snapshot whose op is NULL (never saw a CDC op) is
+    // LIVE — the tombstone filter must be null-safe
+    val root2 = java.nio.file.Files.createTempDirectory("graft_cdcboot2_").toString
+    val snap = Seq((9L, Option.empty[String], "base", 5L, 0L, 0L))
+      .toDF("entity_id", "op", "status", "val_cents", "ts", "event_id")
+    Scd2.writeAtomic(snap, s"$root2/state")
+    DimensionStream.writeFeedFile(feed, s"$root2/feed", "b0", 1700000000000L)
+    val live2 = DimensionStream.cdcApplyAvailableNow(spark, s"$root2/feed",
+      s"$root2/state", Seq("entity_id"), Seq("ts", "event_id"), "op",
+      Seq("status", "val_cents"), queryName = "cdcboot2")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toSet
+    assert(live2 === Set(1L -> ("a1", 11L), 9L -> ("base", 5L)),
+      s"null-op snapshot row must survive the tombstone filter, got $live2")
+  }
 }
