@@ -66,7 +66,7 @@ object Bench {
     * that is 3× slower in a shared long-lived JVM with gc_ms ≈ the
     * wall gap is heap-pressure-bound, not plan-regressed.
     */
-  final case class Timing(sec: Double, gcMs: Long)
+  final case class Timing(sec: Double, gcMs: Long, errMsg: Option[String] = None)
 
   private def totalGcMs: Long = {
     import scala.jdk.CollectionConverters._
@@ -103,14 +103,28 @@ object Bench {
       System.err.println(s"[bench] $name exceeded ${capSec}s cap, cancelled")
       Timing(-1.0, totalGcMs - gc0)
     } else if (err.get != null) {
-      System.err.println(s"[bench] $name failed: ${err.get.getMessage}")
-      Timing(-2.0, totalGcMs - gc0)
+      // record the failure's first line IN the artifact: round 10's 30×
+      // sweep cascade (24 consecutive -2.0s) was undiagnosable because
+      // the messages lived only on a lost console
+      val msg = Option(err.get.getMessage).getOrElse(err.get.getClass.getName)
+        .linesIterator.nextOption().getOrElse("").take(160)
+      System.err.println(s"[bench] $name failed: ${err.get}")
+      err.get.printStackTrace()
+      Timing(-2.0, totalGcMs - gc0, Some(msg))
     } else Timing((System.nanoTime() - t0) / 1e9, totalGcMs - gc0)
   }
 
   private def jsonDict(entries: Iterable[(String, Double)]): String =
     entries.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
+
+  private def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => " "
+      case c => c.toString
+    } + "\""
 
   /** Queries whose wall-time is fixed micro-batch + checkpoint
     * overhead, not data cost (Structured Streaming: each runs a real
@@ -239,6 +253,7 @@ object Bench {
       def elapsed = (System.nanoTime() - sweepStart) / 1e9
       val timed = scala.collection.mutable.LinkedHashMap.empty[String, Double]
       val sweepGc = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+      val errMsgs = scala.collection.mutable.LinkedHashMap.empty[String, String]
       val skipped = scala.collection.mutable.ArrayBuffer.empty[String]
       order.foreach { name =>
         // stop on the sweep's own budget, OR when the global deadline
@@ -252,6 +267,7 @@ object Bench {
           val t = timedRun(spark, name, scaledDir, cap)
           timed(name) = t.sec
           sweepGc(name) = t.gcMs.toDouble
+          t.errMsg.foreach(m => errMsgs(name) = m)
         }
       }
       if (skipped.nonEmpty)
@@ -316,8 +332,12 @@ object Bench {
       // errored queries (-2.0) are excluded from cliff ratios (no
       // timing to ratio) — name them explicitly so a scale-induced
       // failure is never readable as "not flagged"
-      val er = timed.collect { case (n, v) if v == -2.0 => "\"" + n + "\"" }
-        .mkString("[", ",", "]")
+      // each error carries its first message line — a cascade (shared
+      // root cause repeated down the tail) is then readable from the
+      // artifact alone
+      val er = timed.collect { case (n, v) if v == -2.0 =>
+        f"""{"name":"$n","msg":${jsonStr(errMsgs.getOrElse(n, ""))}}"""
+      }.mkString("[", ",", "]")
       val json =
         f"""{"copies":$copies,"budget_sec":$budget,"query_cap_sec":$cap,"queries":${jsonDict(timed)},"gc_ms":${jsonDict(sweepGc)},"cliffs":$cs,"errored":$er,"skipped":$sk,"skipped_detail":$skDetail}"""
       (json, cliffs.map(_._1), timed.toMap)
@@ -389,15 +409,21 @@ object Bench {
     val excludedTwins = results.collect {
       case (n, _) if n.endsWith("_coarse") => n
     }
+    val failedDetail = picked.collect { case (n, t) if t.sec == -2.0 =>
+      f"""{"name":"$n","msg":${jsonStr(t.errMsg.getOrElse(""))}}"""
+    }.mkString("[", ",", "]")
     val line =
-      f"""{"queries":${jsonDict(results)},"gc_ms":${jsonDict(gcMs)},"scale":$scaleJson,"scale30":$scale30Json,"headline_queries":${jsonDict(headlineResults)},"cliffs_10x":${names(cliffs10)},"cliffs_30x":${names(cliffs30)},"cliffs_rechecked":$recheckJson,"excluded_twins":${names(excludedTwins)},"excluded_sweep":${names(excludedSweep)},"elapsed_sec":$globalElapsed%.1f,"deadline_sec":$deadlineSec%.0f,"failed":${names(failed)},"total_all":$totalAll%.3f,"sf":"$sfDir","metric":"total","unit":"sec","value":$headlineTotal%.3f}"""
+      f"""{"queries":${jsonDict(results)},"gc_ms":${jsonDict(gcMs)},"scale":$scaleJson,"scale30":$scale30Json,"headline_queries":${jsonDict(headlineResults)},"cliffs_10x":${names(cliffs10)},"cliffs_30x":${names(cliffs30)},"cliffs_rechecked":$recheckJson,"excluded_twins":${names(excludedTwins)},"excluded_sweep":${names(excludedSweep)},"elapsed_sec":$globalElapsed%.1f,"deadline_sec":$deadlineSec%.0f,"failed_detail":$failedDetail,"failed":${names(failed)},"total_all":$totalAll%.3f,"sf":"$sfDir","metric":"total","unit":"sec","value":$headlineTotal%.3f}"""
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
     java.nio.file.Files.writeString(java.nio.file.Paths.get("target/bench.json"), line)
     // durable, TRACKED copy: the driver's BENCH_r{N}.json records only
     // the (truncated) tail of the printed line, and target/ is
     // regenerable — without this file the per-query evidence a round's
-    // verdict cites would not survive the round
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), line)
+    // verdict cites would not survive the round. BENCH_OUT redirects a
+    // focused local run (e.g. the isolated 30× tail sweep feeding
+    // BENCH_TAIL30.json) so it can't stomp the full-run artifact.
+    val outPath = sys.env.getOrElse("BENCH_OUT", "BENCH_LOCAL.json")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line)
     println(line)
     spark.stop()
   }
