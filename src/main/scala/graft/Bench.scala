@@ -255,6 +255,17 @@ object Bench {
       val sweepGc = scala.collection.mutable.LinkedHashMap.empty[String, Double]
       val errMsgs = scala.collection.mutable.LinkedHashMap.empty[String, String]
       val skipped = scala.collection.mutable.ArrayBuffer.empty[String]
+      // Consecutive-error circuit breaker: a sick JVM (one r10-era run
+      // failed 24 queries in a row, instantly, after 700 successful
+      // runs — cause environmental, unreproducible) fails everything
+      // it touches; each failure costs ~0 budget, so without a breaker
+      // the sweep "times" the whole tail as errors and the artifact
+      // reads as 24 distinct failures instead of one sick process.
+      // Three unrelated queries failing back-to-back is not three
+      // bugs; stop starting queries and report the rest as skips —
+      // the recorded messages carry the shared root cause.
+      var consecErrors = 0
+      var cascadeAfter: Option[String] = None
       order.foreach { name =>
         // stop on the sweep's own budget, OR when the global deadline
         // no longer holds a full per-query cap + cancellation drain:
@@ -262,12 +273,20 @@ object Bench {
         // the expensive part, so truncating here (reported, with the
         // prior as the datapoint) is the graceful-degradation path
         // that keeps the artifact parseable under any wall-clock
-        if (elapsed > budget || deadlineLeft < cap + 30) skipped += name
+        if (elapsed > budget || deadlineLeft < cap + 30 ||
+            cascadeAfter.isDefined) skipped += name
         else {
           val t = timedRun(spark, name, scaledDir, cap)
           timed(name) = t.sec
           sweepGc(name) = t.gcMs.toDouble
           t.errMsg.foreach(m => errMsgs(name) = m)
+          consecErrors = if (t.sec == -2.0) consecErrors + 1 else 0
+          if (consecErrors >= 3) {
+            cascadeAfter = Some(name)
+            System.err.println(s"[bench] 3 consecutive errors ending at " +
+              s"$name — treating as a sick JVM, skipping the rest of the " +
+              s"${copies}x sweep")
+          }
         }
       }
       if (skipped.nonEmpty)
@@ -338,8 +357,9 @@ object Bench {
       val er = timed.collect { case (n, v) if v == -2.0 =>
         f"""{"name":"$n","msg":${jsonStr(errMsgs.getOrElse(n, ""))}}"""
       }.mkString("[", ",", "]")
+      val casc = cascadeAfter.map(jsonStr).getOrElse("null")
       val json =
-        f"""{"copies":$copies,"budget_sec":$budget,"query_cap_sec":$cap,"queries":${jsonDict(timed)},"gc_ms":${jsonDict(sweepGc)},"cliffs":$cs,"errored":$er,"skipped":$sk,"skipped_detail":$skDetail}"""
+        f"""{"copies":$copies,"budget_sec":$budget,"query_cap_sec":$cap,"queries":${jsonDict(timed)},"gc_ms":${jsonDict(sweepGc)},"cliffs":$cs,"errored":$er,"cascade_stop_after":$casc,"skipped":$sk,"skipped_detail":$skDetail}"""
       (json, cliffs.map(_._1), timed.toMap)
     }
 
