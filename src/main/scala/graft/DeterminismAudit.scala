@@ -1,0 +1,63 @@
+package graft
+
+/** Registry-wide partitioning-invariance audit.
+  *
+  * Runs every `SparkEntry.queries` entry twice — under deliberately
+  * different parallelism shapes (shuffle partition count AND input
+  * split size, both runtime confs) — and compares result multisets.
+  * The driver's DuckDB oracle pins values at ONE fixed partitioning;
+  * an operator that leaks partition layout into its output (a first()
+  * without ordering, a tie broken by arrival order, a non-commutative
+  * fold) can be oracle-green and still nondeterministic on a cluster,
+  * where partition counts are never the same twice. At 100 TB this is
+  * the difference between a reproducible pipeline and one whose reruns
+  * silently disagree.
+  *
+  * Usage: tools/run.sh graft.DeterminismAudit [sfDir]
+  * Prints one line per mismatch and a PASS/FAIL summary; exits 1 on
+  * any mismatch.
+  */
+object DeterminismAudit {
+
+  private def md5(parts: Iterable[String]): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+    parts.foreach(s => d.update(s.getBytes("UTF-8")))
+    d.digest().map("%02x".format(_)).mkString
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val only = args.drop(1).toSet
+    val spark = GraftSession.local("graft-determinism", 8)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // (shuffle partitions, input split size): prime vs default-ish
+    // counts so no accidental alignment, small vs large splits so the
+    // scan partitioning differs too
+    val shapes = Seq((3, "8m"), (13, "128m"))
+
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.isEmpty || only(n) }
+    var failures = 0
+    selected.foreach { case (name, fn) =>
+      val prints = shapes.map { case (parts, split) =>
+        spark.conf.set("spark.sql.shuffle.partitions", parts)
+        spark.conf.set("spark.sql.files.maxPartitionBytes", split)
+        try {
+          val rows = fn(spark, sfDir).collect().map(_.toString).sorted
+          md5(rows) + s" rows=${rows.length}"
+        } catch { case e: Throwable => s"ERROR: ${e.getMessage}" }
+      }
+      if (prints.distinct.size != 1) {
+        failures += 1
+        println(s"[determinism] MISMATCH $name: " +
+          shapes.zip(prints).map { case ((p, s), h) => s"($p,$s)→$h" }
+            .mkString(" vs "))
+      }
+    }
+    println(s"[determinism] ${selected.size - failures}/${selected.size} " +
+      s"invariant across ${shapes.mkString(", ")}")
+    spark.stop()
+    if (failures > 0) sys.exit(1)
+  }
+}
