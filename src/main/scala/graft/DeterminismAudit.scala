@@ -13,9 +13,13 @@ package graft
   * the difference between a reproducible pipeline and one whose reruns
   * silently disagree.
   *
-  * Usage: tools/run.sh graft.DeterminismAudit [sfDir]
+  * Usage: tools/run.sh graft.DeterminismAudit [sfDir] [names...]
   * Prints one line per mismatch and a PASS/FAIL summary; exits 1 on
-  * any mismatch.
+  * any mismatch. With DETERMINISM_DUMP=<file>, also writes one
+  * `name<TAB>fingerprint` line per query — two dumps from sessions
+  * with different SESSION confs (e.g. spark.sql.ansi.enabled on/off
+  * via -D system properties) diff to an ANSI-sensitivity report, the
+  * cross-config axis this main's in-process shapes can't cover.
   */
 object DeterminismAudit {
 
@@ -38,6 +42,8 @@ object DeterminismAudit {
 
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.isEmpty || only(n) }
+    val dump = sys.env.get("DETERMINISM_DUMP").map(p =>
+      new java.io.PrintWriter(new java.io.FileWriter(p)))
     var failures = 0
     selected.foreach { case (name, fn) =>
       val prints = shapes.map { case (parts, split) =>
@@ -48,6 +54,7 @@ object DeterminismAudit {
           md5(rows) + s" rows=${rows.length}"
         } catch { case e: Throwable => s"ERROR: ${e.getMessage}" }
       }
+      dump.foreach(w => w.println(s"$name\t${prints.head}"))
       if (prints.distinct.size != 1) {
         failures += 1
         println(s"[determinism] MISMATCH $name: " +
@@ -55,6 +62,7 @@ object DeterminismAudit {
             .mkString(" vs "))
       }
     }
+    dump.foreach(_.close())
     println(s"[determinism] ${selected.size - failures}/${selected.size} " +
       s"invariant across ${shapes.mkString(", ")}")
     spark.stop()
