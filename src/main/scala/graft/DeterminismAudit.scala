@@ -29,6 +29,27 @@ object DeterminismAudit {
     d.digest().map("%02x".format(_)).mkString
   }
 
+  /** Instant-stable row rendering: java.sql.Timestamp.toString formats
+    * in the JVM DEFAULT timezone, so the same instant prints
+    * differently under -Duser.timezone=X — a false divergence the
+    * fingerprint must not see (the engine pins the SESSION timezone;
+    * the JVM default is explicitly allowed to vary). Render timestamps
+    * as epoch millis+nanos instead. java.sql.Date round-trips its
+    * calendar fields through the same default TZ it was built with, so
+    * its toString IS stable; everything else renders recursively.
+    */
+  private def render(v: Any): String = v match {
+    case null                    => "NULL"
+    case t: java.sql.Timestamp   => s"ts:${t.getTime}.${t.getNanos}"
+    case r: org.apache.spark.sql.Row => r.toSeq.map(render).mkString("[", ",", "]")
+    case s: scala.collection.Seq[_]  => s.map(render).mkString("[", ",", "]")
+    case m: scala.collection.Map[_, _] =>
+      m.toSeq.map { case (k, x) => render(k) + "->" + render(x) }
+        .sorted.mkString("{", ",", "}")
+    case b: Array[Byte]          => b.map("%02x".format(_)).mkString
+    case other                   => other.toString
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val only = args.drop(1).toSet
@@ -50,7 +71,7 @@ object DeterminismAudit {
         spark.conf.set("spark.sql.shuffle.partitions", parts)
         spark.conf.set("spark.sql.files.maxPartitionBytes", split)
         try {
-          val rows = fn(spark, sfDir).collect().map(_.toString).sorted
+          val rows = fn(spark, sfDir).collect().map(render).sorted
           md5(rows) + s" rows=${rows.length}"
         } catch { case e: Throwable => s"ERROR: ${e.getMessage}" }
       }

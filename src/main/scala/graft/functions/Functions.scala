@@ -9,6 +9,20 @@ import org.apache.spark.sql.functions._
   */
 object Functions {
 
+  /** TZ-independent timestamp literal: the given wall-clock string AS
+    * a UTC instant. `java.sql.Timestamp.valueOf` interprets its string
+    * in the JVM DEFAULT timezone — the engine pins the SESSION
+    * timezone to UTC (GraftSession) but the JVM default follows the
+    * host, so a sentinel built with valueOf names a different instant
+    * on a laptop in PST than on a UTC cluster and reruns disagree
+    * (caught by `graft.DeterminismAudit` under -Duser.timezone).
+    * Accepts `yyyy-MM-dd HH:mm:ss` or ISO `yyyy-MM-ddTHH:mm:ss`.
+    */
+  def utcTimestamp(wallClock: String): java.sql.Timestamp =
+    java.sql.Timestamp.from(
+      java.time.LocalDateTime.parse(wallClock.replace(' ', 'T'))
+        .toInstant(java.time.ZoneOffset.UTC))
+
   /** P18: text normalization (reference `fuzzy_match.py:15-21`,
     * `normalize.py:7-13`): lowercase, strip non-alnum (keep spaces),
     * collapse whitespace, trim.

@@ -29,7 +29,7 @@ import org.apache.spark.sql.functions._
   */
 object Scd2 {
 
-  val SentinelEnd: java.sql.Timestamp = java.sql.Timestamp.valueOf("9999-12-31 00:00:00")
+  val SentinelEnd: java.sql.Timestamp = graft.functions.Functions.utcTimestamp("9999-12-31 00:00:00")
 
   final case class Config(
       keyCols: Seq[String],

@@ -20,9 +20,9 @@ import org.apache.spark.sql.functions._
   */
 object Scd2Queries {
 
-  private val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
-  private val t1 = java.sql.Timestamp.valueOf("2024-02-01 00:00:00")
-  private val t2 = java.sql.Timestamp.valueOf("2024-03-01 00:00:00")
+  private val t0 = graft.functions.Functions.utcTimestamp("2024-01-01 00:00:00")
+  private val t1 = graft.functions.Functions.utcTimestamp("2024-02-01 00:00:00")
+  private val t2 = graft.functions.Functions.utcTimestamp("2024-03-01 00:00:00")
 
   val conf: Config = Config(
     keyCols = Seq("s_suppkey"),
@@ -211,7 +211,7 @@ object Scd2Queries {
     // original key active at version 1, new keys invisible
     "scd2_asof" -> QueryDef.sql(
       (s, dir) =>
-        Scd2.asOf(merged(s, dir), java.sql.Timestamp.valueOf("2024-01-15 00:00:00"))
+        Scd2.asOf(merged(s, dir), graft.functions.Functions.utcTimestamp("2024-01-15 00:00:00"))
           .select(col("s_suppkey"), col("s_name"), col("version_no")),
       """SELECT s_suppkey, s_name, CAST(1 AS INTEGER) AS version_no
         |FROM supplier""".stripMargin),

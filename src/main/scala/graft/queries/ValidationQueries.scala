@@ -98,7 +98,7 @@ object ValidationQueries {
     "v05_freshness" -> QueryDef.sql(
       (s, dir) =>
         Validation.freshnessCheck(graft.sources.Tables.events(s, dir), "ts",
-          maxAgeDays = 7, java.sql.Timestamp.valueOf("2024-02-05 00:00:00")),
+          maxAgeDays = 7, graft.functions.Functions.utcTimestamp("2024-02-05 00:00:00")),
       """SELECT max(CAST(ts AS TIMESTAMP)) AS newest_ts,
         |  CAST(date_diff('day', CAST(max(CAST(ts AS TIMESTAMP)) AS DATE),
         |                 DATE '2024-02-05') AS BIGINT) AS age_days,
@@ -172,7 +172,7 @@ object ValidationQueries {
     // per pipeline hop with the ACTUAL record counts of this run.
     "gov_lineage" -> QueryDef.sql(
       (s, dir) => {
-        val asOf = java.sql.Timestamp.valueOf("2024-06-01 00:00:00")
+        val asOf = graft.functions.Functions.utcTimestamp("2024-06-01 00:00:00")
         val annotated = Validation.annotate(t(s, dir, "lineitem"), lineitemRules)
         val validCount = Validation.split(annotated)._1.count()
         graft.operators.Lineage.toDf(s, Seq(
@@ -209,7 +209,7 @@ object ValidationQueries {
           dataset = "lineitem", bucket = "lake",
           owner = "DataEngineeringTeam", domain = "Transportation",
           classification = "Internal",
-          createdOn = java.sql.Timestamp.valueOf("2024-06-01 00:00:00"),
+          createdOn = graft.functions.Functions.utcTimestamp("2024-06-01 00:00:00"),
           retentionPolicy = "7 years",
           zones = Seq("raw", "validated", "curated"))
           .withColumn("zones", concat_ws(",", col("zones"))),
@@ -379,7 +379,7 @@ object ValidationQueries {
         val withNation = Enrichment.enrichWithDim(
           withSupp, t(s, dir, "nation"), "supp_s_nationkey", "n_nationkey", "supp_nation_")
         Enrichment.addLineage(withNation, "testdata", "run_fixed",
-            java.sql.Timestamp.valueOf("2024-06-01 00:00:00"))
+            graft.functions.Functions.utcTimestamp("2024-06-01 00:00:00"))
           .select(
             col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
             col("supp_s_name"), col("supp_nation_n_name"),

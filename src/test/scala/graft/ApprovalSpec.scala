@@ -10,8 +10,8 @@ class ApprovalSpec extends SparkSpec {
 
   test("approveVersion stamps one version and emits the action record") {
     val conf = Config(Seq("id"), Seq("name", "city"), Seq("name"))
-    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
-    val t1 = java.sql.Timestamp.valueOf("2024-02-01 00:00:00")
+    val t0 = graft.functions.Functions.utcTimestamp("2024-01-01 00:00:00")
+    val t1 = graft.functions.Functions.utcTimestamp("2024-02-01 00:00:00")
     val merged = Scd2.merge(
       Scd2.initialLoad(Seq((1, "acme", "nyc")).toDF("id", "name", "city"), conf, t0),
       Seq((1, "acme", "boston")).toDF("id", "name", "city"), conf, t1)
@@ -34,7 +34,7 @@ class ApprovalSpec extends SparkSpec {
 
   test("auditRecord materializes a DESCRIBE-HISTORY-style row per write") {
     val rec = Scd2.auditRecord(spark, "MERGE", version = 2, rowCount = 115,
-      java.sql.Timestamp.valueOf("2024-02-01 00:00:00")).collect()(0)
+      graft.functions.Functions.utcTimestamp("2024-02-01 00:00:00")).collect()(0)
     assert(rec.getAs[Long]("table_version") === 2)
     assert(rec.getAs[String]("operation") === "MERGE")
     assert(rec.getAs[Long]("row_count") === 115)

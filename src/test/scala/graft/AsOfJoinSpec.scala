@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 class AsOfJoinSpec extends SparkSpec {
   import spark.implicits._
 
-  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+  private def ts(s: String) = graft.functions.Functions.utcTimestamp(s)
 
   private def trades = Seq(
     (1L, ts("2024-01-01 10:00:05"), "t1"),

@@ -55,7 +55,7 @@ class EnrichmentSpec extends SparkSpec {
   }
 
   test("addLineage stamps deterministic audit columns") {
-    val ts = java.sql.Timestamp.valueOf("2024-06-01 00:00:00")
+    val ts = graft.functions.Functions.utcTimestamp("2024-06-01 00:00:00")
     val out = Enrichment.addLineage(fact, "nyc_tlc", "r42", ts)
     val row = out.limit(1).collect()(0)
     assert(row.getAs[String]("data_source") === "nyc_tlc")

@@ -31,7 +31,7 @@ class EventsEncodingSpec extends SparkSpec {
   private case class Ev(eventId: Long, micros: Long, userId: Long,
                         eventType: String, value: Double, props: String)
 
-  private val baseMicros = java.sql.Timestamp.valueOf("2024-02-01 00:00:00")
+  private val baseMicros = graft.functions.Functions.utcTimestamp("2024-02-01 00:00:00")
     .getTime * 1000L // UTC session: wall-clock == instant
   private val rows: Seq[Ev] = (0 until RowCount).map { i =>
     Ev(i.toLong, baseMicros + i.toLong * 7 * 60 * 1000000L + i,

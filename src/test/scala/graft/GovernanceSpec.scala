@@ -38,9 +38,9 @@ class GovernanceSpec extends SparkSpec {
 
   test("rollbackVersion reverts to prior values as a new version") {
     val conf = Config(Seq("id"), Seq("name", "city"), Seq("name"))
-    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
-    val t1 = java.sql.Timestamp.valueOf("2024-02-01 00:00:00")
-    val t2 = java.sql.Timestamp.valueOf("2024-03-01 00:00:00")
+    val t0 = graft.functions.Functions.utcTimestamp("2024-01-01 00:00:00")
+    val t1 = graft.functions.Functions.utcTimestamp("2024-02-01 00:00:00")
+    val t2 = graft.functions.Functions.utcTimestamp("2024-03-01 00:00:00")
     val b0 = Seq((1, "acme", "nyc")).toDF("id", "name", "city")
     val b1 = Seq((1, "acme", "boston")).toDF("id", "name", "city")
     val merged = Scd2.merge(Scd2.initialLoad(b0, conf, t0), b1, conf, t1)
@@ -76,7 +76,7 @@ class GovernanceSpec extends SparkSpec {
 
   test("lineage edges enforce the layer vocabulary and forward flow") {
     import graft.operators.Lineage
-    val asOf = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val asOf = graft.functions.Functions.utcTimestamp("2024-01-01 00:00:00")
     val ok = Lineage.edge("r1", "job", "raw", "curated", "a", "b", 10L, asOf)
     assert(ok.record_count === 10L && ok.target_layer === "curated")
     intercept[IllegalArgumentException] { // backwards flow
@@ -325,7 +325,7 @@ class GovernanceSpec extends SparkSpec {
     val base = s"$root/versioned"
     (1 to 3).foreach { i =>
       VersionedTable.write(Seq((i.toLong, s"op$i")).toDF("id", "name"),
-        base, s"load$i", java.sql.Timestamp.valueOf(s"2024-01-0$i 00:00:00"))
+        base, s"load$i", graft.functions.Functions.utcTimestamp(s"2024-01-0$i 00:00:00"))
     }
     Seq(1, 2).foreach(i =>
       fs.setTimes(new org.apache.hadoop.fs.Path(s"$base/v=$i"),

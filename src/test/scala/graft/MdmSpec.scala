@@ -74,7 +74,7 @@ class MdmSpec extends SparkSpec {
   }
 
   test("lifecycle transitions enforce the legal state machine") {
-    val ts = java.sql.Timestamp.valueOf("2024-06-01 00:00:00")
+    val ts = graft.functions.Functions.utcTimestamp("2024-06-01 00:00:00")
     val master = Seq(("MV-00001", "PROPOSED"), ("MV-00002", "ACTIVE"))
       .toDF("master_id", "lifecycle_state")
       .withColumn("state_changed_at", lit(null).cast("timestamp"))

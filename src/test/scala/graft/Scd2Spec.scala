@@ -8,9 +8,9 @@ class Scd2Spec extends SparkSpec {
   import spark.implicits._
 
   private val conf = Config(Seq("id"), Seq("name", "city"), Seq("name"))
-  private val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
-  private val t1 = java.sql.Timestamp.valueOf("2024-02-01 00:00:00")
-  private val t2 = java.sql.Timestamp.valueOf("2024-03-01 00:00:00")
+  private val t0 = graft.functions.Functions.utcTimestamp("2024-01-01 00:00:00")
+  private val t1 = graft.functions.Functions.utcTimestamp("2024-02-01 00:00:00")
+  private val t2 = graft.functions.Functions.utcTimestamp("2024-03-01 00:00:00")
 
   private def batch0 = Seq((1, "acme", "nyc"), (2, "globex", "la")).toDF("id", "name", "city")
   private def batch1 = Seq((1, "acme", "boston"), (2, "globex", "la"), (3, "initech", "sf"))
@@ -61,10 +61,10 @@ class Scd2Spec extends SparkSpec {
 
   test("asOf time travel reconstructs historical state") {
     val merged = Scd2.merge(Scd2.initialLoad(batch0, conf, t0), batch1, conf, t1)
-    val atJan = Scd2.asOf(merged, java.sql.Timestamp.valueOf("2024-01-15 00:00:00"))
+    val atJan = Scd2.asOf(merged, graft.functions.Functions.utcTimestamp("2024-01-15 00:00:00"))
     assert(atJan.count() === 2) // id 3 not yet born
     assert(atJan.filter($"id" === 1).collect()(0).getAs[String]("city") === "nyc")
-    val atFeb = Scd2.asOf(merged, java.sql.Timestamp.valueOf("2024-02-15 00:00:00"))
+    val atFeb = Scd2.asOf(merged, graft.functions.Functions.utcTimestamp("2024-02-15 00:00:00"))
     assert(atFeb.count() === 3)
     assert(atFeb.filter($"id" === 1).collect()(0).getAs[String]("city") === "boston")
   }

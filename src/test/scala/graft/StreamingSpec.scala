@@ -522,9 +522,9 @@ class StreamingSpec extends SparkSpec {
     import graft.operators.Scd2
     import graft.streaming.DimensionStream
     val conf = graft.queries.Scd2Queries.conf
-    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
-    val t1 = java.sql.Timestamp.valueOf("2024-02-01 00:00:00")
-    val t2 = java.sql.Timestamp.valueOf("2024-03-01 00:00:00")
+    val t0 = graft.functions.Functions.utcTimestamp("2024-01-01 00:00:00")
+    val t1 = graft.functions.Functions.utcTimestamp("2024-02-01 00:00:00")
+    val t2 = graft.functions.Functions.utcTimestamp("2024-03-01 00:00:00")
     val b = Tables.table(spark, sfDir, "supplier").select(
       col("s_suppkey"), col("s_name"), col("s_nationkey"),
       col("s_acctbal").cast("decimal(18,2)").as("bal"))

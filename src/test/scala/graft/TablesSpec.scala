@@ -143,8 +143,8 @@ class TablesSpec extends SparkSpec {
     import graft.sources.VersionedTable
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("vt_spec_").toString
-    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
-    val t1 = java.sql.Timestamp.valueOf("2024-02-01 00:00:00")
+    val t0 = graft.functions.Functions.utcTimestamp("2024-01-01 00:00:00")
+    val t1 = graft.functions.Functions.utcTimestamp("2024-02-01 00:00:00")
     val v1 = Seq((1, 10.0), (2, -5.0), (3, 7.5)).toDF("id", "fare")
     assert(VersionedTable.write(v1, base, "initial_load", t0) === 1)
     // compliance overwrite: drop negative fares → NEW version
@@ -156,7 +156,7 @@ class TablesSpec extends SparkSpec {
     assert(VersionedTable.readVersion(spark, base, 1).count() === 3) // versionAsOf
     // timestamp time travel: between the writes → version 1
     assert(VersionedTable.readAsOf(spark, base,
-      java.sql.Timestamp.valueOf("2024-01-15 00:00:00")).count() === 3)
+      graft.functions.Functions.utcTimestamp("2024-01-15 00:00:00")).count() === 3)
 
     val hist = VersionedTable.history(spark, base).collect()
     assert(hist.map(_.getInt(0)).toSeq === Seq(1, 2))
@@ -164,7 +164,7 @@ class TablesSpec extends SparkSpec {
     assert(hist.map(_.getLong(2)).toSeq === Seq(3L, 2L))
     intercept[IllegalArgumentException] {
       VersionedTable.readAsOf(spark, base,
-        java.sql.Timestamp.valueOf("2023-01-01 00:00:00"))
+        graft.functions.Functions.utcTimestamp("2023-01-01 00:00:00"))
     }
   }
 

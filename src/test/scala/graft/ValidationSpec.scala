@@ -51,23 +51,23 @@ class ValidationSpec extends SparkSpec {
   }
 
   test("freshnessCheck flags stale reference data") {
-    val data = Seq(java.sql.Timestamp.valueOf("2024-01-01 12:00:00")).toDF("ts")
+    val data = Seq(graft.functions.Functions.utcTimestamp("2024-01-01 12:00:00")).toDF("ts")
     val fresh = Validation.freshnessCheck(data, "ts", 7,
-      java.sql.Timestamp.valueOf("2024-01-05 00:00:00")).collect()(0)
+      graft.functions.Functions.utcTimestamp("2024-01-05 00:00:00")).collect()(0)
     assert(fresh.getAs[Long]("age_days") === 4)
     assert(fresh.getAs[Boolean]("fresh"))
     val stale = Validation.freshnessCheck(data, "ts", 7,
-      java.sql.Timestamp.valueOf("2024-02-01 00:00:00")).collect()(0)
+      graft.functions.Functions.utcTimestamp("2024-02-01 00:00:00")).collect()(0)
     assert(!stale.getAs[Boolean]("fresh"))
     // empty input → not fresh (null newest)
     val empty = Validation.freshnessCheck(data.filter($"ts".isNull), "ts", 7,
-      java.sql.Timestamp.valueOf("2024-02-01 00:00:00")).collect()(0)
+      graft.functions.Functions.utcTimestamp("2024-02-01 00:00:00")).collect()(0)
     assert(!empty.getAs[Boolean]("fresh"))
   }
 
   test("runId formats the injected instant as yyyyMMddHHmmss UTC") {
     assert(graft.functions.Functions.runId(
-      java.sql.Timestamp.valueOf("2024-06-01 09:30:05")) === "20240601093005")
+      graft.functions.Functions.utcTimestamp("2024-06-01 09:30:05")) === "20240601093005")
   }
 
   test("uniquenessCheck finds duplicate groups") {

@@ -11,7 +11,7 @@ class VerifySpec extends SparkSpec {
   import spark.implicits._
 
   test("normalizeTimestamps casts instant timestamps to NTZ, preserving wall-clock") {
-    val df = Seq(("a", java.sql.Timestamp.valueOf("2024-03-01 12:34:56.789")))
+    val df = Seq(("a", graft.functions.Functions.utcTimestamp("2024-03-01 12:34:56.789")))
       .toDF("k", "ts")
     val out = Verify.normalizeTimestamps(df)
     assert(out.schema("ts").dataType === TimestampNTZType)
@@ -22,7 +22,7 @@ class VerifySpec extends SparkSpec {
   }
 
   test("normalizeTimestamps reaches timestamps nested in structs and arrays") {
-    val df = Seq((1, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+    val df = Seq((1, graft.functions.Functions.utcTimestamp("2024-01-01 00:00:00")))
       .toDF("id", "ts")
       .select(col("id"), struct(col("ts").as("inner")).as("s"),
         array(col("ts")).as("arr"))
