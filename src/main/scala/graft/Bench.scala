@@ -1,33 +1,50 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Benchmark main (driver contract): prints ONE JSON line.
   *
+  * The PRINTED line is a compact (≤ ~1.5 KB) summary — headline
+  * per-query seconds, cliff verdicts, coverage counts, totals — so a
+  * consumer that keeps only a bounded stdout tail can parse it whole.
+  * The COMPLETE artifact (full per-query dicts, both scale sweeps,
+  * recheck records) is written to `target/bench.json` and to the
+  * tracked `BENCH_LOCAL.json` (override with BENCH_OUT), and the
+  * summary names that file in its `detail` field.
+  *
   * - `value` is the HEADLINE-set total at SPARK_GRAFT_SF_DIR — the
   *   cross-round comparable number (same 16 queries since r4).
-  * - `queries` carries per-query seconds for the FULL registry at
-  *   SPARK_GRAFT_SF_DIR (min across successful BENCH_REPEAT runs), so
-  *   no query has correctness without a recorded wall-time. Queries
-  *   whose every repeat failed/timed out are listed in `failed` — a
-  *   transient failure in one repeat never masks a valid measurement
-  *   from another, and a fully-failed query is visible, not silently
-  *   dropped from the totals.
-  * - `gc_ms` (top level and per sweep) is each reported run's
-  *   overlapped JVM GC time — the heap-pressure axis that explains
-  *   cross-environment wall-time gaps without re-run archaeology.
-  * - `scale` / `scale30` are derived-scale sweeps: every query
-  *   re-timed at 10× and 30× data ([[graft.sources.ScaledCorpus]]),
-  *   cheapest-first under a wall-clock budget with a per-query cap,
-  *   and `cliffs` lists queries whose per-row cost grew >2× —
-  *   superlinear operators that correctness checks can't see.
-  *   Skips/caps are REPORTED, never silent.
-  *
-  * The driver records only the TAIL of the printed line, so the JSON
-  * keys are ordered least- to most-important: the big per-query dicts
-  * come first and the headline/summary numbers are at the END of the
-  * line, surviving any truncation. The complete JSON is additionally
-  * written to `target/bench.json`.
+  * - `queries` in the SUMMARY line carries the headline set's
+  *   per-query seconds; the full artifact's `queries` covers the
+  *   whole registry (min across successful BENCH_REPEAT runs).
+  *   Queries whose every repeat failed/timed out are listed in
+  *   `failed` — never silently dropped from totals.
+  * - `headline_stddev` is the stddev of the headline-set total across
+  *   the repeat runs (the full artifact also carries every repeat's
+  *   per-query seconds in `headline_repeats`), so cross-round drift
+  *   claims are testable against measured same-session variance.
+  * - `gc_ms` (full artifact) is each reported run's overlapped JVM GC
+  *   time — the heap-pressure axis that explains cross-environment
+  *   wall-time gaps without re-run archaeology.
+  * - `scale` / `scale30` are derived-scale sweeps: queries re-timed
+  *   at 10× and 30× data ([[graft.sources.ScaledCorpus]]),
+  *   cheapest-first under a wall-clock budget with a per-query cap.
+  *   After each build the scaled tables get one UNTIMED warm scan
+  *   (post-build write-back/page-cache interference made the r11
+  *   sweep head read 3–17× slow — 15 false cliff flags). A query
+  *   whose first scaled run still ratios >2× is immediately re-run
+  *   ONCE in isolation and the flag carries both numbers
+  *   (`sec_isolated`/`ratio_isolated`/`confirmed`) — or an explicit
+  *   `recheck: skipped_*` marker. Flags refute or confirm themselves
+  *   IN the artifact; skips/caps are reported, never silent.
+  * - The 30× sweep skips queries the SAME RUN's 10× sweep already
+  *   proved sub-linear (ratio < 0.5, clean, non-headline) — each
+  *   such skip is listed with reason `sublinear_at_10x` and its 10×
+  *   ratio — and spends its budget on the queries whose 30× behavior
+  *   is actually open.
+  * - `scale100` (opt-in, BENCH_SCALE100=on) probes ~20 flagship/dedup/
+  *   ANN defaults at 100× with the same cliff/recheck machinery — the
+  *   "would this plan survive 100×?" datapoint.
   *
   * Queries are materialized through the noop sink — count() lets
   * Spark's count-star shortcut skip projection work and would
@@ -57,16 +74,93 @@ object Bench {
     "ev_sessions",         // gaps-and-islands windowing
     "ev_asof_join")        // as-of join
 
-  /** Run one query to the noop sink under a cancellable job group;
-    * returns seconds, or -1 on timeout (jobs cancelled), -2 on error.
+  /** Default 100× probe set: the headline plus the dedup/ANN/MDM scale
+    * defaults whose 100-TB story the engine stands on.
     */
+  val scale100Defaults: Seq[String] = headline ++ Seq(
+    "dd_dup_clusters", "ann_ivf_topk", "ta_bigram_logprob",
+    "llm_corpus_pipeline")
+
   /** One query's measurement: wall seconds (sentinel -1 timeout / -2
-    * error) plus the JVM-wide GC time the run overlapped. gc_ms makes
-    * cross-environment gaps diagnosable from the JSON alone — a query
-    * that is 3× slower in a shared long-lived JVM with gc_ms ≈ the
-    * wall gap is heap-pressure-bound, not plan-regressed.
+    * error) plus the JVM-wide GC time the run overlapped.
     */
   final case class Timing(sec: Double, gcMs: Long, errMsg: Option[String] = None)
+
+  /** Every knob, injectable: `main` builds one from the environment;
+    * BenchSpec builds tiny ones (small registry subset, synthetic
+    * superlinear query, second-scale budgets) so the apparatus itself
+    * — deadline fitting, cliff flag + recheck, skip reporting, JSON
+    * shape — is gated by `sbt test` instead of breaking driver rounds
+    * (r10 rc=124; r11 starved recheck).
+    */
+  final case class Config(
+      sfDir: String,
+      selected: Seq[String],
+      extraQueries: Map[String, (SparkSession, String) => DataFrame] = Map.empty,
+      repeat: Int = 2,
+      deadlineSec: Double = 2400.0,
+      baseCap: Int = 600,
+      warmCodegen: Boolean = true,
+      scaleOn: Boolean = true,
+      scaleCopies: Int = 10,
+      scaleBudget: Int = 900,
+      scaleCap: Int = 240,
+      scale30On: Boolean = true,
+      scale30Copies: Int = 30,
+      scale30Budget: Int = 900,
+      scale30Cap: Int = 240,
+      scale100On: Boolean = false,
+      scale100Copies: Int = 100,
+      scale100Budget: Int = 2400,
+      scale100Cap: Int = 600,
+      scale100Names: Seq[String] = scale100Defaults,
+      recheckBudget: Int = 300,
+      sublinearSkip: Double = 0.5,
+      scaledDirBase: String = "target",
+      detailPath: String = "BENCH_LOCAL.json")
+
+  def envConfig(): Config = {
+    val selected: Seq[String] = sys.env.get("BENCH_QUERIES") match {
+      case Some("all") | None => SparkEntry.queries.keys.toSeq.sorted
+      case Some(list) => list.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    }
+    val s100Names = sys.env.get("BENCH_SCALE100_QUERIES") match {
+      case None => scale100Defaults
+      case Some(list) => list.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    }
+    Config(
+      sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+      selected = selected,
+      repeat = sys.env.getOrElse("BENCH_REPEAT", "2").toInt max 1,
+      // Global wall-clock deadline for the WHOLE bench run: the driver
+      // kills the process at its own outer timeout (round 10's 1800 s
+      // 30× budget pushed the run past it → BENCH_r10.json rc=124, a
+      // dead artifact). 2400 s + ~200 s of sbt/JVM startup fits the
+      // 2599 s a driver run has proven to allow. Sweeps truncate
+      // GRACEFULLY at the deadline (skips reported with their prior),
+      // so the JSON line is always emitted.
+      deadlineSec = sys.env.getOrElse("BENCH_DEADLINE_SEC", "2400").toDouble,
+      scaleOn = sys.env.getOrElse("BENCH_SCALE", "on") != "off",
+      scaleCopies = sys.env.getOrElse("BENCH_SCALE_COPIES", "10").toInt,
+      scaleBudget = sys.env.getOrElse("BENCH_SCALE_BUDGET_SEC", "900").toInt,
+      // 240s: with dd_ngram_prefix sweep-excluded, the slowest
+      // genuinely-completing 10× query is well under 120s — the cap
+      // only bounds true blow-ups now
+      scaleCap = sys.env.getOrElse("BENCH_SCALE_QUERY_CAP_SEC", "240").toInt,
+      scale30On = sys.env.getOrElse("BENCH_SCALE30", "on") != "off",
+      scale30Copies = sys.env.getOrElse("BENCH_SCALE30_COPIES", "30").toInt,
+      scale30Budget = sys.env.getOrElse("BENCH_SCALE30_BUDGET_SEC", "900").toInt,
+      scale30Cap = sys.env.getOrElse("BENCH_SCALE30_QUERY_CAP_SEC", "240").toInt,
+      scale100On = sys.env.getOrElse("BENCH_SCALE100", "off") == "on",
+      scale100Copies = sys.env.getOrElse("BENCH_SCALE100_COPIES", "100").toInt,
+      scale100Budget =
+        sys.env.getOrElse("BENCH_SCALE100_BUDGET_SEC", "2400").toInt,
+      scale100Cap =
+        sys.env.getOrElse("BENCH_SCALE100_QUERY_CAP_SEC", "600").toInt,
+      scale100Names = s100Names,
+      recheckBudget = sys.env.getOrElse("BENCH_RECHECK_BUDGET_SEC", "300").toInt,
+      detailPath = sys.env.getOrElse("BENCH_OUT", "BENCH_LOCAL.json"))
+  }
 
   private def totalGcMs: Long = {
     import scala.jdk.CollectionConverters._
@@ -74,9 +168,10 @@ object Bench {
       .asScala.map(b => math.max(b.getCollectionTime, 0L)).sum
   }
 
-  private def timedRun(spark: SparkSession, name: String, dir: String,
-                       capSec: Int): Timing = {
-    val fn = SparkEntry.queries(name)
+  private def timedRun(spark: SparkSession,
+                       queries: Map[String, (SparkSession, String) => DataFrame],
+                       name: String, dir: String, capSec: Int): Timing = {
+    val fn = queries(name)
     val group = s"bench-$name"
     val gc0 = totalGcMs
     val t0 = System.nanoTime()
@@ -126,6 +221,9 @@ object Bench {
       case c => c.toString
     } + "\""
 
+  private def names(xs: Seq[String]): String =
+    xs.map("\"" + _ + "\"").mkString("[", ",", "]")
+
   /** Queries whose wall-time is fixed micro-batch + checkpoint
     * overhead, not data cost (Structured Streaming: each runs a real
     * readStream→writeStream with its own checkpoint dir). Their
@@ -148,46 +246,52 @@ object Bench {
     */
   private val excludedSweep: Seq[String] = Seq("dd_ngram_prefix")
 
-  def main(args: Array[String]): Unit = {
+  /** One derived-scale sweep's output: its JSON section, the flagged /
+    * confirmed cliff names, the per-query timings + per-input-row
+    * ratios, and the recheck records (for the top-level
+    * `cliffs_rechecked` roll-up).
+    */
+  final case class SweepOut(json: String, flagged: Seq[String],
+                            confirmed: Seq[String],
+                            timed: Map[String, Double],
+                            ratios: Map[String, Double],
+                            rechecks: Seq[String], recheckSkipped: Int)
+
+  private val emptySweep =
+    SweepOut("null", Nil, Nil, Map.empty, Map.empty, Nil, 0)
+
+  /** Run the whole bench under `cfg`; returns (full artifact JSON,
+    * compact summary JSON). Writes nothing, stops nothing — `main`
+    * owns files and the session, so BenchSpec can drive this
+    * end-to-end in-process.
+    */
+  def run(spark: SparkSession, cfg: Config): (String, String) = {
     val benchStart = System.nanoTime()
     def globalElapsed: Double = (System.nanoTime() - benchStart) / 1e9
-    // Global wall-clock deadline for the WHOLE bench run: the driver
-    // kills the process at its own outer timeout (round 10's 1800 s
-    // 30× budget pushed the run past it → BENCH_r10.json rc=124,
-    // parsed null — a dead artifact). 2400 s + ~200 s of sbt/JVM
-    // startup fits the 2599 s a driver run has proven to allow.
-    // Sweeps truncate GRACEFULLY at the deadline (skips reported with
-    // their prior), so the JSON line is always emitted.
-    val deadlineSec = sys.env.getOrElse("BENCH_DEADLINE_SEC", "2400").toDouble
-    def deadlineLeft: Double = deadlineSec - globalElapsed
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val spark = GraftSession.local("graft-bench", cpus)
-    spark.sparkContext.setLogLevel("WARN")
+    def deadlineLeft: Double = cfg.deadlineSec - globalElapsed
+
+    val queries = SparkEntry.queries ++ cfg.extraQueries
+    val selected = cfg.selected.filter(queries.contains)
+    val headlinePresent = headline.filter(selected.contains)
 
     spark.range(1000000).selectExpr("sum(id)").collect() // JVM/codegen warmup
 
-    // BENCH_QUERIES narrows the set ("all" or comma-separated names)
-    // for focused profiling; default is the whole registry.
-    val selected: Seq[String] = sys.env.get("BENCH_QUERIES") match {
-      case Some("all") | None => SparkEntry.queries.keys.toSeq.sorted
-      case Some(list) => list.split(",").map(_.trim).filter(_.nonEmpty).toSeq
-    }
-
-    def runOnce(dir: String, capSec: Int = 600,
+    def runOnce(dir: String, capSec: Int = cfg.baseCap,
                 only: String => Boolean = _ => true): Seq[(String, Timing)] =
-      selected.filter(SparkEntry.queries.contains).filter(only)
-        .map(name => name -> timedRun(spark, name, dir, capSec))
+      selected.filter(only)
+        .map(name => name -> timedRun(spark, queries, name, dir, capSec))
 
     // Warm per-query codegen at the smallest SF: generated classes are
     // cached by code shape, so a fast sf0.001 pass compiles every plan
     // and the timed runs measure execution, not Janino.
-    val warmDir = new java.io.File(sfDir).getParent match {
-      case null => sfDir
-      case p if new java.io.File(s"$p/sf0.001").isDirectory => s"$p/sf0.001"
-      case _ => sfDir
+    if (cfg.warmCodegen) {
+      val warmDir = new java.io.File(cfg.sfDir).getParent match {
+        case null => cfg.sfDir
+        case p if new java.io.File(s"$p/sf0.001").isDirectory => s"$p/sf0.001"
+        case _ => cfg.sfDir
+      }
+      if (warmDir != cfg.sfDir) runOnce(warmDir)
     }
-    if (warmDir != sfDir) runOnce(warmDir)
 
     // Per-query minimum across SUCCESSFUL iterations (steady state,
     // GC-noise-free): a single contended iteration (concurrent JVM
@@ -195,19 +299,27 @@ object Bench {
     // error/timeout sentinels (-1/-2) sort below any real timing, so
     // the min is taken over positive timings only; a query keeps its
     // sentinel (and lands in `failed`) only when EVERY repeat failed.
-    val repeat = sys.env.getOrElse("BENCH_REPEAT", "2").toInt max 1
     // Repeats 2..N skip the streaming fixed-overhead queries (their
     // time is checkpoint/micro-batch cost — min-of-N is a no-op) and
     // stop entirely once the global deadline would be breached, so a
     // contended environment degrades to fewer repeats, never to a
     // killed process.
-    val runs = (1 to repeat).flatMap { i =>
-      if (i == 1) Some(runOnce(sfDir))
-      else if (deadlineLeft < 600) {
-        System.err.println(f"[bench] deadline ($deadlineSec%.0fs) near, " +
-          s"skipping repeat $i")
+    var repeatCost = 600.0 // refined from repeat 1's measured total
+    val runs = (1 to cfg.repeat).flatMap { i =>
+      if (i == 1) {
+        val r = runOnce(cfg.sfDir)
+        // a further repeat costs about this repeat minus the
+        // streaming-fixed-overhead queries it will skip — guard the
+        // deadline against the MEASURED cost, not a fixed constant
+        repeatCost = r.collect {
+          case (n, t) if t.sec > 0 && !isStreamingFixedOverhead(n) => t.sec
+        }.sum + 60
+        Some(r)
+      } else if (deadlineLeft < repeatCost) {
+        System.err.println(f"[bench] deadline (${cfg.deadlineSec}%.0fs) " +
+          s"near, skipping repeat $i")
         None
-      } else Some(runOnce(sfDir, only = n => !isStreamingFixedOverhead(n)))
+      } else Some(runOnce(cfg.sfDir, only = n => !isStreamingFixedOverhead(n)))
     }
     // per query: the fastest successful run's (sec, gcMs) pair — gc is
     // taken from the SAME run whose wall-time is reported, so the two
@@ -223,16 +335,49 @@ object Bench {
     val failed = results.collect { case (k, v) if v <= 0 => k }
     val timeAt01 = results.toMap
 
-    // ── derived-scale sweep (shared by the 10× and 30× sections) ─────
+    // Headline repeat variance: every repeat's per-query seconds (full
+    // artifact) + the stddev of the headline-set total across repeats
+    // where the whole set succeeded — the measured noise floor a
+    // cross-round drift claim must clear.
+    val headlineRepeats: Seq[(String, Seq[Double])] = headlinePresent.map { n =>
+      n -> runs.flatMap(_.toMap.get(n)).map(_.sec)
+    }
+    val repeatTotals = runs.map { r =>
+      val m = r.toMap
+      headlinePresent.flatMap(m.get).map(_.sec)
+    }.filter(ts => ts.size == headlinePresent.size && ts.forall(_ > 0))
+      .map(_.sum)
+    val headlineStddev =
+      if (repeatTotals.size >= 2) {
+        val mean = repeatTotals.sum / repeatTotals.size
+        math.sqrt(repeatTotals.map(t => (t - mean) * (t - mean)).sum /
+          (repeatTotals.size - 1))
+      } else -1.0
+
+    // ── derived-scale sweep (10× / 30× / opt-in 100×) ────────────────
     // cheapest-first under a global budget with a per-query cap, so a
     // superlinear query is DETECTED (flagged as a cliff) without the
     // sweep paying its full runtime.
     def sweep(copies: Int, budget: Int, cap: Int,
-              prior: Map[String, Double] = Map.empty)
-        : (String, Seq[String], Map[String, Double]) = {
-      val scaledDir =
-        new java.io.File(s"target/bench-scaled-x$copies").getAbsolutePath
-      graft.sources.ScaledCorpus.build(spark, sfDir, scaledDir, copies)
+              prior: Map[String, Double] = Map.empty,
+              preSkips: Map[String, Double] = Map.empty,
+              nameFilter: String => Boolean = _ => true): SweepOut = {
+      val scaledDir = new java.io.File(
+        s"${cfg.scaledDirBase}/bench-scaled-x$copies").getAbsolutePath
+      graft.sources.ScaledCorpus.build(spark, cfg.sfDir, scaledDir, copies)
+      // UNTIMED warm scan of every scaled table: the build just wrote
+      // the corpus, and timing reads while write-back is still in
+      // flight made the r11 sweep head (cheapest-first = the first ~15
+      // queries) ratio 3–17× — a cold-start band, not 15 plan
+      // regressions. One noop full scan per table settles the page
+      // cache before any measurement starts.
+      val warmT0 = System.nanoTime()
+      graft.sources.ScaledCorpus.keyCols.keys.foreach { table =>
+        try spark.read.parquet(s"$scaledDir/$table.parquet")
+          .write.format("noop").mode("overwrite").save()
+        catch { case _: Exception => () }
+      }
+      val warmSec = (System.nanoTime() - warmT0) / 1e9
       // cheapest-first by the best predictor available: a PRIOR sweep's
       // measured times when present (the 10× sweep predicts 30× far
       // better than 1× — at 1× the output-quadratic pair queries look
@@ -247,6 +392,8 @@ object Bench {
       val order = results.filter(_._2 > 0)
         .filterNot(_._1.endsWith("_coarse"))
         .filterNot(p => excludedSweep.contains(p._1))
+        .filter(p => nameFilter(p._1))
+        .filterNot(p => preSkips.contains(p._1))
         .sortBy { case (n, t1) => prior.getOrElse(n, t1 * copies) }
         .map(_._1)
       val sweepStart = System.nanoTime()
@@ -254,16 +401,29 @@ object Bench {
       val timed = scala.collection.mutable.LinkedHashMap.empty[String, Double]
       val sweepGc = scala.collection.mutable.LinkedHashMap.empty[String, Double]
       val errMsgs = scala.collection.mutable.LinkedHashMap.empty[String, String]
-      val skipped = scala.collection.mutable.ArrayBuffer.empty[String]
+      val skipped = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      // Interleaved cliff recheck state: re-running a flagged query
+      // immediately (hot cache, no neighbor pressure) is the cheapest
+      // honest refutation — r11 deferred rechecks to after both sweeps
+      // and the deadline starved them (cliffs_rechecked: [] while 19
+      // flags stood). The recheck spend is bounded by its own budget
+      // so a burst of CONFIRMED cliffs (each worth up to `cap`) can't
+      // eat the sweep.
+      val recheckRecords = scala.collection.mutable.ArrayBuffer.empty[String]
+      var recheckSpent = 0.0
+      var recheckSkipped = 0
+      // cliff bookkeeping: name -> (firstSec, firstRatio, timedOut,
+      // recheckJsonFragment, confirmed)
+      final case class Cliff(name: String, sec: Double, ratio: Double,
+                             timedOut: Boolean, recheck: String,
+                             confirmed: Boolean)
+      val cliffs = scala.collection.mutable.ArrayBuffer.empty[Cliff]
       // Consecutive-error circuit breaker: a sick JVM (one r10-era run
       // failed 24 queries in a row, instantly, after 700 successful
       // runs — cause environmental, unreproducible) fails everything
       // it touches; each failure costs ~0 budget, so without a breaker
       // the sweep "times" the whole tail as errors and the artifact
       // reads as 24 distinct failures instead of one sick process.
-      // Three unrelated queries failing back-to-back is not three
-      // bugs; stop starting queries and report the rest as skips —
-      // the recorded messages carry the shared root cause.
       var consecErrors = 0
       var cascadeAfter: Option[String] = None
       order.foreach { name =>
@@ -273,10 +433,11 @@ object Bench {
         // the expensive part, so truncating here (reported, with the
         // prior as the datapoint) is the graceful-degradation path
         // that keeps the artifact parseable under any wall-clock
-        if (elapsed > budget || deadlineLeft < cap + 30 ||
-            cascadeAfter.isDefined) skipped += name
+        if (cascadeAfter.isDefined) skipped += name -> "cascade"
+        else if (elapsed > budget) skipped += name -> "budget"
+        else if (deadlineLeft < cap + 30) skipped += name -> "deadline"
         else {
-          val t = timedRun(spark, name, scaledDir, cap)
+          val t = timedRun(spark, queries, name, scaledDir, cap)
           timed(name) = t.sec
           sweepGc(name) = t.gcMs.toDouble
           t.errMsg.foreach(m => errMsgs(name) = m)
@@ -287,164 +448,212 @@ object Bench {
               s"$name — treating as a sick JVM, skipping the rest of the " +
               s"${copies}x sweep")
           }
+          // cliff candidate: per-row cost at Nx grew >2× vs the bench
+          // SF (ratio = t_N / (copies · t_1)); a timeout is ALWAYS a
+          // candidate (its ratio is only a LOWER bound). Sub-second
+          // absolute costs are ignored — fixed per-query overhead
+          // dominates there and the ratio is noise.
+          val t1 = timeAt01.getOrElse(name, 0.0)
+          if (t1 > 0.05 && t.sec != -2.0) {
+            val eff = if (t.sec == -1.0) cap.toDouble else t.sec
+            val ratio = eff / (copies * t1)
+            if (t.sec == -1.0 || (ratio > 2.0 && eff > 2.0)) {
+              // flagged — recheck NOW, in isolation, while the flag is
+              // fresh: confirmed means the isolated run still ratios
+              // >2 (or still times out); refuted means the first run
+              // was environment, and the artifact says so itself
+              if (deadlineLeft < cap + 30 || recheckSpent > cfg.recheckBudget) {
+                recheckSkipped += 1
+                val why = if (deadlineLeft < cap + 30) "skipped_deadline"
+                          else "skipped_budget"
+                cliffs += Cliff(name, t.sec, ratio, t.sec == -1.0,
+                  s""","recheck":"$why"""", confirmed = true)
+                recheckRecords +=
+                  s"""{"name":"$name","copies":$copies,"recheck":"$why"}"""
+              } else {
+                val r = timedRun(spark, queries, name, scaledDir, cap)
+                recheckSpent += (if (r.sec > 0) r.sec else cap.toDouble)
+                val effIso = if (r.sec == -1.0) cap.toDouble else r.sec
+                val ratioIso =
+                  if (r.sec == -2.0) -1.0 else effIso / (copies * t1)
+                val confirmed = r.sec == -1.0 ||
+                  (r.sec > 0 && ratioIso > 2.0 && effIso > 2.0)
+                val frag = f""","sec_isolated":${r.sec}%.3f,""" +
+                  f""""ratio_isolated":$ratioIso%.2f,"confirmed":$confirmed"""
+                cliffs += Cliff(name, t.sec, ratio, t.sec == -1.0, frag,
+                  confirmed)
+                recheckRecords += f"""{"name":"$name","copies":$copies,""" +
+                  f""""sec_isolated":${r.sec}%.3f,"ratio_isolated":""" +
+                  f"""$ratioIso%.2f,"confirmed":$confirmed}"""
+                // the isolated run is the steadier measurement — record
+                // the better of the two as the sweep timing (the flag
+                // entry keeps the first run's number)
+                if (r.sec > 0 && (t.sec < 0 || r.sec < t.sec))
+                  timed(name) = r.sec
+              }
+            }
+          }
         }
       }
       if (skipped.nonEmpty)
-        System.err.println(s"[bench] ${copies}x sweep budget (${budget}s) hit; " +
-          s"skipped: ${skipped.mkString(",")}")
-      // a skip must still carry a datapoint: the best prior (the 10×
-      // sweep's measured time for the 30× section, else 1× scaled) —
-      // so no query name ever appears in the artifact without a
-      // scale number or an explicit predictor behind its skip
-      val skDetail = skipped.map { n =>
+        System.err.println(s"[bench] ${copies}x sweep skipped " +
+          s"${skipped.size}: ${skipped.take(8).map(_._1).mkString(",")}…")
+      // a skip must still carry a datapoint + reason: the best prior
+      // (the 10× sweep's measured time for the 30× section, else 1×
+      // scaled) — no query name ever appears in the artifact without
+      // a scale number or an explicit predictor + reason behind its
+      // skip. preSkips (sublinear_at_10x) carry their measured 10×
+      // ratio — proof-of-sub-linearity from THIS run, not absence.
+      val skDetail = (skipped.map { case (n, why) =>
         val p = prior.get(n)
           .orElse(timeAt01.get(n).filter(_ > 0).map(_ * copies))
           .map(v => f""","prior_sec":$v%.3f""").getOrElse("")
-        f"""{"name":"$n"$p}"""
-      }.mkString("[", ",", "]")
-      // cliff: per-row cost at Nx data grew >2x vs the bench SF.
-      // ratio = t_sfN / (copies * t_sf0.1); timeouts are cliffs by
-      // definition (ratio from the cap is a LOWER bound).
-      val cliffs = timed.toSeq.flatMap { case (name, tN) =>
-        val t1 = timeAt01.getOrElse(name, 0.0)
-        if (t1 <= 0.05 || tN == -2.0) None // too small to ratio / errored
-        else {
-          val eff = if (tN == -1.0) cap.toDouble else tN
-          val ratio = eff / (copies * t1)
-          // a timeout is ALWAYS a cliff (its ratio is only a LOWER
-          // bound — the cap hid the true cost); otherwise ignore
-          // sub-second absolute costs, where fixed per-query overhead
-          // dominates and the ratio is noise
-          if (tN == -1.0 || (ratio > 2.0 && eff > 2.0))
-            Some((name, ratio, tN == -1.0))
-          else None
-        }
-      }.sortBy(-_._2)
+        s"""{"name":"$n","reason":"$why"$p}"""
+      } ++ preSkips.toSeq.sortBy(_._1).map { case (n, r10) =>
+        f"""{"name":"$n","reason":"sublinear_at_10x","ratio_10x":$r10%.2f}"""
+      }).mkString("[", ",", "]")
       // Per-INPUT-row ratio assumes work ∝ input. For pair-generating
       // queries (blocked self-joins) output grows ~quadratically in
-      // block size, so a flagged ratio can still be sub-linear in true
-      // work. Record measured output growth per cliff so the flag
-      // carries its own null model: ratio ≪ rows_growth / copies
-      // means the implementation scales; ratio ≈ rows_growth / copies
-      // (or a timeout) means a real blow-up. base_rows disambiguates
-      // the aggregate shape: a constant-size output (rows_growth 1 at
-      // base_rows ~1) says the work lives in the internal stream and
-      // output growth can't judge it either way.
+      // block size, so a CONFIRMED ratio can still be sub-linear in
+      // true work. Record measured output growth per confirmed,
+      // non-timeout cliff so the flag carries its own null model:
+      // ratio ≪ rows_growth / copies means the implementation scales;
+      // ratio ≈ rows_growth / copies (or a timeout) means a real
+      // blow-up. Refuted flags skip the probe (nothing to explain).
       def outRows(name: String, dir: String): Long =
-        try SparkEntry.queries(name)(spark, dir).count()
+        try queries(name)(spark, dir).count()
         catch { case _: Throwable => -1L }
-      val rowsGrowth: Map[String, (Long, Double)] = cliffs.collect {
-        case (name, _, timedOut) if !timedOut =>
-          val base = outRows(name, sfDir)
-          val scaled = outRows(name, scaledDir)
-          name -> (base,
-            if (base > 0 && scaled >= 0) scaled.toDouble / base else -1.0)
-      }.toMap
-      val cs = cliffs.map { case (n, r, to) =>
-        val rg = rowsGrowth.get(n).filter(_._2 > 0)
-          .map { case (base, g) =>
-            f""","rows_growth":$g%.1f,"base_rows":$base%d"""
-          }.getOrElse("")
-        f"""{"name":"$n","ratio":$r%.2f,"timed_out":$to$rg}"""
+      val cliffJson = cliffs.sortBy(-_.ratio).map { c =>
+        val rg =
+          if (c.confirmed && !c.timedOut && deadlineLeft > 60) {
+            val base = outRows(c.name, cfg.sfDir)
+            val scaled = outRows(c.name, scaledDir)
+            if (base > 0 && scaled >= 0)
+              f""","rows_growth":${scaled.toDouble / base}%.1f,"base_rows":$base%d"""
+            else ""
+          } else ""
+        f"""{"name":"${c.name}","ratio":${c.ratio}%.2f,""" +
+          f""""sec":${c.sec}%.3f,"timed_out":${c.timedOut}${c.recheck}$rg}"""
       }.mkString("[", ",", "]")
-      val sk = skipped.map("\"" + _ + "\"").mkString("[", ",", "]")
       // errored queries (-2.0) are excluded from cliff ratios (no
-      // timing to ratio) — name them explicitly so a scale-induced
-      // failure is never readable as "not flagged"
-      // each error carries its first message line — a cascade (shared
-      // root cause repeated down the tail) is then readable from the
-      // artifact alone
+      // timing to ratio) — name them explicitly, each with its first
+      // message line, so a scale-induced failure is never readable as
+      // "not flagged" and a cascade's shared root cause is in-artifact
       val er = timed.collect { case (n, v) if v == -2.0 =>
-        f"""{"name":"$n","msg":${jsonStr(errMsgs.getOrElse(n, ""))}}"""
+        s"""{"name":"$n","msg":${jsonStr(errMsgs.getOrElse(n, ""))}}"""
       }.mkString("[", ",", "]")
       val casc = cascadeAfter.map(jsonStr).getOrElse("null")
+      val ratios = timed.collect {
+        case (n, v) if v > 0 && timeAt01.getOrElse(n, 0.0) > 0.05 =>
+          n -> v / (copies * timeAt01(n))
+      }.toMap
       val json =
-        f"""{"copies":$copies,"budget_sec":$budget,"query_cap_sec":$cap,"queries":${jsonDict(timed)},"gc_ms":${jsonDict(sweepGc)},"cliffs":$cs,"errored":$er,"cascade_stop_after":$casc,"skipped":$sk,"skipped_detail":$skDetail}"""
-      (json, cliffs.map(_._1), timed.toMap)
+        f"""{"copies":$copies,"budget_sec":$budget,"query_cap_sec":$cap,"warm_sec":$warmSec%.1f,"queries":${jsonDict(timed)},"gc_ms":${jsonDict(sweepGc)},"cliffs":$cliffJson,"errored":$er,"cascade_stop_after":$casc,"skipped_detail":$skDetail}"""
+      SweepOut(json, cliffs.map(_.name).toSeq,
+        cliffs.filter(_.confirmed).map(_.name).toSeq, timed.toMap, ratios,
+        recheckRecords.toSeq, recheckSkipped)
     }
 
-    val scaleCopies = sys.env.getOrElse("BENCH_SCALE_COPIES", "10").toInt
-    val scaleBudget = sys.env.getOrElse("BENCH_SCALE_BUDGET_SEC", "900").toInt
-    // 240s: with dd_ngram_prefix sweep-excluded, the slowest
-    // genuinely-completing 10× query is well under 120s — the cap
-    // only bounds true blow-ups now
-    val scaleCap = sys.env.getOrElse("BENCH_SCALE_QUERY_CAP_SEC", "240").toInt
-    val scaleOn = sys.env.getOrElse("BENCH_SCALE", "on") != "off" && scaleCopies > 1
+    val s10 =
+      if (cfg.scaleOn && cfg.scaleCopies > 1)
+        sweep(cfg.scaleCopies, cfg.scaleBudget, cfg.scaleCap)
+      else emptySweep
+    // 30× sweep: ordered by the 10× measurements (×3 — the known-
+    // expensive tail runs last, budget buys max coverage), and
+    // SKIPPING what 10× already answered: a query that was timed
+    // clean at 10× with per-row ratio < 0.5 is decisively sub-linear
+    // — r11 spent its starved 30× budget re-proving those while the
+    // open mid-tier went unmeasured. Headline queries and 10×-flagged
+    // queries always run.
+    val prior30 = s10.timed.collect { case (n, t) if t > 0 => n -> t * 3 }
+    val sublinear30 = s10.ratios.filter { case (n, r) =>
+      r < cfg.sublinearSkip && !headlinePresent.contains(n) &&
+        !s10.flagged.contains(n) && s10.timed.getOrElse(n, -1.0) > 0
+    }
+    val s30 =
+      if (cfg.scale30On && cfg.scale30Copies > 1)
+        sweep(cfg.scale30Copies, cfg.scale30Budget, cfg.scale30Cap,
+          prior30, sublinear30)
+      else emptySweep
+    // opt-in 100× probe over the flagship + dedup/ANN defaults — the
+    // "plans you'd want at 100×" datapoint (run locally: the corpus
+    // build + sweep don't fit the driver's deadline alongside 10×+30×)
+    val prior100 = s30.timed.collect { case (n, t) if t > 0 =>
+      n -> t * (cfg.scale100Copies.toDouble / cfg.scale30Copies)
+    }
+    val s100 =
+      if (cfg.scale100On && cfg.scale100Copies > 1)
+        sweep(cfg.scale100Copies, cfg.scale100Budget, cfg.scale100Cap,
+          prior100 ++ prior30.view.filterKeys(k => !prior100.contains(k)),
+          Map.empty, cfg.scale100Names.toSet)
+      else emptySweep
 
-    // 30× section: full registry, tighter budget (cheapest-first means
-    // the budget cuts the most expensive tail, reported as skips).
-    val scale30Copies = sys.env.getOrElse("BENCH_SCALE30_COPIES", "30").toInt
-    // 900s DEFAULT — round 10 doubled this to 1800 and the full run
-    // blew past the driver's outer wall-clock (BENCH_r10.json rc=124:
-    // a dead artifact is worse than a truncated sweep). Full 30×
-    // coverage runs locally with BENCH_SCALE30_BUDGET_SEC=1800
-    // BENCH_DEADLINE_SEC=7200; the heavy tail's isolated 30× numbers
-    // are tracked in BENCH_TAIL30.json instead of stretching the
-    // driver run.
-    val scale30Budget = sys.env.getOrElse("BENCH_SCALE30_BUDGET_SEC", "900").toInt
-    val scale30Cap = sys.env.getOrElse("BENCH_SCALE30_QUERY_CAP_SEC", "240").toInt
-    val scale30On =
-      sys.env.getOrElse("BENCH_SCALE30", "on") != "off" && scale30Copies > 1
-
-    val (scaleJson, cliffs10, timed10) =
-      if (scaleOn) sweep(scaleCopies, scaleBudget, scaleCap)
-      else ("null", Nil, Map.empty[String, Double])
-    // the 10× measurements (scaled ×3) order the 30× sweep so the
-    // known-expensive tail runs last and the budget buys max coverage
-    val prior30 = timed10.collect { case (n, t) if t > 0 => n -> t * 3 }
-    val (scale30Json, cliffs30, _) =
-      if (scale30On) sweep(scale30Copies, scale30Budget, scale30Cap, prior30)
-      else ("null", Nil, Map.empty[String, Double])
-
-    // Isolated re-measurement of every 30× cliff: in-sweep timings run
-    // back-to-back in a hot JVM, so cache/CPU pressure from the
-    // previous query can inflate a ratio — round 10's three flags were
-    // refuted as contention artifacts only in prose, invisible to the
-    // artifact. Re-running each flagged query ALONE and recording both
-    // ratios here lets every flag carry its own refutation (isolated
-    // ratio ≤ 2) or confirmation (still > 2) in the tracked JSON.
-    val recheckJson =
-      if (scale30On && cliffs30.nonEmpty) {
-        val dir30 =
-          new java.io.File(s"target/bench-scaled-x$scale30Copies").getAbsolutePath
-        cliffs30.flatMap { name =>
-          if (deadlineLeft < scale30Cap + 30) None
-          else {
-            val t = timedRun(spark, name, dir30, scale30Cap)
-            val t1 = timeAt01.getOrElse(name, 0.0)
-            val iso =
-              if (t.sec > 0 && t1 > 0) t.sec / (scale30Copies * t1) else -1.0
-            Some(f"""{"name":"$name","sec_isolated":${t.sec}%.3f,"ratio_isolated":$iso%.2f}""")
-          }
-        }.mkString("[", ",", "]")
-      } else "[]"
-
-    val headlineResults = results.filter { case (k, v) => headline.contains(k) && v > 0 }
+    val headlineResults = results.filter { case (k, v) =>
+      headlinePresent.contains(k) && v > 0
+    }
     val headlineTotal = headlineResults.map(_._2).sum
     val totalAll = results.collect { case (_, v) if v > 0 => v }.sum
-    def names(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
-    // Key order = truncation priority: full dicts first, then the
-    // headline per-query times, then the summary scalars — the last
-    // ~1KB of the line is self-contained.
     val excludedTwins = results.collect {
       case (n, _) if n.endsWith("_coarse") => n
     }
     val failedDetail = picked.collect { case (n, t) if t.sec == -2.0 =>
-      f"""{"name":"$n","msg":${jsonStr(t.errMsg.getOrElse(""))}}"""
+      s"""{"name":"$n","msg":${jsonStr(t.errMsg.getOrElse(""))}}"""
     }.mkString("[", ",", "]")
-    val line =
-      f"""{"queries":${jsonDict(results)},"gc_ms":${jsonDict(gcMs)},"scale":$scaleJson,"scale30":$scale30Json,"headline_queries":${jsonDict(headlineResults)},"cliffs_10x":${names(cliffs10)},"cliffs_30x":${names(cliffs30)},"cliffs_rechecked":$recheckJson,"excluded_twins":${names(excludedTwins)},"excluded_sweep":${names(excludedSweep)},"elapsed_sec":$globalElapsed%.1f,"deadline_sec":$deadlineSec%.0f,"failed_detail":$failedDetail,"failed":${names(failed)},"total_all":$totalAll%.3f,"sf":"$sfDir","metric":"total","unit":"sec","value":$headlineTotal%.3f}"""
+    val rechecksAll =
+      (s10.rechecks ++ s30.rechecks ++ s100.rechecks).mkString("[", ",", "]")
+    val recheckSkippedN =
+      s10.recheckSkipped + s30.recheckSkipped + s100.recheckSkipped
+    val hRepeats = headlineRepeats.map { case (n, ts) =>
+      s""""$n":[${ts.map(t => f"$t%.3f").mkString(",")}]"""
+    }.mkString("{", ",", "}")
+    def sweepCount(s: SweepOut) = s.timed.size
+    def sweepSkips(s: SweepOut, on: Boolean, total: Int) =
+      if (!on) 0 else total - s.timed.size
+    val n10 = sweepCount(s10)
+    val n30 = sweepCount(s30)
+    val counts =
+      s"""{"registry":${selected.size},"timed_1x":${results.count(_._2 > 0)},""" +
+        s""""failed_1x":${failed.size},"timed_10x":$n10,"timed_30x":$n30,""" +
+        s""""sublinear_skips_30x":${sublinear30.size},""" +
+        s""""timed_100x":${sweepCount(s100)},""" +
+        s""""recheck_skipped":$recheckSkippedN}"""
+
+    // FULL artifact: key order = truncation priority (big dicts first,
+    // summary scalars last, so any tail of the line is self-contained)
+    val full =
+      f"""{"queries":${jsonDict(results)},"gc_ms":${jsonDict(gcMs)},"headline_repeats":$hRepeats,"scale":${s10.json},"scale30":${s30.json},"scale100":${s100.json},"headline_queries":${jsonDict(headlineResults)},"cliffs_10x":${names(s10.flagged)},"cliffs_30x":${names(s30.flagged)},"cliffs_100x":${names(s100.flagged)},"cliffs_confirmed_10x":${names(s10.confirmed)},"cliffs_confirmed_30x":${names(s30.confirmed)},"cliffs_confirmed_100x":${names(s100.confirmed)},"cliffs_rechecked":$rechecksAll,"excluded_twins":${names(excludedTwins)},"excluded_sweep":${names(excludedSweep)},"counts":$counts,"headline_stddev":$headlineStddev%.3f,"elapsed_sec":$globalElapsed%.1f,"deadline_sec":${cfg.deadlineSec}%.0f,"failed_detail":$failedDetail,"failed":${names(failed)},"total_all":$totalAll%.3f,"sf":"${cfg.sfDir}","metric":"total","unit":"sec","value":$headlineTotal%.3f}"""
+
+    // SUMMARY line (printed): everything a bounded-tail consumer needs
+    // — headline per-query dict, cliff verdicts, coverage counts —
+    // in ≤ ~1.5 KB. `queries` here is the HEADLINE set (the full
+    // registry dict lives in `detail`); name lists are capped at 12
+    // (counts carry the totals).
+    def cap12(xs: Seq[String]) = names(xs.take(12))
+    val confirmedAll = (s10.confirmed ++ s30.confirmed ++ s100.confirmed).distinct
+    val summaryQueries =
+      if (headlineResults.nonEmpty) headlineResults else results.take(12)
+    val summary =
+      f"""{"schema":"graft-bench-summary-v1","detail":"${cfg.detailPath}","counts":$counts,"cliffs_10x":${cap12(s10.flagged)},"cliffs_30x":${cap12(s30.flagged)},"cliffs_100x":${cap12(s100.flagged)},"cliffs_confirmed":${cap12(confirmedAll)},"failed":${cap12(failed)},"headline_stddev":$headlineStddev%.3f,"elapsed_sec":$globalElapsed%.1f,"deadline_sec":${cfg.deadlineSec}%.0f,"total_all":$totalAll%.3f,"queries":${jsonDict(summaryQueries)},"sf":"${cfg.sfDir}","metric":"total","unit":"sec","value":$headlineTotal%.3f}"""
+    (full, summary)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cfg = envConfig()
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = GraftSession.local("graft-bench", cpus)
+    spark.sparkContext.setLogLevel("WARN")
+    val (full, summary) = run(spark, cfg)
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("target/bench.json"), line)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("target/bench.json"), full)
     // durable, TRACKED copy: the driver's BENCH_r{N}.json records only
-    // the (truncated) tail of the printed line, and target/ is
-    // regenerable — without this file the per-query evidence a round's
-    // verdict cites would not survive the round. BENCH_OUT redirects a
-    // focused local run (e.g. the isolated 30× tail sweep feeding
-    // BENCH_TAIL30.json) so it can't stomp the full-run artifact.
-    val outPath = sys.env.getOrElse("BENCH_OUT", "BENCH_LOCAL.json")
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line)
-    println(line)
+    // the (truncated) stdout tail — the full per-query evidence a
+    // round's verdict cites must survive the round in-repo. BENCH_OUT
+    // redirects a focused local run (e.g. a 100× probe) so it can't
+    // stomp the full-run artifact.
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(cfg.detailPath), full)
+    println(summary)
     spark.stop()
   }
 }

@@ -66,6 +66,7 @@ object DeterminismAudit {
     val dump = sys.env.get("DETERMINISM_DUMP").map(p =>
       new java.io.PrintWriter(new java.io.FileWriter(p)))
     var failures = 0
+    var errored = 0
     selected.foreach { case (name, fn) =>
       val prints = shapes.map { case (parts, split) =>
         spark.conf.set("spark.sql.shuffle.partitions", parts)
@@ -76,7 +77,14 @@ object DeterminismAudit {
         } catch { case e: Throwable => s"ERROR: ${e.getMessage}" }
       }
       dump.foreach(w => w.println(s"$name\t${prints.head}"))
-      if (prints.distinct.size != 1) {
+      // a query that THROWS under both shapes fingerprints identically
+      // ("ERROR: msg" twice) — that is not invariance, it is a broken
+      // query; count it separately and fail the audit, never let it
+      // inflate the pass count
+      if (prints.exists(_.startsWith("ERROR:"))) {
+        errored += 1
+        println(s"[determinism] ERRORED $name: ${prints.head.take(200)}")
+      } else if (prints.distinct.size != 1) {
         failures += 1
         println(s"[determinism] MISMATCH $name: " +
           shapes.zip(prints).map { case ((p, s), h) => s"($p,$s)→$h" }
@@ -84,9 +92,10 @@ object DeterminismAudit {
       }
     }
     dump.foreach(_.close())
-    println(s"[determinism] ${selected.size - failures}/${selected.size} " +
-      s"invariant across ${shapes.mkString(", ")}")
+    println(s"[determinism] ${selected.size - failures - errored}/" +
+      s"${selected.size} invariant across ${shapes.mkString(", ")} " +
+      s"($errored errored — errors FAIL the audit)")
     spark.stop()
-    if (failures > 0) sys.exit(1)
+    if (failures > 0 || errored > 0) sys.exit(1)
   }
 }

@@ -474,6 +474,14 @@ object Governance {
     */
   def tableChecksum(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "cols must be non-empty")
+    // The combine rule changed once (r11: XOR → modular addition), so
+    // identical content can carry different signatures across builds.
+    // Signatures are meant to be stored durably and compared across
+    // replicas/engines — the scheme VERSION therefore travels in the
+    // output row: a cross-build compare sees a scheme mismatch, not
+    // phantom corruption. Bump the tag whenever the digest chain or
+    // combine rule changes.
+    val scheme = "md5x15-madd60-v2"
     def colDigest(c: String) = md5(
       when(col(c).isNull, lit("n"))
         .otherwise(concat(lit("v"), col(c).cast("string"))))
@@ -489,5 +497,6 @@ object Governance {
       .agg(count(lit(1)).as("n_rows"),
         (sum(col("_s1")) % mod).cast("long").as("sig1"),
         (sum(col("_s2")) % mod).cast("long").as("sig2"))
+      .withColumn("sig_scheme", lit(scheme))
   }
 }

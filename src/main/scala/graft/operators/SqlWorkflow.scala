@@ -51,13 +51,22 @@ object SqlWorkflow {
     val none: RetryPolicy = RetryPolicy(maxAttempts = 1)
   }
 
-  private def withRetry[A](policy: RetryPolicy, step: String)(body: => A): A = {
+  private[graft] def withRetry[A](policy: RetryPolicy, step: String)(body: => A): A = {
     var attempt = 1
     var wait = policy.intervalSeconds
     while (true) {
       try return body
       catch {
-        case e: Throwable
+        // an interrupt is a cancellation, not a transient failure:
+        // swallowing it into a backoff sleep would lose the interrupt
+        // and turn a cancel into a 60s wait — restore the flag, rethrow
+        case e: InterruptedException =>
+          Thread.currentThread().interrupt()
+          throw e
+        // NonFatal: never retry VM-fatal errors (OutOfMemoryError,
+        // NoClassDefFoundError) — retryOn only classifies the
+        // non-fatal ones as transient vs deterministic
+        case scala.util.control.NonFatal(e)
             if attempt < policy.maxAttempts && policy.retryOn(e) =>
           System.err.println(
             s"[workflow] step $step attempt $attempt/${policy.maxAttempts} " +

@@ -625,7 +625,8 @@ object ValidationQueries {
         |  CAST(CAST(sum(CAST(concat('0x', substr(h1, 1, 15)) AS BIGINT))
         |    AS HUGEINT) % 1152921504606846976 AS BIGINT) AS sig1,
         |  CAST(CAST(sum(CAST(concat('0x', substr(h2, 1, 15)) AS BIGINT))
-        |    AS HUGEINT) % 1152921504606846976 AS BIGINT) AS sig2
+        |    AS HUGEINT) % 1152921504606846976 AS BIGINT) AS sig2,
+        |  'md5x15-madd60-v2' AS sig_scheme
         |FROM s""".stripMargin),
 
     // ───── join-key skew report — the diagnostic you run BEFORE

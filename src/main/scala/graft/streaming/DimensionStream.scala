@@ -340,16 +340,47 @@ object DimensionStream {
     // micro-batch's full-outer join sees zero state rows instead of
     // failing on a missing path. (The alternative — requiring callers
     // to pre-seed — turns first deployment into a crash.)
-    val statePathExists = {
-      val p = new org.apache.hadoop.fs.Path(statePath)
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-    }
-    if (!statePathExists) {
-      val empty = spark.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row](),
-        org.apache.spark.sql.types.StructType(
-          stateCols0.map(c => schema(c))))
-      empty.write.mode("overwrite").parquet(statePath)
+    //
+    // But "live is absent" is NOT proof of first deployment: a crash
+    // inside Scd2.writeAtomic's rename window (between live→backup and
+    // staging→live) also leaves live absent — while the streaming
+    // checkpoint survives. Seeding empty there silently discards all
+    // prior CDC state and the replayed batch "succeeds" against
+    // nothing. So before seeding, look for deployment residue:
+    //  - $statePath.backup present → that IS the pre-batch state
+    //    (writeAtomic renamed live to backup and died before
+    //    staging→live); restore it. The interrupted batch was never
+    //    checkpoint-committed, so replay re-applies it — idempotent,
+    //    because an incoming change only wins when STRICTLY newer.
+    //  - .staging or .checkpoint present without live or backup →
+    //    a prior deployment existed but its state is unrecoverable
+    //    here; FAIL LOUDLY instead of seeding empty.
+    val hfs = new org.apache.hadoop.fs.Path(statePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def hp(s: String) = new org.apache.hadoop.fs.Path(s)
+    if (!hfs.exists(hp(statePath))) {
+      val backup = hp(s"$statePath.backup")
+      val staging = hp(s"$statePath.staging")
+      val checkpoint = hp(s"$statePath.checkpoint")
+      if (hfs.exists(backup)) {
+        if (hfs.exists(staging)) hfs.delete(staging, true)
+        require(hfs.rename(backup, hp(statePath)),
+          s"cdcApplyAvailableNow: failed to restore $backup -> $statePath")
+        System.err.println(s"[cdc] restored state table $statePath from " +
+          "backup left by an interrupted atomic swap")
+      } else if (hfs.exists(staging) || hfs.exists(checkpoint)) {
+        sys.error(s"cdcApplyAvailableNow: state table $statePath is absent " +
+          s"but prior-deployment residue exists (" +
+          Seq(staging, checkpoint).filter(hfs.exists).mkString(", ") +
+          ") — refusing to seed an empty state table over lost state; " +
+          "restore the table or remove the residue to re-bootstrap")
+      } else {
+        val empty = spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType(
+            stateCols0.map(c => schema(c))))
+        empty.write.mode("overwrite").parquet(statePath)
+      }
     }
     val feed = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1)

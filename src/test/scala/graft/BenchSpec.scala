@@ -1,0 +1,157 @@
+package graft
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.functions._
+
+/** Dry-run gate for the bench APPARATUS itself.
+  *
+  * The bench harness broke two driver rounds with no test to catch it
+  * (r10: the 30× budget blew the outer wall-clock, rc=124, dead
+  * artifact; r11: the deadline guard silently starved the cliff
+  * recheck, `cliffs_rechecked: []` under 19 standing flags). This spec
+  * drives [[Bench.run]] end-to-end at sf0.001 with a tiny injected
+  * registry — including one SYNTHETIC SUPERLINEAR query (driver-side
+  * sleep ∝ rows³, so 2× data → 4× per-row cost) — and asserts the
+  * apparatus contracts:
+  *
+  *  - both emitted JSON documents parse;
+  *  - the run respects its deadline;
+  *  - the synthetic cliff is flagged AND its interleaved recheck ran
+  *    (sec_isolated / ratio_isolated / confirmed IN the artifact);
+  *  - a budget-starved sweep reports every unstarted query as an
+  *    explicit skip with a reason and a prior_sec predictor;
+  *  - the summary line fits a 2000-char stdout tail and carries the
+  *    driver-contract keys (metric/unit/value/sf/queries).
+  */
+class BenchSpec extends SparkSpec {
+
+  private val mapper = new ObjectMapper()
+  private val sf001 = "/root/testdata/sf0.001"
+
+  // rows³ driver-side sleep over a FACT table (documents — region is
+  // a conformed dimension ScaledCorpus deliberately keeps single-copy,
+  // so it never scales): 500 docs at sf0.001 → 0.4 s; 1000 at
+  // copies=2 → 3.2 s → per-row ratio ≈ 3.2/(2·~0.5) > 2 and absolute
+  // cost > 2 s: a guaranteed cliff flag at copies=2, cheap at 1×.
+  // (No Date.now dependency — sleep is the workload.)
+  private val syntheticCliff: (org.apache.spark.sql.SparkSession, String) =>
+      org.apache.spark.sql.DataFrame = (s, dir) => {
+    val n = s.read.parquet(s"$dir/documents.parquet").count()
+    val units = n / 500 // 1 at sf0.001, `copies` at derived scale
+    Thread.sleep(units * units * units * 400)
+    s.range(1).select(lit(n).as("n"))
+  }
+
+  test("bench dry run: JSON emitted, deadline respected, synthetic cliff " +
+    "flagged with an in-artifact recheck, skips carry reasons + priors") {
+    val cfg = Bench.Config(
+      sfDir = sf001,
+      selected = Seq("daily_revenue", "a02_global_bounds", "synthetic_cliff"),
+      extraQueries = Map("synthetic_cliff" -> syntheticCliff),
+      // repeat 3: the min-of-N strips the cold-JVM Janino compile out
+      // of the 1x baseline (there is no smaller SF to warm codegen
+      // against), so the 2x ratio measures the workload, not compile
+      repeat = 3,
+      deadlineSec = 240.0,
+      baseCap = 60,
+      warmCodegen = false,
+      scaleOn = true, scaleCopies = 2, scaleBudget = 60, scaleCap = 30,
+      // budget 0: every 30× query must surface as an explicit skip
+      // with reason + prior — the "starved sweep" shape, reported
+      scale30On = true, scale30Copies = 3, scale30Budget = 0, scale30Cap = 30,
+      scale100On = false,
+      recheckBudget = 60,
+      scaledDirBase =
+        java.nio.file.Files.createTempDirectory("graft_benchspec_").toString,
+      detailPath = "unused.json")
+    val (full, summary) = Bench.run(spark, cfg)
+
+    val f = mapper.readTree(full)     // parses or throws
+    val sm = mapper.readTree(summary) // parses or throws
+
+    // deadline respected
+    assert(f.get("elapsed_sec").asDouble() < cfg.deadlineSec,
+      s"run blew its deadline: ${f.get("elapsed_sec")}")
+
+    // the synthetic superlinear query is flagged at 2× AND the flag
+    // carries its own recheck verdict in the artifact
+    val flagged10 = (0 until f.get("cliffs_10x").size())
+      .map(f.get("cliffs_10x").get(_).asText())
+    assert(flagged10.contains("synthetic_cliff"),
+      s"synthetic cliff not flagged: $full")
+    val cliffEntries = f.get("scale").get("cliffs")
+    val entry = (0 until cliffEntries.size()).map(cliffEntries.get)
+      .find(_.get("name").asText() == "synthetic_cliff")
+      .getOrElse(fail(s"no cliff entry for synthetic_cliff: $full"))
+    assert(entry.has("sec_isolated") && entry.has("ratio_isolated") &&
+      entry.has("confirmed"),
+      s"cliff entry lacks recheck fields: $entry")
+    assert(entry.get("confirmed").asBoolean(),
+      s"a genuinely superlinear query must CONFIRM on recheck: $entry")
+    assert(entry.get("ratio_isolated").asDouble() > 2.0)
+    // ...and it rolls up into cliffs_rechecked
+    val rc = f.get("cliffs_rechecked")
+    assert((0 until rc.size()).map(rc.get)
+      .exists(_.get("name").asText() == "synthetic_cliff"),
+      s"recheck roll-up missing: $rc")
+
+    // honest queries don't flag at 2×
+    assert(!flagged10.contains("daily_revenue") &&
+      !flagged10.contains("a02_global_bounds"),
+      s"linear queries must not flag: $flagged10")
+
+    // the zero-budget 30× sweep reports every candidate as an explicit
+    // skip with a reason and a prior_sec predictor
+    val sk = f.get("scale30").get("skipped_detail")
+    assert(sk.size() > 0, s"starved sweep must report skips: $full")
+    (0 until sk.size()).map(sk.get).foreach { e =>
+      assert(e.has("reason"), s"skip without reason: $e")
+      assert(e.has("prior_sec") || e.has("ratio_10x"),
+        s"skip without a predictor datapoint: $e")
+    }
+
+    // summary line: bounded, parseable, driver-contract keys present
+    assert(summary.length < 2000,
+      s"summary must fit a 2000-char stdout tail: ${summary.length}")
+    assert(sm.get("metric").asText() == "total")
+    assert(sm.get("unit").asText() == "sec")
+    assert(sm.get("value").asDouble() > 0)
+    assert(sm.get("sf").asText() == sf001)
+    assert(sm.get("queries").isObject && sm.get("queries").size() > 0)
+    assert(sm.get("counts").get("registry").asInt() == 3)
+  }
+
+  test("bench dry run: recheck starvation is MARKED, never silent") {
+    // recheckBudget 0: the synthetic cliff's recheck can't run — the
+    // flag must then carry an explicit skipped marker (r11's failure
+    // mode was an empty list, indistinguishable from "no flags")
+    val cfg = Bench.Config(
+      sfDir = sf001,
+      selected = Seq("daily_revenue", "synthetic_cliff"),
+      extraQueries = Map("synthetic_cliff" -> syntheticCliff),
+      repeat = 3,
+      deadlineSec = 240.0,
+      baseCap = 60,
+      warmCodegen = false,
+      scaleOn = true, scaleCopies = 2, scaleBudget = 60, scaleCap = 30,
+      scale30On = false, scale100On = false,
+      recheckBudget = -1,
+      scaledDirBase =
+        java.nio.file.Files.createTempDirectory("graft_benchspec2_").toString,
+      detailPath = "unused.json")
+    val (full, _) = Bench.run(spark, cfg)
+    val f = mapper.readTree(full)
+    val cliffEntries = f.get("scale").get("cliffs")
+    val entry = (0 until cliffEntries.size()).map(cliffEntries.get)
+      .find(_.get("name").asText() == "synthetic_cliff")
+      .getOrElse(fail(s"no cliff entry for synthetic_cliff: $full"))
+    assert(entry.has("recheck") &&
+      entry.get("recheck").asText().startsWith("skipped_"),
+      s"starved recheck must be marked: $entry")
+    assert(f.get("counts").get("recheck_skipped").asInt() >= 1)
+    val rc = f.get("cliffs_rechecked")
+    assert((0 until rc.size()).map(rc.get).exists(e =>
+      e.get("name").asText() == "synthetic_cliff" && e.has("recheck")),
+      s"skipped recheck must appear in the roll-up: $rc")
+  }
+}

@@ -682,6 +682,58 @@ class StreamingSpec extends SparkSpec {
       s"late stale batch must change nothing, got $afterLate")
   }
 
+  test("cdcApplyAvailableNow: crash inside the atomic-swap rename window " +
+    "restores from backup instead of silently seeding empty") {
+    import graft.streaming.DimensionStream
+    import graft.operators.Scd2
+    val root = java.nio.file.Files.createTempDirectory("graft_cdccrash_").toString
+    val statePath = s"$root/state"
+    val feed0 = Seq((1L, 10L, 1L, "I", "a1", 11L))
+      .toDF("entity_id", "ts", "event_id", "op", "status", "val_cents")
+    DimensionStream.writeFeedFile(feed0, s"$root/feed", "b0", 1700000000000L)
+    val first = DimensionStream.cdcApplyAvailableNow(spark, s"$root/feed",
+      statePath, Seq("entity_id"), Seq("ts", "event_id"), "op",
+      Seq("status", "val_cents"), queryName = "cdccrash1")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toSet
+    assert(first === Set(1L -> ("a1", 11L)))
+    // simulate a crash between writeAtomic's live→backup and
+    // staging→live renames: live absent, backup = pre-crash state,
+    // a stale staging dir and the streaming checkpoint both survive
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(statePath),
+      new org.apache.hadoop.fs.Path(s"$statePath.backup")))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$statePath.staging"))
+    val feed1 = Seq((2L, 20L, 2L, "I", "b1", 22L))
+      .toDF("entity_id", "ts", "event_id", "op", "status", "val_cents")
+    DimensionStream.writeFeedFile(feed1, s"$root/feed", "b1", 1700000060000L)
+    val recovered = DimensionStream.cdcApplyAvailableNow(spark, s"$root/feed",
+      statePath, Seq("entity_id"), Seq("ts", "event_id"), "op",
+      Seq("status", "val_cents"), queryName = "cdccrash2")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toSet
+    assert(recovered === Set(1L -> ("a1", 11L), 2L -> ("b1", 22L)),
+      s"pre-crash state must survive the restore, got $recovered")
+  }
+
+  test("cdcApplyAvailableNow: refuses to seed empty over prior-deployment " +
+    "residue (checkpoint without live or backup)") {
+    import graft.streaming.DimensionStream
+    val root = java.nio.file.Files.createTempDirectory("graft_cdcresidue_").toString
+    val feed = Seq((1L, 10L, 1L, "I", "a1", 11L))
+      .toDF("entity_id", "ts", "event_id", "op", "status", "val_cents")
+    DimensionStream.writeFeedFile(feed, s"$root/feed", "b0", 1700000000000L)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/state.checkpoint"))
+    val e = intercept[RuntimeException] {
+      DimensionStream.cdcApplyAvailableNow(spark, s"$root/feed",
+        s"$root/state", Seq("entity_id"), Seq("ts", "event_id"), "op",
+        Seq("status", "val_cents"), queryName = "cdcresidue1")
+    }
+    assert(e.getMessage.contains("refusing to seed"),
+      s"unexpected error: ${e.getMessage}")
+  }
+
   test("cdcApplyAvailableNow: bootstraps from an ABSENT state table; null-op state rows are live") {
     import graft.streaming.DimensionStream
     import graft.operators.Scd2

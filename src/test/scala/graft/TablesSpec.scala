@@ -129,6 +129,28 @@ class TablesSpec extends SparkSpec {
     assert(sleeps === 0)
   }
 
+  test("SqlWorkflow retry: interrupts and VM-fatal errors are never retried") {
+    var sleeps = 0
+    val policy = RetryPolicy(sleep = _ => sleeps += 1)
+    // an interrupt is a cancellation: rethrown immediately, interrupt
+    // flag restored, zero backoff waits
+    intercept[InterruptedException] {
+      SqlWorkflow.withRetry(policy, "s") {
+        throw new InterruptedException("cancelled")
+      }
+    }
+    assert(Thread.interrupted(), "interrupt flag must be restored")
+    assert(sleeps === 0)
+    // fatal errors escape the NonFatal guard — never classified
+    // transient, never slept on
+    intercept[NoClassDefFoundError] {
+      SqlWorkflow.withRetry(policy, "s") {
+        throw new NoClassDefFoundError("graft/Gone")
+      }
+    }
+    assert(sleeps === 0)
+  }
+
   test("SqlWorkflow retry: attempts are bounded at maxAttempts") {
     var sleeps = 0
     val policy = RetryPolicy(maxAttempts = 3, sleep = _ => sleeps += 1)
