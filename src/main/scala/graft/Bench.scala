@@ -114,6 +114,12 @@ object Bench {
       scale100Budget: Int = 2400,
       scale100Cap: Int = 600,
       scale100Names: Seq[String] = scale100Defaults,
+      scaleOracleOn: Boolean = true,
+      scaleOracleBudget: Int = 420,
+      // in-bench tier: the flagship + dedup/ANN/pipeline defaults fit
+      // the driver deadline; the FULL checks map runs in
+      // ScaleOracleSpec (x3) and the standalone graft.ScaleOracle main
+      scaleOracleNames: Seq[String] = scale100Defaults,
       recheckBudget: Int = 300,
       sublinearSkip: Double = 0.5,
       scaledDirBase: String = "target",
@@ -158,6 +164,14 @@ object Bench {
       scale100Cap =
         sys.env.getOrElse("BENCH_SCALE100_QUERY_CAP_SEC", "600").toInt,
       scale100Names = s100Names,
+      scaleOracleOn = sys.env.getOrElse("BENCH_SCALE_ORACLE", "on") != "off",
+      scaleOracleBudget =
+        sys.env.getOrElse("BENCH_SCALE_ORACLE_BUDGET_SEC", "420").toInt,
+      scaleOracleNames = sys.env.get("BENCH_SCALE_ORACLE_QUERIES") match {
+        case Some("all") => ScaleOracle.checks.keys.toSeq.sorted
+        case Some(list) => list.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        case None => scale100Defaults
+      },
       recheckBudget = sys.env.getOrElse("BENCH_RECHECK_BUDGET_SEC", "300").toInt,
       detailPath = sys.env.getOrElse("BENCH_OUT", "BENCH_LOCAL.json"))
   }
@@ -558,6 +572,36 @@ object Bench {
       if (cfg.scaleOn && cfg.scaleCopies > 1)
         sweep(cfg.scaleCopies, cfg.scaleBudget, cfg.scaleCap)
       else emptySweep
+
+    // ── scale-correctness oracle at 10× ──────────────────────────────
+    // The sweeps above TIME the scaled runs; this phase VERIFIES their
+    // answers (graft.ScaleOracle: replica-embedding / group-scaling
+    // laws + independent SQL twins — exact, no tolerance archaeology).
+    // It runs right after the 10× sweep so the driver artifact carries
+    // oracle-gated 10× evidence even when the 30× tail later truncates
+    // under the global deadline; its own skips are reported per-query.
+    val (oracleJson, oracleResults) =
+      if (cfg.scaleOracleOn && cfg.scaleOn && cfg.scaleCopies > 1 &&
+          deadlineLeft > 60) {
+        val scaledDir = new java.io.File(
+          s"${cfg.scaledDirBase}/bench-scaled-x${cfg.scaleCopies}").getAbsolutePath
+        graft.sources.ScaledCorpus.build(spark, cfg.sfDir, scaledDir,
+          cfg.scaleCopies) // idempotent: the 10× sweep already built it
+        val t0 = System.nanoTime()
+        val names = ScaleOracle.checks.keys.toSeq.sorted
+          .filter(selected.contains)
+          .filter(cfg.scaleOracleNames.contains)
+        val rs = ScaleOracle.run(spark, queries, names, cfg.sfDir, scaledDir,
+          cfg.scaleCopies, cfg.scaleOracleBudget, () => deadlineLeft)
+        val oj = ScaleOracle.toJson(cfg.scaleCopies, rs,
+          (System.nanoTime() - t0) / 1e9)
+        val failedNames = rs.filter(r =>
+          r.status == "fail" || r.status == "error").map(_.name)
+        if (failedNames.nonEmpty)
+          System.err.println(s"[bench] scale oracle FAILED: " +
+            failedNames.mkString(","))
+        (oj, rs)
+      } else ("null", Seq.empty[ScaleOracle.Result])
     // 30× sweep: ordered by the 10× measurements (×3 — the known-
     // expensive tail runs last, budget buys max coverage), and
     // SKIPPING what 10× already answered: a query that was timed
@@ -611,17 +655,21 @@ object Bench {
       if (!on) 0 else total - s.timed.size
     val n10 = sweepCount(s10)
     val n30 = sweepCount(s30)
+    val oraclePass = oracleResults.count(_.status == "pass")
+    val oracleFail = oracleResults.count(r =>
+      r.status == "fail" || r.status == "error")
     val counts =
       s"""{"registry":${selected.size},"timed_1x":${results.count(_._2 > 0)},""" +
         s""""failed_1x":${failed.size},"timed_10x":$n10,"timed_30x":$n30,""" +
         s""""sublinear_skips_30x":${sublinear30.size},""" +
         s""""timed_100x":${sweepCount(s100)},""" +
+        s""""oracle_pass":$oraclePass,"oracle_fail":$oracleFail,""" +
         s""""recheck_skipped":$recheckSkippedN}"""
 
     // FULL artifact: key order = truncation priority (big dicts first,
     // summary scalars last, so any tail of the line is self-contained)
     val full =
-      f"""{"queries":${jsonDict(results)},"gc_ms":${jsonDict(gcMs)},"headline_repeats":$hRepeats,"scale":${s10.json},"scale30":${s30.json},"scale100":${s100.json},"headline_queries":${jsonDict(headlineResults)},"cliffs_10x":${names(s10.flagged)},"cliffs_30x":${names(s30.flagged)},"cliffs_100x":${names(s100.flagged)},"cliffs_confirmed_10x":${names(s10.confirmed)},"cliffs_confirmed_30x":${names(s30.confirmed)},"cliffs_confirmed_100x":${names(s100.confirmed)},"cliffs_rechecked":$rechecksAll,"excluded_twins":${names(excludedTwins)},"excluded_sweep":${names(excludedSweep)},"counts":$counts,"headline_stddev":$headlineStddev%.3f,"elapsed_sec":$globalElapsed%.1f,"deadline_sec":${cfg.deadlineSec}%.0f,"failed_detail":$failedDetail,"failed":${names(failed)},"total_all":$totalAll%.3f,"sf":"${cfg.sfDir}","metric":"total","unit":"sec","value":$headlineTotal%.3f}"""
+      f"""{"queries":${jsonDict(results)},"gc_ms":${jsonDict(gcMs)},"headline_repeats":$hRepeats,"scale":${s10.json},"scale30":${s30.json},"scale100":${s100.json},"scale_oracle":$oracleJson,"headline_queries":${jsonDict(headlineResults)},"cliffs_10x":${names(s10.flagged)},"cliffs_30x":${names(s30.flagged)},"cliffs_100x":${names(s100.flagged)},"cliffs_confirmed_10x":${names(s10.confirmed)},"cliffs_confirmed_30x":${names(s30.confirmed)},"cliffs_confirmed_100x":${names(s100.confirmed)},"cliffs_rechecked":$rechecksAll,"excluded_twins":${names(excludedTwins)},"excluded_sweep":${names(excludedSweep)},"counts":$counts,"headline_stddev":$headlineStddev%.3f,"elapsed_sec":$globalElapsed%.1f,"deadline_sec":${cfg.deadlineSec}%.0f,"failed_detail":$failedDetail,"failed":${names(failed)},"total_all":$totalAll%.3f,"sf":"${cfg.sfDir}","metric":"total","unit":"sec","value":$headlineTotal%.3f}"""
 
     // SUMMARY line (printed): everything a bounded-tail consumer needs
     // — headline per-query dict, cliff verdicts, coverage counts —
@@ -633,7 +681,7 @@ object Bench {
     val summaryQueries =
       if (headlineResults.nonEmpty) headlineResults else results.take(12)
     val summary =
-      f"""{"schema":"graft-bench-summary-v1","detail":"${cfg.detailPath}","counts":$counts,"cliffs_10x":${cap12(s10.flagged)},"cliffs_30x":${cap12(s30.flagged)},"cliffs_100x":${cap12(s100.flagged)},"cliffs_confirmed":${cap12(confirmedAll)},"failed":${cap12(failed)},"headline_stddev":$headlineStddev%.3f,"elapsed_sec":$globalElapsed%.1f,"deadline_sec":${cfg.deadlineSec}%.0f,"total_all":$totalAll%.3f,"queries":${jsonDict(summaryQueries)},"sf":"${cfg.sfDir}","metric":"total","unit":"sec","value":$headlineTotal%.3f}"""
+      f"""{"schema":"graft-bench-summary-v1","detail":"${cfg.detailPath}","counts":$counts,"oracle_failed":${cap12(oracleResults.filter(r => r.status == "fail" || r.status == "error").map(_.name))},"cliffs_10x":${cap12(s10.flagged)},"cliffs_30x":${cap12(s30.flagged)},"cliffs_100x":${cap12(s100.flagged)},"cliffs_confirmed":${cap12(confirmedAll)},"failed":${cap12(failed)},"headline_stddev":$headlineStddev%.3f,"elapsed_sec":$globalElapsed%.1f,"deadline_sec":${cfg.deadlineSec}%.0f,"total_all":$totalAll%.3f,"queries":${jsonDict(summaryQueries)},"sf":"${cfg.sfDir}","metric":"total","unit":"sec","value":$headlineTotal%.3f}"""
     (full, summary)
   }
 
