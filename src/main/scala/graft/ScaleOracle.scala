@@ -301,6 +301,33 @@ object ScaleOracle {
     "scd2_invariants" -> GroupScaled(Seq("rule"),
       invariantCols = Seq("passed")),
 
+    // ── STREAMING-ENGINE paths (readStream → state machine →
+    // AvailableNow): the same laws as their batch twins, but proven
+    // against the streaming runtime at scale — watermark dedup,
+    // session windows, stream-side joins, streaming SCD2/CDC state ──
+    "ev_stream_window_agg" -> GroupScaled(
+      Seq("window_start", "window_end", "event_type"),
+      scaledLongCols = Seq("n_events"),
+      scaledDoubleCols = Seq("total_value")),
+    "ev_stream_dedup" -> Embed(keyLt("user_id")),
+    "ev_stream_user_counts" -> Embed(keyLt("user_id")),
+    "ev_stream_sessions" -> Embed(keyLt("user_id")),
+    "ev_stream_enrich" -> GroupScaled(Seq("mktsegment", "event_type"),
+      scaledLongCols = Seq("n_events"),
+      scaledDoubleCols = Seq("total_value")),
+    // gopher stopword hits change on the letter-rotated replicas, so
+    // per-replica pass sets differ — replica-0 law only
+    "corpus_stream_gate" -> Embed(keyLt("doc_id"), countLaw = false),
+    "scd2_stream_merge" -> Embed(keyLt("s_suppkey"), countLaw = false),
+    "mv_stream_revenue" -> Embed(keyLt("l_suppkey")),
+    "mv_stream_dau" -> GroupScaled(Seq("day"),
+      scaledLongCols = Seq("dau", "n_events"),
+      invariantDoubleCols = Seq("events_per_user")),
+    "cdc_stream_apply" -> Embed(keyLt("entity_id")),
+    "mv_stream_transitions" -> GroupScaled(Seq("event_type", "next_type"),
+      scaledLongCols = Seq("n"),
+      invariantCols = Seq("p_ppm")),
+
     // ── independent SQL twins (replica laws broken by design) ──
     // exact dedup collapses cross-replica twins of freq-letter-free
     // texts, so per-lang counts aren't ×N-predictable; the twin
