@@ -121,6 +121,13 @@ object Bench {
       // ScaleOracleSpec (x3) and the standalone graft.ScaleOracle main
       scaleOracleNames: Seq[String] = scale100Defaults,
       recheckBudget: Int = 300,
+      // dedicated headline-only passes: the reported headline is the
+      // per-query MEDIAN over these (N≥5), not the min over the 2
+      // full-registry repeats — r12's 3.06 s stddev on an 11.6 s
+      // headline made round-over-round comparison mush; a median over
+      // 5 warm passes is the statistically legible number. ~12 s per
+      // pass at sf0.1, so the default costs ~1 min of the deadline.
+      headlineRepeat: Int = 5,
       sublinearSkip: Double = 0.5,
       scaledDirBase: String = "target",
       detailPath: String = "BENCH_LOCAL.json")
@@ -173,6 +180,7 @@ object Bench {
         case None => scale100Defaults
       },
       recheckBudget = sys.env.getOrElse("BENCH_RECHECK_BUDGET_SEC", "300").toInt,
+      headlineRepeat = sys.env.getOrElse("BENCH_HEADLINE_REPEAT", "5").toInt,
       detailPath = sys.env.getOrElse("BENCH_OUT", "BENCH_LOCAL.json"))
   }
 
@@ -250,15 +258,20 @@ object Bench {
     name.contains("_stream_") || name == "corpus_stream_gate" ||
       name == "scd2_stream_merge"
 
-  /** Sweep-excluded names beyond the `_coarse` MDM twins:
-    * dd_ngram_prefix is output-quadratic BY SEMANTICS (exact pair
-    * enumeration; the declared corpus-scale route is MinHash/LSH —
-    * dd_minhash_pairs, 10×-clean). It was the registry's only 10×
-    * cliff and burned a full per-query cap timeout every sweep while
-    * measuring nothing new; it stays fully oracle-gated at the bench
-    * SF. Reported in `excluded_sweep`, never silent.
+  /** Sweep-excluded names beyond the `_coarse` MDM twins — each is
+    * 1×-EVIDENCE by design, its flagged sweep cost the null model of
+    * its own semantics, reported in `excluded_sweep`, never silent:
+    *  - dd_ngram_prefix: output-quadratic BY SEMANTICS (exact pair
+    *    enumeration; the declared corpus-scale route is MinHash/LSH —
+    *    dd_minhash_pairs, 10×-clean). It burned a full per-query cap
+    *    timeout every sweep while measuring nothing new; it stays
+    *    fully oracle-gated at the bench SF.
+    *  - ev_json_props_agree: deliberately runs BOTH json parsers per
+    *    row to pin their row-for-row agreement at the oracle SF (the
+    *    registered scale path is ev_json_props, from_json-only).
     */
-  private val excludedSweep: Seq[String] = Seq("dd_ngram_prefix")
+  private val excludedSweep: Seq[String] =
+    Seq("dd_ngram_prefix", "ev_json_props_agree")
 
   /** One derived-scale sweep's output: its JSON section, the flagged /
     * confirmed cliff names, the per-query timings + per-input-row
@@ -349,15 +362,43 @@ object Bench {
     val failed = results.collect { case (k, v) if v <= 0 => k }
     val timeAt01 = results.toMap
 
-    // Headline repeat variance: every repeat's per-query seconds (full
-    // artifact) + the stddev of the headline-set total across repeats
-    // where the whole set succeeded — the measured noise floor a
-    // cross-round drift claim must clear.
-    val headlineRepeats: Seq[(String, Seq[Double])] = headlinePresent.map { n =>
-      n -> runs.flatMap(_.toMap.get(n)).map(_.sec)
+    // ── dedicated headline passes: median-of-N (N≥5) ────────────────
+    // The headline number the round-over-round comparison rides must
+    // clear its own noise floor: r12 reported min-of-2 full-registry
+    // repeats and measured a 3.06 s stddev on an 11.6 s headline
+    // (26%). N cheap headline-only passes (~12 s each, fully warm by
+    // now) give a per-query MEDIAN — robust to one contended pass in
+    // a way min-of-2 is not — and the stddev of the pass totals is
+    // the honest spread of the same measurement being reported.
+    val headlinePassCost = headlinePresent
+      .flatMap(n => picked.toMap.get(n)).map(_.sec).filter(_ > 0).sum + 30
+    val headlinePasses: Seq[Map[String, Timing]] =
+      (1 to cfg.headlineRepeat).flatMap { i =>
+        if (deadlineLeft < headlinePassCost) {
+          System.err.println(s"[bench] deadline near, stopping headline " +
+            s"passes at ${i - 1}/${cfg.headlineRepeat}")
+          None
+        } else Some(runOnce(cfg.sfDir, only = headlinePresent.contains).toMap)
+      }
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.isEmpty) -1.0
+      else if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
-    val repeatTotals = runs.map { r =>
-      val m = r.toMap
+    // per-query median over the dedicated passes; a query with no
+    // successful dedicated timing falls back to its registry number
+    val headlineMedians: Seq[(String, Double)] = headlinePresent.map { n =>
+      val ts = headlinePasses.flatMap(_.get(n)).map(_.sec).filter(_ > 0)
+      n -> (if (ts.nonEmpty) median(ts) else timeAt01.getOrElse(n, -1.0))
+    }
+    // full artifact keeps EVERY timing (registry repeats + dedicated
+    // passes) per headline query, so the spread is inspectable
+    val headlineRepeats: Seq[(String, Seq[Double])] = headlinePresent.map { n =>
+      n -> (runs.flatMap(_.toMap.get(n)) ++ headlinePasses.flatMap(_.get(n)))
+        .map(_.sec)
+    }
+    val repeatTotals = headlinePasses.map { m =>
       headlinePresent.flatMap(m.get).map(_.sec)
     }.filter(ts => ts.size == headlinePresent.size && ts.forall(_ > 0))
       .map(_.sum)
@@ -416,16 +457,24 @@ object Bench {
       val sweepGc = scala.collection.mutable.LinkedHashMap.empty[String, Double]
       val errMsgs = scala.collection.mutable.LinkedHashMap.empty[String, String]
       val skipped = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
-      // Interleaved cliff recheck state: re-running a flagged query
-      // immediately (hot cache, no neighbor pressure) is the cheapest
-      // honest refutation — r11 deferred rechecks to after both sweeps
-      // and the deadline starved them (cliffs_rechecked: [] while 19
-      // flags stood). The recheck spend is bounded by its own budget
-      // so a burst of CONFIRMED cliffs (each worth up to `cap`) can't
-      // eat the sweep.
+      // Cliff recheck state: flags are COLLECTED during the sweep and
+      // adjudicated right after it, in DESCENDING-ratio order — r12
+      // rechecked at flag time (= cheapest-first sweep order) and the
+      // recheck budget ran out before the round's largest flag
+      // (a12_rollup_revenue, 19.7× in-sweep) was ever re-measured;
+      // the worst flag must never be the one skipped. End-of-THIS-
+      // sweep keeps r11's lesson (deferring past both sweeps starved
+      // rechecks entirely) and the scaled corpus / page cache are
+      // still warm, so the isolated re-run keeps its refutation
+      // power. The recheck spend stays bounded by its own budget so a
+      // burst of CONFIRMED cliffs (each worth up to `cap`) can't eat
+      // the deadline.
       val recheckRecords = scala.collection.mutable.ArrayBuffer.empty[String]
       var recheckSpent = 0.0
       var recheckSkipped = 0
+      final case class Flag(name: String, sec: Double, ratio: Double,
+                            timedOut: Boolean)
+      val flagsBuf = scala.collection.mutable.ArrayBuffer.empty[Flag]
       // cliff bookkeeping: name -> (firstSec, firstRatio, timedOut,
       // recheckJsonFragment, confirmed)
       final case class Cliff(name: String, sec: Double, ratio: Double,
@@ -471,42 +520,45 @@ object Bench {
           if (t1 > 0.05 && t.sec != -2.0) {
             val eff = if (t.sec == -1.0) cap.toDouble else t.sec
             val ratio = eff / (copies * t1)
-            if (t.sec == -1.0 || (ratio > 2.0 && eff > 2.0)) {
-              // flagged — recheck NOW, in isolation, while the flag is
-              // fresh: confirmed means the isolated run still ratios
-              // >2 (or still times out); refuted means the first run
-              // was environment, and the artifact says so itself
-              if (deadlineLeft < cap + 30 || recheckSpent > cfg.recheckBudget) {
-                recheckSkipped += 1
-                val why = if (deadlineLeft < cap + 30) "skipped_deadline"
-                          else "skipped_budget"
-                cliffs += Cliff(name, t.sec, ratio, t.sec == -1.0,
-                  s""","recheck":"$why"""", confirmed = true)
-                recheckRecords +=
-                  s"""{"name":"$name","copies":$copies,"recheck":"$why"}"""
-              } else {
-                val r = timedRun(spark, queries, name, scaledDir, cap)
-                recheckSpent += (if (r.sec > 0) r.sec else cap.toDouble)
-                val effIso = if (r.sec == -1.0) cap.toDouble else r.sec
-                val ratioIso =
-                  if (r.sec == -2.0) -1.0 else effIso / (copies * t1)
-                val confirmed = r.sec == -1.0 ||
-                  (r.sec > 0 && ratioIso > 2.0 && effIso > 2.0)
-                val frag = f""","sec_isolated":${r.sec}%.3f,""" +
-                  f""""ratio_isolated":$ratioIso%.2f,"confirmed":$confirmed"""
-                cliffs += Cliff(name, t.sec, ratio, t.sec == -1.0, frag,
-                  confirmed)
-                recheckRecords += f"""{"name":"$name","copies":$copies,""" +
-                  f""""sec_isolated":${r.sec}%.3f,"ratio_isolated":""" +
-                  f"""$ratioIso%.2f,"confirmed":$confirmed}"""
-                // the isolated run is the steadier measurement — record
-                // the better of the two as the sweep timing (the flag
-                // entry keeps the first run's number)
-                if (r.sec > 0 && (t.sec < 0 || r.sec < t.sec))
-                  timed(name) = r.sec
-              }
-            }
+            if (t.sec == -1.0 || (ratio > 2.0 && eff > 2.0))
+              flagsBuf += Flag(name, t.sec, ratio, t.sec == -1.0)
           }
+        }
+      }
+      // ── recheck phase: worst flag first ──
+      flagsBuf.sortBy(-_.ratio).foreach { f =>
+        val t1 = timeAt01.getOrElse(f.name, 0.0)
+        if (deadlineLeft < cap + 30 || recheckSpent > cfg.recheckBudget) {
+          recheckSkipped += 1
+          val why = if (deadlineLeft < cap + 30) "skipped_deadline"
+                    else "skipped_budget"
+          cliffs += Cliff(f.name, f.sec, f.ratio, f.timedOut,
+            s""","recheck":"$why"""", confirmed = true)
+          recheckRecords +=
+            s"""{"name":"${f.name}","copies":$copies,"recheck":"$why"}"""
+        } else {
+          // isolated re-run: confirmed means it still ratios >2 (or
+          // still times out); refuted means the in-sweep run was
+          // environment, and the artifact says so itself
+          val r = timedRun(spark, queries, f.name, scaledDir, cap)
+          recheckSpent += (if (r.sec > 0) r.sec else cap.toDouble)
+          val effIso = if (r.sec == -1.0) cap.toDouble else r.sec
+          val ratioIso =
+            if (r.sec == -2.0) -1.0 else effIso / (copies * t1)
+          val confirmed = r.sec == -1.0 ||
+            (r.sec > 0 && ratioIso > 2.0 && effIso > 2.0)
+          val frag = f""","sec_isolated":${r.sec}%.3f,""" +
+            f""""ratio_isolated":$ratioIso%.2f,"confirmed":$confirmed"""
+          cliffs += Cliff(f.name, f.sec, f.ratio, f.timedOut, frag,
+            confirmed)
+          recheckRecords += f"""{"name":"${f.name}","copies":$copies,""" +
+            f""""sec_isolated":${r.sec}%.3f,"ratio_isolated":""" +
+            f"""$ratioIso%.2f,"confirmed":$confirmed}"""
+          // the isolated run is the steadier measurement — record the
+          // better of the two as the sweep timing (the flag entry
+          // keeps the first run's number)
+          if (r.sec > 0 && (f.sec < 0 || r.sec < f.sec))
+            timed(f.name) = r.sec
         }
       }
       if (skipped.nonEmpty)
@@ -588,9 +640,15 @@ object Bench {
         graft.sources.ScaledCorpus.build(spark, cfg.sfDir, scaledDir,
           cfg.scaleCopies) // idempotent: the 10× sweep already built it
         val t0 = System.nanoTime()
-        val names = ScaleOracle.checks.keys.toSeq.sorted
+        // every 10×-flagged name joins the oracle tier automatically
+        // (VERDICT r12): a perf fix adjudicated by the recheck can't
+        // silently change answers in the same run — its scale law is
+        // verified alongside. A flagged name with no registered check
+        // surfaces as an explicit "no check registered" skip.
+        val names = (ScaleOracle.checks.keys.toSeq
+            .filter(cfg.scaleOracleNames.contains) ++ s10.flagged)
+          .distinct.sorted
           .filter(selected.contains)
-          .filter(cfg.scaleOracleNames.contains)
         val rs = ScaleOracle.run(spark, queries, names, cfg.sfDir, scaledDir,
           cfg.scaleCopies, cfg.scaleOracleBudget, () => deadlineLeft)
         val oj = ScaleOracle.toJson(cfg.scaleCopies, rs,
@@ -632,9 +690,9 @@ object Bench {
           Map.empty, cfg.scale100Names.toSet)
       else emptySweep
 
-    val headlineResults = results.filter { case (k, v) =>
-      headlinePresent.contains(k) && v > 0
-    }
+    // headline dict + total ride the dedicated-pass MEDIANS (the
+    // registry `queries` dict keeps min-of-N for every query)
+    val headlineResults = headlineMedians.filter(_._2 > 0)
     val headlineTotal = headlineResults.map(_._2).sum
     val totalAll = results.collect { case (_, v) if v > 0 => v }.sum
     val excludedTwins = results.collect {

@@ -10,11 +10,12 @@ import org.apache.spark.sql.functions._
 object Micro {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // GraftSession, NOT a bare builder: the bench/verify path runs
+    // with AQE + UTC + the engine extensions, and a probe session
+    // missing those measures a DIFFERENT plan (observed: 5× on
+    // ta_boilerplate_scrub from the missing AQE coalescing alone)
+    val spark = GraftSession.local("graft-micro",
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
     spark.sparkContext.setLogLevel("ERROR")
     val ngramOnly = args.lift(1).contains("ngram")
 

@@ -284,8 +284,11 @@ object ScaleOracle {
     "a19_pivot_status" -> GroupScaled(Seq("o_orderpriority"),
       scaledDoubleCols = Seq("sales_f", "sales_o", "sales_p")),
     "ev_json_props" -> GroupScaled(Seq("event_type"),
-      scaledLongCols = Seq("n_events", "n_with_k", "n_agree", "sum_k"),
+      scaledLongCols = Seq("n_events", "n_with_k", "sum_k"),
       invariantCols = Seq("min_k", "max_k")),
+    "ev_json_props_agree" -> Excluded("1x-evidence twin: deliberately " +
+      "runs BOTH json parsers per row to pin their agreement at the " +
+      "oracle SF; the registered scale path is ev_json_props"),
     "ev_funnel" -> GroupScaled(Seq("stage"),
       scaledLongCols = Seq("n_users"),
       invariantDoubleCols = Seq("avg_secs_from_view")),
@@ -478,32 +481,61 @@ object ScaleOracle {
               val scaled = queries(name)(spark, scaledDir)
               val key = (r: org.apache.spark.sql.Row) =>
                 groupCols.map(c => String.valueOf(r.getAs[Any](c))).mkString("\u0001")
-              val baseRows = base.collect().map(r => key(r) -> r).toMap
-              val scaledRows = scaled.collect().map(r => key(r) -> r).toMap
+              val baseArr = base.collect()
+              val scaledArr = scaled.collect()
+              val baseRows = baseArr.map(r => key(r) -> r).toMap
+              val scaledRows = scaledArr.map(r => key(r) -> r).toMap
               if (baseRows.isEmpty) done("error", "base result empty")
+              // duplicate group keys must FAIL, not collapse via toMap:
+              // the partial-agg-merge bug class this law targets emits
+              // extra rows per group, and the surviving map entry could
+              // still satisfy the scaling law (ADVICE r12)
+              else if (baseRows.size != baseArr.length)
+                done("fail", s"duplicate group rows at 1x: " +
+                  s"${baseArr.length} rows over ${baseRows.size} keys")
+              else if (scaledRows.size != scaledArr.length)
+                done("fail", s"duplicate group rows at ${copies}x: " +
+                  s"${scaledArr.length} rows over ${scaledRows.size} keys")
               else if (baseRows.keySet != scaledRows.keySet)
                 done("fail", s"group-set law: ${baseRows.size} groups at 1x " +
                   s"vs ${scaledRows.size} at ${copies}x (" +
                   s"${(baseRows.keySet diff scaledRows.keySet).size} missing, " +
                   s"${(scaledRows.keySet diff baseRows.keySet).size} new)")
               else {
+                // null-safe measure access: getAs[Long]/getAs[Double]
+                // unbox SQL NULL to 0/0.0, so a scaled result nulling
+                // out a zero-valued measure (or vice versa) would pass
+                // silently (ADVICE r12) — compare boxed values and
+                // treat null↔non-null as a law break; null↔null is
+                // scale-invariant by definition
+                def nullMismatch(b: org.apache.spark.sql.Row,
+                                 s: org.apache.spark.sql.Row, c: String) =
+                  (b.getAs[Any](c) == null) != (s.getAs[Any](c) == null)
+                def bothNull(b: org.apache.spark.sql.Row,
+                             s: org.apache.spark.sql.Row, c: String) =
+                  b.getAs[Any](c) == null && s.getAs[Any](c) == null
                 val bad = baseRows.iterator.flatMap { case (k, b) =>
                   val s = scaledRows(k)
                   val longBad = longCols.exists(c =>
-                    s.getAs[Long](c) != copies * b.getAs[Long](c))
+                    nullMismatch(b, s, c) || (!bothNull(b, s, c) &&
+                      s.getAs[Long](c) != copies * b.getAs[Long](c)))
                   val dblBad = dblCols.exists { c =>
-                    val exp = copies * b.getAs[Double](c)
-                    val got = s.getAs[Double](c)
-                    math.abs(got - exp) >
-                      1e-9 * math.max(math.abs(exp), math.abs(got))
+                    nullMismatch(b, s, c) || (!bothNull(b, s, c) && {
+                      val exp = copies * b.getAs[Double](c)
+                      val got = s.getAs[Double](c)
+                      math.abs(got - exp) >
+                        1e-9 * math.max(math.abs(exp), math.abs(got))
+                    })
                   }
                   val invBad = invCols.exists(c =>
                     String.valueOf(s.getAs[Any](c)) != String.valueOf(b.getAs[Any](c)))
                   val invDblBad = invDblCols.exists { c =>
-                    val exp = b.getAs[Double](c)
-                    val got = s.getAs[Double](c)
-                    math.abs(got - exp) >
-                      1e-9 * math.max(math.abs(exp), math.abs(got))
+                    nullMismatch(b, s, c) || (!bothNull(b, s, c) && {
+                      val exp = b.getAs[Double](c)
+                      val got = s.getAs[Double](c)
+                      math.abs(got - exp) >
+                        1e-9 * math.max(math.abs(exp), math.abs(got))
+                    })
                   }
                   if (longBad || dblBad || invBad || invDblBad) Some(k) else None
                 }.take(3).toSeq
@@ -516,8 +548,12 @@ object ScaleOracle {
 
             case SqlTwin(sql) =>
               graft.sources.ScaledCorpus.keyCols.keys.foreach { table =>
+                // same reader as the corpus builder/engine queries —
+                // a plain parquet read would misread or error on
+                // legacy-nanos event timestamps (ADVICE r12)
                 if (sql.contains(s"so_$table"))
-                  spark.read.parquet(s"$scaledDir/$table.parquet")
+                  graft.sources.Tables
+                    .readParquetAutoNanos(spark, s"$scaledDir/$table.parquet")
                     .createOrReplaceTempView(s"so_$table")
               }
               val engine = queries(name)(spark, scaledDir)
@@ -562,8 +598,13 @@ object ScaleOracle {
           perCheckReserveSec: Double = 60.0): Seq[Result] = {
     val t0 = System.nanoTime()
     def elapsed = (System.nanoTime() - t0) / 1e9
-    names.filter(queries.contains).map { name =>
-      if (!checks.contains(name)) Result(name, "skip", "no check registered", 0)
+    names.map { name =>
+      // a check left registered after a query rename must surface as
+      // an ERROR, not vanish from the artifact (ADVICE r12 — the
+      // every-skip-is-reported convention)
+      if (!queries.contains(name))
+        Result(name, "error", "check registered but query missing", 0)
+      else if (!checks.contains(name)) Result(name, "skip", "no check registered", 0)
       else if (checks(name).isInstanceOf[Excluded])
         verify(spark, queries, name, sfDir, scaledDir, copies)
       else if (elapsed > budgetSec)
@@ -609,6 +650,11 @@ object ScaleOracle {
       case '"' => "\\\""
       case '\\' => "\\\\"
       case c if c < ' ' => " "
+      // \uXXXX-escape non-ASCII: the standalone main prints via
+      // println in the platform default charset, which mangled
+      // em-dashes to '?' in captured artifacts (ADVICE r12) — escaped
+      // ASCII is charset-proof on any capture path
+      case c if c > '~' => f"\\u${c.toInt}%04x"
       case c => c.toString
     }
     val per = results.map { r =>

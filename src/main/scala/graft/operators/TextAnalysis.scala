@@ -653,12 +653,23 @@ object TextAnalysis {
     *
     * Scale shape: segmentation is a scan-side array projection; the
     * boilerplate dictionary is one (segment-key) distinct-doc count;
-    * the scrub is a shuffled-hash ANTI-join of the exploded segment
+    * the scrub is a shuffled-hash SEMI-join of the exploded segment
     * stream against the dictionary (NOT broadcast — a template-heavy
-    * crawl can have a huge dictionary) plus one per-doc reassembly
-    * aggregate. Order is recovered by `array_sort` over (pos, seg)
-    * structs — never from collect_list's arrival order. Documents
-    * that are PURE boilerplate drop out of the result entirely.
+    * crawl can have a huge dictionary). Both dictionary exchanges
+    * move xxhash64 LONG keys on compact (id, pos, hash) rows — the
+    * segment STRINGS never shuffle (r12 confirmed the string-keyed
+    * anti-join + full-stream `collect_list(struct(pos, seg))`
+    * reassembly as a 5.4× 10× cliff: every exchange carried 8-token
+    * text twice). The semi-join yields only the REMOVED (id, pos)
+    * hits — boilerplate-sized, not corpus-sized — which aggregate to
+    * a per-doc drop-position list; reassembly is then an in-row
+    * array filter over the cached segment arrays, joined doc-sized.
+    * A 64-bit hash collision could scrub an innocent segment; at the
+    * birthday bound that needs ~2³² distinct segments per corpus to
+    * reach even ~50% for ONE collision — the exact-path contract at
+    * any practical SF, and the oracle pins it at the bench SFs.
+    * Documents that are PURE boilerplate drop out of the result
+    * entirely.
     */
   def boilerplateScrub(df: DataFrame, idCol: String, textCol: String,
                        segTokens: Int = 8, minDocs: Int = 10): DataFrame = {
@@ -710,22 +721,35 @@ object TextAnalysis {
             error: Exception): Unit = maybeRelease(qe)
       }
     session.listenerManager.register(listener)
+    // compact exploded stream: the segment string is hashed AT the
+    // explode and never travels — exchanges carry (id, pos, long).
+    // Empty segments (split of empty text) are excluded here outright:
+    // they are never dictionary candidates, so they need no probe.
     val ex = segged
-      .withColumn("_nseg", size(col("_segs")).cast("long"))
-      .select(col(idCol), col("_nseg"),
-        posexplode(col("_segs")).as(Seq("_pos", "_seg")))
-    val dict = ex.filter(col("_seg") =!= "")
-      .groupBy("_seg").agg(countDistinct(col(idCol)).as("_docs"))
+      .select(col(idCol), posexplode(col("_segs")).as(Seq("_pos", "_seg")))
+      .filter(col("_seg") =!= "")
+      .select(col(idCol), col("_pos"), xxhash64(col("_seg")).as("_h"))
+    val dict = ex
+      .groupBy("_h").agg(countDistinct(col(idCol)).as("_docs"))
       .filter(col("_docs") >= minDocs)
-      .select("_seg")
-    ex.join(dict.hint("shuffle_hash"), Seq("_seg"), "left_anti")
+      .select("_h")
+    val removed = ex.join(dict.hint("shuffle_hash"), Seq("_h"), "left_semi")
       .groupBy(col(idCol))
-      .agg(
+      .agg(collect_list(col("_pos")).as("_drop"))
+    segged.join(removed.hint("shuffle_hash"), Seq(idCol), "left")
+      .withColumn("_dropArr",
+        coalesce(col("_drop"), array().cast("array<int>")))
+      // a doc whose every segment was removed has no clean text left —
+      // it drops from the result entirely (null _segs from null text
+      // makes the predicate null ⇒ also dropped, matching the explode
+      // path, which emitted no rows for such docs)
+      .filter(size(col("_segs")) > size(col("_dropArr")))
+      .select(col(idCol),
         array_join(
-          transform(array_sort(collect_list(struct(col("_pos"), col("_seg")))),
-            p => p.getField("_seg")),
+          filter(col("_segs"),
+            (s, i) => !array_contains(col("_dropArr"), i)),
           " ").as("clean_text"),
-        (first(col("_nseg")) - count(lit(1))).cast("long").as("n_removed"))
+        size(col("_dropArr")).cast("long").as("n_removed"))
   }
 
   /** CCNet perplexity buckets (Wenzek et al. 2019, arXiv:1911.00359

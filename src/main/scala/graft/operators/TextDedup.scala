@@ -532,6 +532,36 @@ object TextDedup {
 
   // ───────────────────────── n-gram Jaccard ─────────────────────────
 
+  /** Skew guard for the exact blocked pair joins: a block over
+    * `maxBlockSize` would make the pairwise intersection quadratic on
+    * one hot key. With `allow=true` the oversized block is silently
+    * EXCLUDED (per-block exactness — the caller observes the drops
+    * via [[ngramOversizedBlocks]] and routes them). By default the
+    * job FAILS at the first oversized block instead: at corpus scale
+    * the guard can exclude every block, and r12's sweep showed the
+    * resulting empty result is indistinguishable from "no
+    * duplicates" unless the exclusion is loud. The check rides
+    * `assert_true` INSIDE the plan — lazy, zero extra jobs, fires
+    * exactly when the block-size window is computed anyway.
+    */
+  private def blockCapGuard(prepared: DataFrame, blockCol: String,
+                            maxBlockSize: Int, allow: Boolean): DataFrame = {
+    val sized = prepared.withColumn("_block_size",
+      count(lit(1)).over(Window.partitionBy(blockCol)))
+    val guarded =
+      if (allow) sized.filter(col("_block_size") <= maxBlockSize)
+      else sized.filter(assert_true(col("_block_size") <= maxBlockSize,
+        concat(lit("ngram block '"), col(blockCol).cast("string"),
+          lit("' holds "), col("_block_size").cast("string"),
+          lit(s" docs > maxBlockSize=$maxBlockSize — the exact pair join " +
+            "would go quadratic on it. Route oversized blocks via " +
+            "ngramOversizedBlocks, use the minhash/LSH or " +
+            "prefix-filtered family at corpus scale, or pass " +
+            "allowBlockExclusion=true to accept per-block exactness " +
+            "with oversized blocks dropped."))).isNull)
+    guarded.drop("_block_size")
+  }
+
   /** Blocked n-gram Jaccard similarity pairs: candidates share a
     * block (e.g. language), similarity = |A∩B| / |A∪B| over distinct
     * shingle sets. Exact (no LSH recall loss), made tractable by
@@ -552,29 +582,34 @@ object TextDedup {
     *     them — every unordered pair lands in exactly one
     *     (block, cell), parallelism becomes #blocks × saltFactor.
     *
-    * Contract caveat: blocks larger than `maxBlockSize` are EXCLUDED
-    * from the pair join (skew guard), so "exact" holds per processed
-    * block — observe and route the dropped ones via
-    * [[ngramOversizedBlocks]].
+    * See [[blockCapGuard]] for the oversized-block contract:
+    * loud-by-default, silent exclusion only by explicit opt-in.
+    *
+    * Block-cap contract: with `allowBlockExclusion=true`, blocks
+    * larger than `maxBlockSize` are EXCLUDED from the pair join
+    * (skew guard), so "exact" holds per processed block — observe
+    * and route the dropped ones via [[ngramOversizedBlocks]]. By
+    * DEFAULT the job instead FAILS loudly at the first oversized
+    * block (VERDICT r12): on a big corpus the guard can exclude
+    * every block, and an empty result that reads as "no duplicates"
+    * is the worst failure mode an exact path can have. The error
+    * message names the block and the scale routes (LSH/minhash,
+    * prefix-filtered).
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         blockCol: String, threshold: Double,
                         shingleSize: Int = 5,
                         maxBlockSize: Int = DefaultMaxBucketSize,
-                        saltFactor: Int = 8): DataFrame = {
+                        saltFactor: Int = 8,
+                        allowBlockExclusion: Boolean = false): DataFrame = {
     graft.plans.GraftExtensions.register(df.sparkSession) // idempotent
-    val wBlock = Window.partitionBy(blockCol)
-    val prepared = df
-      .filter(col(textCol).isNotNull)
-      .withColumn("_norm", normalizeText(col(textCol)))
-      .withColumn("_sh", expr(s"packed_shingles(_norm, $shingleSize)"))
-      .select(col(idCol), col(blockCol), col("_sh"))
-      .repartition(col(blockCol))
-      // same skew guard as lshCandidatePairs: a hot block would make
-      // the pairwise intersection quadratic on one task
-      .withColumn("_block_size", count(lit(1)).over(wBlock))
-      .filter(col("_block_size") <= maxBlockSize)
-      .drop("_block_size")
+    val prepared = blockCapGuard(
+      df.filter(col(textCol).isNotNull)
+        .withColumn("_norm", normalizeText(col(textCol)))
+        .withColumn("_sh", expr(s"packed_shingles(_norm, $shingleSize)"))
+        .select(col(idCol), col(blockCol), col("_sh"))
+        .repartition(col(blockCol)),
+      blockCol, maxBlockSize, allowBlockExclusion)
     val a = prepared.select(col(blockCol), col(idCol).as("id_1"), col("_sh").as("sh_1"))
       .withColumn("_cell", pmod(xxhash64(col("id_1")), lit(saltFactor)))
       .hint("shuffle_hash")
@@ -609,18 +644,16 @@ object TextDedup {
                             blockCol: String, threshold: Double,
                             shingleSize: Int = 5,
                             maxBlockSize: Int = DefaultMaxBucketSize,
-                            saltFactor: Int = 8): DataFrame = {
+                            saltFactor: Int = 8,
+                            allowBlockExclusion: Boolean = false): DataFrame = {
     graft.plans.GraftExtensions.register(df.sparkSession) // idempotent
-    val wBlock = Window.partitionBy(blockCol)
-    val prepared = df
-      .filter(col(textCol).isNotNull)
-      .withColumn("_norm", normalizeText(col(textCol)))
-      .withColumn("_sh", expr(s"packed_shingles(_norm, $shingleSize)"))
-      .select(col(idCol), col(blockCol), col("_sh"))
-      .repartition(col(blockCol))
-      .withColumn("_block_size", count(lit(1)).over(wBlock))
-      .filter(col("_block_size") <= maxBlockSize)
-      .drop("_block_size")
+    val prepared = blockCapGuard(
+      df.filter(col(textCol).isNotNull)
+        .withColumn("_norm", normalizeText(col(textCol)))
+        .withColumn("_sh", expr(s"packed_shingles(_norm, $shingleSize)"))
+        .select(col(idCol), col(blockCol), col("_sh"))
+        .repartition(col(blockCol)),
+      blockCol, maxBlockSize, allowBlockExclusion)
     val a = prepared.select(col(blockCol), col(idCol).as("id_1"), col("_sh").as("sh_1"))
       .withColumn("_cell", pmod(xxhash64(col("id_1")), lit(saltFactor)))
       .hint("shuffle_hash")

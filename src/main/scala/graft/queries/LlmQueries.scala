@@ -1860,8 +1860,13 @@ object LlmQueries {
 
     "dd_ngram_jaccard" -> QueryDef.sql(
       (s, dir) =>
+        // explicit opt-in to the block-size skew guard: this is the
+        // documented 1×-exact evidence path (named scale-oracle
+        // exclusion — at derived scale every block exceeds the cap
+        // and the result is empty BY CONTRACT); unsanctioned callers
+        // get a loud failure instead (TextDedup.blockCapGuard)
         TextDedup.ngramJaccardPairs(nearDupCorpus(s, dir), "doc_id", "text",
-          "lang", threshold = 0.5),
+          "lang", threshold = 0.5, allowBlockExclusion = true),
       s"""WITH $nearDupCorpusSql,
          |$shinglesSql
          |SELECT a.doc_id AS id_1, b.doc_id AS id_2,
@@ -1880,7 +1885,7 @@ object LlmQueries {
     "dd_ngram_containment" -> QueryDef.sql(
       (s, dir) =>
         TextDedup.ngramContainmentPairs(nearDupCorpus(s, dir), "doc_id",
-          "text", "lang", threshold = 0.9),
+          "text", "lang", threshold = 0.9, allowBlockExclusion = true),
       s"""WITH $nearDupCorpusSql,
          |$shinglesSql
          |SELECT a.doc_id AS id_1, b.doc_id AS id_2,

@@ -1904,8 +1904,16 @@ object RelationalQueries {
         |             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin),
 
     // ───── A12: ROLLUP subtotal hierarchy over (nation, segment)
-    // revenue — grouping-set aggregation in one pass (Spark expands
-    // the sets below one shuffle; no N-pass union). GROUPING() flags
+    // revenue. Scale shape (r12 confirmed the naive form as the
+    // round's worst 10× cliff, 19.7×): Spark's grouping-set expand
+    // multiplies every FACT row ×(sets) BEFORE the exchange, so a
+    // direct rollup over the join output shuffles 3×|orders⋈customer|.
+    // Instead pre-aggregate to the bounded (n_name, c_mktsegment)
+    // frame first — ONE fact-sized, map-side-combined exchange — then
+    // ROLLUP over the ≤|nations|×|segments| frame: the subtotal
+    // hierarchy costs a second exchange over ~150 rows. Decimal state
+    // carries through both levels (sum-of-sums is exact), so the
+    // result is bit-identical to the one-pass form. GROUPING() flags
     // distinguish subtotal rows from genuine values.
     "a12_rollup_revenue" -> QueryDef.sql(
       (s, dir) =>
@@ -1914,10 +1922,14 @@ object RelationalQueries {
             col("o_custkey") === col("c_custkey"))
           .join(broadcast(t(s, dir, "nation")),
             col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"), col("c_mktsegment"))
+          .agg(
+            sum(col("o_totalprice").cast("decimal(30,2)")).as("_sales_dec"),
+            count(lit(1)).as("_n"))
           .rollup(col("n_name"), col("c_mktsegment"))
           .agg(
-            exactSum(col("o_totalprice")).as("total_sales"),
-            count(lit(1)).as("n_orders"),
+            sum(col("_sales_dec")).cast("double").as("total_sales"),
+            sum(col("_n")).as("n_orders"),
             grouping(col("n_name")).as("_g_nation"),
             grouping(col("c_mktsegment")).as("_g_segment"))
           .select(
@@ -1939,24 +1951,34 @@ object RelationalQueries {
     // ───── A18: GROUPING SETS — the general form a12's ROLLUP is a
     // special case of: per-nation totals, per-segment totals, and the
     // grand total WITHOUT the (nation, segment) cross rows a rollup
-    // would add. One shuffle — Spark expands the sets below a single
-    // exchange exactly as with ROLLUP. SQL-only surface (the
-    // DataFrame API exposes rollup/cube but not arbitrary sets).
+    // would add. Same scale shape as a12 (the naive form was 10×-
+    // flagged in r12 for the same reason — the set expand runs ×3
+    // below the fact-sized exchange): pre-aggregate to the bounded
+    // (n_name, c_mktsegment) frame in one map-side-combined shuffle,
+    // then expand the sets over ~150 rows; decimal sum-of-sums keeps
+    // the result exact. SQL-only surface (the DataFrame API exposes
+    // rollup/cube but not arbitrary sets).
     "a18_grouping_sets" -> QueryDef.sql(
       (s, dir) => {
         t(s, dir, "orders").createOrReplaceTempView("orders_v")
         t(s, dir, "customer").createOrReplaceTempView("customer_v")
         t(s, dir, "nation").createOrReplaceTempView("nation_v")
         s.sql(
-          """SELECT
+          """WITH base AS (
+            |  SELECT n_name, c_mktsegment,
+            |         SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS sales_dec,
+            |         COUNT(*) AS n
+            |  FROM orders_v
+            |  JOIN customer_v ON o_custkey = c_custkey
+            |  JOIN nation_v ON c_nationkey = n_nationkey
+            |  GROUP BY n_name, c_mktsegment)
+            |SELECT
             |  CASE WHEN GROUPING(n_name) = 1 THEN 'ALL' ELSE n_name END AS nation,
             |  CASE WHEN GROUPING(c_mktsegment) = 1 THEN 'ALL'
             |       ELSE c_mktsegment END AS segment,
-            |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS total_sales,
-            |  COUNT(*) AS n_orders
-            |FROM orders_v
-            |JOIN customer_v ON o_custkey = c_custkey
-            |JOIN nation_v ON c_nationkey = n_nationkey
+            |  CAST(SUM(sales_dec) AS DOUBLE) AS total_sales,
+            |  SUM(n) AS n_orders
+            |FROM base
             |GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())""".stripMargin)
       },
       """SELECT

@@ -375,5 +375,11 @@ class GovernanceSpec extends SparkSpec {
     // equal content ⇒ equal signature under ANY order/partitioning
     val perm = sig(Seq("B", "A", "A").toDF("v").repartition(7))
     assert(perm === s1)
+    // the scheme VERSION travels in the output row: signatures are
+    // stored durably and compared across builds, so a digest-chain or
+    // combine-rule change must read as a scheme mismatch, not as
+    // phantom corruption — this pin forces the bump to be deliberate
+    val row = Governance.tableChecksum(Seq("A").toDF("v"), Seq("v")).collect()(0)
+    assert(row.getAs[String]("sig_scheme") === "md5x15-madd60-v2")
   }
 }

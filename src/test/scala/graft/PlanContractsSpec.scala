@@ -306,14 +306,17 @@ class PlanContractsSpec extends SparkSpec {
     assert(countLines(p, "CartesianProduct") === 0, p)
   }
 
-  test("ta_boilerplate_scrub: dictionary anti-join is shuffled-hash, not broadcast") {
+  test("ta_boilerplate_scrub: dictionary semi-join is shuffled-hash, not broadcast") {
     val p = plan("ta_boilerplate_scrub")
     // a template-heavy crawl can have a huge boilerplate dictionary:
-    // the scrub must not depend on broadcasting it
-    assert(p.contains("LeftAnti"), p)
-    assert(countLines(p, "ShuffledHashJoin") >= 1, p)
+    // the scrub must not depend on broadcasting it — and (r13) the
+    // dictionary exchanges must move hashed LONG keys, never segment
+    // strings (the r12-confirmed 10× cliff was the string-keyed form)
+    assert(p.contains("LeftSemi"), p)
+    assert(countLines(p, "ShuffledHashJoin") >= 2, p) // dict semi + doc re-join
     assert(countLines(p, "BroadcastHashJoin") === 0, p)
     assert(countLines(p, "SortMergeJoin") === 0, p)
+    assert(p.contains("xxhash64"), p)
   }
 
   test("ta_gopher_rules: pure scan-side projection — zero exchanges") {
@@ -597,9 +600,12 @@ class PlanContractsSpec extends SparkSpec {
 
   test("a18/a19/w05: grouping sets, pivot, and range frame each stay one-shuffle shapes") {
     val gs = plan("a18_grouping_sets")
-    // the three grouping sets expand BELOW one exchange (the expand
-    // operator), never as a 3-pass union of aggregates
+    // the three grouping sets expand via the Expand operator (never a
+    // 3-pass union of aggregates) — and (r13) the expand sits over the
+    // PRE-AGGREGATED (nation, segment) frame, so the fact-sized
+    // exchange carries each row once, not ×sets
     assert(countLines(gs, "Expand") >= 1, gs)
+    assert(countLines(gs, "HashAggregate") >= 3, gs) // pre-agg partial+final, then sets agg
     // pivot is a two-phase aggregate: (key, pivot-col) partial+final,
     // then pivotfirst regrouped on the key alone — 2 exchanges, both
     // map-side combined, the second over the domain-bounded frame
