@@ -121,6 +121,79 @@ class BenchSpec extends SparkSpec {
     assert(sm.get("counts").get("registry").asInt() == 3)
   }
 
+  test("bench dry run: rechecks adjudicate WORST-ratio-first; headline is " +
+    "median-of-N; flagged names auto-join the oracle tier") {
+    // two synthetic cliffs of different severity: the MILD one (cubic,
+    // cheaper at 1×) sweeps and flags FIRST; the SEVERE one (quartic,
+    // ratio 2× the mild's) flags second. With budget for exactly ONE
+    // recheck, sweep-order adjudication (the r12 bug) would recheck
+    // the mild flag and skip the severe one — descending-ratio order
+    // must do the opposite.
+    def cliffQ(exp: Int, ms: Long): (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame = (s, dir) => {
+      val n = s.read.parquet(s"$dir/documents.parquet").count()
+      val units = n / 500
+      Thread.sleep(math.pow(units.toDouble, exp.toDouble).toLong * ms)
+      s.range(1).select(lit(n).as("n"))
+    }
+    val cfg = Bench.Config(
+      sfDir = sf001,
+      selected = Seq("daily_revenue", "mild_cliff", "severe_cliff"),
+      extraQueries = Map(
+        "mild_cliff" -> cliffQ(3, 300),   // 1×: .3s, 2×: 2.4s, ratio 4
+        "severe_cliff" -> cliffQ(4, 400)), // 1×: .4s, 2×: 6.4s, ratio 8
+      repeat = 3,
+      headlineRepeat = 3,
+      deadlineSec = 300.0,
+      baseCap = 60,
+      warmCodegen = false,
+      scaleOn = true, scaleCopies = 2, scaleBudget = 60, scaleCap = 30,
+      scale30On = false, scale100On = false,
+      // fits exactly one recheck: the first one runs (spent 0 ≤ 1),
+      // its ~6 s spend then starves the rest
+      recheckBudget = 1,
+      scaledDirBase =
+        java.nio.file.Files.createTempDirectory("graft_benchspec3_").toString,
+      detailPath = "unused.json")
+    val (full, _) = Bench.run(spark, cfg)
+    val f = mapper.readTree(full)
+    val cliffEntries = f.get("scale").get("cliffs")
+    def entry(name: String) = (0 until cliffEntries.size()).map(cliffEntries.get)
+      .find(_.get("name").asText() == name)
+      .getOrElse(fail(s"no cliff entry for $name: $full"))
+    // the SEVERE flag got the only recheck slot…
+    val sev = entry("severe_cliff")
+    assert(sev.has("sec_isolated") && sev.get("confirmed").asBoolean(),
+      s"worst flag must be adjudicated first: $sev")
+    // …and the mild flag is the one marked starved
+    val mild = entry("mild_cliff")
+    assert(mild.has("recheck") &&
+      mild.get("recheck").asText() == "skipped_budget",
+      s"milder flag should have been the starved one: $mild")
+
+    // headline median-of-N: daily_revenue (the one headline member
+    // here) carries registry repeats + dedicated passes in
+    // headline_repeats, and the reported headline rides the median
+    val hr = f.get("headline_repeats").get("daily_revenue")
+    assert(hr != null && hr.size() >= cfg.repeat + cfg.headlineRepeat,
+      s"dedicated headline passes missing from headline_repeats: $full")
+    assert(f.get("headline_queries").get("daily_revenue").asDouble() > 0)
+
+    // flagged names auto-join the oracle tier: neither synthetic has a
+    // registered check, so each must surface as an explicit
+    // no-check-registered skip INSIDE scale_oracle.results — proof the
+    // tier included them rather than filtering them out
+    val so = f.get("scale_oracle").get("results")
+    def oracleRow(name: String) = (0 until so.size()).map(so.get)
+      .find(_.get("name").asText() == name)
+      .getOrElse(fail(s"flagged name absent from oracle tier: $name: $full"))
+    Seq("mild_cliff", "severe_cliff").foreach { n =>
+      val r = oracleRow(n)
+      assert(r.get("status").asText() == "skip" &&
+        r.get("detail").asText().contains("no check"), s"$r")
+    }
+  }
+
   test("bench dry run: recheck starvation is MARKED, never silent") {
     // recheckBudget 0: the synthetic cliff's recheck can't run — the
     // flag must then carry an explicit skipped marker (r11's failure
