@@ -81,6 +81,18 @@ object Bench {
     "dd_dup_clusters", "ann_ivf_topk", "ta_bigram_logprob",
     "llm_corpus_pipeline")
 
+  /** Default in-bench scale-oracle tier: the 100× probe set plus the
+    * r12 cliff set — the queries whose scale shape was rewritten in
+    * r13 stay answer-verified at 10× in every driver round (a fixed
+    * query regressing in a later refactor must fail the oracle, not
+    * just drift in the sweep timings). 10×-flagged names from the
+    * same run join automatically on top.
+    */
+  val oracleTierDefaults: Seq[String] = (scale100Defaults ++ Seq(
+    "a12_rollup_revenue", "a18_grouping_sets", "ev_json_props",
+    "ev_stickiness", "mv_incremental_revenue",
+    "ta_boilerplate_scrub")).distinct
+
   /** One query's measurement: wall seconds (sentinel -1 timeout / -2
     * error) plus the JVM-wide GC time the run overlapped.
     */
@@ -116,10 +128,11 @@ object Bench {
       scale100Names: Seq[String] = scale100Defaults,
       scaleOracleOn: Boolean = true,
       scaleOracleBudget: Int = 420,
-      // in-bench tier: the flagship + dedup/ANN/pipeline defaults fit
-      // the driver deadline; the FULL checks map runs in
-      // ScaleOracleSpec (x3) and the standalone graft.ScaleOracle main
-      scaleOracleNames: Seq[String] = scale100Defaults,
+      // in-bench tier: the flagship + dedup/ANN/pipeline defaults +
+      // the r12 cliff set fit the driver deadline; the FULL checks map
+      // runs in ScaleOracleSpec (x3) and the standalone
+      // graft.ScaleOracle main
+      scaleOracleNames: Seq[String] = oracleTierDefaults,
       recheckBudget: Int = 300,
       // dedicated headline-only passes: the reported headline is the
       // per-query MEDIAN over these (N≥5), not the min over the 2
@@ -177,7 +190,7 @@ object Bench {
       scaleOracleNames = sys.env.get("BENCH_SCALE_ORACLE_QUERIES") match {
         case Some("all") => ScaleOracle.checks.keys.toSeq.sorted
         case Some(list) => list.split(",").map(_.trim).filter(_.nonEmpty).toSeq
-        case None => scale100Defaults
+        case None => oracleTierDefaults
       },
       recheckBudget = sys.env.getOrElse("BENCH_RECHECK_BUDGET_SEC", "300").toInt,
       headlineRepeat = sys.env.getOrElse("BENCH_HEADLINE_REPEAT", "5").toInt,

@@ -413,7 +413,13 @@ object ScaleOracle {
     "dd_ngram_containment" -> Excluded(
       "same block-size-guard contract as dd_ngram_jaccard: oversized " +
         "blocks are excluded at scale by design; gated at 1x by the " +
-        "DuckDB oracle"))
+        "DuckDB oracle"),
+    "ta_boilerplate_scrub" -> Excluded(
+      "the minDocs corpus-frequency threshold is scale-dependent by " +
+        "SEMANTICS: a segment in k docs at 1x recurs in N*k docs at " +
+        "Nx, so segments below the threshold at 1x legitimately " +
+        "cross it at scale and the dictionary (hence every clean " +
+        "text) changes — gated at 1x by the DuckDB reassembly oracle"))
 
   /** One check's outcome. status ∈ pass | fail | error | skip |
     * excluded; detail carries the failing law / exclusion rationale.
