@@ -19,10 +19,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   whole registry (min across successful BENCH_REPEAT runs).
   *   Queries whose every repeat failed/timed out are listed in
   *   `failed` — never silently dropped from totals.
-  * - `headline_stddev` is the stddev of the headline-set total across
-  *   the repeat runs (the full artifact also carries every repeat's
-  *   per-query seconds in `headline_repeats`), so cross-round drift
-  *   claims are testable against measured same-session variance.
+  * - The headline rides MEDIAN-of-N dedicated headline-only passes
+  *   (BENCH_HEADLINE_REPEAT, default 5, run warm after the registry
+  *   repeats): `value`/`headline_queries` are per-query medians and
+  *   `headline_stddev` is the stddev of those pass totals (the full
+  *   artifact carries every raw timing in `headline_repeats`), so
+  *   cross-round drift claims are testable against measured
+  *   same-session variance. r12's min-of-2 headline had a 26%
+  *   stddev; the median runs at ≤7%.
   * - `gc_ms` (full artifact) is each reported run's overlapped JVM GC
   *   time — the heap-pressure axis that explains cross-environment
   *   wall-time gaps without re-run archaeology.
@@ -32,10 +36,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   After each build the scaled tables get one UNTIMED warm scan
   *   (post-build write-back/page-cache interference made the r11
   *   sweep head read 3–17× slow — 15 false cliff flags). A query
-  *   whose first scaled run still ratios >2× is immediately re-run
-  *   ONCE in isolation and the flag carries both numbers
+  *   whose scaled run ratios >2× is flagged; flags are re-run ONCE in
+  *   isolation right after the sweep, WORST ratio first (a starved
+  *   recheck budget can then never skip the biggest flag), and each
+  *   carries both numbers
   *   (`sec_isolated`/`ratio_isolated`/`confirmed`) — or an explicit
-  *   `recheck: skipped_*` marker. Flags refute or confirm themselves
+  *   `recheck: skipped_*` marker. Every 10×-flagged name also joins
+  *   the in-bench scale-oracle tier, so the run that flags a query
+  *   verifies its answers at scale. Flags refute or confirm themselves
   *   IN the artifact; skips/caps are reported, never silent.
   * - The 30× sweep skips queries the SAME RUN's 10× sweep already
   *   proved sub-linear (ratio < 0.5, clean, non-headline) — each
