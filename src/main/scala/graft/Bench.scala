@@ -50,9 +50,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   such skip is listed with reason `sublinear_at_10x` and its 10×
   *   ratio — and spends its budget on the queries whose 30× behavior
   *   is actually open.
-  * - `scale100` (opt-in, BENCH_SCALE100=on) probes ~20 flagship/dedup/
-  *   ANN defaults at 100× with the same cliff/recheck machinery — the
-  *   "would this plan survive 100×?" datapoint.
+  * - `scale100` probes ~20 flagship/dedup/ANN defaults at 100× with
+  *   the same cliff/recheck machinery — the "would this plan survive
+  *   100×?" datapoint. CADENCE (VERDICT r13 #6): the 30× sweep and
+  *   the 100× probe don't both fit one driver deadline, so BENCH_MODE
+  *   `auto` (default) ALTERNATES them round over round by flipping
+  *   the previous tracked artifact's `bench_mode` — a `full30` round
+  *   runs 10×+30×, a `probe100` round trades the 30× sweep for the
+  *   100× probe. Force either with BENCH_MODE / BENCH_SCALE30 /
+  *   BENCH_SCALE100.
   *
   * Queries are materialized through the noop sink — count() lets
   * Spark's count-star shortcut skip projection work and would
@@ -141,6 +147,10 @@ object Bench {
       // runs in ScaleOracleSpec (x3) and the standalone
       // graft.ScaleOracle main
       scaleOracleNames: Seq[String] = oracleTierDefaults,
+      // per-CHECK cancellation cap inside the oracle phase: an
+      // auto-tier flagged check is by definition expensive at scale
+      // and must not eat the global deadline (ADVICE r13)
+      scaleOracleCheckCap: Int = 240,
       recheckBudget: Int = 300,
       // dedicated headline-only passes: the reported headline is the
       // per-query MEDIAN over these (N≥5), not the min over the 2
@@ -151,7 +161,29 @@ object Bench {
       headlineRepeat: Int = 5,
       sublinearSkip: Double = 0.5,
       scaledDirBase: String = "target",
-      detailPath: String = "BENCH_LOCAL.json")
+      detailPath: String = "BENCH_LOCAL.json",
+      // alternating-round cadence (VERDICT r13 #6): the full 30×
+      // sweep and the 100× probe don't BOTH fit one driver deadline,
+      // so `auto` alternates them across rounds — "full30" runs
+      // 10×+30× (the probe off), "probe100" trades the 30× sweep for
+      // the 100× probe over scale100Defaults. envConfig resolves
+      // `auto` by reading the PREVIOUS tracked artifact's bench_mode
+      // field and flipping it; the chosen mode travels in the
+      // artifact so the next round can alternate.
+      mode: String = "full30")
+
+  /** BENCH_MODE resolution: an explicit mode wins; `auto` (anything
+    * else) FLIPS the previous tracked artifact's `bench_mode` so
+    * consecutive driver rounds alternate full-30× and 100×-probe
+    * coverage. A missing / modeless artifact starts at full30.
+    */
+  def resolveMode(envMode: Option[String], prevArtifact: => String): String =
+    envMode match {
+      case Some(m @ ("full30" | "probe100")) => m
+      case _ =>
+        if (prevArtifact.contains("\"bench_mode\":\"full30\"")) "probe100"
+        else "full30"
+    }
 
   def envConfig(): Config = {
     val selected: Seq[String] = sys.env.get("BENCH_QUERIES") match {
@@ -162,6 +194,19 @@ object Bench {
       case None => scale100Defaults
       case Some(list) => list.split(",").map(_.trim).filter(_.nonEmpty).toSeq
     }
+    val detailPath = sys.env.getOrElse("BENCH_OUT", "BENCH_LOCAL.json")
+    // BENCH_MODE: full30 | probe100 | auto (default). auto flips the
+    // PREVIOUS tracked artifact's mode, so consecutive driver rounds
+    // alternate 30×-sweep and 100×-probe coverage; a missing/modeless
+    // artifact starts the cadence at full30.
+    val mode = resolveMode(sys.env.get("BENCH_MODE"), {
+      try {
+        val p = java.nio.file.Paths.get(detailPath)
+        if (java.nio.file.Files.exists(p)) java.nio.file.Files.readString(p)
+        else ""
+      } catch { case _: Exception => "" }
+    })
+    val probe = mode == "probe100"
     Config(
       sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
       selected = selected,
@@ -181,16 +226,20 @@ object Bench {
       // genuinely-completing 10× query is well under 120s — the cap
       // only bounds true blow-ups now
       scaleCap = sys.env.getOrElse("BENCH_SCALE_QUERY_CAP_SEC", "240").toInt,
-      scale30On = sys.env.getOrElse("BENCH_SCALE30", "on") != "off",
+      scale30On = sys.env.getOrElse("BENCH_SCALE30",
+        if (probe) "off" else "on") != "off",
       scale30Copies = sys.env.getOrElse("BENCH_SCALE30_COPIES", "30").toInt,
       scale30Budget = sys.env.getOrElse("BENCH_SCALE30_BUDGET_SEC", "900").toInt,
       scale30Cap = sys.env.getOrElse("BENCH_SCALE30_QUERY_CAP_SEC", "240").toInt,
-      scale100On = sys.env.getOrElse("BENCH_SCALE100", "off") == "on",
+      scale100On = sys.env.getOrElse("BENCH_SCALE100",
+        if (probe) "on" else "off") == "on",
       scale100Copies = sys.env.getOrElse("BENCH_SCALE100_COPIES", "100").toInt,
-      scale100Budget =
-        sys.env.getOrElse("BENCH_SCALE100_BUDGET_SEC", "2400").toInt,
-      scale100Cap =
-        sys.env.getOrElse("BENCH_SCALE100_QUERY_CAP_SEC", "600").toInt,
+      // probe mode trades the 30× sweep's 900 s for the probe; a
+      // standalone (BENCH_SCALE100=on) run keeps the wide budget
+      scale100Budget = sys.env.getOrElse("BENCH_SCALE100_BUDGET_SEC",
+        if (probe) "1000" else "2400").toInt,
+      scale100Cap = sys.env.getOrElse("BENCH_SCALE100_QUERY_CAP_SEC",
+        if (probe) "360" else "600").toInt,
       scale100Names = s100Names,
       scaleOracleOn = sys.env.getOrElse("BENCH_SCALE_ORACLE", "on") != "off",
       scaleOracleBudget =
@@ -200,9 +249,12 @@ object Bench {
         case Some(list) => list.split(",").map(_.trim).filter(_.nonEmpty).toSeq
         case None => oracleTierDefaults
       },
+      scaleOracleCheckCap =
+        sys.env.getOrElse("BENCH_SCALE_ORACLE_CHECK_CAP_SEC", "240").toInt,
       recheckBudget = sys.env.getOrElse("BENCH_RECHECK_BUDGET_SEC", "300").toInt,
       headlineRepeat = sys.env.getOrElse("BENCH_HEADLINE_REPEAT", "5").toInt,
-      detailPath = sys.env.getOrElse("BENCH_OUT", "BENCH_LOCAL.json"))
+      detailPath = detailPath,
+      mode = mode)
   }
 
   private def totalGcMs: Long = {
@@ -391,11 +443,24 @@ object Bench {
     // now) give a per-query MEDIAN — robust to one contended pass in
     // a way min-of-2 is not — and the stddev of the pass totals is
     // the honest spread of the same measurement being reported.
-    val headlinePassCost = headlinePresent
-      .flatMap(n => picked.toMap.get(n)).map(_.sec).filter(_ > 0).sum + 30
+    // cost estimate: a headline query whose every registry repeat
+    // failed/timed out still runs in each dedicated pass for up to
+    // baseCap seconds — bill it at the cap, not zero, or the deadline
+    // guard under-estimates the pass cost exactly when a query is
+    // sick (ADVICE r13)
+    val headlinePassCost = headlinePresent.map { n =>
+      picked.toMap.get(n).map(_.sec).filter(_ > 0)
+        .getOrElse(cfg.baseCap.toDouble)
+    }.sum + 30
+    // stop permanently on the first deadline miss (ADVICE r13: the
+    // flatMap kept iterating and printed one stderr stop-line per
+    // remaining pass with a changing count)
+    var headlineStopped = false
     val headlinePasses: Seq[Map[String, Timing]] =
       (1 to cfg.headlineRepeat).flatMap { i =>
-        if (deadlineLeft < headlinePassCost) {
+        if (headlineStopped) None
+        else if (deadlineLeft < headlinePassCost) {
+          headlineStopped = true
           System.err.println(s"[bench] deadline near, stopping headline " +
             s"passes at ${i - 1}/${cfg.headlineRepeat}")
           None
@@ -408,10 +473,16 @@ object Bench {
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
     // per-query median over the dedicated passes; a query with no
-    // successful dedicated timing falls back to its registry number
+    // successful dedicated timing falls back to its registry number —
+    // and the fallback is NAMED in the artifact (headline_fallback),
+    // so a headline that mixes median-of-passes with registry-min
+    // methodology says so itself (ADVICE r13)
     val headlineMedians: Seq[(String, Double)] = headlinePresent.map { n =>
       val ts = headlinePasses.flatMap(_.get(n)).map(_.sec).filter(_ > 0)
       n -> (if (ts.nonEmpty) median(ts) else timeAt01.getOrElse(n, -1.0))
+    }
+    val headlineFallback: Seq[String] = headlinePresent.filter { n =>
+      headlinePasses.flatMap(_.get(n)).map(_.sec).forall(_ <= 0)
     }
     // full artifact keeps EVERY timing (registry repeats + dedicated
     // passes) per headline query, so the spread is inspectable
@@ -670,8 +741,17 @@ object Bench {
             .filter(cfg.scaleOracleNames.contains) ++ s10.flagged)
           .distinct.sorted
           .filter(selected.contains)
+        // a flagged query that TIMED OUT in the sweep would run
+        // unbounded inside its check (Embed = the query at Nx plus two
+        // exceptAll passes) — ScaleOracle skips those with an explicit
+        // flagged_timeout_uncapped marker, and every other check runs
+        // under the same cancellation cap as timedRun (ADVICE r13)
+        val timedOutFlags = s10.flagged
+          .filter(n => s10.timed.get(n).contains(-1.0)).toSet
         val rs = ScaleOracle.run(spark, queries, names, cfg.sfDir, scaledDir,
-          cfg.scaleCopies, cfg.scaleOracleBudget, () => deadlineLeft)
+          cfg.scaleCopies, cfg.scaleOracleBudget, () => deadlineLeft,
+          perCheckCapSec = cfg.scaleOracleCheckCap,
+          timedOutFlags = timedOutFlags)
         val oj = ScaleOracle.toJson(cfg.scaleCopies, rs,
           (System.nanoTime() - t0) / 1e9)
         val failedNames = rs.filter(r =>
@@ -748,7 +828,7 @@ object Bench {
     // FULL artifact: key order = truncation priority (big dicts first,
     // summary scalars last, so any tail of the line is self-contained)
     val full =
-      f"""{"queries":${jsonDict(results)},"gc_ms":${jsonDict(gcMs)},"headline_repeats":$hRepeats,"scale":${s10.json},"scale30":${s30.json},"scale100":${s100.json},"scale_oracle":$oracleJson,"headline_queries":${jsonDict(headlineResults)},"cliffs_10x":${names(s10.flagged)},"cliffs_30x":${names(s30.flagged)},"cliffs_100x":${names(s100.flagged)},"cliffs_confirmed_10x":${names(s10.confirmed)},"cliffs_confirmed_30x":${names(s30.confirmed)},"cliffs_confirmed_100x":${names(s100.confirmed)},"cliffs_rechecked":$rechecksAll,"excluded_twins":${names(excludedTwins)},"excluded_sweep":${names(excludedSweep)},"counts":$counts,"headline_stddev":$headlineStddev%.3f,"elapsed_sec":$globalElapsed%.1f,"deadline_sec":${cfg.deadlineSec}%.0f,"failed_detail":$failedDetail,"failed":${names(failed)},"total_all":$totalAll%.3f,"sf":"${cfg.sfDir}","metric":"total","unit":"sec","value":$headlineTotal%.3f}"""
+      f"""{"queries":${jsonDict(results)},"gc_ms":${jsonDict(gcMs)},"headline_repeats":$hRepeats,"scale":${s10.json},"scale30":${s30.json},"scale100":${s100.json},"scale_oracle":$oracleJson,"headline_queries":${jsonDict(headlineResults)},"headline_fallback":${names(headlineFallback)},"bench_mode":"${cfg.mode}","cliffs_10x":${names(s10.flagged)},"cliffs_30x":${names(s30.flagged)},"cliffs_100x":${names(s100.flagged)},"cliffs_confirmed_10x":${names(s10.confirmed)},"cliffs_confirmed_30x":${names(s30.confirmed)},"cliffs_confirmed_100x":${names(s100.confirmed)},"cliffs_rechecked":$rechecksAll,"excluded_twins":${names(excludedTwins)},"excluded_sweep":${names(excludedSweep)},"counts":$counts,"headline_stddev":$headlineStddev%.3f,"elapsed_sec":$globalElapsed%.1f,"deadline_sec":${cfg.deadlineSec}%.0f,"failed_detail":$failedDetail,"failed":${names(failed)},"total_all":$totalAll%.3f,"sf":"${cfg.sfDir}","metric":"total","unit":"sec","value":$headlineTotal%.3f}"""
 
     // SUMMARY line (printed): everything a bounded-tail consumer needs
     // — headline per-query dict, cliff verdicts, coverage counts —
@@ -760,7 +840,7 @@ object Bench {
     val summaryQueries =
       if (headlineResults.nonEmpty) headlineResults else results.take(12)
     val summary =
-      f"""{"schema":"graft-bench-summary-v1","detail":"${cfg.detailPath}","counts":$counts,"oracle_failed":${cap12(oracleResults.filter(r => r.status == "fail" || r.status == "error").map(_.name))},"cliffs_10x":${cap12(s10.flagged)},"cliffs_30x":${cap12(s30.flagged)},"cliffs_100x":${cap12(s100.flagged)},"cliffs_confirmed":${cap12(confirmedAll)},"failed":${cap12(failed)},"headline_stddev":$headlineStddev%.3f,"elapsed_sec":$globalElapsed%.1f,"deadline_sec":${cfg.deadlineSec}%.0f,"total_all":$totalAll%.3f,"queries":${jsonDict(summaryQueries)},"sf":"${cfg.sfDir}","metric":"total","unit":"sec","value":$headlineTotal%.3f}"""
+      f"""{"schema":"graft-bench-summary-v1","detail":"${cfg.detailPath}","bench_mode":"${cfg.mode}","counts":$counts,"oracle_failed":${cap12(oracleResults.filter(r => r.status == "fail" || r.status == "error").map(_.name))},"cliffs_10x":${cap12(s10.flagged)},"cliffs_30x":${cap12(s30.flagged)},"cliffs_100x":${cap12(s100.flagged)},"cliffs_confirmed":${cap12(confirmedAll)},"failed":${cap12(failed)},"headline_stddev":$headlineStddev%.3f,"elapsed_sec":$globalElapsed%.1f,"deadline_sec":${cfg.deadlineSec}%.0f,"total_all":$totalAll%.3f,"queries":${jsonDict(summaryQueries)},"sf":"${cfg.sfDir}","metric":"total","unit":"sec","value":$headlineTotal%.3f}"""
     (full, summary)
   }
 

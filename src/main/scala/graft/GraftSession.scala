@@ -53,8 +53,24 @@ object GraftSession {
   /** Local session sized to `cpus` threads — the shape Verify/Bench
     * and tests run with.
     */
-  def local(appName: String, cpus: Int, uiEnabled: Boolean = false): SparkSession =
-    builder(appName, Some(s"local[$cpus]"), Some(cpus))
+  def local(appName: String, cpus: Int, uiEnabled: Boolean = false): SparkSession = {
+    val s = builder(appName, Some(s"local[$cpus]"), Some(cpus))
       .config("spark.ui.enabled", uiEnabled.toString)
       .getOrCreate()
+    // Scope OUT the WindowExec "No Partition Defined for Window
+    // operation" WARN (VERDICT r13 #5): the registry's unpartitioned
+    // windows are all BOUNDED-domain by design (calendar days,
+    // 256-row bucket offsets, entity frames — each justified in
+    // WindowAuditSpec's allowlist), and their per-run spam drowned
+    // the driver log so a REAL new single-partition window would be
+    // invisible in the noise. Regression coverage moves to
+    // WindowAuditSpec, which walks every batch query's plan and
+    // FAILS on any unpartitioned window not on the allowlist —
+    // a strictly stronger signal than a log line.
+    try org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window",
+      org.apache.logging.log4j.Level.ERROR)
+    catch { case _: Throwable => () } // logging backend is best-effort
+    s
+  }
 }

@@ -550,8 +550,13 @@ object TextDedup {
       count(lit(1)).over(Window.partitionBy(blockCol)))
     val guarded =
       if (allow) sized.filter(col("_block_size") <= maxBlockSize)
+      // coalesce the block name: concat() is null-propagating, so a
+      // NULL block key (a legal group for docs with a null blockCol)
+      // would null the WHOLE message and assert_true would fire with
+      // no routing guidance exactly when the guard trips (ADVICE r13)
       else sized.filter(assert_true(col("_block_size") <= maxBlockSize,
-        concat(lit("ngram block '"), col(blockCol).cast("string"),
+        concat(lit("ngram block '"),
+          coalesce(col(blockCol).cast("string"), lit("NULL")),
           lit("' holds "), col("_block_size").cast("string"),
           lit(s" docs > maxBlockSize=$maxBlockSize — the exact pair join " +
             "would go quadratic on it. Route oversized blocks via " +

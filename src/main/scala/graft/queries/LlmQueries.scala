@@ -22,7 +22,8 @@ object LlmQueries {
     Tables.table(s, dir, "embeddings")
 
   /** Near-dup corpus: originals ∪ (+10000, text+" copy") variants. */
-  private def nearDupCorpus(s: SparkSession, dir: String): DataFrame = {
+  // public: ScaleOracle's FnTwin checks rebuild the same fixture
+  def nearDupCorpus(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir).select("doc_id", "text", "lang")
     d.unionByName(d.select(
       (col("doc_id") + 10000).as("doc_id"),
@@ -31,7 +32,7 @@ object LlmQueries {
   }
 
   /** Exact-dup corpus: originals ∪ identical copies at +20000. */
-  private def exactDupCorpus(s: SparkSession, dir: String): DataFrame = {
+  def exactDupCorpus(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir).select("doc_id", "text")
     d.unionByName(d.select((col("doc_id") + 20000).as("doc_id"), col("text")))
   }

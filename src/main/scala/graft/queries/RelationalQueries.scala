@@ -1960,17 +1960,19 @@ object RelationalQueries {
     // rollup/cube but not arbitrary sets).
     "a18_grouping_sets" -> QueryDef.sql(
       (s, dir) => {
-        t(s, dir, "orders").createOrReplaceTempView("orders_v")
-        t(s, dir, "customer").createOrReplaceTempView("customer_v")
-        t(s, dir, "nation").createOrReplaceTempView("nation_v")
+        // dir-unique view names (see j07 note)
+        val sfx = java.lang.Integer.toHexString(dir.hashCode)
+        t(s, dir, "orders").createOrReplaceTempView(s"orders_v_$sfx")
+        t(s, dir, "customer").createOrReplaceTempView(s"customer_v_$sfx")
+        t(s, dir, "nation").createOrReplaceTempView(s"nation_v_$sfx")
         s.sql(
-          """WITH base AS (
+          s"""WITH base AS (
             |  SELECT n_name, c_mktsegment,
             |         SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS sales_dec,
             |         COUNT(*) AS n
-            |  FROM orders_v
-            |  JOIN customer_v ON o_custkey = c_custkey
-            |  JOIN nation_v ON c_nationkey = n_nationkey
+            |  FROM orders_v_$sfx
+            |  JOIN customer_v_$sfx ON o_custkey = c_custkey
+            |  JOIN nation_v_$sfx ON c_nationkey = n_nationkey
             |  GROUP BY n_name, c_mktsegment)
             |SELECT
             |  CASE WHEN GROUPING(n_name) = 1 THEN 'ALL' ELSE n_name END AS nation,
@@ -2027,13 +2029,15 @@ object RelationalQueries {
     // correctly.
     "j16_correlated_scalar" -> QueryDef.sql(
       (s, dir) => {
-        t(s, dir, "customer").createOrReplaceTempView("customer_v")
-        t(s, dir, "orders").createOrReplaceTempView("orders_v")
+        // dir-unique view names (see j07 note)
+        val sfx = java.lang.Integer.toHexString(dir.hashCode)
+        t(s, dir, "customer").createOrReplaceTempView(s"customer_v_$sfx")
+        t(s, dir, "orders").createOrReplaceTempView(s"orders_v_$sfx")
         s.sql(
-          """SELECT c_custkey,
-            |  (SELECT MAX(o_totalprice) FROM orders_v
+          s"""SELECT c_custkey,
+            |  (SELECT MAX(o_totalprice) FROM orders_v_$sfx
             |   WHERE o_custkey = c_custkey) AS max_order_price
-            |FROM customer_v""".stripMargin)
+            |FROM customer_v_$sfx""".stripMargin)
       },
       """SELECT c_custkey,
         |  (SELECT MAX(o_totalprice) FROM orders
@@ -2367,25 +2371,25 @@ object RelationalQueries {
     // did not silently rewrite it to a plain anti join.
     "j15_not_in_nulls" -> QueryDef.sql(
       (s, dir) => {
-        s.sql("DROP VIEW IF EXISTS _j15_supp")
-        s.sql("DROP VIEW IF EXISTS _j15_keys")
-        t(s, dir, "supplier").createOrReplaceTempView("_j15_supp")
+        // dir-unique view names (see j07 note)
+        val sfx = java.lang.Integer.toHexString(dir.hashCode)
+        t(s, dir, "supplier").createOrReplaceTempView(s"_j15_supp_$sfx")
         // key set with an injected NULL: every 5th key, plus NULL
         t(s, dir, "supplier")
           .select(when(col("s_suppkey") % 5 === 0, col("s_suppkey"))
             .otherwise(lit(null)).as("k"))
-          .createOrReplaceTempView("_j15_keys")
+          .createOrReplaceTempView(s"_j15_keys_$sfx")
         s.sql(
-          """SELECT 'not_in_with_null' AS variant, COUNT(*) AS n
-            |FROM _j15_supp WHERE s_suppkey NOT IN (SELECT k FROM _j15_keys)
+          s"""SELECT 'not_in_with_null' AS variant, COUNT(*) AS n
+            |FROM _j15_supp_$sfx WHERE s_suppkey NOT IN (SELECT k FROM _j15_keys_$sfx)
             |UNION ALL
             |SELECT 'not_in_no_null', COUNT(*)
-            |FROM _j15_supp
-            |WHERE s_suppkey NOT IN (SELECT k FROM _j15_keys WHERE k IS NOT NULL)
+            |FROM _j15_supp_$sfx
+            |WHERE s_suppkey NOT IN (SELECT k FROM _j15_keys_$sfx WHERE k IS NOT NULL)
             |UNION ALL
             |SELECT 'not_exists', COUNT(*)
-            |FROM _j15_supp s
-            |WHERE NOT EXISTS (SELECT 1 FROM _j15_keys n WHERE n.k = s.s_suppkey)""".stripMargin)
+            |FROM _j15_supp_$sfx s
+            |WHERE NOT EXISTS (SELECT 1 FROM _j15_keys_$sfx n WHERE n.k = s.s_suppkey)""".stripMargin)
       },
       """WITH keys AS (
         |  SELECT CASE WHEN s_suppkey % 5 = 0 THEN s_suppkey END AS k
@@ -2451,18 +2455,23 @@ object RelationalQueries {
     // (ref daily_vendor_revenue.sql:29-53; runner transform_check.py:50-62)
     "j07_cte_nation_revenue" -> QueryDef.sql(
       (s, dir) => {
-        t(s, dir, "orders").createOrReplaceTempView("orders_v")
-        t(s, dir, "customer").createOrReplaceTempView("customer_v")
-        t(s, dir, "nation").createOrReplaceTempView("nation_v")
+        // dir-unique view names: replacing a shared temp view between
+        // two instantiations of the same query (base vs scaled dirs —
+        // the ScaleOracle shape) triggers Spark's dependent-cache
+        // recache against stale exprIds ("key not found: o_custkey#N")
+        val sfx = java.lang.Integer.toHexString(dir.hashCode)
+        t(s, dir, "orders").createOrReplaceTempView(s"orders_v_$sfx")
+        t(s, dir, "customer").createOrReplaceTempView(s"customer_v_$sfx")
+        t(s, dir, "nation").createOrReplaceTempView(s"nation_v_$sfx")
         s.sql(
-          """WITH base AS (
+          s"""WITH base AS (
             |  SELECT o.o_totalprice, c.c_nationkey
-            |  FROM orders_v o JOIN customer_v c ON o.o_custkey = c.c_custkey
+            |  FROM orders_v_$sfx o JOIN customer_v_$sfx c ON o.o_custkey = c.c_custkey
             |  WHERE o.o_totalprice > 0)
             |SELECT n.n_name AS nation_name,
             |       CAST(SUM(CAST(b.o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS total_revenue,
             |       COUNT(*) AS order_count
-            |FROM base b JOIN nation_v n ON b.c_nationkey = n.n_nationkey
+            |FROM base b JOIN nation_v_$sfx n ON b.c_nationkey = n.n_nationkey
             |GROUP BY n.n_name""".stripMargin)
       },
       """WITH base AS (

@@ -112,20 +112,22 @@ object ValidationQueries {
     // .py harness over spark.sql temp views
     "wf_daily_check" -> QueryDef.sql(
       (s, dir) => {
+        // dir-unique view names (see j07's note in RelationalQueries)
+        val sfx = java.lang.Integer.toHexString(dir.hashCode)
         graft.sources.Tables.table(s, dir, "orders")
-          .createOrReplaceTempView("orders_wf")
+          .createOrReplaceTempView(s"orders_wf_$sfx")
         SqlWorkflow.run(s, Seq(
-          Transform("wf_daily_rev",
-            """SELECT o_custkey, CAST(o_orderdate AS DATE) AS order_date,
+          Transform(s"wf_daily_rev_$sfx",
+            s"""SELECT o_custkey, CAST(o_orderdate AS DATE) AS order_date,
               |       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS revenue,
               |       COUNT(*) AS n_orders
-              |FROM orders_wf GROUP BY 1, 2""".stripMargin),
+              |FROM orders_wf_$sfx GROUP BY 1, 2""".stripMargin),
           QualityCheck("qc_nonneg_revenue",
-            "SELECT COUNT(*) FROM wf_daily_rev WHERE revenue < 0"),
+            s"SELECT COUNT(*) FROM wf_daily_rev_$sfx WHERE revenue < 0"),
           TestStep("test_nonempty",
-            """SELECT CASE WHEN (SELECT COUNT(*) FROM wf_daily_rev) > 0
+            s"""SELECT CASE WHEN (SELECT COUNT(*) FROM wf_daily_rev_$sfx) > 0
               |            THEN 0 ELSE 1 END""".stripMargin)))
-        s.table("wf_daily_rev")
+        s.table(s"wf_daily_rev_$sfx")
       },
       """SELECT o_custkey, CAST(o_orderdate AS DATE) AS order_date,
         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS revenue,

@@ -194,6 +194,49 @@ class BenchSpec extends SparkSpec {
     }
   }
 
+  test("mode cadence: auto flips the previous artifact's bench_mode; the " +
+    "chosen mode and any headline fallback are named in the artifact") {
+    // resolveMode: explicit wins; auto alternates; modeless starts full30
+    assert(Bench.resolveMode(Some("full30"), "whatever") == "full30")
+    assert(Bench.resolveMode(Some("probe100"), "whatever") == "probe100")
+    assert(Bench.resolveMode(None, "") == "full30")
+    assert(Bench.resolveMode(None, """{"bench_mode":"full30"}""") == "probe100")
+    assert(Bench.resolveMode(None, """{"bench_mode":"probe100"}""") == "full30")
+    assert(Bench.resolveMode(Some("auto"), """{"bench_mode":"full30"}""")
+      == "probe100")
+
+    // headlineRepeat 0 = zero dedicated passes: every headline member
+    // must fall back to its registry number AND be NAMED in
+    // headline_fallback (ADVICE r13 — a silent median/registry-min mix
+    // is methodology drift the artifact must confess)
+    val cfg = Bench.Config(
+      sfDir = sf001,
+      selected = Seq("daily_revenue", "a02_global_bounds"),
+      repeat = 2,
+      headlineRepeat = 0,
+      deadlineSec = 240.0,
+      baseCap = 60,
+      warmCodegen = false,
+      scaleOn = false, scale30On = false, scale100On = false,
+      scaleOracleOn = false,
+      scaledDirBase =
+        java.nio.file.Files.createTempDirectory("graft_benchspec4_").toString,
+      detailPath = "unused.json",
+      mode = "probe100")
+    val (full, summary) = Bench.run(spark, cfg)
+    val f = mapper.readTree(full)
+    val sm = mapper.readTree(summary)
+    assert(f.get("bench_mode").asText() == "probe100", full.take(400))
+    assert(sm.get("bench_mode").asText() == "probe100")
+    val fb = f.get("headline_fallback")
+    assert((0 until fb.size()).map(fb.get(_).asText())
+      .contains("daily_revenue"),
+      s"registry-min fallback must be named: $fb")
+    // the fallback value IS the registry number
+    assert(f.get("headline_queries").get("daily_revenue").asDouble() ==
+      f.get("queries").get("daily_revenue").asDouble())
+  }
+
   test("bench dry run: recheck starvation is MARKED, never silent") {
     // recheckBudget 0: the synthetic cliff's recheck can't run — the
     // flag must then carry an explicit skipped marker (r11's failure

@@ -44,6 +44,48 @@ class ScaleOracleSpec extends SparkSpec {
       .forall(_.detail.nonEmpty), "exclusions must carry a rationale")
   }
 
+  test("every registry name carries a check — law, twin, or named " +
+    "exclusion (zero no-check-registered rows possible in the tier)") {
+    // any 10×-flagged name auto-joins the bench oracle tier, so a
+    // registry name with no checks entry would surface there as a
+    // useless "no check registered" skip (VERDICT r13 #1)
+    val missing = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(ScaleOracle.checks.contains)
+    assert(missing.isEmpty,
+      s"registry names with no scale check (add a law, a twin, or an " +
+        s"Excluded with rationale): ${missing.mkString(", ")}")
+    // and no stale checks for renamed/removed queries
+    val stale = ScaleOracle.checks.keys.toSeq.sorted
+      .filterNot(SparkEntry.queries.contains)
+    assert(stale.isEmpty, s"checks with no such query: ${stale.mkString(", ")}")
+  }
+
+  test("a sweep-TIMED-OUT flagged name is skipped with an explicit " +
+    "marker instead of running unbounded (ADVICE r13)") {
+    val rs = ScaleOracle.run(spark, queries, Seq("daily_revenue"), sfDir,
+      scaledDir, copies = 3, budgetSec = 1e9, deadlineLeft = () => 1e9,
+      timedOutFlags = Set("daily_revenue"))
+    assert(rs.size == 1 && rs.head.status == "skip" &&
+      rs.head.detail == "flagged_timeout_uncapped", rs.head.toString)
+  }
+
+  test("a check that exceeds the per-check cap is cancelled and reported " +
+    "as an explicit capped skip (ADVICE r13)") {
+    // a registered check name whose injected query SLEEPS past the cap
+    val slow = queries + ("daily_revenue" ->
+      ((s: org.apache.spark.sql.SparkSession, dir: String) => {
+        Thread.sleep(30000L)
+        queries("daily_revenue")(s, dir)
+      }))
+    val r = ScaleOracle.verifyCapped(spark, slow, "daily_revenue", sfDir,
+      scaledDir, copies = 3, capSec = 2)
+    assert(r.status == "skip" && r.detail == s"cap_exceeded_2s", r.toString)
+    // …and an uncapped run through the same entrypoint still verifies
+    val ok = ScaleOracle.verifyCapped(spark, queries, "daily_revenue", sfDir,
+      scaledDir, copies = 3, capSec = Int.MaxValue)
+    assert(ok.status == "pass", ok.toString)
+  }
+
   test("a value corrupted ONLY at scale (the overflow bug class) is " +
     "caught by the replica-0 embedding law") {
     val buggy = queries + ("daily_revenue" ->
