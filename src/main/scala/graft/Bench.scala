@@ -346,6 +346,32 @@ object Bench {
   private val excludedSweep: Seq[String] =
     Seq("dd_ngram_prefix", "ev_json_props_agree")
 
+  /** Named null models for derived-scale ratios (VERDICT r13 #4 watch
+    * item): the MDM pair-LISTING queries' output is quadratic in block
+    * size, and the block keys (nation, segment[, name-suffix]) are
+    * UNSHIFTED under ScaledCorpus replication, so blocks grow ×copies
+    * and the OUTPUT grows ~×copies² — a per-INPUT-row sweep ratio
+    * above 1 on them is output growth, not a plan regression.
+    * Adjudicated r14 with a measured block histogram (Micro
+    * mdmblocks): at 30× the fine pair space grows ×972.6 (89,843 →
+    * 87,383,700 rows out) while wall time grows ×54 (per-input ratio
+    * 1.80) — per-OUTPUT-row cost DROPS ~18×. These stay in the sweep
+    * (their ratios are real measurements); this map travels in the
+    * artifact so a reader scores them against the right expectation.
+    * The registered default aggregate family rides ADAPTIVE blocking
+    * (bounded pair space per block) — this note is about pair-listing
+    * semantics, where work is at least proportional to the answer.
+    */
+  val nullModels: Map[String, String] = {
+    val pairListing = "blocked pair-listing: output quadratic in block " +
+      "size; block key unshifted under replica scaling so output grows " +
+      "~copies^2 (fine pair space x972.6 at 30x vs wall time x54 — " +
+      "per-output-row cost drops ~18x)"
+    Seq("mdm_match_pairs", "mdm_match_pairs_fine", "mdm_steward_queue",
+      "mdm_steward_queue_fine", "mdm_golden_records",
+      "mdm_golden_records_fine").map(_ -> pairListing).toMap
+  }
+
   /** One derived-scale sweep's output: its JSON section, the flagged /
     * confirmed cliff names, the per-query timings + per-input-row
     * ratios, and the recheck records (for the top-level
@@ -828,7 +854,10 @@ object Bench {
     // FULL artifact: key order = truncation priority (big dicts first,
     // summary scalars last, so any tail of the line is self-contained)
     val full =
-      f"""{"queries":${jsonDict(results)},"gc_ms":${jsonDict(gcMs)},"headline_repeats":$hRepeats,"scale":${s10.json},"scale30":${s30.json},"scale100":${s100.json},"scale_oracle":$oracleJson,"headline_queries":${jsonDict(headlineResults)},"headline_fallback":${names(headlineFallback)},"bench_mode":"${cfg.mode}","cliffs_10x":${names(s10.flagged)},"cliffs_30x":${names(s30.flagged)},"cliffs_100x":${names(s100.flagged)},"cliffs_confirmed_10x":${names(s10.confirmed)},"cliffs_confirmed_30x":${names(s30.confirmed)},"cliffs_confirmed_100x":${names(s100.confirmed)},"cliffs_rechecked":$rechecksAll,"excluded_twins":${names(excludedTwins)},"excluded_sweep":${names(excludedSweep)},"counts":$counts,"headline_stddev":$headlineStddev%.3f,"elapsed_sec":$globalElapsed%.1f,"deadline_sec":${cfg.deadlineSec}%.0f,"failed_detail":$failedDetail,"failed":${names(failed)},"total_all":$totalAll%.3f,"sf":"${cfg.sfDir}","metric":"total","unit":"sec","value":$headlineTotal%.3f}"""
+      f"""{"queries":${jsonDict(results)},"gc_ms":${jsonDict(gcMs)},"headline_repeats":$hRepeats,"scale":${s10.json},"scale30":${s30.json},"scale100":${s100.json},"scale_oracle":$oracleJson,"headline_queries":${jsonDict(headlineResults)},"headline_fallback":${names(headlineFallback)},"bench_mode":"${cfg.mode}","cliffs_10x":${names(s10.flagged)},"cliffs_30x":${names(s30.flagged)},"cliffs_100x":${names(s100.flagged)},"cliffs_confirmed_10x":${names(s10.confirmed)},"cliffs_confirmed_30x":${names(s30.confirmed)},"cliffs_confirmed_100x":${names(s100.confirmed)},"cliffs_rechecked":$rechecksAll,"excluded_twins":${names(excludedTwins)},"excluded_sweep":${names(excludedSweep)},"null_models":${
+        nullModels.view.filterKeys(selected.contains).toSeq.sortBy(_._1)
+          .map { case (n, v) => s""""$n":${jsonStr(v)}""" }
+          .mkString("{", ",", "}")},"counts":$counts,"headline_stddev":$headlineStddev%.3f,"elapsed_sec":$globalElapsed%.1f,"deadline_sec":${cfg.deadlineSec}%.0f,"failed_detail":$failedDetail,"failed":${names(failed)},"total_all":$totalAll%.3f,"sf":"${cfg.sfDir}","metric":"total","unit":"sec","value":$headlineTotal%.3f}"""
 
     // SUMMARY line (printed): everything a bounded-tail consumer needs
     // — headline per-query dict, cliff verdicts, coverage counts —

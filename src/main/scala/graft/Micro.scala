@@ -19,18 +19,135 @@ object Micro {
     spark.sparkContext.setLogLevel("ERROR")
     val ngramOnly = args.lift(1).contains("ngram")
 
-    // generic registered-query timing: `Micro <dir> query <name>...`
-    // (2 runs, min) — for one-off scale probes without a full sweep
-    if (args.lift(1).contains("query")) {
+    // MDM block-size adjudication: `Micro <dir> mdmblocks` — fine- vs
+    // coarse-key block-size histogram plus the capped pair-space size,
+    // the null model behind mdm_match_pairs_fine's derived-scale
+    // timing trend (the fine block key — nation, segment, name-suffix
+    // — is UNSHIFTED under ScaledCorpus replication, so blocks grow
+    // ×copies and the pair-listing OUTPUT grows ~quadratically; work
+    // ∝ output is the semantics, not a plan regression).
+    if (args.lift(1).contains("mdmblocks")) {
+      graft.plans.GraftExtensions.register(spark)
+      import graft.queries.MdmQueries
+      val ents = MdmQueries.entitiesFine(spark, sfDir).cache()
+      val nEnts = ents.count()
+      for ((label, keyCols) <- Seq(
+          "coarse" -> MdmQueries.schema.blockCols,
+          "fine" -> MdmQueries.fineSchema.blockCols)) {
+        val sizes = ents.groupBy(keyCols.map(col): _*)
+          .agg(count(lit(1)).as("b")).select(col("b")).cache()
+        val n = sizes.count()
+        val qs = sizes.stat.approxQuantile("b", Array(0.5, 0.9, 1.0), 0.0)
+        val pairSpace = sizes.select(
+          sum((col("b") * (col("b") - 1) / 2).cast("long"))).first().getLong(0)
+        println(f"$label%-6s entities=$nEnts blocks=$n " +
+          f"p50=${qs(0)}%.0f p90=${qs(1)}%.0f max=${qs(2)}%.0f " +
+          f"pair_space=$pairSpace")
+        sizes.unpersist()
+      }
+      val outRows = SparkEntry.queries("mdm_match_pairs_fine")(spark, sfDir).count()
+      println(s"mdm_match_pairs_fine output rows = $outRows")
+      spark.stop(); return
+    }
+
+    // output-row null model: `Micro <dir> count <name>...` — a
+    // derived-scale per-input-row ratio only means "superlinear WORK"
+    // when the OUTPUT is ~linear; this prints the output row count so
+    // the ratio can be scored against output growth (this probe found
+    // the r13-era corpus's period-6 rotation manufacturing ×4551 LSH
+    // pair output at 100× — see ScaledCorpus.permuted).
+    if (args.lift(1).contains("count")) {
       graft.plans.GraftExtensions.register(spark)
       args.drop(2).foreach { n =>
+        println(s"$n rows=${SparkEntry.queries(n)(spark, sfDir).count()}")
+      }
+      spark.stop(); return
+    }
+
+    // LSH pair-graph structure probe: `Micro <dir> pairdeg` — node
+    // count, degree percentiles/max, and the oriented wedge count
+    // Σ d(d−1)/2 (the triangle-census cost driver): a derived-scale
+    // slowdown in graph queries can come from degree STRUCTURE, not
+    // edge count, and this separates the two.
+    if (args.lift(1).contains("pairdeg")) {
+      graft.plans.GraftExtensions.register(spark)
+      val pairs = SparkEntry.queries("dd_minhash_pairs")(spark, sfDir)
+        .cache()
+      val nPairs = pairs.count()
+      val deg = pairs.select(col("id_1").as("id"))
+        .unionAll(pairs.select(col("id_2").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("d")).cache()
+      val nNodes = deg.count()
+      val qs = deg.stat.approxQuantile("d", Array(0.5, 0.9, 0.99, 1.0), 0.0)
+      val wedges = deg.select(
+        sum((col("d") * (col("d") - 1) / 2).cast("long"))).first().getLong(0)
+      // cross-replica pairs (ids in different ScaledCorpus key-shift
+      // bands) should be ≈0 on a well-perturbed scaled corpus
+      val stride = graft.sources.ScaledCorpus.Stride
+      val cross = pairs.filter(
+        (col("id_1") / stride).cast("long") =!=
+          (col("id_2") / stride).cast("long")).count()
+      println(f"pairs=$nPairs cross_replica=$cross nodes=$nNodes " +
+        f"deg_p50=${qs(0)}%.0f p90=${qs(1)}%.0f p99=${qs(2)}%.0f max=${qs(3)}%.0f " +
+        f"wedges=$wedges")
+      spark.stop(); return
+    }
+
+    // LSH band-bucket histogram: `Micro <dir> buckets` — bucket-size
+    // percentiles + top sizes for the near-dup corpus's band table,
+    // the input to the maxBucketSize cap decision (a bucket of b docs
+    // is a b-clique in the candidate-pair graph: pair work b², census
+    // work b³).
+    if (args.lift(1).contains("buckets")) {
+      graft.plans.GraftExtensions.register(spark)
+      import graft.operators.TextDedup
+      val sigs = TextDedup.minhashSignatures(
+        graft.queries.LlmQueries.nearDupCorpus(spark, sfDir), "doc_id", "text")
+      val sizes = TextDedup.lshBands(sigs, "doc_id")
+        .groupBy("band_id", "band_hash").agg(count(lit(1)).as("b"))
+        .select(col("b")).cache()
+      val n = sizes.count()
+      val qs = sizes.stat.approxQuantile("b", Array(0.5, 0.9, 0.99), 0.0)
+      val top = sizes.orderBy(col("b").desc).limit(10)
+        .collect().map(_.getLong(0))
+      println(f"buckets=$n p50=${qs(0)}%.0f p90=${qs(1)}%.0f " +
+        f"p99=${qs(2)}%.0f top10=${top.mkString(",")}")
+      spark.stop(); return
+    }
+
+    // generic registered-query timing: `Micro <dir> query <name>...`
+    // (2 runs, min) — for one-off scale probes without a full sweep.
+    // Each run also reports total shuffle WRITE bytes (stage-summed via
+    // listener), the exchange-volume axis behind e.g. the md5-vs-xx64
+    // band-key adjudication: wall time says which is faster, shuffle
+    // bytes say WHY.
+    if (args.lift(1).contains("query")) {
+      graft.plans.GraftExtensions.register(spark)
+      val shuffleBytes = new java.util.concurrent.atomic.AtomicLong()
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+            shuffleBytes.addAndGet(
+              sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+        })
+      args.drop(2).foreach { n =>
         val runs = (1 to 2).map { _ =>
+          // listener events are async; a short drain keeps each run's
+          // byte count from bleeding into the next (dev-tool precision)
+          Thread.sleep(1000)
+          shuffleBytes.set(0L)
           val t0 = System.nanoTime()
           SparkEntry.queries(n)(spark, sfDir)
             .write.format("noop").mode("overwrite").save()
-          (System.nanoTime() - t0) / 1e9
+          val sec = (System.nanoTime() - t0) / 1e9
+          Thread.sleep(1000)
+          (sec, shuffleBytes.get())
         }
-        println(f"$n%-28s min=${runs.min}%.3fs runs=${runs.map(r => f"$r%.2f").mkString(",")}")
+        val best = runs.minBy(_._1)
+        println(f"$n%-28s min=${best._1}%.3fs " +
+          f"shuffle_mb=${best._2 / 1048576.0}%.1f " +
+          f"runs=${runs.map(r => f"${r._1}%.2f").mkString(",")}")
       }
       spark.stop(); return
     }

@@ -265,9 +265,10 @@ object ScaleOracle {
     "ta_rpv2_fracs" -> Embed(keyLt("doc_id")),
     "ta_top_ngram_frac" -> Embed(keyLt("doc_id")),
     // exact-dup groups are replica-confined unless a text is
-    // letter-rotation-INVARIANT (then cross-replica groups merge) —
-    // no such text exists in the synthetic corpus (spec-measured at
-    // x3); countLaw off because the insert fixture is replica-0-tied
+    // letter-permutation-INVARIANT, i.e. contains no letters at all
+    // (then cross-replica groups merge) — no such text exists in the
+    // synthetic corpus (spec-measured at x3); countLaw off because
+    // the insert fixture is replica-0-tied
     "dd_exact_groups" -> Embed(keyLt("canonical_id"), countLaw = false),
     "dd_incremental" -> Embed(keyLt("doc_id"), countLaw = false),
     "dd_incremental_bloom" -> Embed(keyLt("doc_id"), countLaw = false),
@@ -278,9 +279,10 @@ object ScaleOracle {
     "dd_minhash_pairs_xx64" -> Embed(keyLt("id_1", "id_2"), countLaw = false),
     "dd_neardup_result" -> Embed(keyLt("doc_id"), countLaw = false),
     // window/segment duplication is corpus-global: replica-0 rows
-    // stay 1x-exact because rotated replicas share no 10-token
-    // window / 8-token segment with replica 0 (letters e,t,a,o,i,n,s
-    // appear in every window of the synthetic corpus; spec-measured)
+    // stay 1x-exact because permuted replicas share no 10-token
+    // window / 8-token segment with replica 0 (a shared window would
+    // need every letter in it to map identically — the per-copy
+    // permutations pairwise agree on ≤10 of 26 letters, spec-pinned)
     "dd_dup_passages" -> Embed(keyLt("doc_id"), countLaw = false),
     "dd_dup_passages_hashed" -> Embed(keyLt("doc_id"), countLaw = false),
     "dd_substring_scrub" -> Embed(keyLt("doc_id"), countLaw = false),
@@ -424,13 +426,13 @@ object ScaleOracle {
     "gov_lake_maintenance" -> GroupScaled(Seq("l_linestatus"),
       scaledLongCols = Seq("n_rows"),
       scaledDoubleCols = Seq("sum_price")),
-    // gopher-pass and fingerprint distincts ride rotated text
+    // gopher-pass and fingerprint distincts ride permuted text
     // (unchecked); docs/words and the label distincts carry the law
     "corpus_datasheet" -> GroupScaled(Nil,
       scaledLongCols = Seq("n_docs", "total_words"),
       invariantCols = Seq("n_langs", "n_sources")),
     // plants are %20-derived and Stride % 20 = 0 → every replica
-    // plants the same band; rotated fingerprints keep replica
+    // plants the same band; permuted fingerprints keep replica
     // contributions distinct
     "dd_source_overlap" -> GroupScaled(Seq("source_a", "source_b"),
       scaledLongCols = Seq("n_shared_fingerprints")),
@@ -438,7 +440,7 @@ object ScaleOracle {
     // growing corpus (legitimately scale-dependent) — partial law
     "corpus_epoch_plan" -> GroupScaled(Seq("stratum"),
       scaledLongCols = Seq("unique_tokens")),
-    // distinct_tokens rides the rotated-vocab union (unchecked)
+    // distinct_tokens rides the permuted-vocab union (unchecked)
     "ta_vocab_stats" -> GroupScaled(Nil,
       scaledLongCols = Seq("total_tokens", "n_docs")),
     "emb_label_centroids" -> GroupScaled(Seq("label", "dim"),
@@ -453,7 +455,7 @@ object ScaleOracle {
     "mv_hll_uniques" -> GroupScaled(Seq("day"),
       scaledLongCols = Seq("n_exact"),
       invariantCols = Seq("hll_within_tol")),
-    // n_exact rides the rotated-vocab union (unchecked); the HLL
+    // n_exact rides the permuted-vocab union (unchecked); the HLL
     // tolerance gate itself must hold at scale
     "a13_hll_distinct_gate" -> GroupScaled(Seq("lang"),
       invariantCols = Seq("hll_within_tol", "is_global")),
@@ -595,7 +597,11 @@ object ScaleOracle {
         val base = TextDedup.dedupExact(
           graft.queries.LlmQueries.nearDupCorpus(s, dir), "doc_id", "text")
         val sigs = TextDedup.minhashSignatures(base, "doc_id", "text")
-        TextDedup.lshCandidatePairs(TextDedup.lshBands(sigs, "doc_id"), "doc_id")
+        // same super-cluster cap as the registered query (the pair
+        // list is the SHARED front; the census CTE chain is the
+        // independent tail)
+        TextDedup.lshCandidatePairs(TextDedup.lshBands(sigs, "doc_id"),
+            "doc_id", maxBucketSize = graft.operators.Graph.CensusMaxBucketSize)
           .createOrReplaceTempView("so_tri_pairs")
         s.sql(triangleCensusSql)
       }
@@ -604,7 +610,7 @@ object ScaleOracle {
     // ── named exclusions: scale-dependent BY SEMANTICS ──
     "a14_cms_top_terms" -> Excluded(
       "top-20 token identities are corpus statistics and replicas are " +
-        "deliberately letter-rotated (the ta_heavy_tokens note); the CMS " +
+        "deliberately letter-permuted (the ta_heavy_tokens note); the CMS " +
         "one-sided guarantee is spec-gated, 1x truth DuckDB-gated"),
     "a20_rfm_segments" -> Excluded(
       "quintile cutoffs are GLOBAL interpolated percentiles over the " +
@@ -643,13 +649,13 @@ object ScaleOracle {
         "model and the cuts are corpus statistics by design"),
     "ta_bpe_pair_counts" -> Excluded(
       "pair counts are corpus token statistics and replicas are " +
-        "deliberately letter-rotated (the ta_heavy_tokens note)"),
+        "deliberately letter-permuted (the ta_heavy_tokens note)"),
     "ta_zipf_fit" -> Excluded(
       "a regression over the corpus vocabulary frequency table — " +
-        "letter-rotated replicas change the vocabulary by construction"),
+        "letter-permuted replicas change the vocabulary by construction"),
     "ta_pmi_pairs" -> Excluded(
       "the top-16 vocabulary and co-occurrence counts are corpus token " +
-        "statistics (letter-rotated replicas)"),
+        "statistics (letter-permuted replicas)"),
     "ta_tfidf_search" -> Excluded(
       "IDF is corpus-trained and the output is a global top-10 — both " +
         "legitimately move at scale; 1x DuckDB-gated"),
@@ -657,7 +663,7 @@ object ScaleOracle {
       "BM25 idf/avgdl are corpus-trained and the output is a global " +
         "top-10; 1x DuckDB-gated"),
     "ret_inverted_index" -> Excluded(
-      "per-term posting stats over a letter-rotated vocabulary union — " +
+      "per-term posting stats over a letter-permuted vocabulary union — " +
         "the term group set itself changes at scale by construction"),
     "ret_hybrid_rrf" -> Excluded(
       "fuses two corpus-statistic rankings (TF-IDF IDF, ANN over N−1 " +
@@ -956,7 +962,7 @@ object ScaleOracle {
     "ev_stream_enrich" -> GroupScaled(Seq("mktsegment", "event_type"),
       scaledLongCols = Seq("n_events"),
       scaledDoubleCols = Seq("total_value")),
-    // gopher stopword hits change on the letter-rotated replicas, so
+    // gopher stopword hits change on the letter-permuted replicas, so
     // per-replica pass sets differ — replica-0 law only
     "corpus_stream_gate" -> Embed(keyLt("doc_id"), countLaw = false),
     "scd2_stream_merge" -> Embed(keyLt("s_suppkey"), countLaw = false),
@@ -1035,7 +1041,7 @@ object ScaleOracle {
         "corpus statistics by design"),
     "ta_heavy_tokens" -> Excluded(
       "a frequency sketch over corpus tokens; replicas are " +
-        "deliberately letter-rotated so corpus token statistics " +
+        "deliberately letter-permuted so corpus token statistics " +
         "differ by construction"),
     "ev_session_overlap" -> Excluded(
       "n_concurrent counts time-overlapping sessions ACROSS users — " +

@@ -119,6 +119,25 @@ object Graph {
       (col("_r").cast("double") / lit(FpUnit.toDouble)).as("rank"))
   }
 
+  /** Bucket cap for pair lists feeding the triangle CENSUS: an LSH
+    * bucket of b docs is a b-clique in the candidate graph, and a
+    * clique's census work is CUBIC (C(b,3) triangles materialize
+    * before the per-node rollup) — degree-ordering bounds wedge
+    * fan-out per node, not the clique's triangle count. A bucket that
+    * hot is a degenerate near-dup cluster (crawl boilerplate; or, on
+    * the synthetic corpus, a common-shingle minhash draw — r14
+    * measured top buckets of 1883/1192/917 docs at 30×, ~1.1e9
+    * triangles from the first alone), and production graph mining
+    * collapses or drops super-clusters before counting: their
+    * structure is already known (they are one near-dup cluster — the
+    * dedup path's job), and a census over them is b³ work for zero
+    * insight. 300 is far above every correctness-SF bucket (max 116
+    * at sf0.1, smaller at sf0.01 — the 1× oracle result is
+    * unchanged) and caps one bucket's census contribution at
+    * C(300,3) ≈ 4.5M triangles.
+    */
+  val CensusMaxBucketSize: Int = 300
+
   /** Degree-annotated edge checkpoint of the LAST [[triangleStats]]
     * call (same lifecycle convention as [[pageRank]]'s edgeCache).
     */

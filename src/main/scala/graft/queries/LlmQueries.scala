@@ -1760,9 +1760,14 @@ object LlmQueries {
       (s, dir) => {
         val base = TextDedup.dedupExact(nearDupCorpus(s, dir), "doc_id", "text")
         val sigs = TextDedup.minhashSignatures(base, "doc_id", "text")
+        // census input rides the SUPER-CLUSTER cap (Graph scaladoc):
+        // a hot LSH bucket is a b-clique whose census work is b³ —
+        // not binding at any correctness SF (max bucket 116 at
+        // sf0.1), so the oracle below needs no cap clause
         Graph.triangleStats(
           TextDedup.lshCandidatePairs(
-            TextDedup.lshBands(sigs, "doc_id"), "doc_id"),
+            TextDedup.lshBands(sigs, "doc_id"), "doc_id",
+            maxBucketSize = Graph.CensusMaxBucketSize),
           "id_1", "id_2")
           .select(col("node").as("doc_id"), col("deg"), col("tri"), col("lcc"))
       },

@@ -48,7 +48,7 @@ object MdmQueries {
       col("c_nationkey").as("block_nation"),
       col("c_mktsegment").as("block_seg"))
 
-  private def entitiesFine(s: SparkSession, dir: String): DataFrame =
+  private[graft] def entitiesFine(s: SparkSession, dir: String): DataFrame =
     entities(s, dir).withColumn("block_suffix",
       substring(graft.functions.Functions.normalizeText(col("name")), -1, 1))
 

@@ -17,12 +17,12 @@ import org.apache.spark.sql.functions._
   *    way 10× more real data would.
   *  - Dimension tables (region, nation) stay single-copy — they are
   *    conformed dimensions; real datasets grow facts, not geography.
-  *  - `documents.text` is perturbed per copy (a vowel/consonant
-  *    `translate` rotation) so replicas are NOT near-duplicates of
-  *    each other: without this every doc would gain 9 exact twins and
-  *    dedup operators would measure a synthetic 100× pair blow-up
-  *    instead of 10× more data. n_chars stays valid (translate is
-  *    length-preserving).
+  *  - `documents.text` is perturbed per copy (a per-copy-unique
+  *    letter `translate` permutation, see [[permuted]]) so replicas
+  *    are NOT duplicates of each other: without this every doc would
+  *    gain copies−1 exact twins and dedup operators would measure a
+  *    synthetic pair blow-up instead of N× more data. n_chars stays
+  *    valid (translate is length-preserving).
   *  - `events.ts` passes through unchanged in the source's own
   *    encoding (µs timestamp, or legacy nanos via
   *    `Tables.readParquetAutoNanos`), and user_id shifts per
@@ -54,16 +54,61 @@ object ScaledCorpus {
     "documents"  -> Seq("doc_id"),
     "embeddings" -> Seq("vec_id"))
 
-  /** Length-preserving per-copy text perturbation: rotate the 7 most
-    * frequent English letters among themselves. Rotation 1..6 (never
-    * identity), so every replica's shingle/minhash/simhash profile
-    * diverges from every other's while token structure, length, and
-    * language statistics stay realistic.
+  /** Length-preserving per-copy text perturbation: a per-copy-unique
+    * permutation of ALL 26 lowercase letters (deterministic
+    * Fisher–Yates driven by a splitmix64 stream seeded with the copy
+    * index).
+    *
+    * Why a full-alphabet random permutation and not something
+    * gentler — the r14 adjudication, in two steps:
+    *
+    *  1. The original scheme rotated the 7 most frequent letters,
+    *     which has only 6 non-identity classes: at 100 copies every
+    *     doc had ~16 EXACT cross-replica twins and the LSH pair
+    *     output measured ×4551 at 100× (45× superlinear) — a corpus
+    *     artifact masquerading as an operator cliff.
+    *  2. A banded replacement (affine maps within two 7-letter
+    *     frequency bands, 1764 classes) killed the exact twins but
+    *     kept STRUCTURED near-collisions: the synthetic docs draw
+    *     from a small vocabulary of common-letter words, and a
+    *     within-band permutation often maps a vocab word onto
+    *     another vocab word (anagram effect), so replicas still
+    *     band-collided — 30× pair output stayed ×130 and the
+    *     triangle-census wedge count hit ×1849.
+    *
+    * A uniform-random permutation of the full alphabet scatters word
+    * images across all 26 letters, so the image of one replica's
+    * vocabulary almost never intersects another's (expected fixed
+    * points of T_j∘T_i⁻¹ ≈ 1 letter; a 4+-letter word surviving into
+    * the vocabulary has probability ≈ 26^-4 per word pair). Within a
+    * replica the map is a character bijection, so shingle-set
+    * jaccard, token histograms, text length, and char entropy are
+    * preserved EXACTLY — each replica carries the 1× corpus's
+    * near-dup structure and nothing else. Cross-replica independence
+    * is statistical, not algebraic — ScaledCorpusSpec pins mapping
+    * uniqueness, non-identity, and displacement through 1000 copies.
     */
-  private val Freq = "etaoins"
-  private def rotated(i: Int): String = {
-    val r = (i - 1) % (Freq.length - 1) + 1
-    Freq.drop(r) + Freq.take(r)
+  private val Letters = "abcdefghijklmnopqrstuvwxyz"
+  private[graft] def permuted(i: Int): (String, String) = {
+    // splitmix64: deterministic, platform-independent mixer
+    var state = 0x9E3779B97F4A7C15L * (i + 1)
+    def next(): Long = {
+      state += 0x9E3779B97F4A7C15L
+      var z = state
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    val arr = Letters.toCharArray
+    for (k <- arr.length - 1 to 1 by -1) {
+      val j = (math.floorMod(next(), k + 1)).toInt
+      val t = arr(k); arr(k) = arr(j); arr(j) = t
+    }
+    val to = new String(arr)
+    // identity is astronomically unlikely (1/26!) but would silently
+    // produce exact replica twins — fall back to a rotation
+    if (to == Letters) (Letters, Letters.tail + Letters.head)
+    else (Letters, to)
   }
 
   private def marker(outDir: String, copies: Int) =
@@ -98,9 +143,10 @@ object ScaledCorpus {
           val shifted = keys.foldLeft(df) { (d, k) =>
             d.withColumn(k, col(k) + lit(Stride * i))
           }
-          if (table == "documents" && i > 0)
-            shifted.withColumn("text", translate(col("text"), Freq, rotated(i)))
-          else shifted
+          if (table == "documents" && i > 0) {
+            val (from, to) = permuted(i)
+            shifted.withColumn("text", translate(col("text"), from, to))
+          } else shifted
         }.reduce(_ unionAll _)
       out.write.mode("overwrite").parquet(s"$outDir/$table.parquet")
     }

@@ -75,6 +75,35 @@ class GraphSpec extends SparkSpec {
     (1L to 4L).foreach { n => assert(r(n) === ((3L, 3L, 1.0))) }
   }
 
+  test("census super-cluster cap: degenerate bucket dropped, correctness-SF answers untouched") {
+    // a hot LSH bucket is a b-clique whose census cost is C(b,3):
+    // synthetic bands with one bucket over CensusMaxBucketSize and
+    // one small must yield pairs ONLY from the small bucket
+    import graft.operators.TextDedup
+    val big = (1L to Graph.CensusMaxBucketSize + 1L)
+      .map(i => (i, 0, "hot"))
+    val small = Seq((900L, 1, "cold"), (901L, 1, "cold"))
+    val bands = (big ++ small).toDF("doc_id", "band_id", "band_hash")
+    val pairs = TextDedup.lshCandidatePairs(bands, "doc_id",
+      maxBucketSize = Graph.CensusMaxBucketSize)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs === Set((900L, 901L)),
+      "oversized bucket must be excluded from the census pair graph")
+    // on the real correctness-SF corpus the cap must NOT bind — the
+    // registered graph_triangle_stats answer (and its DuckDB oracle,
+    // which carries no cap clause) is unchanged by the cap
+    val corpus = graft.queries.LlmQueries.nearDupCorpus(spark, sfDir)
+    val realBands = TextDedup.lshBands(
+      TextDedup.minhashSignatures(
+        TextDedup.dedupExact(corpus, "doc_id", "text"), "doc_id", "text"),
+      "doc_id")
+    val uncapped = TextDedup.lshCandidatePairs(realBands, "doc_id").count()
+    val capped = TextDedup.lshCandidatePairs(realBands, "doc_id",
+      maxBucketSize = Graph.CensusMaxBucketSize).count()
+    assert(capped === uncapped,
+      s"cap ${Graph.CensusMaxBucketSize} must not bind at correctness SFs")
+  }
+
   test("triangleStats: degree-ordered orientation is repartition-invariant") {
     // hub 0 with leaves 1..6, one closed pair (1,2): exercises the
     // deg-tie and hub-vs-leaf orientation branches

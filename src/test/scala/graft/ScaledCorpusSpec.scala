@@ -48,6 +48,35 @@ class ScaledCorpusSpec extends SparkSpec {
     ScaledCorpus.build(spark, sfDir, out, copies = 3)
     assert(f.lastModified() === mtime, "rebuild must be a no-op under the marker")
 
+    // the per-copy letter mapping is UNIQUE through ≥1000 copies,
+    // never the identity, and displaces nearly every letter — both
+    // against the 1× text AND between any two copies (spot-checked):
+    // the r13-era rotation cycled with period 6 (≈16 exact
+    // cross-replica twins per doc at 100 copies, LSH pair output
+    // ×4551 = 45× superlinear), and a banded-affine replacement kept
+    // structured anagram collisions on the small synthetic vocabulary
+    // (30× pair output ×130, wedge count ×1849) — both corpus
+    // artifacts that read as operator cliffs.
+    val maps = (1 to 1000).map(ScaledCorpus.permuted)
+    assert(maps.distinct.size === 1000, "per-copy mapping must be unique")
+    maps.zip(1 to 1000).foreach { case ((from, to), i) =>
+      assert(from.length === to.length, s"copy $i: length-preserving")
+      assert(to.toSet === from.toSet, s"copy $i: permutation of the same letters")
+      val fixed = from.zip(to).count { case (a, b) => a == b }
+      assert(fixed <= 8, s"copy $i: mapping must displace most letters " +
+        s"($fixed fixed points)")
+    }
+    // pairwise displacement on a sample: T_j∘T_i⁻¹ near-identity would
+    // make two replicas near-duplicates of each other
+    for (i <- 1 to 50; j <- i + 1 to 50) {
+      // letters on which the two copies' maps AGREE survive as shared
+      // shingle content between the replicas
+      val shared = maps(i - 1)._2.zip(maps(j - 1)._2)
+        .count { case (a, b) => a == b }
+      assert(shared <= 10,
+        s"copies $i,$j: mappings too similar ($shared agreeing letters)")
+    }
+
     // a rebuild at a DIFFERENT copy count invalidates the old marker:
     // requesting 3 copies again afterwards must really rebuild, not
     // accept the 2-copy data under the stale x3 marker
