@@ -89,11 +89,47 @@ object Bench {
     "ev_asof_join")        // as-of join
 
   /** Default 100× probe set: the headline plus the dedup/ANN/MDM scale
-    * defaults whose 100-TB story the engine stands on.
+    * defaults whose 100-TB story the engine stands on, plus the
+    * corpus-trained LM family (whose scaling regime the r14 corpus fix
+    * changed — distinct n-grams now grow ×copies by construction, see
+    * [[nullModels]]).
     */
   val scale100Defaults: Seq[String] = headline ++ Seq(
     "dd_dup_clusters", "ann_ivf_topk", "ta_bigram_logprob",
-    "llm_corpus_pipeline")
+    "llm_corpus_pipeline", "ta_unigram_logprob", "ta_pmi_pairs")
+
+  /** 100×-probe information-value order (VERDICT r14 #1): the probe
+    * exists to time the flagship/dedup/LM tier at 100×, and a
+    * cheapest-first sweep under a driver deadline buys the cheap tail
+    * and deadline-skips exactly that tier (r14: 14/20 skipped, all
+    * flagship). Names here run FIRST, in this order; the remainder
+    * still runs cheapest-first. Order within the tier: the engine's
+    * headline dedup story first, then MDM, clustering, the e2e
+    * pipeline, then the LM family (whose 100× cost is the largest and
+    * carries its own null model — it must not starve the names before
+    * it).
+    */
+  val scale100Priority: Seq[String] = Seq(
+    "dd_minhash_pairs", "mdm_match_pairs", "dd_dup_clusters",
+    "llm_corpus_pipeline", "ta_bigram_logprob", "ta_unigram_logprob",
+    "ta_pmi_pairs")
+
+  /** Sweep execution order: `priorityFirst` members (present among the
+    * candidates) run first in the given order; everything else runs
+    * cheapest-first by the best predictor available (a prior sweep's
+    * measured time, else the 1× time scaled). Pure — pinned by
+    * BenchSpec.
+    */
+  private[graft] def sweepOrder(candidates: Seq[(String, Double)],
+                                prior: Map[String, Double], copies: Int,
+                                priorityFirst: Seq[String]): Seq[String] = {
+    val cand = candidates.map(_._1).toSet
+    val pri = priorityFirst.filter(cand.contains)
+    val rest = candidates.filterNot(p => pri.contains(p._1))
+      .sortBy { case (n, t1) => prior.getOrElse(n, t1 * copies) }
+      .map(_._1)
+    pri ++ rest
+  }
 
   /** Default in-bench scale-oracle tier: the 100× probe set plus the
     * r12 cliff set — the queries whose scale shape was rewritten in
@@ -221,7 +257,12 @@ object Bench {
       deadlineSec = sys.env.getOrElse("BENCH_DEADLINE_SEC", "2400").toDouble,
       scaleOn = sys.env.getOrElse("BENCH_SCALE", "on") != "off",
       scaleCopies = sys.env.getOrElse("BENCH_SCALE_COPIES", "10").toInt,
-      scaleBudget = sys.env.getOrElse("BENCH_SCALE_BUDGET_SEC", "900").toInt,
+      // probe100 rounds trim the 10× sweep to FUND the 100× probe
+      // (VERDICT r14 #1): the 10× tail the trim drops is exactly the
+      // proven-sublinear surface the alternating full30 round covers,
+      // while the freed ~300 s buys the flagship tier at 100×
+      scaleBudget = sys.env.getOrElse("BENCH_SCALE_BUDGET_SEC",
+        if (probe) "600" else "900").toInt,
       // 240s: with dd_ngram_prefix sweep-excluded, the slowest
       // genuinely-completing 10× query is well under 120s — the cap
       // only bounds true blow-ups now
@@ -234,12 +275,16 @@ object Bench {
       scale100On = sys.env.getOrElse("BENCH_SCALE100",
         if (probe) "on" else "off") == "on",
       scale100Copies = sys.env.getOrElse("BENCH_SCALE100_COPIES", "100").toInt,
-      // probe mode trades the 30× sweep's 900 s for the probe; a
-      // standalone (BENCH_SCALE100=on) run keeps the wide budget
+      // probe mode trades the 30× sweep's 900 s plus the 10× trim for
+      // the probe; a standalone (BENCH_SCALE100=on) run keeps the wide
+      // budget. Probe cap 600 (was 360): the LM-family 100× runs are
+      // linear-×-vocab-growth (see nullModels) and land above 360 —
+      // a cap that guarantees a timeout flag every probe round times
+      // nothing and spends the same wall-clock.
       scale100Budget = sys.env.getOrElse("BENCH_SCALE100_BUDGET_SEC",
-        if (probe) "1000" else "2400").toInt,
+        if (probe) "1300" else "2400").toInt,
       scale100Cap = sys.env.getOrElse("BENCH_SCALE100_QUERY_CAP_SEC",
-        if (probe) "360" else "600").toInt,
+        "600").toInt,
       scale100Names = s100Names,
       scaleOracleOn = sys.env.getOrElse("BENCH_SCALE_ORACLE", "on") != "off",
       scaleOracleBudget =
@@ -367,9 +412,40 @@ object Bench {
       "size; block key unshifted under replica scaling so output grows " +
       "~copies^2 (fine pair space x972.6 at 30x vs wall time x54 — " +
       "per-output-row cost drops ~18x)"
+    // VERDICT r14 #4: the LSH pair/cluster family's sweep ratios must
+    // be read against the synthetic corpus's bucket dispersion, not a
+    // linear-input expectation — the ~60-word synthetic vocabulary
+    // packs shingle space so densely that permuted replicas still
+    // band-collide at random, growing candidate-pair OUTPUT
+    // superlinearly (measured x582 at 100x on the permutation-fixed
+    // corpus, NOTES r14) while per-output-row cost stays flat; real
+    // web-scale shingle universes are ~2^64-sparse and don't do this.
+    val lshDispersion = "LSH banding on the small-shingle-universe " +
+      "synthetic corpus: permuted replicas still band-collide at " +
+      "random, so candidate-pair output grows superlinearly (x582 at " +
+      "100x, corpus artifact) while per-output-row cost stays flat — " +
+      "score sweep ratios against output growth, not input rows"
+    // VERDICT r14 #3: the corpus-trained LM family. The per-copy
+    // alphabet permutation makes distinct tokens/bigrams grow ×copies
+    // BY CONSTRUCTION (every copy speaks its own 26-letter cipher), so
+    // LM join/agg key cardinality grows linearly with corpus size;
+    // real corpora follow Heaps' law (vocabulary ~n^0.5±) and their LM
+    // tables grow far slower — a per-input-row ratio ≳1 here is
+    // synthetic vocab growth, not a plan regression.
+    val vocabGrowth = "corpus-trained LM: per-copy alphabet " +
+      "permutation grows distinct tokens/bigrams ~x(copies) by " +
+      "construction, so LM join/agg key cardinality scales linearly " +
+      "with the corpus; real corpora are Heaps-sublinear — per-input-" +
+      "row ratios near or above 1 reflect synthetic vocab growth, not " +
+      "a plan regression"
     Seq("mdm_match_pairs", "mdm_match_pairs_fine", "mdm_steward_queue",
       "mdm_steward_queue_fine", "mdm_golden_records",
-      "mdm_golden_records_fine").map(_ -> pairListing).toMap
+      "mdm_golden_records_fine").map(_ -> pairListing).toMap ++
+      Seq("dd_minhash_pairs", "dd_minhash_pairs_xx64", "dd_dup_clusters",
+        "dd_neardup_result", "dd_incremental_neardup")
+        .map(_ -> lshDispersion).toMap ++
+      Seq("ta_bigram_logprob", "ta_unigram_logprob", "ta_pmi_pairs")
+        .map(_ -> vocabGrowth).toMap
   }
 
   /** One derived-scale sweep's output: its JSON section, the flagged /
@@ -534,7 +610,8 @@ object Bench {
     def sweep(copies: Int, budget: Int, cap: Int,
               prior: Map[String, Double] = Map.empty,
               preSkips: Map[String, Double] = Map.empty,
-              nameFilter: String => Boolean = _ => true): SweepOut = {
+              nameFilter: String => Boolean = _ => true,
+              priorityFirst: Seq[String] = Nil): SweepOut = {
       val scaledDir = new java.io.File(
         s"${cfg.scaledDirBase}/bench-scaled-x$copies").getAbsolutePath
       graft.sources.ScaledCorpus.build(spark, cfg.sfDir, scaledDir, copies)
@@ -562,13 +639,19 @@ object Bench {
       // scale cliff flag on them would re-report the null model every
       // round. The exclusion is reported in the top-level
       // `excluded_twins` field, never silent.
-      val order = results.filter(_._2 > 0)
-        .filterNot(_._1.endsWith("_coarse"))
-        .filterNot(p => excludedSweep.contains(p._1))
-        .filter(p => nameFilter(p._1))
-        .filterNot(p => preSkips.contains(p._1))
-        .sortBy { case (n, t1) => prior.getOrElse(n, t1 * copies) }
-        .map(_._1)
+      // priorityFirst (the 100× probe's information-value tier) runs
+      // before the cheapest-first remainder: under a deadline the
+      // UNSTARTED tail must be the names whose scale behavior is
+      // already covered elsewhere, not the tier the probe exists for
+      // (VERDICT r14 #1 — r14's ascending-prior probe deadline-skipped
+      // 14/20, all flagship).
+      val order = sweepOrder(
+        results.filter(_._2 > 0)
+          .filterNot(_._1.endsWith("_coarse"))
+          .filterNot(p => excludedSweep.contains(p._1))
+          .filter(p => nameFilter(p._1))
+          .filterNot(p => preSkips.contains(p._1)),
+        prior, copies, priorityFirst)
       val sweepStart = System.nanoTime()
       def elapsed = (System.nanoTime() - sweepStart) / 1e9
       val timed = scala.collection.mutable.LinkedHashMap.empty[String, Double]
@@ -614,11 +697,20 @@ object Bench {
         // the expensive part, so truncating here (reported, with the
         // prior as the datapoint) is the graceful-degradation path
         // that keeps the artifact parseable under any wall-clock
+        // adaptive per-query cap: demanding the FULL nominal cap of
+        // deadline headroom before starting anything would skip the
+        // whole remaining sweep the moment deadlineLeft < cap+30 —
+        // with the probe's 600 s cap that re-creates the r14 failure
+        // mode after the first expensive query. Tightening the cap to
+        // the remaining wall-clock (floor 60 s) times every query the
+        // deadline can still fit; a timeout under the tightened cap
+        // is still an honest lower-bound flag.
+        val effCap = math.min(cap.toLong, (deadlineLeft - 30).toLong).toInt
         if (cascadeAfter.isDefined) skipped += name -> "cascade"
         else if (elapsed > budget) skipped += name -> "budget"
-        else if (deadlineLeft < cap + 30) skipped += name -> "deadline"
+        else if (effCap < math.min(cap, 60)) skipped += name -> "deadline"
         else {
-          val t = timedRun(spark, queries, name, scaledDir, cap)
+          val t = timedRun(spark, queries, name, scaledDir, effCap)
           timed(name) = t.sec
           sweepGc(name) = t.gcMs.toDouble
           t.errMsg.foreach(m => errMsgs(name) = m)
@@ -631,12 +723,13 @@ object Bench {
           }
           // cliff candidate: per-row cost at Nx grew >2× vs the bench
           // SF (ratio = t_N / (copies · t_1)); a timeout is ALWAYS a
-          // candidate (its ratio is only a LOWER bound). Sub-second
-          // absolute costs are ignored — fixed per-query overhead
-          // dominates there and the ratio is noise.
+          // candidate (its ratio is only a LOWER bound, computed from
+          // the cap the run actually had). Sub-second absolute costs
+          // are ignored — fixed per-query overhead dominates there
+          // and the ratio is noise.
           val t1 = timeAt01.getOrElse(name, 0.0)
           if (t1 > 0.05 && t.sec != -2.0) {
-            val eff = if (t.sec == -1.0) cap.toDouble else t.sec
+            val eff = if (t.sec == -1.0) effCap.toDouble else t.sec
             val ratio = eff / (copies * t1)
             if (t.sec == -1.0 || (ratio > 2.0 && eff > 2.0))
               flagsBuf += Flag(name, t.sec, ratio, t.sec == -1.0)
@@ -814,7 +907,8 @@ object Bench {
       if (cfg.scale100On && cfg.scale100Copies > 1)
         sweep(cfg.scale100Copies, cfg.scale100Budget, cfg.scale100Cap,
           prior100 ++ prior30.view.filterKeys(k => !prior100.contains(k)),
-          Map.empty, cfg.scale100Names.toSet)
+          Map.empty, cfg.scale100Names.toSet,
+          priorityFirst = scale100Priority)
       else emptySweep
 
     // headline dict + total ride the dedicated-pass MEDIANS (the

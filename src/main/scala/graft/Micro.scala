@@ -124,6 +124,18 @@ object Micro {
     if (args.lift(1).contains("query")) {
       graft.plans.GraftExtensions.register(spark)
       val shuffleBytes = new java.util.concurrent.atomic.AtomicLong()
+      // listener events are async: drain the bus to a fence before
+      // resetting / reading the counter, so no run's bytes bleed into
+      // the next (ADVICE r14 — fixed sleeps could still race a late
+      // stage-completed event). listenerBus is private[spark] in
+      // Scala but public bytecode — plain reflection, no setAccessible.
+      def drainBus(): Unit =
+        try {
+          val bus = spark.sparkContext.getClass.getMethod("listenerBus")
+            .invoke(spark.sparkContext)
+          bus.getClass.getMethod("waitUntilEmpty", classOf[Long])
+            .invoke(bus, java.lang.Long.valueOf(15000L))
+        } catch { case _: Exception => Thread.sleep(1000) } // best effort
       spark.sparkContext.addSparkListener(
         new org.apache.spark.scheduler.SparkListener {
           override def onStageCompleted(
@@ -133,15 +145,13 @@ object Micro {
         })
       args.drop(2).foreach { n =>
         val runs = (1 to 2).map { _ =>
-          // listener events are async; a short drain keeps each run's
-          // byte count from bleeding into the next (dev-tool precision)
-          Thread.sleep(1000)
+          drainBus()
           shuffleBytes.set(0L)
           val t0 = System.nanoTime()
           SparkEntry.queries(n)(spark, sfDir)
             .write.format("noop").mode("overwrite").save()
           val sec = (System.nanoTime() - t0) / 1e9
-          Thread.sleep(1000)
+          drainBus()
           (sec, shuffleBytes.get())
         }
         val best = runs.minBy(_._1)

@@ -265,8 +265,9 @@ object ScaleOracle {
     "ta_rpv2_fracs" -> Embed(keyLt("doc_id")),
     "ta_top_ngram_frac" -> Embed(keyLt("doc_id")),
     // exact-dup groups are replica-confined unless a text is
-    // letter-permutation-INVARIANT, i.e. contains no letters at all
-    // (then cross-replica groups merge) — no such text exists in the
+    // invariant under the copy's letter permutation — it contains no
+    // letters, or only letters that copy's map happens to fix (then
+    // cross-replica groups merge) — no such text exists in the
     // synthetic corpus (spec-measured at x3); countLaw off because
     // the insert fixture is replica-0-tied
     "dd_exact_groups" -> Embed(keyLt("canonical_id"), countLaw = false),

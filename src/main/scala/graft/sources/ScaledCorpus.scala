@@ -89,15 +89,25 @@ object ScaledCorpus {
     * uniqueness, non-identity, and displacement through 1000 copies.
     */
   private val Letters = "abcdefghijklmnopqrstuvwxyz"
+  // splitmix64 finalizer: deterministic, platform-independent mixer
+  private def mix64(x: Long): Long = {
+    var z = x
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
   private[graft] def permuted(i: Int): (String, String) = {
-    // splitmix64: deterministic, platform-independent mixer
-    var state = 0x9E3779B97F4A7C15L * (i + 1)
+    // Seed = the copy index run through the finalizer ONCE (ADVICE
+    // r14): seeding the raw counter with GOLDEN*(i+1) made copy i+1's
+    // draw stream copy i's shifted one step (24 of the 25 Fisher–Yates
+    // draws shared, at offset positions) — independence held only
+    // empirically. Finalized seeds start each copy's stream at a
+    // pseudo-random state far from every other copy's, so the streams
+    // are disjoint by construction.
+    var state = mix64(0x9E3779B97F4A7C15L * (i + 1))
     def next(): Long = {
       state += 0x9E3779B97F4A7C15L
-      var z = state
-      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-      z ^ (z >>> 31)
+      mix64(state)
     }
     val arr = Letters.toCharArray
     for (k <- arr.length - 1 to 1 by -1) {
@@ -111,8 +121,15 @@ object ScaledCorpus {
     else (Letters, to)
   }
 
+  /** Generation tag baked into the completion marker: bump whenever
+    * the generator's OUTPUT changes (key scheme, perturbation, seed
+    * derivation), so scaled dirs cached from an earlier generation
+    * rebuild instead of being silently reused under a stale marker.
+    * g2 = finalizer-seeded per-copy permutation streams (r15).
+    */
+  private val Generation = 2
   private def marker(outDir: String, copies: Int) =
-    new org.apache.hadoop.fs.Path(outDir, s"_SCALED_OK_x$copies")
+    new org.apache.hadoop.fs.Path(outDir, s"_SCALED_OK_g${Generation}_x$copies")
 
   /** Build (idempotent: a marker file records a completed build at
     * this copy count; re-invocations return immediately).
@@ -129,7 +146,7 @@ object ScaledCorpus {
     val dir = new org.apache.hadoop.fs.Path(outDir)
     if (fs.exists(dir))
       fs.listStatus(dir).map(_.getPath)
-        .filter(_.getName.startsWith("_SCALED_OK_x"))
+        .filter(_.getName.startsWith("_SCALED_OK"))
         .foreach(p => fs.delete(p, false))
     // event ts round-trips verbatim in whatever encoding the source
     // carries: Tables.readParquetAutoNanos only escalates the legacy

@@ -237,6 +237,47 @@ class BenchSpec extends SparkSpec {
       f.get("queries").get("daily_revenue").asDouble())
   }
 
+  test("probe ordering and null models: priority tier runs first; the " +
+    "pair-listing / LSH-dispersion / vocab-growth families are named") {
+    // sweepOrder: priority members first IN ORDER regardless of prior,
+    // remainder cheapest-first by prior (falling back to t1 × copies)
+    val cands = Seq("cheap" -> 0.1, "dd_minhash_pairs" -> 2.0,
+      "mid" -> 1.0, "mdm_match_pairs" -> 0.5)
+    val order = Bench.sweepOrder(cands,
+      prior = Map("mid" -> 5.0), copies = 100,
+      priorityFirst = Bench.scale100Priority)
+    assert(order === Seq("dd_minhash_pairs", "mdm_match_pairs",
+      "mid", "cheap"),
+      s"flagship tier must lead, remainder cheapest-first: $order")
+    // a priority name absent from the candidates must not appear
+    assert(!order.contains("dd_dup_clusters"))
+    // no priority list = pure cheapest-first (the 10×/30× sweeps)
+    assert(Bench.sweepOrder(cands, Map.empty, 10, Nil) ===
+      Seq("cheap", "mdm_match_pairs", "mid", "dd_minhash_pairs"))
+
+    // the probe set itself carries the whole priority tier, so the
+    // driver probe100 round can never order names it doesn't run
+    Bench.scale100Priority.foreach(n =>
+      assert(Bench.scale100Defaults.contains(n), s"$n not in probe set"))
+
+    // null_models coverage (VERDICT r14 #3/#4): every member of the
+    // three adjudicated families rides the artifact with its rationale
+    val mdm = Seq("mdm_match_pairs", "mdm_match_pairs_fine",
+      "mdm_steward_queue", "mdm_steward_queue_fine",
+      "mdm_golden_records", "mdm_golden_records_fine")
+    val lsh = Seq("dd_minhash_pairs", "dd_minhash_pairs_xx64",
+      "dd_dup_clusters", "dd_neardup_result", "dd_incremental_neardup")
+    val lm = Seq("ta_bigram_logprob", "ta_unigram_logprob", "ta_pmi_pairs")
+    (mdm ++ lsh ++ lm).foreach(n =>
+      assert(Bench.nullModels.contains(n), s"null model missing: $n"))
+    mdm.foreach(n => assert(Bench.nullModels(n).contains("pair-listing")))
+    lsh.foreach(n => assert(Bench.nullModels(n).contains("output growth")))
+    lm.foreach(n => assert(Bench.nullModels(n).contains("vocab growth")))
+    // and every null-modeled name is a real registry query
+    Bench.nullModels.keys.foreach(n =>
+      assert(SparkEntry.queries.contains(n), s"stale null model: $n"))
+  }
+
   test("bench dry run: recheck starvation is MARKED, never silent") {
     // recheckBudget 0: the synthetic cliff's recheck can't run — the
     // flag must then carry an explicit skipped marker (r11's failure

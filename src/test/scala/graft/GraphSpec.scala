@@ -102,6 +102,25 @@ class GraphSpec extends SparkSpec {
       maxBucketSize = Graph.CensusMaxBucketSize).count()
     assert(capped === uncapped,
       s"cap ${Graph.CensusMaxBucketSize} must not bind at correctness SFs")
+    // headroom margin at the LARGEST oracle SF (ADVICE r14): the
+    // non-binding claim above only exercises the spec SF; the sf0.1
+    // max bucket (116 when measured) must stay ≤ cap/2 so corpus
+    // drift toward the cap is flagged BEFORE the cap silently starts
+    // excluding buckets from the registered census answer
+    val bigSf = Seq("/root/testdata/sf0.1", "/root/testdata/sf0.01", sfDir)
+      .find(d => new java.io.File(s"$d/documents.parquet").exists).get
+    val bigBands = TextDedup.lshBands(
+      TextDedup.minhashSignatures(
+        TextDedup.dedupExact(
+          graft.queries.LlmQueries.nearDupCorpus(spark, bigSf),
+          "doc_id", "text"), "doc_id", "text"),
+      "doc_id")
+    val maxBucket = bigBands.groupBy("band_id", "band_hash")
+      .agg(count(lit(1)).as("b")).agg(max(col("b"))).first().getLong(0)
+    assert(maxBucket <= Graph.CensusMaxBucketSize / 2,
+      s"max LSH bucket $maxBucket at $bigSf is within 2x of the census " +
+        s"cap ${Graph.CensusMaxBucketSize} — re-adjudicate the cap before " +
+        "it binds on oracle answers")
   }
 
   test("triangleStats: degree-ordered orientation is repartition-invariant") {
