@@ -115,6 +115,61 @@ object Micro {
       spark.stop(); return
     }
 
+    // generic per-stage breakdown: `Micro <dir> stages <name>...` —
+    // wall/tasks/shuffle bytes per stage for any registered query,
+    // plus (for streaming queries) every micro-batch's durationMs
+    // breakdown and state-operator commit times. The "where does the
+    // wall-time actually go" probe the optimization loop starts from.
+    if (args.lift(1).contains("stages")) {
+      graft.plans.GraftExtensions.register(spark)
+      val stages = new java.util.concurrent.ConcurrentHashMap[Int, String]()
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val si = sc.stageInfo
+          val dur = (si.completionTime.getOrElse(0L) -
+            si.submissionTime.getOrElse(0L)) / 1000.0
+          val m = si.taskMetrics
+          if (dur >= 0.05)
+            stages.put(si.stageId,
+              f"stage=${si.stageId}%4d dur=$dur%7.2fs tasks=${si.numTasks}%4d " +
+                f"sRead=${m.shuffleReadMetrics.totalBytesRead / 1e6}%8.1fMB " +
+                f"sWrite=${m.shuffleWriteMetrics.bytesWritten / 1e6}%8.1fMB " +
+                f"  ${si.name.take(90)}")
+        }
+      }
+      val sq = new org.apache.spark.sql.streaming.StreamingQueryListener {
+        override def onQueryStarted(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+        override def onQueryTerminated(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+        override def onQueryProgress(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = {
+          val p = e.progress
+          import scala.jdk.CollectionConverters._
+          val dm = p.durationMs.asScala.toSeq.sortBy(-_._2)
+            .map { case (k, v) => s"$k=$v" }.mkString(" ")
+          val st = p.stateOperators.map(s =>
+            s"${s.operatorName}:rows=${s.numRowsTotal},commit=${s.allUpdatesTimeMs + s.commitTimeMs}ms")
+            .mkString(" ")
+          println(f"  [stream ${p.name} batch=${p.batchId}] $dm  $st")
+        }
+      }
+      spark.streams.addListener(sq)
+      spark.sparkContext.addSparkListener(listener)
+      args.drop(2).foreach { n =>
+        stages.clear()
+        val t0 = System.nanoTime()
+        SparkEntry.queries(n)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        println(f"$n: total=${(System.nanoTime() - t0) / 1e9}%.2fs")
+        Thread.sleep(1500) // let async stage events drain
+        import scala.jdk.CollectionConverters._
+        stages.asScala.toSeq.sortBy(_._1).foreach(s => println(s._2))
+      }
+      spark.stop(); return
+    }
+
     // generic registered-query timing: `Micro <dir> query <name>...`
     // (2 runs, min) — for one-off scale probes without a full sweep.
     // Each run also reports total shuffle WRITE bytes (stage-summed via

@@ -135,14 +135,19 @@ object EventStream {
     * replay mode; same code path a live deployment runs, minus an
     * unbounded source).
     */
-  private def runCompleteToMemory(agg: DataFrame, queryName: String): DataFrame = {
-    val q = agg.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(queryName)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+  private def runCompleteToMemory(agg: DataFrame, queryName: String,
+                                  inputPaths: Seq[String]): DataFrame = {
+    // state partitions sized to the stream's input (StateTuning: the
+    // per-partition-per-batch store commit is pure fixed overhead)
+    StateTuning.withStatePartitions(agg.sparkSession, inputPaths) {
+      val q = agg.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(queryName)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     agg.sparkSession.table(queryName)
   }
 
@@ -158,7 +163,7 @@ object EventStream {
         col("window.start").as("window_start"),
         col("window.end").as("window_end"),
         col("event_type"), col("n_events"), col("total_value"))
-    runCompleteToMemory(agg, queryName)
+    runCompleteToMemory(agg, queryName, Seq(eventsPath))
   }
 
   /** Stream-static broadcast enrichment through the REAL streaming
@@ -188,7 +193,7 @@ object EventStream {
       .agg(
         count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(30,6)")).cast("double").as("total_value"))
-    runCompleteToMemory(agg, queryName)
+    runCompleteToMemory(agg, queryName, Seq(s"$sfDir/events.parquet"))
   }
 
   /** Watermarked STREAM-STREAM interval join through the real engine:
@@ -221,13 +226,15 @@ object EventStream {
              |AND p_ts <= c_ts""".stripMargin))
       .select(col("user_id"), col("click_id"), col("c_ts"),
         col("purchase_id"), col("p_ts"), col("p_value"))
-    val q = joined.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(queryName)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    StateTuning.withStatePartitions(spark, Seq(eventsPath)) {
+      val q = joined.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(queryName)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(queryName)
   }
 
@@ -332,19 +339,21 @@ object EventStream {
           coalesce(col("user_id"), col("p_user_id")).as("user_id"),
           col("click_id"), col("c_ts"),
           col("purchase_id"), col("p_ts"), col("p_value"))
-      val q = joined.writeStream
-        .outputMode("append")
-        .format("memory")
-        .queryName(queryName)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      // final state-store size: last progress entry that carries state
-      // operator metrics (the terminal no-data batch may not)
-      val stateRows = q.recentProgress.reverseIterator
-        .find(_.stateOperators.nonEmpty)
-        .map(_.stateOperators.map(_.numRowsTotal).sum)
-        .getOrElse(0L)
+      val stateRows = StateTuning.withStatePartitions(spark, Seq(eventsPath)) {
+        val q = joined.writeStream
+          .outputMode("append")
+          .format("memory")
+          .queryName(queryName)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        // final state-store size: last progress entry that carries state
+        // operator metrics (the terminal no-data batch may not)
+        q.recentProgress.reverseIterator
+          .find(_.stateOperators.nonEmpty)
+          .map(_.stateOperators.map(_.numRowsTotal).sum)
+          .getOrElse(0L)
+      }
       OuterJoinRun(spark.table(queryName), stateRows)
     } finally { // bench runs this repeatedly — never leak the temp dir
       graft.sources.Tables.deletePath(spark, beatDir.toString)
@@ -379,13 +388,15 @@ object EventStream {
     val stream = readEventsFileStream(spark, eventsPath)
     val deduped = streamingDedup(stream, keyCols)
       .select(keyCols.map(col): _*)
-    val q = deduped.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(queryName)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    StateTuning.withStatePartitions(spark, Seq(eventsPath)) {
+      val q = deduped.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(queryName)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(queryName)
   }
 
@@ -427,13 +438,15 @@ object EventStream {
   def userCountsAvailableNow(spark: SparkSession, eventsPath: String,
                              queryName: String = "ev_stream_user_counts"): DataFrame = {
     val stream = readEventsFileStream(spark, eventsPath)
-    val q = runningUserCounts(stream).toDF().writeStream
-      .outputMode("update")
-      .format("memory")
-      .queryName(queryName)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    StateTuning.withStatePartitions(spark, Seq(eventsPath)) {
+      val q = runningUserCounts(stream).toDF().writeStream
+        .outputMode("update")
+        .format("memory")
+        .queryName(queryName)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(queryName)
       .groupBy("user_id")
       .agg(max(col("n_events")).as("n_events"), max(col("last_ts")).as("last_ts"))
@@ -537,13 +550,15 @@ object EventStream {
       val sess = sessionize(stream, gapMinutes = 30, watermarkDelay = "2 hours")
         .filter(col("user_id") =!= sentinel)
         .select("user_id", "session_start", "session_end", "n_events")
-      val q = sess.writeStream
-        .outputMode("append")
-        .format("memory")
-        .queryName(queryName)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      StateTuning.withStatePartitions(spark, Seq(eventsPath)) {
+        val q = sess.writeStream
+          .outputMode("append")
+          .format("memory")
+          .queryName(queryName)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
       spark.table(queryName)
     } finally graft.sources.Tables.deletePath(spark, beatDir.toString)
   }
