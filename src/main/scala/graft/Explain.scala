@@ -11,12 +11,12 @@ object Explain {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("daily_revenue", "e2e_curated", "j04_semi_exists", "mdm_match_pairs")
-    val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // GraftSession, NOT a bare builder: the bench/verify path runs with
+    // AQE + the engine extensions + the session shuffle-partition
+    // shape, and a probe session missing those prints a DIFFERENT plan
+    // than the one the bench executes (same lesson as Micro's header).
+    val spark = GraftSession.local("graft-explain",
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>
       println(s"\n========== $n ==========")

@@ -257,8 +257,12 @@ object Similarity {
                else Sampling.sampleByHash(df, idCol, samplePct)
     // persisted: every Lloyd iteration runs two jobs (argmax assign +
     // means) over this frame — uncached, an iters=5 build would
-    // re-execute the source scan + cast lineage ~10×
-    val vecs = base.select(col(idCol).as("vid"), col(vecCol).cast("array<double>").as("v"))
+    // re-execute the source scan + cast lineage ~10×. Scan-spread
+    // FIRST: the persist freezes the scan's partitioning, and a
+    // single-file source would pin every iteration's argmax +
+    // posexplode to one task (Tables.spreadScan — no-op at scale).
+    val vecs = graft.sources.Tables.spreadScan(
+      base.select(col(idCol).as("vid"), col(vecCol).cast("array<double>").as("v")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var centroids: Seq[(Int, Seq[Double])] =
       vecs.orderBy(col("vid")).limit(k).collect().toSeq
@@ -396,8 +400,12 @@ object Similarity {
     val cents = collectCentroids(
       kmeansCentroids(df, idCol, vecCol, k, iters, samplePct),
       "centroid_id", "centroid_vec")
-    val v = df.select(col(idCol).cast("long").as("vec_id"),
-      col(vecCol).cast("array<double>").as("_v"))
+    // scan-spread before the map-only argmax: the per-row nearest-
+    // centroid scoring is k·dim flops per vector and a single-file
+    // scan would run the whole corpus on one task
+    val v = graft.sources.Tables.spreadScan(
+      df.select(col(idCol).cast("long").as("vec_id"),
+        col(vecCol).cast("array<double>").as("_v")))
       .withColumn("_norm", l2Norm(col("_v")))
     assignNearest(v, "_v", "_norm", cents)
       .withColumn("cell_id", col("centroid_id").cast("int"))
@@ -648,6 +656,11 @@ object Similarity {
     require(dim % m == 0, s"m=$m must divide dim=$dim")
     ensureRegistered(df)
     val dsub = dim / m
+    // NOT scan-spread (unlike kmeansCentroids): each PQ iteration
+    // fans into m=4 posexplode subtrees over this frame, so a spread
+    // to session parallelism yields m×parallelism near-empty tasks per
+    // iteration — measured 2× SLOWER at sf0.1 than the single-split
+    // scan; the per-subvector compute is too small to pay for it
     val vecs = df.select(col(idCol).as("vid"),
       col(vecCol).cast("array<double>").as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

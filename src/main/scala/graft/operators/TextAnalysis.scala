@@ -324,6 +324,9 @@ object TextAnalysis {
     */
   def withUnigramLogProb(df: DataFrame, textCol: String,
                          idCol: String): DataFrame = {
+    // NOT scan-spread (unlike bigramLogProb's three tokenizing
+    // subtrees): one light tokenize pass — the spread exchange
+    // measured +0.35 s at sf0.1 against nothing
     val toks = df
       .select(col(idCol), explode(wordTokens(col(textCol))).as("token"))
       .filter(col("token") =!= "")
@@ -391,7 +394,12 @@ object TextAnalysis {
                     lambda: Double = 0.9): DataFrame = {
     require(lambda > 0 && lambda < 1, s"lambda must be in (0,1), got $lambda")
     val t = wordTokens(col(textCol))
-    val toks = df.select(col(idCol), explode(t).as("w"))
+    // one scan-spread feeds all three tokenizing subtrees (vocab,
+    // bigrams, first-term): the round-robin exchange is planned once
+    // (ReuseExchange) and the O(tokens) projections above it run at
+    // session parallelism instead of single-file scan parallelism
+    val dfS = graft.sources.Tables.spreadScan(df)
+    val toks = dfS.select(col(idCol), explode(t).as("w"))
       .filter(col("w") =!= "")
     val vocab = toks.groupBy("w").agg(count(lit(1)).as("c1"))
     val scalars = vocab.agg(
@@ -402,7 +410,7 @@ object TextAnalysis {
       transform(sequence(lit(1), size(t) - 1), i =>
         struct(element_at(t, i).as("w1"), element_at(t, i + 1).as("w2"))))
       .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
-    val docBigrams = df
+    val docBigrams = dfS
       .select(col(idCol), explode(bigramsInRow).as("bg"))
       .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
     val bigramCounts = docBigrams.groupBy("w1", "w2")
@@ -419,7 +427,7 @@ object TextAnalysis {
             lit(1.0 - lambda) * laplace(col("c1w2"))), 9).as("logp"))
     val lmU = vocab.crossJoin(broadcast(scalars))
       .select(col("w"), round(log(laplace(col("c1"))), 9).as("logp"))
-    val firstTerm = df
+    val firstTerm = dfS
       .select(col(idCol), element_at(t, 1).as("w"))
       .filter(col("w").isNotNull && col("w") =!= "")
       .join(lmU.hint("shuffle_hash"), Seq("w"))

@@ -306,7 +306,7 @@ object TextDedup {
     // isNotNull gets pushed down and re-inlines the expression into
     // the Filter, doubling the md5 work. normalizeText is null iff
     // the text is null, so this is the same row set explode() kept.
-    df.filter(col(textCol).isNotNull)
+    graft.sources.Tables.spreadScan(df.filter(col(textCol).isNotNull))
       .withColumn("_norm", normalizeText(col(textCol)))
       .withColumn("_sigs", expr(s"minhash_sigs(_norm, $numHashes, $shingleSize)"))
       .select(col(idCol) +:
@@ -333,7 +333,7 @@ object TextDedup {
   def minhashSignaturesXx64(df: DataFrame, idCol: String, textCol: String,
                             numHashes: Int = 6, shingleSize: Int = 5): DataFrame = {
     graft.plans.GraftExtensions.register(df.sparkSession) // idempotent
-    df.filter(col(textCol).isNotNull)
+    graft.sources.Tables.spreadScan(df.filter(col(textCol).isNotNull))
       .withColumn("_norm", normalizeText(col(textCol)))
       .withColumn("_sigs", expr(s"minhash_sigs_xx64(_norm, $numHashes, $shingleSize)"))
       .select(col(idCol) +:
@@ -609,7 +609,7 @@ object TextDedup {
                         allowBlockExclusion: Boolean = false): DataFrame = {
     graft.plans.GraftExtensions.register(df.sparkSession) // idempotent
     val prepared = blockCapGuard(
-      df.filter(col(textCol).isNotNull)
+      graft.sources.Tables.spreadScan(df.filter(col(textCol).isNotNull))
         .withColumn("_norm", normalizeText(col(textCol)))
         .withColumn("_sh", expr(s"packed_shingles(_norm, $shingleSize)"))
         .select(col(idCol), col(blockCol), col("_sh"))
@@ -653,7 +653,7 @@ object TextDedup {
                             allowBlockExclusion: Boolean = false): DataFrame = {
     graft.plans.GraftExtensions.register(df.sparkSession) // idempotent
     val prepared = blockCapGuard(
-      df.filter(col(textCol).isNotNull)
+      graft.sources.Tables.spreadScan(df.filter(col(textCol).isNotNull))
         .withColumn("_norm", normalizeText(col(textCol)))
         .withColumn("_sh", expr(s"packed_shingles(_norm, $shingleSize)"))
         .select(col(idCol), col(blockCol), col("_sh"))
@@ -751,8 +751,8 @@ object TextDedup {
                               shingleSize: Int = 5): DataFrame = {
     graft.plans.GraftExtensions.register(df.sparkSession) // idempotent
     val k = PrefixK
-    val prepared = df
-      .filter(col(textCol).isNotNull)
+    val prepared = graft.sources.Tables
+      .spreadScan(df.filter(col(textCol).isNotNull))
       .withColumn("_norm", normalizeText(col(textCol)))
       .withColumn("_sh", expr(s"packed_shingles(_norm, $shingleSize)"))
       .withColumn("_len", size(col("_sh")))
@@ -976,6 +976,11 @@ object TextDedup {
       // (self-loop), so the lookup always hits; the jump squares the
       // propagation distance per round — chains converge in O(log d)
       // rounds instead of O(d) (measured 16 → 5 on the 10× corpus).
+      // A SECOND jump per round was tried in r15 and reverted:
+      // convergence here is edge-hop-bound (the min advances one graph
+      // hop per neighbor-min step), so it saved only one round
+      // (10 → 9 at sf0.1) while re-computing the first jump's subtree
+      // twice per round — net +19% wall in the bench.
       val parent = nmin.select(col("id").as("_pid"), col("cluster_id").as("_pl"))
       val next = nmin.join(parent, nmin("cluster_id") === parent("_pid"), "left")
         .select(nmin("id"),

@@ -74,8 +74,9 @@ object RelationalQueries {
     // shuffle volume is bounded by group cardinality, not input rows.
     "daily_revenue" -> QueryDef.sql(
       (s, dir) =>
-        t(s, dir, "lineitem")
+        Tables.spreadScan(t(s, dir, "lineitem")
           .filter(col("l_extendedprice") > 0)
+          .select("l_suppkey", "l_shipdate", "l_extendedprice"))
           .groupBy(col("l_suppkey"), to_date(col("l_shipdate")).as("ship_date"))
           .agg(
             exactSum(col("l_extendedprice")).as("total_revenue"),
@@ -425,7 +426,11 @@ object RelationalQueries {
     // (ref sql/docs/Transformation Documentation.md:59-70)
     "a04_extended_metrics" -> QueryDef.sql(
       (s, dir) => {
-        val li = t(s, dir, "lineitem")
+        // scan-spread the fact side: the broadcast-probe + partial-agg
+        // stage is otherwise capped at the file's row-group parallelism
+        val li = Tables.spreadScan(t(s, dir, "lineitem").select(
+          "l_orderkey", "l_suppkey", "l_extendedprice", "l_quantity",
+          "l_shipdate"))
         val orders = t(s, dir, "orders")
         li.join(orders, li("l_orderkey") === orders("o_orderkey"))
           .groupBy(col("l_suppkey"))
@@ -998,6 +1003,11 @@ object RelationalQueries {
           .filter(col("l_extendedprice") > 0)
           .withColumn("ship_date", to_date(col("l_shipdate")))
           .select("l_orderkey", "l_suppkey", "ship_date", "l_extendedprice")
+        // per-batch writes, deliberately NOT writeFeedBatches: the
+        // one-pass variant must shuffle the whole input to land each
+        // batch in one file, and lineitem's wide rows make that
+        // exchange (~42 MB) cost more than two extra 11 MB scans —
+        // the single-pass writer wins only on narrow feeds (events)
         (0 until 3).foreach(i =>
           DimensionStream.writeFeedFile(
             li.filter(col("l_orderkey") % 3 === i), s"$root/feed",
@@ -1849,6 +1859,14 @@ object RelationalQueries {
           .agg(min(col("ship_date")).as("_lo"), max(col("ship_date")).as("_hi"))
           .select(col("l_suppkey"),
             explode(sequence(col("_lo"), col("_hi"))).as("ship_date"))
+          // re-key AFTER the explode: AQE sizes the bounds exchange on
+          // the tiny pre-explode bytes and coalesces it to ~1
+          // partition, then Generate inflates keys×days rows onto that
+          // one task. A plain same-key repartition is optimizer-removed
+          // as redundant (the child is already hash-partitioned by
+          // l_suppkey); REBALANCE survives and lets AQE size the
+          // downstream work on the REAL post-explode spine volume.
+          .hint("rebalance", col("l_suppkey"))
         spine.join(daily, Seq("l_suppkey", "ship_date"), "left")
           .select(col("l_suppkey"), col("ship_date"),
             coalesce(col("total_revenue"), lit(0.0)).as("total_revenue"),
@@ -2300,6 +2318,12 @@ object RelationalQueries {
           .agg(min(col("d")).as("_lo"), max(col("d")).as("_hi"))
           .select(col("l_suppkey"),
             explode(sequence(col("_lo"), col("_hi"))).as("d"))
+          // post-explode re-key (same reason as w03_resample_daily):
+          // without it the LOCF window inherits the bounds exchange's
+          // AQE-coalesced ~1 partition and runs keys×days rows
+          // serially; REBALANCE (not a same-key repartition, which the
+          // optimizer removes as redundant) re-sizes on real bytes
+          .hint("rebalance", col("l_suppkey"))
         val w = Window.partitionBy(col("l_suppkey")).orderBy(col("d"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         spine.join(daily, Seq("l_suppkey", "d"), "left")

@@ -345,10 +345,13 @@ object StreamingQueries {
           .head()
         val (c1, c2) = (cuts.getDouble(0), cuts.getDouble(1))
         val us = unix_micros(col("ts")).cast("double")
-        Seq(us <= c1, us > c1 && us <= c2, us > c2).zipWithIndex.foreach {
-          case (p, i) => DimensionStream.writeFeedFile(ev.filter(p),
-            s"$root/feed", s"batch_$i", 1700000000000L + i * 60000L)
-        }
+        // one partitioned write lands all three ts-tercile batches;
+        // the null-ts filter preserves the old per-batch predicates'
+        // semantics exactly (null matched none of the three batches)
+        DimensionStream.writeFeedBatches(
+          ev.filter(us.isNotNull).withColumn("_b",
+            when(us <= c1, 0).when(us <= c2, 1).otherwise(2)),
+          "_b", 3, s"$root/feed", 1700000000000L)
         val state = DimensionStream.transitionMergeAvailableNow(
           s, s"$root/feed", s"$root/state", queryName = "mv_stream_transitions")
         val cnt = state.filter(col("_kind") === "cnt")
@@ -456,10 +459,9 @@ object StreamingQueries {
         val ev = Tables.events(s, dir)
           .select(col("event_id"), to_date(col("ts")).as("day"),
             col("user_id"), col("value"))
-        (0 until 3).foreach(i =>
-          DimensionStream.writeFeedFile(
-            ev.filter(col("event_id") % 3 === i), s"$root/feed",
-            s"batch_$i", 1700000000000L + i * 60000L))
+        DimensionStream.writeFeedBatches(
+          ev.withColumn("_b", (col("event_id") % 3).cast("int")),
+          "_b", 3, s"$root/feed", 1700000000000L)
         val state = DimensionStream.aggMergeAvailableNow(
           s, s"$root/feed", s"$root/state",
           Seq("day", "user_id"), "value", queryName = "mv_stream_dau")
@@ -500,10 +502,9 @@ object StreamingQueries {
         fs.delete(new org.apache.hadoop.fs.Path(root), true)
         val ev = Tables.events(s, dir)
           .select(col("event_id"), to_date(col("ts")).as("day"), col("user_id"))
-        (0 until 3).foreach(i =>
-          DimensionStream.writeFeedFile(
-            ev.filter(col("event_id") % 3 === i), s"$root/feed",
-            s"batch_$i", 1700000000000L + i * 60000L))
+        DimensionStream.writeFeedBatches(
+          ev.withColumn("_b", (col("event_id") % 3).cast("int")),
+          "_b", 3, s"$root/feed", 1700000000000L)
         val state = DimensionStream.sketchMergeAvailableNow(
           s, s"$root/feed", s"$root/state",
           Seq("day"), "user_id", queryName = "mv_hll_uniques")

